@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.adsbx.{AdsbxConfig, Fixtures, Pipeline}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every implemented operator group:
+  *   - CotQueries: the reference's full pipeline (SURVEY §2.3-2.6) on the
+  *     quirk-matrix fixture, oracle-checked via a VALUES-based DuckDB query;
+  *   - Relational: classical operator coverage over the driver corpus.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's end-to-end dataflow (P1-P17 + D1 + J2) in
+    * pass-through mode over the fixture — smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.features(
+      Fixtures.aircraftDf(spark), Fixtures.includesDf(spark),
+      AdsbxConfig(includesFiltering = false))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CotQueries.queries ++ Relational.queries
+
+  def oracleSql: Map[String, String] =
+    CotQueries.oracles ++ Relational.oracles
 }

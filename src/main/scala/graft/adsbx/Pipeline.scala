@@ -1,0 +1,54 @@
+package graft.adsbx
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end ADS-B → CoT pipeline (the reference's `control()` dataflow,
+  * task.ts:115-257): validate → transform (P1-P17) → dedup (D1) → includes
+  * join (J1-J3) → output dedup (D2).
+  *
+  * Every stage is a pure `DataFrame => DataFrame`, so the identical graph
+  * runs in batch (driver verification) and under Structured Streaming
+  * foreachBatch (see graft.streaming.AdsbxStream).
+  */
+object Pipeline {
+
+  /** Source V1: parse an ADSBX response envelope from JSON text with
+    * FAILFAST semantics — the reference's `res.typed(...)` throws on schema
+    * mismatch (task.ts:131-134). Returns one row per aircraft, with an
+    * explicit `seq` column capturing array position (= arrival order, the
+    * order D1's last-wins is defined over). */
+  def fromEnvelopeJson(spark: SparkSession, jsonLines: DataFrame): DataFrame = {
+    val parsed = jsonLines.select(
+      from_json(col("value"), Schemas.envelope,
+        Map("mode" -> "FAILFAST")).as("env"))
+    parsed
+      .select(posexplode(col("env.ac")).as(Seq("seq", "ac")))
+      .select(col("seq").cast("long").as("seq"), col("ac.*"))
+  }
+
+  /** Full pipeline over an aircraft DataFrame that already has
+    * `Schemas.adsbResponse` columns + a `seq` ordering column. */
+  def run(aircraft: DataFrame, includes: DataFrame, cfg: AdsbxConfig): DataFrame = {
+    val transformed = CotTransform.flat(aircraft, cfg.emergencyHostile)
+    val deduped = Dedup.lastWins(transformed, "id", "seq")
+    val joined = IncludesJoin(deduped, includes, cfg.includesFiltering)
+    // D2: no-op safety net after D1/J2 (task.ts:215,235-238,244-247)
+    Dedup.distinctByKey(joined, "id")
+  }
+
+  /** run + nested Feature assembly (the FeatureCollection rows, O2). The
+    * FeatureCollection wrap itself happens at the sink, never on the driver
+    * (SURVEY §4.3): each output row is one Feature. */
+  def features(aircraft: DataFrame, includes: DataFrame, cfg: AdsbxConfig): DataFrame =
+    CotTransform.feature(run(aircraft, includes, cfg))
+
+  /** O2 sink-side wrap: FeatureCollection as JSON text, one collection per
+    * partition-bounded batch. For the external-POST sink shape the driver
+    * harness replaces this with parquet (Verify.scala). */
+  def toFeatureCollectionJson(features: DataFrame): DataFrame =
+    features.agg(collect_list(col("feature")).as("features"))
+      .select(to_json(struct(
+        lit("FeatureCollection").as("type"),
+        col("features"))).as("feature_collection"))
+}
