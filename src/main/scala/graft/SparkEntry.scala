@@ -21,8 +21,12 @@ object SparkEntry {
       AdsbxConfig(includesFiltering = false))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CotQueries.queries ++ Relational.queries
+    CotQueries.queries ++ Relational.queries ++ DedupOps.queries ++
+      TextOps.queries ++ Similarity.queries ++ MultimodalOps.queries ++
+      graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
-    CotQueries.oracles ++ Relational.oracles
+    CotQueries.oracles ++ Relational.oracles ++ DedupOps.oracles ++
+      TextOps.oracles ++ Similarity.oracles ++ MultimodalOps.oracles ++
+      graft.streaming.StreamOps.oracles
 }

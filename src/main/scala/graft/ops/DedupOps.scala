@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tokens._
+
+/** Document deduplication operators for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket-join
+  * → verified candidate pairs), and SimHash fingerprints.
+  *
+  * Everything is hash-partitioned aggregation / equi-join — no pairwise
+  * O(n²) stage ever materializes: candidate pairs come only from LSH bucket
+  * co-membership, which is the standard way exact-verify near-dup scales to
+  * 100 TB (the bucket join shuffles on (band, bucket-hash), a key whose
+  * cardinality grows with corpus size; skew = many docs in one bucket =
+  * genuinely near-identical docs, which a real pipeline caps or merges).
+  *
+  * MinHash uses 4 salted md5-based "permutations" over word 3-shingles —
+  * md5 so the DuckDB oracle reproduces the signatures bit-for-bit.
+  */
+object DedupOps {
+
+  private val SHINGLE_K = 3
+  private val N_HASH = 4
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+
+  /** Distinct word-3-shingles, one row per (doc_id, shingle). */
+  private def shingleTable(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), SHINGLE_K))).as("w"))
+
+  /** Exact dedup: md5 fingerprint → keeper (min doc_id) + multiplicity. */
+  private def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("n_chars")).as("n_chars"))
+      .orderBy(col("fp"))
+
+  /** MinHash signatures: per doc, min salted-hash over its shingle set,
+    * for 4 salts — one pass, 4 min-aggregates (map-side combinable). */
+  private def minhashSig(d: DataFrame): DataFrame = {
+    val aggs = (0 until N_HASH).map(i =>
+      min(saltedHash(col("w"), i)).as(s"mh$i"))
+    shingleTable(d)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashQuery(s: SparkSession, dir: String): DataFrame =
+    minhashSig(docs(s, dir)).orderBy(col("doc_id"))
+
+  /** One row per (band, bucket, doc): each minhash value is its own band. */
+  private def bandTable(sig: DataFrame): DataFrame =
+    (0 until N_HASH).map(i =>
+      sig.select(lit(i).as("band"), col(s"mh$i").as("bucket"), col("doc_id")))
+      .reduce(_ union _)
+
+  /** LSH buckets holding >1 doc — the near-dup candidate groups. */
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame =
+    bandTable(minhashSig(docs(s, dir)))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("band"), col("bucket"))
+
+  /** Full near-dup pipeline: LSH candidate pairs, exact-verified with
+    * shingle-set Jaccard ≥ 0.8. The pairwise work is restricted to bucket
+    * co-members; the intersection is computed by joining each pair side to
+    * the shingle table (equi-joins on doc_id, then on shingle). */
+  private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tok = shingleTable(d)
+    val bands = bandTable(minhashSig(d))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val cnt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(tok.as("t1"), col("d1") === col("t1.doc_id"))
+      .join(tok.as("t2"),
+        col("d2") === col("t2.doc_id") && col("t1.w") === col("t2.w"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.as("c1"), col("d1") === col("c1.doc_id"))
+      .join(cnt.as("c2"), col("d2") === col("c2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") /
+          (col("c1.n") + col("c2.n") - col("i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** 16-bit SimHash over the distinct-token set, md5-hex-digit parity as
+    * the per-bit hash (cross-engine reproducible). */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(toks(col("text")))).as("w"))
+    val h = md5(col("w").cast("binary"))
+    val bitSums = (1 to 16).map(i =>
+      sum(when(substring(h, i, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"b$i"))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 16).map(i =>
+          when(col(s"b$i") > 0, "1").otherwise("0")): _*).as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exactDedup,
+    "dedup_minhash_sig" -> minhashQuery,
+    "dedup_lsh_buckets" -> lshBuckets,
+    "dedup_lsh_neardup" -> lshNearDupPairs,
+    "dedup_simhash" -> simhash,
+  )
+
+  // ---- DuckDB oracle ----------------------------------------------------
+
+  private val tok3Cte =
+    s"""tok3 AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("text", SHINGLE_K)}) AS w FROM documents)"""
+
+  private val sigCte = {
+    val mins = (0 until N_HASH)
+      .map(i => s"min(${saltedHashSql("w", i)}) AS mh$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM tok3 GROUP BY doc_id)"
+  }
+
+  private val bandsCte = {
+    val rows = (0 until N_HASH)
+      .map(i => s"SELECT $i AS band, mh$i AS bucket, doc_id FROM sig")
+      .mkString(" UNION ALL ")
+    s"bands AS ($rows)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies, max(n_chars) AS n_chars
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH $tok3Cte, $sigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_lsh_buckets" ->
+      s"""WITH $tok3Cte, $sigCte, $bandsCte
+         |SELECT band, bucket, COUNT(*) AS n_docs,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1
+         |ORDER BY band, bucket""".stripMargin,
+    "dedup_lsh_neardup" ->
+      s"""WITH $tok3Cte, $sigCte, $bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY 1),
+         |inter AS (
+         |  SELECT p.d1, p.d2, COUNT(*) AS i
+         |  FROM pairs p
+         |  JOIN tok3 t1 ON t1.doc_id = p.d1
+         |  JOIN tok3 t2 ON t2.doc_id = p.d2 AND t2.w = t1.w
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2,
+         |  CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN cnt c1 ON d1 = c1.doc_id
+         |JOIN cnt c2 ON d2 = c2.doc_id
+         |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash" -> {
+      val bitSums = (1 to 16).map(i =>
+        s"SUM(CASE WHEN substr(md5(w), $i, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS b$i")
+        .mkString(", ")
+      val bits = (1 to 16).map(i =>
+        s"CASE WHEN b$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH tok1 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |bitsums AS (SELECT doc_id, $bitSums FROM tok1 GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash16 FROM bitsums ORDER BY doc_id""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The decode step is a STUB (image/audio codecs are not in this
+  * container): `decodeStub` derives deterministic fake metadata from the
+  * bytes + id. Everything around it is the real production shape —
+  * binary column schema, typed Dataset, per-partition decoder lifecycle
+  * (one "codec init" per partition, the same pattern as loading a model
+  * once per executor task), frame-sampling fan-out.
+  *
+  * Scale posture: decode is embarrassingly parallel mapPartitions with no
+  * shuffle; payload bytes never move through a shuffle (metadata only).
+  * Frame sampling explodes to (doc, frame) AFTER the narrow decode, so the
+  * fan-out also stays shuffle-free.
+  */
+object MultimodalOps {
+
+  final case class MediaRecord(doc_id: Long, media: Array[Byte], source: String)
+  final case class MediaMeta(doc_id: Long, source: String, n_bytes: Long,
+      fp: String, width: Int, height: Int, n_frames: Long)
+  final case class Frame(doc_id: Long, frame_idx: Long, byte_offset: Long)
+
+  private val FRAME_BYTES = 100L
+
+  /** The media table: payload as a binary column (here synthesized from
+    * documents.text; a real corpus reads image/audio files or blob refs). */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("media"), col("source"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder — stands in for image decode / resize / feature extract.
+    * Deterministic: byte length, md5 fingerprint, fake dimensions derived
+    * from doc_id, frame count from payload size. */
+  private def decodeStub(rec: MediaRecord, codec: java.security.MessageDigest): MediaMeta = {
+    codec.reset()
+    val digest = codec.digest(rec.media).map("%02x".format(_)).mkString
+    val nBytes = rec.media.length.toLong
+    MediaMeta(
+      doc_id = rec.doc_id,
+      source = rec.source,
+      n_bytes = nBytes,
+      fp = digest,
+      width = (64 + (rec.doc_id % 64) * 16).toInt,
+      height = (64 + ((rec.doc_id * 7) % 64) * 16).toInt,
+      n_frames = nBytes / FRAME_BYTES + 1)
+  }
+
+  /** Decode all media: one codec instance per partition (the per-partition
+    * init cost a real decoder/model amortizes the same way). */
+  def decodeAll(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val codec = java.security.MessageDigest.getInstance("MD5") // per-partition "codec init"
+      it.map(decodeStub(_, codec))
+    }
+  }
+
+  /** Frame sampling: one row per FRAME_BYTES-sized frame of each payload. */
+  def sampleFrames(meta: Dataset[MediaMeta]): Dataset[Frame] = {
+    import meta.sparkSession.implicits._
+    meta.flatMap(m =>
+      (0L until m.n_frames).map(i => Frame(m.doc_id, i, i * FRAME_BYTES)))
+  }
+
+  private def decodeMetaQ(s: SparkSession, dir: String): DataFrame =
+    decodeAll(mediaTable(s, dir)).toDF().orderBy(col("doc_id"))
+
+  private def frameSampleQ(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(decodeAll(mediaTable(s, dir)))
+      .toDF().orderBy(col("doc_id"), col("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> decodeMetaQ,
+    "mm_frame_sample" -> frameSampleQ,
+  )
+
+  // The stub's fake metadata is pure arithmetic on (bytes, doc_id), so the
+  // oracle reproduces it exactly in SQL.
+  val oracles: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      s"""SELECT doc_id, source,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS fp,
+         |  CAST(64 + (doc_id % 64) * 16 AS INTEGER) AS width,
+         |  CAST(64 + ((doc_id * 7) % 64) * 16 AS INTEGER) AS height,
+         |  CAST(octet_length(encode(text)) // $FRAME_BYTES + 1 AS BIGINT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, frame_idx, frame_idx * $FRAME_BYTES AS byte_offset FROM (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, CAST(octet_length(encode(text)) // $FRAME_BYTES AS BIGINT))) AS frame_idx
+         |  FROM documents
+         |) ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Exact._
+
+/** Similarity search over the embedding column (Array[Float], dim 64):
+  * brute-force cosine top-k as the correctness baseline, sign-LSH bucketed
+  * ANN as the scale path, plus per-label embedding statistics.
+  *
+  * Numerics: floats are cast to double up front and every reduction is a
+  * sequential left fold (Spark `aggregate` HOF / DuckDB `list_reduce`), so
+  * both engines produce bit-identical dot products; similarities are rounded
+  * to 6 dp as the comparison contract.
+  *
+  * Scale posture: the query set is broadcast (ANN queries are always tiny
+  * relative to the corpus); candidates stream map-side with no shuffle until
+  * the per-query top-k (a partial-aggregating window on q_id). The LSH
+  * variant prunes candidates by bucket equality BEFORE any pairing — at
+  * 100 TB you'd add more planes (more buckets) and multi-probe, same plan
+  * shape.
+  */
+object Similarity {
+
+  private val K = 5
+  private val N_QUERIES = 8
+  private val LSH_DIMS = Seq(1, 9, 17, 25) // 1-based dims read as hyperplane signs
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("v")))
+
+  /** Brute-force cosine top-k: every candidate scored against each of the
+    * broadcast query vectors, then per-query top-k. */
+  private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = e.filter(col("vec_id") >= N_QUERIES)
+    val scored = cand.join(broadcast(q))
+      .withColumn("sim", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Sign-LSH bucket: concat of sign bits of 4 fixed dimensions (stand-ins
+    * for random hyperplanes — fixed so the oracle reproduces them). */
+  private def bucket(v: Column): Column =
+    concat(LSH_DIMS.map(d =>
+      when(element_at(v, d) >= 0d, "1").otherwise("0")): _*)
+
+  /** ANN via LSH buckets: candidates pair only with queries in the SAME
+    * bucket — the candidate set shrinks ~16x before any scoring. */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir)).withColumn("bkt", bucket(col("v")))
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bkt").as("qbkt"))
+    val cand = e.filter(col("vec_id") >= N_QUERIES)
+    val scored = cand.join(broadcast(q), col("bkt") === col("qbkt"))
+      .withColumn("sim", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("bkt"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Per-label embedding stats (norm distribution). */
+  private def embedStats(s: SparkSession, dir: String): DataFrame =
+    withNorm(emb(s, dir))
+      .withColumn("nrm_r", round(col("nrm"), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        avgD(col("nrm_r")).as("avg_norm"),
+        min(col("nrm_r")).as("min_norm"),
+        max(col("nrm_r")).as("max_norm"))
+      .orderBy(col("label"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> cosineTopK,
+    "sim_ann_lsh" -> annLsh,
+    "sim_embed_stats" -> embedStats,
+  )
+
+  // ---- DuckDB oracle ----------------------------------------------------
+
+  // sequential left folds mirroring the Spark HOFs exactly
+  private val dotSql =
+    "list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*qv[i]), (a,x) -> a+x)"
+  private val normSql =
+    "sqrt(list_reduce(list_transform(v, x -> x*x), (a,x) -> a+x))"
+  private val bucketSql = LSH_DIMS.map(d =>
+    s"(CASE WHEN v[$d] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  private val eCte =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |  sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,x) -> a+x)) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, round($dotSql / (e.nrm * q.qn), 6) AS sim
+         |  FROM e CROSS JOIN q WHERE e.vec_id >= $N_QUERIES
+         |)
+         |SELECT q_id, rk, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH $eCte,
+         |eb AS (SELECT *, $bucketSql AS bkt FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bkt AS qbkt FROM eb WHERE vec_id < $N_QUERIES),
+         |scored AS (
+         |  SELECT q.q_id, eb.bkt, eb.vec_id, round($dotSql / (eb.nrm * q.qn), 6) AS sim
+         |  FROM eb JOIN q ON eb.bkt = q.qbkt WHERE eb.vec_id >= $N_QUERIES
+         |)
+         |SELECT q_id, bkt, rk, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin,
+    "sim_embed_stats" ->
+      s"""WITH $eCte,
+         |r AS (SELECT label, round(nrm, 6) AS nrm_r FROM e)
+         |SELECT label, COUNT(*) AS n, ${avgSql("nrm_r")} AS avg_norm,
+         |  MIN(nrm_r) AS min_norm, MAX(nrm_r) AS max_norm
+         |FROM r GROUP BY label ORDER BY label""".stripMargin,
+  )
+}

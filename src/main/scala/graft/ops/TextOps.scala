@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tokens._
+import Exact._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * language-ID (marker-token heuristic), BPE-ish sub-word token counting,
+  * and document fingerprinting. All per-document work is narrow (HOFs over
+  * the token array inside codegen — no explode, no shuffle until the final
+  * small aggregation), which is the shape that scales: a 100 TB corpus maps
+  * each doc once and only aggregates small summaries.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+
+  private val stopwords = Seq("the", "a", "of", "to", "and")
+
+  /** Per-doc quality stats: token counts, type-token ratio, average token
+    * length, stopword ratio, and a composite quality score. */
+  private def textStats(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("long")
+    val nDis = size(array_distinct(t)).cast("long")
+    val totChars = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
+    val nStop = size(filter(t, w => w.isin(stopwords.map(lit): _*))).cast("long")
+    val ttr = nDis.cast("double") / nTok.cast("double")
+    val avgLen = totChars.cast("double") / nTok.cast("double")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    docs(s, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      nTok.as("n_tokens"), nDis.as("n_distinct"),
+      totChars.cast("long").as("total_token_chars"),
+      ttr.as("ttr"), avgLen.as("avg_token_len"), stopRatio.as("stop_ratio"),
+      (ttr * 0.5 + least(lit(1.0), nTok.cast("double") / 100.0) * 0.3 +
+        (lit(1.0) - stopRatio) * 0.2).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-token sets per language. With a natural-language corpus these
+    * would be real stopword profiles (the/der/le/el/的); the test corpus is
+    * synthetic word-soup, so disjoint vocab subsets stand in — the scoring
+    * and argmax machinery is the operator under test. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("table", "batch"),
+    "es" -> Seq("data", "value"),
+    "fr" -> Seq("query", "merge"),
+    "zh" -> Seq("hash", "scan"))
+
+  /** Language-ID: score = marker-token hits per language, argmax with a
+    * fixed tie order; output is the confusion matrix against the label. */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val scores = markers.map { case (l, ws) =>
+      l -> size(filter(t, w => w.isin(ws.map(lit): _*)))
+    }
+    val all = scores.map(_._2)
+    // first language (in declared order) reaching the max wins ties
+    val pred = scores.tail.foldLeft(
+      when(scores.head._2 >= greatest(all: _*), scores.head._1)) {
+      case (acc, (l, sc)) => acc.when(sc >= greatest(all: _*), l)
+    }
+    docs(s, dir)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** BPE-ish sub-word segmentation via a syllable regex; counts aggregated
+    * per source (regex identical in Java and RE2 dialects). */
+  private val sylRe = "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*"
+
+  private def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    val nBpe = size(regexp_extract_all(col("text"), lit(sylRe), lit(0))).cast("long")
+    val nWs = size(toks(col("text"))).cast("long")
+    docs(s, dir)
+      .select(col("source"), nBpe.as("n_bpe"), nWs.as("n_ws"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        sum(col("n_ws")).as("ws_tokens"),
+        avgD(col("n_bpe").cast("double")).as("avg_bpe_per_doc"))
+      .orderBy(col("source"))
+  }
+
+  /** Document fingerprints: full-text md5 + winnowing-style min-hash over
+    * 8-token windows (rolling fingerprint). */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("fp_full"),
+      array_min(transform(shingles(col("text"), 8),
+        w => md5(w.cast("binary")))).as("fp_window"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats,
+    "text_lang_id" -> langId,
+    "text_token_count" -> tokenCount,
+    "text_fingerprint" -> fingerprint,
+  )
+
+  // ---- DuckDB oracle ----------------------------------------------------
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+         |    CAST(list_reduce(list_transform(string_split(text,' '), w -> length(w)), (a,x) -> a+x) AS BIGINT) AS total_token_chars,
+         |    CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, source, n_tokens, n_distinct, total_token_chars,
+         |  CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS ttr,
+         |  CAST(total_token_chars AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_token_len,
+         |  CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |  (CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.5
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/100.0) * 0.3
+         |    + (1.0 - CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)) * 0.2 AS quality_score
+         |FROM base ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> {
+      val scoreCols = markers.map { case (l, ws) =>
+        val list = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text,' '), w -> w IN ($list))) AS s_$l"
+      }.mkString(", ")
+      val langs = markers.map(_._1)
+      val gr = langs.map(l => s"s_$l").mkString(", ")
+      val pred = langs.map(l => s"WHEN s_$l >= greatest($gr) THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""WITH scored AS (SELECT lang, $scoreCols FROM documents)
+         |SELECT lang, $pred AS pred_lang, COUNT(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+    },
+    "text_token_count" ->
+      s"""WITH base AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text, '$sylRe')) AS BIGINT) AS n_bpe,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws
+         |  FROM documents
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+         |  ${avgSql("CAST(n_bpe AS DOUBLE)")} AS avg_bpe_per_doc
+         |FROM base GROUP BY source ORDER BY source""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp_full,
+         |  list_min(list_transform(${shinglesSql("text", 8)}, w -> md5(w))) AS fp_window
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared tokenization/shingling expressions for the dedup + text-analysis
+  * operators. Everything is built from codegen'd built-ins (split /
+  * transform / sequence HOFs — no UDFs), with a DuckDB-equivalent SQL
+  * fragment next to each so oracle queries stay in lockstep.
+  *
+  * Hashing note: cross-engine-deterministic hashing uses md5 (identical in
+  * Spark and DuckDB) rather than Spark's murmur3 `hash()`, which DuckDB
+  * can't reproduce.
+  */
+object Tokens {
+
+  /** Whitespace tokens. SQL: `string_split(text, ' ')`. */
+  def toks(text: Column): Column = split(text, " ")
+
+  /** Distinct whitespace tokens (set semantics for Jaccard/MinHash). */
+  def distinctToks(text: Column): Column = array_distinct(toks(text))
+
+  /** Word k-shingles: overlapping k-grams of tokens joined by a space;
+    * docs shorter than k tokens collapse to one whole-text shingle.
+    * SQL fragment: see `shinglesSql`. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = toks(text)
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array(text))
+  }
+
+  /** DuckDB equivalent of `shingles` (1-based list indexing). */
+  def shinglesSql(textExpr: String, k: Int): String = {
+    val joined = (1 to k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""(CASE WHEN len(string_split($textExpr,' ')) >= $k
+       | THEN (SELECT list_transform(generate_series(0, len(t)-$k), i -> $joined)
+       |       FROM (SELECT string_split($textExpr,' ') AS t))
+       | ELSE [$textExpr] END)""".stripMargin.replace("\n", " ")
+  }
+
+  /** First 8 hex chars of md5 of `salt|token` — the deterministic "random
+    * permutation" used for MinHash. SQL: `substr(md5('SALT|' || w), 1, 8)`. */
+  def saltedHash(w: Column, salt: Int): Column =
+    substring(md5(concat(lit(s"$salt|"), w).cast("binary")), 1, 8)
+
+  def saltedHashSql(wExpr: String, salt: Int): String =
+    s"substr(md5('$salt|' || $wExpr), 1, 8)"
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming operators (SURVEY §2.9 streaming rows + E1).
+  *
+  * The reference is a scheduled micro-batch poller (task.ts:98) — exactly
+  * Spark's incremental model. Every transform in graft.adsbx is a pure
+  * DataFrame => DataFrame, so the same code runs under readStream; this
+  * object adds the streaming-only pieces: sources, watermarked windows,
+  * cross-batch dedup, and a driver-verifiable bridge (run a streaming query
+  * over the events table to completion, return the final result — the
+  * DuckDB oracle then checks streaming semantics against batch SQL).
+  *
+  * Scale posture: stateful ops are keyed by high-cardinality columns and
+  * watermarked so state is evicted; complete-mode is used only for
+  * bounded-cardinality aggregates (per-user, per-hour).
+  */
+object StreamOps {
+
+  private val nameCounter = new AtomicInteger()
+
+  /** events as a stream: file-source over the parquet with an explicit
+    * schema (ts arrives as INT64 nanos → proper timestamp, same as
+    * graft.Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source only accepts directories — scan the sf dir, filtered
+    // down to the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and return
+    * the final table (AvailableNow ≈ the reference's one-shot scheduled
+    * invocation). */
+  def runToMemory(streamed: DataFrame, outputMode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = streamed.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamed.sparkSession.table(name)
+  }
+
+  /** Streaming hourly tumbling-window aggregation; complete mode so the
+    * final state equals the batch result (oracle: rel_hourly_window SQL). */
+  def hourlyWindowQ(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Exact.sumD(col("value")).as("sum_value"))
+    runToMemory(agg, "complete")
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** Streaming last-wins dedup: the reference's D1 as a streaming stateful
+    * aggregate — max_by(event_id) per user in complete mode matches the
+    * batch Dedup.lastWins exactly. */
+  def dedupLastWinsQ(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_type"), col("value"), col("props")),
+        col("event_id")).as("_r"))
+      .select(col("user_id"), col("_r.ts").as("ts"),
+        col("_r.event_type").as("event_type"), col("_r.value").as("value"),
+        col("_r.props").as("props"))
+    runToMemory(agg, "complete").orderBy(col("user_id"))
+  }
+
+  /** Watermarked sliding-window counts in append mode — only windows closed
+    * by the watermark are emitted (late-data semantics under test in
+    * StreamingSpec; not oracle-checked because append mode intentionally
+    * withholds the unclosed tail). */
+  def watermarkedWindow(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"))
+
+  /** Cross-batch streaming dedup with state eviction via watermark (the
+    * scalable replacement for the reference's removed DynamoDB known-items
+    * diff — SURVEY §2.9 stateful row). */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_window" -> hourlyWindowQ,
+    "stream_dedup_lastwins" -> dedupLastWinsQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical final state to the batch operators — same SQL shape as
+    // rel_hourly_window / rel_dedup_lastwins
+    "stream_hourly_window" ->
+      s"""SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
+         |  ${graft.ops.Exact.sumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_dedup_lastwins" ->
+      """SELECT user_id, arg_max(ts, event_id) AS ts,
+        |  arg_max(event_type, event_id) AS event_type,
+        |  arg_max(value, event_id) AS value,
+        |  arg_max(props, event_id) AS props
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}
