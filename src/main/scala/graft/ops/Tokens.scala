@@ -22,12 +22,21 @@ object Tokens {
 
   /** Word k-shingles: overlapping k-grams of tokens joined by a space;
     * docs shorter than k tokens collapse to one whole-text shingle.
-    * SQL fragment: see `shinglesSql`. */
+    * SQL fragment: see `shinglesSql`.
+    *
+    * Built as arrays_zip of k shifted slices rather than
+    * `transform(sequence, i => element_at(t, i+j))`: higher-order
+    * functions evaluate interpreted (no codegen/CSE), so an element_at
+    * over `t = split(text)` inside the lambda re-runs the split for every
+    * element of every shingle. The zip form evaluates the split O(k)
+    * times per row instead of O(k·len). */
   def shingles(text: Column, k: Int): Column = {
     val t = toks(text)
-    when(size(t) >= k,
-      transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", (1 to k).map(j => element_at(t, i + j)): _*)))
+    val n = size(t) - (k - 1) // shingle count when the doc has >= k tokens
+    when(n >= 1,
+      transform(
+        arrays_zip((1 to k).map(j => slice(t, lit(j), n)): _*),
+        s => concat_ws(" ", (0 until k).map(j => s.getField(j.toString)): _*)))
       .otherwise(array(text))
   }
 
