@@ -1,0 +1,47 @@
+package graft.adsbx.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.adsbx.{Pipeline, Schemas}
+
+/** S1 — the ADSBX snapshot source (reference task.ts:118-129), minus the
+  * network: production fetches `GET {api}/v2/lat/{lat}/lon/{lon}/dist/{nm}/`
+  * on a schedule; this library ingests the fetched envelope text through
+  * one of the entry points below, all converging on the same FAILFAST
+  * schema-on-read parse (V1, task.ts:131-134) and per-aircraft rows with an
+  * explicit `seq` arrival-order column.
+  *
+  * Scale posture: the envelope parse is a narrow per-line projection +
+  * posexplode — no shuffle; a fleet of regional pollers lands one JSON line
+  * per snapshot in object storage and this source fans them out in
+  * parallel.
+  */
+object AdsbxSource {
+
+  /** Batch: envelope JSON documents already in memory (what a driver-side
+    * HTTP fetch returns — the zero-egress stand-in for the REST call). */
+  def fromJsonStrings(spark: SparkSession, envelopes: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Pipeline.fromEnvelopeJson(spark, envelopes.toDF("value"))
+  }
+
+  /** Batch: a directory/glob of envelope JSON documents, one per line
+    * (e.g. one snapshot per scheduled invocation, appended to a log). */
+  def fromJsonFiles(spark: SparkSession, path: String): DataFrame =
+    Pipeline.fromEnvelopeJson(spark, spark.read.text(path))
+
+  /** Streaming: an unbounded stream of envelope JSON lines (file stream,
+    * socket, or a MemoryStream in tests). Input must have a single string
+    * column named `value`; each row is one snapshot. The result is an
+    * unbounded aircraft stream with intra-snapshot `seq` order. */
+  def stream(jsonLines: DataFrame): DataFrame =
+    Pipeline.fromEnvelopeJson(jsonLines.sparkSession, jsonLines)
+
+  /** Streaming file source over a snapshot-log directory. */
+  def streamFiles(spark: SparkSession, path: String): DataFrame =
+    stream(spark.readStream.text(path))
+
+  /** S4 — schema introspection (reference task.ts:100-113): the schemas a
+    * platform UI would render, exposed as stable public values. */
+  def inputSchema: org.apache.spark.sql.types.StructType = Schemas.envelope
+  def outputSchema: org.apache.spark.sql.types.StructType = Schemas.adsbResponse
+}

@@ -83,14 +83,7 @@ object DedupOps {
   private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val sets = d.select(col("doc_id"), shingleSet.as("ws"))
-    val bands = bandTable(minhashSig(d))
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    pairs
+    candidatePairs(d)
       .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
       .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
@@ -99,6 +92,47 @@ object DedupOps {
           (size(col("s1.ws")) + size(col("s2.ws")) - col("i")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** LSH candidate pairs (shared by the verify-stage variants): docs
+    * sharing any (band, bucket), deduped. */
+  private def candidatePairs(d: DataFrame): DataFrame = {
+    val bands = bandTable(minhashSig(d))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  private val NGRAM = 3
+
+  /** Distinct character 3-gram set of a document, in-row (same zero-shuffle
+    * rationale as `shingleSet`; `text` is a plain attribute so per-element
+    * substr is cheap). */
+  private def charNgramSet: Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(col("text")) - (NGRAM - 1), lit(1))),
+      i => col("text").substr(i, lit(NGRAM))))
+
+  /** Character-n-gram Jaccard near-dup: LSH recall stage (word-shingle
+    * MinHash bands) then char-3-gram Jaccard >= 0.7 verification — a
+    * different fingerprint space than the shingle verify, robust to token
+    * boundary shifts. */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sets = d.select(col("doc_id"), charNgramSet.as("gs"))
+    candidatePairs(d)
+      .join(sets.as("g1"), col("d1") === col("g1.doc_id"))
+      .join(sets.as("g2"), col("d2") === col("g2.doc_id"))
+      .withColumn("i", size(array_intersect(col("g1.gs"), col("g2.gs"))))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") /
+          (size(col("g1.gs")) + size(col("g2.gs")) - col("i")).cast("double"))
+          .as("jaccard3"))
+      .filter(col("jaccard3") >= 0.7)
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -124,6 +158,7 @@ object DedupOps {
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_lsh_buckets" -> lshBuckets,
     "dedup_lsh_neardup" -> lshNearDupPairs,
+    "dedup_ngram_jaccard" -> ngramJaccardPairs,
     "dedup_simhash" -> simhash,
   )
 
@@ -179,6 +214,28 @@ object DedupOps {
          |JOIN cnt c1 ON d1 = c1.doc_id
          |JOIN cnt c2 ON d2 = c2.doc_id
          |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.8
+         |ORDER BY d1, d2""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $tok3Cte, $sigCte, $bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), gs AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(length(text) - ${NGRAM - 1}, 1)),
+         |    i -> substr(text, i, $NGRAM))) AS g
+         |  FROM documents
+         |), inter AS (
+         |  SELECT p.d1, p.d2,
+         |    len(list_intersect(g1.g, g2.g)) AS i, len(g1.g) AS n1, len(g2.g) AS n2
+         |  FROM pairs p
+         |  JOIN gs g1 ON p.d1 = g1.doc_id
+         |  JOIN gs g2 ON p.d2 = g2.doc_id
+         |)
+         |SELECT d1, d2, CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) AS jaccard3
+         |FROM inter
+         |WHERE CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) >= 0.7
          |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" -> {
       val bitSums = (1 to 16).map(i =>

@@ -236,6 +236,17 @@ object Relational {
         min(col("value")).as("min_value"), max(col("value")).as("max_value"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Approximate distinct (HyperLogLog++) — the constant-memory
+    * alternative to countDistinct at 100 TB (no exact-distinct shuffle of
+    * the key space). No DuckDB oracle: sketch implementations differ
+    * across engines, so the driver records the weaker rows-only check. */
+  private def approxDistinctQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** Exact distinct aggregation. */
   private def countDistinctQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -264,6 +275,7 @@ object Relational {
     "rel_sessionize" -> sessionize,
     "rel_hourly_window" -> hourlyWindow,
     "rel_count_distinct" -> countDistinctQ,
+    "rel_approx_distinct" -> approxDistinctQ,
   )
 
   val oracles: Map[String, String] = Map(

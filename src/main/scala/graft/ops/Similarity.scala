@@ -82,6 +82,24 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Embedding-cosine near-dup: candidate pairs restricted to sign-LSH
+    * bucket co-members (the scale path — never an all-pairs cross product),
+    * verified with exact cosine >= 0.45. The corpus has no planted
+    * duplicates (max pairwise cosine ~0.5), so the threshold selects the
+    * "suspiciously similar" tail; the operator is the production
+    * embedding-dedup shape either way. */
+  private def embedCosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir)).withColumn("bkt", bucket(col("v")))
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+    pairs.filter(col("sim") >= 0.45)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** Per-label embedding stats (norm distribution). */
   private def embedStats(s: SparkSession, dir: String): DataFrame =
     withNorm(emb(s, dir))
@@ -97,6 +115,7 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopK,
     "sim_ann_lsh" -> annLsh,
     "sim_embed_stats" -> embedStats,
+    "dedup_embed_cosine" -> embedCosineNearDup,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -138,6 +157,17 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
          |  FROM scored
          |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin,
+    "dedup_embed_cosine" -> {
+      val dotAb =
+        "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"
+      s"""WITH $eCte,
+         |eb AS (SELECT *, $bucketSql AS bkt FROM e)
+         |SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |  round($dotAb / (a.nrm * b.nrm), 6) AS sim
+         |FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |WHERE round($dotAb / (a.nrm * b.nrm), 6) >= 0.45
+         |ORDER BY v1, v2""".stripMargin
+    },
     "sim_embed_stats" ->
       s"""WITH $eCte,
          |r AS (SELECT label, round(nrm, 6) AS nrm_r FROM e)

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the training-data operators over sf0.001 (smallest
+  * corpus) plus unit tests of the shared tokenization expressions. */
+class OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("Tokens.shingles: edge cases (k boundary, empty text, double spaces)") {
+    import spark.implicits._
+    val got = Seq("a b c d e", "a b", "a b c", "", "x  y z w").toDF("text")
+      .select(Tokens.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("a b c", "b c d", "c d e"), // sliding
+      List("a b"),                     // shorter than k → whole text
+      List("a b c"),                   // exactly k
+      List(""),                        // empty text
+      List("x  y", " y z", "y z w"))) // empty tokens preserved
+  }
+
+  test("Tokens.saltedHash: deterministic, salt-sensitive") {
+    import spark.implicits._
+    val r = Seq(("w1", "w1"), ("w1", "w2")).toDF("a", "b").select(
+      (Tokens.saltedHash(col("a"), 0) === Tokens.saltedHash(col("b"), 0)).as("same0"),
+      (Tokens.saltedHash(col("a"), 0) === Tokens.saltedHash(col("a"), 1)).as("cross_salt"))
+      .collect()
+    assert(r(0).getBoolean(0) && !r(0).getBoolean(1)) // same word: equal within salt, differs across salts
+    assert(!r(1).getBoolean(0))                       // different words differ
+  }
+
+  test("dedup_exact: groups cover the corpus; keeper is the min doc_id") {
+    val d = graft.Tables(spark, sf, "documents")
+    val out = DedupOps.queries("dedup_exact")(spark, sf)
+    assert(out.agg(sum("n_copies")).head().getLong(0) == d.count())
+    assert(out.filter(col("keep_id").isNull).count() == 0)
+  }
+
+  test("dedup_minhash_sig: identical texts get identical signatures") {
+    val d = graft.Tables(spark, sf, "documents")
+    val sig = DedupOps.queries("dedup_minhash_sig")(spark, sf)
+    val joined = d.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(sig, "doc_id")
+      .groupBy("fp")
+      .agg(countDistinct(concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("nsig"))
+    assert(joined.filter(col("nsig") =!= 1).count() == 0)
+  }
+
+  test("dedup_lsh_neardup: exact duplicates are found as pairs with jaccard 1") {
+    val pairs = DedupOps.queries("dedup_lsh_neardup")(spark, sf)
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("jaccard") < 0.8 || col("jaccard") > 1.0).count() == 0)
+    assert(pairs.filter(col("d1") >= col("d2")).count() == 0) // canonical order
+  }
+
+  test("sim_cosine_topk: k results per query, sims within [-1,1] descending") {
+    val out = Similarity.queries("sim_cosine_topk")(spark, sf)
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max("sim").as("mx"), min("sim").as("mn"))
+    assert(perQ.filter(col("n") =!= 5).count() == 0)
+    assert(out.filter(abs(col("sim")) > 1.0).count() == 0)
+    // rk order agrees with sim order
+    val bad = out.as("a").join(out.as("b"),
+      col("a.q_id") === col("b.q_id") && col("a.rk") < col("b.rk") &&
+        col("a.sim") < col("b.sim"))
+    assert(bad.count() == 0)
+  }
+
+  test("text_stats: ratios bounded, token counts positive") {
+    val out = TextOps.queries("text_stats")(spark, sf)
+    assert(out.filter(col("n_tokens") <= 0).count() == 0)
+    assert(out.filter(col("ttr") < 0 || col("ttr") > 1).count() == 0)
+    assert(out.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    assert(out.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+  }
+
+  test("mm_frame_sample: frame counts match payload size") {
+    val meta = MultimodalOps.queries("mm_decode_meta")(spark, sf)
+    val frames = MultimodalOps.queries("mm_frame_sample")(spark, sf)
+    val j = meta.select(col("doc_id"), col("n_frames"))
+      .join(frames.groupBy("doc_id").agg(count(lit(1)).as("nf")), "doc_id")
+    assert(j.filter(col("n_frames") =!= col("nf")).count() == 0)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.adsbx.{AdsbxConfig, Fixtures, Pipeline}
+import graft.adsbx.sources.AdsbxSource
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+import scala.collection.mutable
+
+/** Streaming semantics (SURVEY §5.2 item 5): per-micro-batch equivalence
+  * with the batch pipeline, watermark-based late-data handling, and
+  * cross-batch dedup with state eviction. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // Two snapshot envelopes; snapshot 2 re-reports N1 with a new speed
+  // (dedup scope must be per-snapshot, not global — reference is stateless
+  // between invocations, SURVEY §1.1).
+  private val env1 =
+    """{"msg":"ok","ac":[
+      |{"hex":"a1","type":"adsb_icao","flight":"ONE ","r":"N1","lat":40.0,"lon":-119.0,"gs":100.0,"seen_pos":0.1,"seen":0.2},
+      |{"hex":"a2","type":"adsb_icao","flight":"TWO","r":"N2","lat":41.0,"lon":-118.0,"gs":200.0,"seen_pos":0.1,"seen":0.2},
+      |{"hex":"a3","type":"adsb_icao","flight":"ONEB","r":"N1","lat":40.5,"lon":-119.5,"gs":150.0,"seen_pos":0.1,"seen":0.2}
+      |]}""".stripMargin.replaceAll("\n", "")
+  private val env2 =
+    """{"msg":"ok","ac":[
+      |{"hex":"a1","type":"adsb_icao","flight":"ONE","r":"N1","lat":40.1,"lon":-119.1,"gs":110.0,"seen_pos":0.1,"seen":0.2}
+      |]}""".stripMargin.replaceAll("\n", "")
+
+  test("E1: per-micro-batch pipeline equals batch pipeline per snapshot") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val batches = mutable.Map[Long, Array[(String, Double)]]()
+    val q = AdsbxStream.run(input.toDF(), Fixtures.includesDf(spark),
+      AdsbxConfig(includesFiltering = false),
+      (df, id) => batches.synchronized {
+        batches(id) = df.select(col("id"), col("speed")).collect()
+          .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      },
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      input.addData(env1); q.processAllAvailable()
+      input.addData(env2); q.processAllAvailable()
+    } finally q.stop()
+
+    val all = batches.values.flatten.toSeq
+    // batch 1: n1 deduped last-wins (seq 2, gs=150), n2 passes
+    val b1 = batches.minBy(_._1)._2
+    assert(b1.toSeq == Seq(("n1", 150.0 * 0.514444), ("n2", 200.0 * 0.514444)))
+    // batch 2: fresh dedup scope — n1 re-emitted with the new speed
+    val b2 = batches.maxBy(_._1)._2
+    assert(b2.toSeq == Seq(("n1", 110.0 * 0.514444)))
+    assert(all.size == 3)
+  }
+
+  test("V1: FAILFAST streaming parse rejects malformed envelopes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val q = AdsbxSource.stream(input.toDF())
+      .writeStream.format("memory").queryName("ff_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData("""{"msg":"ok","ac":"not-an-array"}""")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage != null)
+    } finally q.stop()
+  }
+
+  test("watermark: late rows beyond the watermark are dropped (append mode)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = StreamOps.watermarkedWindow(events, "1 hour")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // watermark after this batch: 12:00 - 1h = 11:00
+      input.addData((ts("2024-01-01 10:00:10"), "a"), (ts("2024-01-01 12:00:00"), "a"))
+      q.processAllAvailable()
+      // 09:40 is < 11:00 watermark → dropped; 14:00 closes earlier windows
+      input.addData((ts("2024-01-01 09:40:00"), "a"), (ts("2024-01-01 14:00:00"), "a"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 18:00:00"), "a")) // close everything else
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_test")
+      .select(col("w_start"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // the 10:00 event appears in its two sliding windows with count 1 —
+    // the late 09:40 event (also in window 09:30-10:30) was NOT added
+    assert(out(ts("2024-01-01 09:30:00")) == 1L)
+    assert(out(ts("2024-01-01 10:00:00")) == 1L)
+  }
+
+  test("cross-batch streaming dedup with watermark eviction") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps.streamingDedup(events, "1 hour")
+      .writeStream.format("memory").queryName("dd_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 7L))
+      q.processAllAvailable()
+      // same key within the watermark window → dropped even across batches
+      input.addData((ts("2024-01-01 10:10:00"), 7L))
+      q.processAllAvailable()
+      // advance time far past the watermark; state for key 7 evicted → re-emitted
+      input.addData((ts("2024-01-01 15:00:00"), 8L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:10:00"), 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dd_test").select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(rows.count(_._1 == 7L) == 2) // first occurrence + post-eviction
+    assert(rows.contains((7L, ts("2024-01-01 10:00:00"))))
+    assert(rows.contains((7L, ts("2024-01-01 15:10:00"))))
+    assert(!rows.contains((7L, ts("2024-01-01 10:10:00"))))
+  }
+}
