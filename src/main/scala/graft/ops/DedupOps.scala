@@ -15,13 +15,15 @@ import Tokens._
   * cardinality grows with corpus size; skew = many docs in one bucket =
   * genuinely near-identical docs, which a real pipeline caps or merges).
   *
-  * MinHash uses 4 salted md5-based "permutations" over word 3-shingles —
-  * md5 so the DuckDB oracle reproduces the signatures bit-for-bit.
+  * MinHash derives 8 "permutations" from one md5 per word-3-shingle (128
+  * bits = 8 x 16-bit chunks), banded 4 x r=2 — md5 so the DuckDB oracle
+  * reproduces the signatures bit-for-bit.
   */
 object DedupOps {
 
   private val SHINGLE_K = 3
-  private val N_HASH = 4
+  private val N_MINHASH = 8 // md5 chunks per shingle
+  private val N_BANDS = 4   // bands of r = 2 minhashes each
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "documents")
@@ -43,24 +45,63 @@ object DedupOps {
         max(col("n_chars")).as("n_chars"))
       .orderBy(col("fp"))
 
-  /** MinHash signatures: per doc, min salted-hash over its shingle set for
-    * each of 4 salts — computed entirely in-row with array HOFs
-    * (transform + array_min), no explode and no shuffle. */
-  private def minhashSig(d: DataFrame): DataFrame =
-    d.select(col("doc_id") +:
-      (0 until N_HASH).map(i =>
-        array_min(transform(shingleSet, w => saltedHash(w, i))).as(s"mh$i")): _*)
+  final case class MinHashSig(doc_id: Long,
+      mh0: String, mh1: String, mh2: String, mh3: String,
+      mh4: String, mh5: String, mh6: String, mh7: String)
+
+  /** MinHash signatures: one md5 per distinct shingle, split into 8
+    * 16-bit hex chunks (md5 is 128 bits = exactly 8 chunks), per-chunk min
+    * over the shingle set — 8 "permutations" for the price of one hash.
+    *
+    * Implemented as a typed mapPartitions kernel: the computation is
+    * per-row scalar work with a data-dependent inner loop, which Spark's
+    * higher-order-function expressions evaluate interpreted (no codegen) —
+    * measured 5-10x slower than this JVM loop. The kernel is narrow (no
+    * shuffle, embarrassingly parallel) and byte-identical to the DuckDB
+    * oracle (`sigCte`): same shingles, same md5 hex, same lexicographic
+    * chunk min. */
+  private def minhashSig(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    d.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          // chunk j = digest bytes [2j, 2j+1] as an unsigned 16-bit int;
+          // numeric min == lexicographic min of the fixed-width lowercase
+          // hex the oracle compares (substr(md5(w), 1+4j, 4))
+          val mins = Array.fill(N_MINHASH)(0x10000)
+          Tokens.shingleStrings(text, SHINGLE_K).distinct.foreach { w =>
+            md.reset()
+            val dg = md.digest(w.getBytes("UTF-8"))
+            var j = 0
+            while (j < N_MINHASH) {
+              val c = ((dg(2 * j) & 0xff) << 8) | (dg(2 * j + 1) & 0xff)
+              if (c < mins(j)) mins(j) = c
+              j += 1
+            }
+          }
+          def hex(j: Int) = f"${mins(j)}%04x"
+          MinHashSig(id, hex(0), hex(1), hex(2), hex(3),
+            hex(4), hex(5), hex(6), hex(7))
+        }
+      }.toDF()
+  }
 
   private def minhashQuery(s: SparkSession, dir: String): DataFrame =
     minhashSig(docs(s, dir)).orderBy(col("doc_id"))
 
-  /** One row per (band, bucket, doc): each minhash value is its own band.
-    * A single explode of a 4-element struct array — one pass over sig (the
-    * union-of-4-selects alternative recomputes the signature per branch). */
+  /** One row per (band, bucket, doc): 4 bands of r=2 rows — bucket key is
+    * the concatenation of two minhashes, so band-collision probability is
+    * J^2 rather than J. With single-hash bands a corpus of moderately
+    * overlapping docs explodes into candidate pairs (measured 42k pairs /
+    * 5k docs at sf0.1); r=2 keeps near-dup recall at 1-(1-J^2)^4 (98% at
+    * J=0.8) while cutting random-pair collisions ~10x. A single explode of
+    * a 4-struct array — one pass over sig. */
   private def bandTable(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
-      explode(array((0 until N_HASH).map(i =>
-        struct(lit(i).as("band"), col(s"mh$i").as("bucket"))): _*)).as("bb"))
+      explode(array((0 until N_BANDS).map(i =>
+        struct(lit(i).as("band"),
+          concat(col(s"mh${2 * i}"), col(s"mh${2 * i + 1}")).as("bucket"))): _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("doc_id"))
 
@@ -82,8 +123,9 @@ object DedupOps {
     * only the candidate docs' shingle sets. */
   private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val sets = d.select(col("doc_id"), shingleSet.as("ws"))
-    candidatePairs(d)
+    val pairs = candidatePairs(d)
+    val sets = forCandidates(pairs, d)(shingleSet.as("ws"))
+    pairs
       .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
       .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
@@ -96,15 +138,32 @@ object DedupOps {
   }
 
   /** LSH candidate pairs (shared by the verify-stage variants): docs
-    * sharing any (band, bucket), deduped. */
+    * sharing any (band, bucket), deduped. The band table is persisted —
+    * it is referenced by both sides of the self-join and would otherwise
+    * re-run the signature computation per reference; at corpus scale this
+    * is the LSH staging table you'd materialize (MEMORY_AND_DISK spills,
+    * it is 4 small rows per doc, orders of magnitude under the corpus). */
   private def candidatePairs(d: DataFrame): DataFrame = {
     val bands = bandTable(minhashSig(d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** Restrict docs to those appearing in `pairs` BEFORE computing a
+    * per-doc feature column (the verify stage should never build feature
+    * sets for the whole corpus — candidates are a tiny fraction of it, and
+    * the semi-join must precede the projection for that pruning to
+    * happen). */
+  private def forCandidates(pairs: DataFrame, d: DataFrame)(feature: Column): DataFrame = {
+    val cand = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    d.join(cand, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), feature)
   }
 
   private val NGRAM = 3
@@ -123,8 +182,9 @@ object DedupOps {
     * boundary shifts. */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val sets = d.select(col("doc_id"), charNgramSet.as("gs"))
-    candidatePairs(d)
+    val pairs = candidatePairs(d)
+    val sets = forCandidates(pairs, d)(charNgramSet.as("gs"))
+    pairs
       .join(sets.as("g1"), col("d1") === col("g1.doc_id"))
       .join(sets.as("g2"), col("d2") === col("g2.doc_id"))
       .withColumn("i", size(array_intersect(col("g1.gs"), col("g2.gs"))))
@@ -140,11 +200,14 @@ object DedupOps {
     * the per-bit hash (cross-engine reproducible). */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    // project the hash to an attribute BEFORE aggregating: each of the 16
+    // bit-sums references `h` — inlining md5 into the agg expressions
+    // would hash every token 16 times
     val tok = docs(s, dir).select(col("doc_id"),
       explode(array_distinct(toks(col("text")))).as("w"))
-    val h = md5(col("w").cast("binary"))
+      .select(col("doc_id"), md5(col("w").cast("binary")).as("h"))
     val bitSums = (1 to 16).map(i =>
-      sum(when(substring(h, i, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"b$i"))
+      sum(when(substring(col("h"), i, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"b$i"))
     tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
@@ -168,14 +231,14 @@ object DedupOps {
     s"""tok3 AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("text", SHINGLE_K)}) AS w FROM documents)"""
 
   private val sigCte = {
-    val mins = (0 until N_HASH)
-      .map(i => s"min(${saltedHashSql("w", i)}) AS mh$i").mkString(", ")
+    val mins = (0 until N_MINHASH)
+      .map(i => s"min(substr(md5(w), ${1 + 4 * i}, 4)) AS mh$i").mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM tok3 GROUP BY doc_id)"
   }
 
   private val bandsCte = {
-    val rows = (0 until N_HASH)
-      .map(i => s"SELECT $i AS band, mh$i AS bucket, doc_id FROM sig")
+    val rows = (0 until N_BANDS)
+      .map(i => s"SELECT $i AS band, mh${2 * i} || mh${2 * i + 1} AS bucket, doc_id FROM sig")
       .mkString(" UNION ALL ")
     s"bands AS ($rows)"
   }

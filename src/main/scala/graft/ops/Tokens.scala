@@ -56,4 +56,14 @@ object Tokens {
 
   def saltedHashSql(wExpr: String, salt: Int): String =
     s"substr(md5('$salt|' || $wExpr), 1, 8)"
+
+  /** Plain-Scala mirror of `shingles` for typed-Dataset kernels. MUST stay
+    * semantically identical to the Column version (and to `shinglesSql`):
+    * split on single space keeping empties, k-gram join by space, short
+    * docs collapse to the whole text. */
+  def shingleStrings(text: String, k: Int): Seq[String] = {
+    val t = text.split(" ", -1)
+    if (t.length >= k) (0 to t.length - k).map(i => t.slice(i, i + k).mkString(" "))
+    else Seq(text)
+  }
 }

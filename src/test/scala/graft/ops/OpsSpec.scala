@@ -45,7 +45,8 @@ class OpsSpec extends SparkSpec {
     val joined = d.select(col("doc_id"), md5(col("text")).as("fp"))
       .join(sig, "doc_id")
       .groupBy("fp")
-      .agg(countDistinct(concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3"))).as("nsig"))
+      .agg(countDistinct(concat_ws("|",
+        (0 until 8).map(i => col(s"mh$i")): _*)).as("nsig"))
     assert(joined.filter(col("nsig") =!= 1).count() == 0)
   }
 
