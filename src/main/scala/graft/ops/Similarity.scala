@@ -27,16 +27,20 @@ object Similarity {
   private val N_QUERIES = 8
   private val LSH_DIMS = Seq(1, 9, 17, 25) // 1-based dims read as hyperplane signs
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     graft.Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+  }
 
+  // codegen'd kernel (graft.functions.DotProduct) — bit-identical to the
+  // `aggregate(zip_with(a, b, _*_), 0.0, _+_)` HOF fold it replaces
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot(a, b)
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    graft.functions.VectorFunctions.norm(a)
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", norm(col("v")))

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan assertions: the scale properties the operators claim
+  * (pushdown, pruning, broadcast, co-located bucketed joins) must actually
+  * appear in the plans — regressions here are silent 100x slowdowns at
+  * scale even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("filter+projection reach the parquet scan (pushdown + pruning)") {
+    val p = plan(Relational.queries("rel_filter_project")(spark, sf))
+    assert(p.contains("PushedFilters:"), "no pushed filters")
+    assert(p.contains("EqualTo(l_returnflag,R)"), "predicate not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,47.0)"), "range not pushed")
+    // pruned scan: none of the unused lineitem columns are read
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("dimension joins broadcast; no fact-table shuffle for enrichment") {
+    val p = plan(Relational.queries("rel_broadcast_enrich")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join")
+    assert(!p.contains("SortMergeJoin"), "fact table should not shuffle-join a dim")
+  }
+
+  test("window top-k prunes before the shuffle (WindowGroupLimit)") {
+    val p = plan(Relational.queries("rel_window_topk")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), "top-k filter not pushed into window")
+  }
+
+  test("CoT pipeline: broadcast includes join, single dedup shuffle") {
+    val df = graft.adsbx.Pipeline.run(
+      graft.adsbx.Fixtures.aircraftDf(spark),
+      graft.adsbx.Fixtures.includesDf(spark),
+      graft.adsbx.AdsbxConfig(includesFiltering = true))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "includes join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join in the pipeline")
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    val li = graft.Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = graft.Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    // the in-memory catalog forgets tables between JVM runs but their
+    // warehouse dirs persist — clear both before writing
+    for (t <- Seq("b_lineitem", "b_orders")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"/tmp/graft-warehouse/$t"))
+    }
+    Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 4)
+    Bucketing.writeBucketed(ord, "b_orders", "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.colocatedJoin(spark, "b_lineitem", "b_orders", "l_orderkey")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), s"bucketed join should be shuffle-free:\n$p")
+      // and it still computes the right thing
+      assert(joined.count() == graft.Tables(spark, sf, "lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
