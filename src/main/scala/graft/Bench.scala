@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (scheduler, codegen compiler, parquet footer reads)
+    // so JVM startup is not charged to whichever query happens to run first
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables(spark, sfDir, "region").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

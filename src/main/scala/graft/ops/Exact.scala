@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.DecimalType
   * reproducible across cluster sizes.
   */
 object Exact {
-  private val dec = DecimalType(30, 6)
+  val dec: DecimalType = DecimalType(30, 6)
 
   /** Order-insensitive exact sum of a double expression, visible as DOUBLE. */
   def sumD(c: Column): Column = sum(c.cast(dec)).cast("double")

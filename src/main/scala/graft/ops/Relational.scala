@@ -247,6 +247,20 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`). At 100 TB you would reach for approx_percentile
+    * (t-digest-style sketch) — kept exact here so the oracle hash-matches;
+    * the approximate path is rel_approx_distinct's territory. */
+  private def percentileQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Exact distinct aggregation. */
   private def countDistinctQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -276,6 +290,7 @@ object Relational {
     "rel_hourly_window" -> hourlyWindow,
     "rel_count_distinct" -> countDistinctQ,
     "rel_approx_distinct" -> approxDistinctQ,
+    "rel_percentile" -> percentileQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,5 +421,12 @@ object Relational {
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
         |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderpriority) AS n_prio
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "rel_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

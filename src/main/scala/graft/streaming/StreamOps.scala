@@ -99,9 +99,27 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id")
 
+  /** Streaming session windows (30-min inactivity gap) — the native
+    * operator form of the batch gaps-and-islands sessionization
+    * (rel_sessionize); complete mode so the final state equals the batch
+    * result. session_window.end = last event + gap, hence the oracle's
+    * `max(ts) + INTERVAL 30 MINUTE`. */
+  def sessionWindowQ(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Exact.sumD(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+    runToMemory(agg, "complete")
+      .orderBy(col("user_id"), col("s_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_window" -> hourlyWindowQ,
     "stream_dedup_lastwins" -> dedupLastWinsQ,
+    "stream_session_window" -> sessionWindowQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -117,5 +135,23 @@ object StreamOps {
         |  arg_max(value, event_id) AS value,
         |  arg_max(props, event_id) AS props
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // gaps-and-islands with a >= gap test: two events exactly `gap` apart
+    // do NOT merge in Spark's session_window ([ts, ts+gap) ranges must
+    // overlap), unlike rel_sessionize's > test
+    "stream_session_window" ->
+      s"""WITH flagged AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM (SELECT user_id, ts, value,
+         |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+         |        FROM events)
+         |), sess AS (
+         |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM flagged
+         |)
+         |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+         |  user_id, COUNT(*) AS n_events, ${graft.ops.Exact.sumSql("value")} AS sum_value
+         |FROM sess GROUP BY user_id, session_idx
+         |ORDER BY user_id, s_start""".stripMargin,
   )
 }

@@ -49,6 +49,20 @@ class SourceSinkSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("typed boundary: CotFeature round-trips the pipeline output") {
+    val features = Pipeline.features(
+      AdsbxSource.fromJsonStrings(spark, Seq(envelope)),
+      Fixtures.includesDf(spark), AdsbxConfig(includesFiltering = false))
+    val typed = CotFeature.fromFeatures(features).collect().sortBy(_.id)
+    assert(typed.map(_.id).toSeq == Seq("n1", "n2"))
+    val n1 = typed.head
+    assert(n1.`type` == "Feature")
+    assert(n1.properties.cot_type == "a-f-A-C")
+    assert(n1.properties.callsign == "ONE")
+    assert(n1.geometry.`type` == "Point")
+    assert(n1.geometry.coordinates == Seq(-119.0, 40.0))
+  }
+
   test("O1: observe metric counts features") {
     val features = Pipeline.features(
       AdsbxSource.fromJsonStrings(spark, Seq(envelope)),
