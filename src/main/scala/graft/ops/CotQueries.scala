@@ -31,10 +31,65 @@ object CotQueries {
       .orderBy(col("id"))
   }
 
+  /** Corpus-scale pipeline bench: lineitem rows mapped deterministically
+    * into ADSBX-shaped aircraft (the corpus has no aircraft table at scale;
+    * every field is a pure function of lineitem keys, with nulls, dup ids,
+    * and quirk values present at realistic rates), plus an includes
+    * allow-list derived from part keys — so the FULL pipeline
+    * (P1-P17 + D1 + J2 broadcast join + D2) runs at sf row counts
+    * (~600k aircraft at sf0.1 vs the reference's ~10^4 per invocation).
+    * Semantics are pinned by the fixture queries above; this entry pins
+    * throughput (no oracle → driver rows-only check). */
+  private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables(s, dir, "lineitem")
+    val aircraft = li.select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("seq"),
+      format_string("%06x", col("l_orderkey")).as("hex"),
+      lit("adsb_icao").as("type"),
+      lit(null).cast("string").as("group"),
+      // ~1/8 of rows have no flight; ids collide across rows (dedup work)
+      when(col("l_suppkey") % 8 =!= 0,
+        concat(lit("FL"), (col("l_orderkey") % 4096).cast("string"))).as("flight"),
+      when(col("l_partkey") % 7 =!= 0,
+        concat(lit("N"), (col("l_partkey") % 8192).cast("string"))).as("r"),
+      concat(lit("T"), (col("l_suppkey") % 50).cast("string")).as("t"),
+      (col("l_linenumber") % 4).cast("double").as("dbFlags"),
+      when(col("l_quantity") < 2, lit("ground"))
+        .otherwise((col("l_quantity") * 100).cast("string")).as("alt_baro"),
+      when(col("l_linenumber") % 5 =!= 0, col("l_extendedprice") % 40000.0).as("alt_geom"),
+      when(col("l_suppkey") % 11 =!= 0, col("l_quantity") * 10.0).as("gs"),
+      (col("l_discount") * 3600.0).as("track"), // 0 for discount=0 → sentinel path
+      lit(null).cast("double").as("baro_rate"),
+      when(col("l_returnflag") === "R", lit("7700")).as("squawk"),
+      when(col("l_returnflag") === "R", lit("squawk7700"))
+        .otherwise(lit("none")).as("emergency"),
+      element_at(typedLit(Seq("A1", "A3", "A7", "B2", "C1")),
+        (col("l_partkey") % 5 + 1).cast("int")).as("category"),
+      lit(null).cast("double").as("nav_qnh"),
+      lit(null).cast("double").as("nav_altitude_mcp"),
+      lit(null).cast("double").as("nav_heading"),
+      (col("l_orderkey") % 180 - 90 + col("l_discount")).as("lat"),
+      (col("l_partkey") % 360 - 180 + col("l_tax")).as("lon"),
+      lit(0.5).as("seen_pos"), lit(1.0).as("seen"),
+      col("l_extendedprice").as("dst"))
+    val includes = graft.Tables(s, dir, "part")
+      .filter(col("p_partkey") % 40 === 0)
+      .select(col("p_partkey").as("inc_pos"), lit("FIRE").as("domain"),
+        concat(lit("CS"), col("p_partkey").cast("string")).as("callsign"),
+        concat(lit("n"), (col("p_partkey") % 8192).cast("string")).as("registration"),
+        lit("FIRE_INTEL").as("group"))
+    Pipeline.run(aircraft, includes,
+      AdsbxConfig(includesFiltering = true, emergencyHostile = true))
+      .select(col("id"), col("cot_type"), col("callsign"), col("speed"),
+        col("course"), col("metadata.group").as("group_out"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cot_transform_dedup" -> ((s, _) => pipeline(s, filtering = false, emergencyHostile = false)),
     "cot_transform_hostile" -> ((s, _) => pipeline(s, filtering = false, emergencyHostile = true)),
     "cot_includes_join" -> ((s, _) => pipeline(s, filtering = true, emergencyHostile = false)),
+    "cot_pipeline_corpus" -> corpusPipeline,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -113,9 +168,57 @@ object CotQueries {
        |FROM dedup d JOIN probe p ON d.id = p.inc_key
        |ORDER BY d.id""".stripMargin
 
+  /** Oracle for the corpus-scale pipeline. Only fields that flow into the
+    * compared output columns (id, cot_type, callsign, speed, course,
+    * group_out) are mirrored; metadata passthrough fields never reach the
+    * comparison. */
+  private def corpusSql: String =
+    """WITH ac AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS seq,
+      |    CASE WHEN l_suppkey % 8 <> 0 THEN 'FL' || CAST(l_orderkey % 4096 AS VARCHAR) END AS flight,
+      |    CASE WHEN l_partkey % 7 <> 0 THEN 'N' || CAST(l_partkey % 8192 AS VARCHAR) END AS r,
+      |    CAST(l_linenumber % 4 AS DOUBLE) AS dbFlags,
+      |    CASE WHEN l_suppkey % 11 <> 0 THEN l_quantity * CAST(10.0 AS DOUBLE) END AS gs,
+      |    l_discount * CAST(3600.0 AS DOUBLE) AS track,
+      |    CASE WHEN l_returnflag = 'R' THEN 'squawk7700' ELSE 'none' END AS emergency,
+      |    (['A1','A3','A7','B2','C1'])[CAST(l_partkey % 5 + 1 AS INTEGER)] AS category
+      |  FROM lineitem
+      |), ident AS (
+      |  SELECT *, lower(trim(CASE WHEN r IS NULL OR r = '' THEN flight ELSE r END)) AS id
+      |  FROM ac
+      |  WHERE (CASE WHEN r IS NULL OR r = '' THEN flight ELSE r END) IS NOT NULL
+      |), filt AS (SELECT * FROM ident WHERE length(id) > 0
+      |), dedup AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn FROM filt
+      |  ) WHERE rn = 1
+      |), inc AS (
+      |  SELECT p_partkey AS inc_pos, 'CS' || CAST(p_partkey AS VARCHAR) AS callsign,
+      |    'n' || CAST(p_partkey % 8192 AS VARCHAR) AS registration
+      |  FROM part WHERE p_partkey % 40 = 0
+      |), probe AS (
+      |  SELECT lower(trim(registration)) AS inc_key,
+      |    arg_max(callsign, inc_pos) AS inc_callsign
+      |  FROM inc GROUP BY 1
+      |)
+      |SELECT d.id,
+      |  'a' || (CASE WHEN d.emergency IS NOT NULL AND d.emergency <> 'none' THEN '-h' ELSE '-f' END)
+      |    || '-A'
+      |    || (CASE WHEN d.dbFlags IS NOT NULL AND CAST(d.dbFlags AS BIGINT) % 2 <> 0 THEN '-M' ELSE '-C' END)
+      |    || (CASE WHEN d.category IN ('A0','A1','A2','A3','A4','A5','A6') THEN '-F'
+      |             WHEN d.category = 'A7' THEN '-H'
+      |             WHEN d.category = 'B2' THEN '-L' ELSE '' END) AS cot_type,
+      |  p.inc_callsign AS callsign,
+      |  (CASE WHEN d.gs IS NULL THEN CAST(9999999.0 AS DOUBLE) ELSE d.gs END) * CAST(0.514444 AS DOUBLE) AS speed,
+      |  (CASE WHEN d.track IS NULL OR d.track = 0 THEN CAST(9999999.0 AS DOUBLE) ELSE d.track END) AS course,
+      |  'FIRE_INTEL' AS group_out
+      |FROM dedup d JOIN probe p ON d.id = p.inc_key
+      |ORDER BY d.id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "cot_transform_dedup" -> passthroughSql(hostile = false),
     "cot_transform_hostile" -> passthroughSql(hostile = true),
     "cot_includes_join" -> includesSql,
+    "cot_pipeline_corpus" -> corpusSql,
   )
 }
