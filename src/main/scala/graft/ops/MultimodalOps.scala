@@ -70,8 +70,24 @@ object MultimodalOps {
       (0L until m.n_frames).map(i => Frame(m.doc_id, i, i * FRAME_BYTES)))
   }
 
+  /** Resize planning: aspect-preserving fit into 224x224 (the tensor-input
+    * shape a training pipeline standardizes to). The arithmetic on the
+    * decoded dimensions is the real operator; the pixel work would happen
+    * inside the same per-partition decoder. */
+  def resizePlan(meta: Dataset[MediaMeta], target: Int = 224): DataFrame = {
+    val scale = least(
+      lit(target.toDouble) / col("width"), lit(target.toDouble) / col("height"))
+    meta.toDF().select(
+      col("doc_id"), col("width"), col("height"),
+      greatest(lit(1), floor(col("width") * scale)).cast("int").as("out_w"),
+      greatest(lit(1), floor(col("height") * scale)).cast("int").as("out_h"))
+  }
+
   private def decodeMetaQ(s: SparkSession, dir: String): DataFrame =
     decodeAll(mediaTable(s, dir)).toDF().orderBy(col("doc_id"))
+
+  private def resizeQ(s: SparkSession, dir: String): DataFrame =
+    resizePlan(decodeAll(mediaTable(s, dir))).orderBy(col("doc_id"))
 
   private def frameSampleQ(s: SparkSession, dir: String): DataFrame =
     sampleFrames(decodeAll(mediaTable(s, dir)))
@@ -80,6 +96,7 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> decodeMetaQ,
     "mm_frame_sample" -> frameSampleQ,
+    "mm_resize" -> resizeQ,
   )
 
   // The stub's fake metadata is pure arithmetic on (bytes, doc_id), so the
@@ -99,5 +116,19 @@ object MultimodalOps {
          |    unnest(generate_series(0, CAST(octet_length(encode(text)) // $FRAME_BYTES AS BIGINT))) AS frame_idx
          |  FROM documents
          |) ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(64 + (doc_id % 64) * 16 AS INTEGER) AS width,
+        |    CAST(64 + ((doc_id * 7) % 64) * 16 AS INTEGER) AS height
+        |  FROM documents
+        |), scaled AS (
+        |  SELECT *, least(CAST(224.0 AS DOUBLE) / width, CAST(224.0 AS DOUBLE) / height) AS s
+        |  FROM dims
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(greatest(1, floor(width * s)) AS INTEGER) AS out_w,
+        |  CAST(greatest(1, floor(height * s)) AS INTEGER) AS out_h
+        |FROM scaled ORDER BY doc_id""".stripMargin,
   )
 }

@@ -261,6 +261,15 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Global ORDER BY + LIMIT — planned as TakeOrderedAndProject: each
+    * partition keeps its local top-N, only N rows per partition reach the
+    * driver-side merge; no global sort of the fact table ever runs. */
+  private def topN(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+
   /** Exact distinct aggregation. */
   private def countDistinctQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -291,6 +300,7 @@ object Relational {
     "rel_count_distinct" -> countDistinctQ,
     "rel_approx_distinct" -> approxDistinctQ,
     "rel_percentile" -> percentileQ,
+    "rel_topn" -> topN,
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,5 +438,8 @@ object Relational {
         |  quantile_cont(l_extendedprice, 0.99) AS p99,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
   )
 }
