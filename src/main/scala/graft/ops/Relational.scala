@@ -270,6 +270,17 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(25)
 
+  /** Pivot (long→wide reshape): revenue by status x priority. Values are
+    * enumerated explicitly — at scale an unspecified pivot triggers a
+    * distinct-values collect before planning. */
+  private val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private def pivotQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot(col("o_orderpriority"), prios)
+      .agg(sumD(col("o_totalprice")))
+      .orderBy(col("o_orderstatus"))
+
   /** Exact distinct aggregation. */
   private def countDistinctQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -301,6 +312,7 @@ object Relational {
     "rel_approx_distinct" -> approxDistinctQ,
     "rel_percentile" -> percentileQ,
     "rel_topn" -> topN,
+    "rel_pivot" -> pivotQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -441,5 +453,13 @@ object Relational {
     "rel_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+    "rel_pivot" -> {
+      val cols = prios.map(p =>
+        s"""${sumSql(s"CASE WHEN o_orderpriority = '$p' THEN o_totalprice END")} AS "$p"""")
+        .mkString(",\n  ")
+      s"""SELECT o_orderstatus,
+         |  $cols
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
   )
 }
