@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.util.concurrent.atomic.AtomicInteger
@@ -98,6 +98,45 @@ object StreamOps {
   def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id")
+
+  final case class UserRunning(user_id: Long, n_events: Long,
+      last_ts: java.sql.Timestamp, closed: Boolean)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running event
+    * count with event-time timeout eviction — the pattern for state the
+    * built-in operators can't express (per-key custom accumulators,
+    * decay, model features). State is per-key and bounded: the timeout
+    * evicts any user idle past the watermark + gap, so a 100 TB/unbounded
+    * key space cannot accumulate.
+    *
+    * Emits an updated row per (batch, active user); on timeout emits a
+    * final `closed = true` row and removes the state. */
+  def runningUserCounts(events: DataFrame, watermark: String = "1 hour",
+                        gapMs: Long = 3600 * 1000L): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, last) = state.get
+            state.remove()
+            UserRunning(user, n, new java.sql.Timestamp(last), closed = true)
+          } else {
+            val batch = rows.toSeq
+            val (n0, last0) = state.getOption.getOrElse((0L, Long.MinValue))
+            val n = n0 + batch.size
+            val last = math.max(last0, batch.map(_._2.getTime).max)
+            state.update((n, last))
+            state.setTimeoutTimestamp(last + gapMs)
+            UserRunning(user, n, new java.sql.Timestamp(last), closed = false)
+          }
+      }
+  }
 
   /** Streaming session windows (30-min inactivity gap) — the native
     * operator form of the batch gaps-and-islands sessionization

@@ -98,6 +98,36 @@ class StreamingSpec extends SparkSpec {
     assert(out(ts("2024-01-01 10:00:00")) == 1L)
   }
 
+  test("mapGroupsWithState: running counts persist across batches, timeout closes state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps.runningUserCounts(events, "10 minutes", gapMs = 3600 * 1000L)
+      .toDF()
+      .writeStream.format("memory").queryName("mgws_test")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 7L), (ts("2024-01-01 10:05:00"), 7L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:20:00"), 7L)) // state carries: n=3
+      q.processAllAvailable()
+      // jump far ahead: watermark passes 7's timeout → closed row emitted
+      input.addData((ts("2024-01-02 09:00:00"), 8L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-02 10:00:00"), 8L)) // extra batch to fire timeout
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("mgws_test")
+      .select("user_id", "n_events", "closed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows.contains((7L, 2L, false))) // after batch 1
+    assert(rows.contains((7L, 3L, false))) // state carried into batch 2
+    assert(rows.contains((7L, 3L, true)))  // evicted with final count
+    // user 7 state was removed — no rows after the closed marker
+    assert(rows.count(r => r._1 == 7L) == 3)
+  }
+
   test("cross-batch streaming dedup with watermark eviction") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
