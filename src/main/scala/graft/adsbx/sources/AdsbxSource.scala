@@ -40,6 +40,28 @@ object AdsbxSource {
   def streamFiles(spark: SparkSession, path: String): DataFrame =
     stream(spark.readStream.text(path))
 
+  /** PERMISSIVE variant: malformed envelopes are quarantined instead of
+    * failing the job. The reference is strictly FAILFAST (task.ts:131-134)
+    * — correct for one snapshot per invocation — but a pipeline ingesting
+    * millions of snapshot files cannot let one bad record kill the run.
+    * Returns (aircraft rows from well-formed envelopes, quarantined raw
+    * lines for the dead-letter sink). */
+  def fromJsonStringsPermissive(spark: SparkSession,
+      envelopes: Seq[String]): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val lines = envelopes.toDF("value")
+    val parsed = lines.withColumn("env",
+      from_json(col("value"), Schemas.envelope, Map("mode" -> "PERMISSIVE")))
+    // from_json PERMISSIVE null-fills on mismatch: a null/ac-less env is bad
+    val bad = parsed.filter(col("env").isNull || col("env.ac").isNull)
+      .select(col("value"))
+    val good = parsed.filter(col("env").isNotNull && col("env.ac").isNotNull)
+      .select(posexplode(col("env.ac")).as(Seq("seq", "ac")))
+      .select(col("seq").cast("long").as("seq"), col("ac.*"))
+    (good, bad)
+  }
+
   /** S4 — schema introspection (reference task.ts:100-113): the schemas a
     * platform UI would render, exposed as stable public values. */
   def inputSchema: org.apache.spark.sql.types.StructType = Schemas.envelope

@@ -26,6 +26,14 @@ class SourceSinkSpec extends SparkSpec {
     intercept[Exception] { bad.collect() }
   }
 
+  test("PERMISSIVE: malformed envelopes quarantine instead of failing") {
+    val (good, bad) = AdsbxSource.fromJsonStringsPermissive(spark,
+      Seq(envelope, """{"msg":"ok","ac":42}""", "not json at all"))
+    assert(good.count() == 2) // the two aircraft from the valid envelope
+    val quarantined = bad.collect().map(_.getString(0)).toSet
+    assert(quarantined == Set("""{"msg":"ok","ac":42}""", "not json at all"))
+  }
+
   test("S4: schema introspection exposes envelope + record schemas") {
     assert(AdsbxSource.inputSchema.fieldNames.toSeq == Seq("msg", "ac"))
     assert(AdsbxSource.outputSchema.fieldNames.contains("alt_baro"))
