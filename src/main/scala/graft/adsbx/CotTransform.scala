@@ -44,10 +44,13 @@ object CotTransform {
 
   /** P8: civilian/military flag — `dbFlags % 2 !== 0` with an explicit
     * undefined-guard (NOT falsy: dbFlags=0 is handled as civilian,
-    * task.ts:175-178). JS `%` keeps the dividend's sign; so does Spark's `%`
-    * on longs, so `% 2 =!= 0` matches for negatives too. */
+    * task.ts:175-178). dbFlags is a JSON number (DoubleType), and JS `%`
+    * is fmod keeping the dividend's sign — as is Spark's `%` on doubles —
+    * so the remainder is taken on the double directly: 2.5 % 2 = 0.5 is
+    * military in both, as are negatives (-3.5 % 2 = -1.5). (NaN can't
+    * arrive through validated JSON, so its JS quirk is out of scope.) */
   def civMilFlag(dbFlags: Column): Column =
-    when(dbFlags.isNotNull && (dbFlags.cast("long") % 2) =!= 0, "-M")
+    when(dbFlags.isNotNull && (dbFlags % 2) =!= 0, "-M")
       .otherwise("-C")
 
   /** P9: emergency → hostile flag, gated on config (task.ts:182-185). */

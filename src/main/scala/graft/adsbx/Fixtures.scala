@@ -36,7 +36,8 @@ object Fixtures {
   /** Quirk coverage: normal row; r="" falls to flight (JS falsy); both-null
     * dropped; whitespace flight dropped; track=0 → sentinel + gs=0 kept;
     * duplicate id last-wins; alt_geom=0 dropped + alt_baro="ground";
-    * unknown category; mixed-case padded registration; flight-derived id
+    * unknown category + FRACTIONAL dbFlags (2.5 % 2 = 0.5 → military, the
+    * JS fmod semantics); mixed-case padded registration; flight-derived id
     * matching an include; whitespace r (truthy in JS!) → empty id dropped. */
   val aircraft: Seq[Ac] = Seq(
     ac(0, Some("TANKER1 "), Some("N123AB"), t = Some("AT8T"), dbFlags = Some(0),
@@ -54,7 +55,7 @@ object Fixtures {
     ac(6, Some("BALLOON"), Some("N888ZZ"), altBaro = Some("ground"),
       altGeom = Some(0.0), emergency = Some("squawk7700"), category = Some("B2"),
       lat = 39.5, lon = -120.2),
-    ac(7, None, Some("G-ABCD"), dbFlags = Some(2), category = Some("C1"),
+    ac(7, None, Some("G-ABCD"), dbFlags = Some(2.5), category = Some("C1"),
       gs = Some(210.0), track = Some(12.5), lat = 51.5, lon = -0.1),
     ac(8, Some("SKY8"), Some(" n456Lm "), altGeom = Some(12000.0),
       gs = Some(320.0), track = Some(181.0), lat = 38.9, lon = -121.0),

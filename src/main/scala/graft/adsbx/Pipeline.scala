@@ -43,9 +43,11 @@ object Pipeline {
   def features(aircraft: DataFrame, includes: DataFrame, cfg: AdsbxConfig): DataFrame =
     CotTransform.feature(run(aircraft, includes, cfg))
 
-  /** O2 sink-side wrap: FeatureCollection as JSON text, one collection per
-    * partition-bounded batch. For the external-POST sink shape the driver
-    * harness replaces this with parquet (Verify.scala). */
+  /** O2 single-document wrap: ONE FeatureCollection for the whole input —
+    * an ungrouped collect_list, so every row funnels into one task. Only
+    * for snapshot-sized batches (the reference's 10^3-10^4 rows) and
+    * tests; the scale path is `sinks.FeatureSink.submitCollections`, which
+    * wraps per partition and never materializes globally. */
   def toFeatureCollectionJson(features: DataFrame): DataFrame =
     features.agg(collect_list(col("feature")).as("features"))
       .select(to_json(struct(

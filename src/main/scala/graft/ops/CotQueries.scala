@@ -38,8 +38,8 @@ object CotQueries {
     * allow-list derived from part keys — so the FULL pipeline
     * (P1-P17 + D1 + J2 broadcast join + D2) runs at sf row counts
     * (~600k aircraft at sf0.1 vs the reference's ~10^4 per invocation).
-    * Semantics are pinned by the fixture queries above; this entry pins
-    * throughput (no oracle → driver rows-only check). */
+    * Hash-checked like the fixture queries: `corpusSql` mirrors every
+    * field that reaches the compared output. */
   private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables(s, dir, "lineitem")
     val aircraft = li.select(
@@ -109,17 +109,23 @@ object CotQueries {
       |  ) WHERE rn = 1
       |)""".stripMargin
 
-  private def flatSelect(hostile: Boolean): String = {
+  /** Flat output columns as DuckDB SQL. NaN quirks (NaN track/alt_geom are
+    * JS-falsy) are deliberately not mirrored: validated JSON cannot carry
+    * NaN, so the branch is unreachable through V1. `callsignSql` is
+    * parameterized so the includes variant can inject enrichment without
+    * string surgery. */
+  private def flatSelect(hostile: Boolean,
+      callsignSql: String = "trim(coalesce(nullif(flight, ''), ''))"): String = {
     val emerg =
       if (hostile)
         "CASE WHEN emergency IS NOT NULL AND emergency <> 'none' THEN '-h' ELSE '-f' END"
       else "'-f'"
     s"""  'a' || ($emerg) || '-A' ||
-       |  (CASE WHEN dbFlags IS NOT NULL AND CAST(dbFlags AS BIGINT) % 2 <> 0 THEN '-M' ELSE '-C' END) ||
+       |  (CASE WHEN dbFlags IS NOT NULL AND dbFlags % 2 <> 0 THEN '-M' ELSE '-C' END) ||
        |  (CASE WHEN category IN ('A0','A1','A2','A3','A4','A5','A6') THEN '-F'
        |        WHEN category = 'A7' THEN '-H'
        |        WHEN category = 'B2' THEN '-L' ELSE '' END) AS cot_type,
-       |  trim(coalesce(nullif(flight, ''), '')) AS callsign,
+       |  $callsignSql AS callsign,
        |  (CASE WHEN gs IS NULL THEN CAST(9999999.0 AS DOUBLE) ELSE gs END) * CAST(0.514444 AS DOUBLE) AS speed,
        |  (CASE WHEN track IS NULL OR track = 0 THEN CAST(9999999.0 AS DOUBLE) ELSE track END) AS course,
        |  'Flight: '       || trim(coalesce(nullif(flight, ''), 'Unknown')) || chr(10) ||
@@ -162,8 +168,8 @@ object CotQueries {
        |  LEFT JOIN last_g g ON k.inc_key = g.inc_key
        |)
        |SELECT d.id,
-       |${flatSelect(hostile = false).replace("trim(coalesce(nullif(flight, ''), '')) AS callsign",
-           "coalesce(p.inc_callsign, trim(coalesce(nullif(flight, ''), ''))) AS callsign")}
+       |${flatSelect(hostile = false,
+           callsignSql = "coalesce(p.inc_callsign, trim(coalesce(nullif(flight, ''), '')))")}
        |, coalesce(p.inc_group, d."group") AS group_out
        |FROM dedup d JOIN probe p ON d.id = p.inc_key
        |ORDER BY d.id""".stripMargin
@@ -173,7 +179,7 @@ object CotQueries {
     * group_out) are mirrored; metadata passthrough fields never reach the
     * comparison. */
   private def corpusSql: String =
-    """WITH ac AS (
+    s"""WITH ac AS (
       |  SELECT l_orderkey * 8 + l_linenumber AS seq,
       |    CASE WHEN l_suppkey % 8 <> 0 THEN 'FL' || CAST(l_orderkey % 4096 AS VARCHAR) END AS flight,
       |    CASE WHEN l_partkey % 7 <> 0 THEN 'N' || CAST(l_partkey % 8192 AS VARCHAR) END AS r,
@@ -183,16 +189,9 @@ object CotQueries {
       |    CASE WHEN l_returnflag = 'R' THEN 'squawk7700' ELSE 'none' END AS emergency,
       |    (['A1','A3','A7','B2','C1'])[CAST(l_partkey % 5 + 1 AS INTEGER)] AS category
       |  FROM lineitem
-      |), ident AS (
-      |  SELECT *, lower(trim(CASE WHEN r IS NULL OR r = '' THEN flight ELSE r END)) AS id
-      |  FROM ac
-      |  WHERE (CASE WHEN r IS NULL OR r = '' THEN flight ELSE r END) IS NOT NULL
-      |), filt AS (SELECT * FROM ident WHERE length(id) > 0
-      |), dedup AS (
-      |  SELECT * FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn FROM filt
-      |  ) WHERE rn = 1
-      |), inc AS (
+      |),
+      |$dedupCte,
+      |inc AS (
       |  SELECT p_partkey AS inc_pos, 'CS' || CAST(p_partkey AS VARCHAR) AS callsign,
       |    'n' || CAST(p_partkey % 8192 AS VARCHAR) AS registration
       |  FROM part WHERE p_partkey % 40 = 0
@@ -204,7 +203,7 @@ object CotQueries {
       |SELECT d.id,
       |  'a' || (CASE WHEN d.emergency IS NOT NULL AND d.emergency <> 'none' THEN '-h' ELSE '-f' END)
       |    || '-A'
-      |    || (CASE WHEN d.dbFlags IS NOT NULL AND CAST(d.dbFlags AS BIGINT) % 2 <> 0 THEN '-M' ELSE '-C' END)
+      |    || (CASE WHEN d.dbFlags IS NOT NULL AND d.dbFlags % 2 <> 0 THEN '-M' ELSE '-C' END)
       |    || (CASE WHEN d.category IN ('A0','A1','A2','A3','A4','A5','A6') THEN '-F'
       |             WHEN d.category = 'A7' THEN '-H'
       |             WHEN d.category = 'B2' THEN '-L' ELSE '' END) AS cot_type,

@@ -146,12 +146,17 @@ object DedupOps {
   private def candidatePairs(d: DataFrame): DataFrame = {
     val bands = bandTable(minhashSig(d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pairs is read three times downstream (candidate-id union + both join
+    // sides) — persist it too. Both caches are session-lifetime by design:
+    // they are the LSH staging tables (4 small rows per doc; pairs is
+    // smaller still), the price of not recomputing signatures per consumer.
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Restrict docs to those appearing in `pairs` BEFORE computing a

@@ -40,12 +40,13 @@ class CotTransformSpec extends SparkSpec {
     assert(row("n123ab").getAs[String]("cot_type").endsWith("-F"))
     assert(row("n777xy").getAs[String]("cot_type").endsWith("-H"))
     assert(row("n888zz").getAs[String]("cot_type").endsWith("-L"))
-    assert(row("g-abcd").getAs[String]("cot_type") == "a-f-A-C") // C1 unknown
+    assert(row("g-abcd").getAs[String]("cot_type") == "a-f-A-M") // C1 unknown → no suffix (dbFlags 2.5 → -M)
   }
 
-  test("P8: dbFlags %2 with undefined-guard; 0 and 2 civilian, odd military (task.ts:175-178)") {
+  test("P8: dbFlags %2 with undefined-guard; 0 civilian, odd military, fractional fmod (task.ts:175-178)") {
     assert(row("n123ab").getAs[String]("cot_type").contains("-A-C"))  // dbFlags 0
-    assert(row("g-abcd").getAs[String]("cot_type").contains("-A-C"))  // dbFlags 2
+    // dbFlags 2.5: JS % is fmod → 2.5 % 2 = 0.5 !== 0 → military
+    assert(row("g-abcd").getAs[String]("cot_type").contains("-A-M"))
     assert(row("n777xy").getAs[String]("cot_type").contains("-A-M"))  // dbFlags 3
     assert(row("ual123").getAs[String]("cot_type").contains("-A-C"))  // null
   }
