@@ -281,6 +281,27 @@ object Relational {
       .agg(sumD(col("o_totalprice")))
       .orderBy(col("o_orderstatus"))
 
+  /** SQL entry point: the same engine surface through `spark.sql` over
+    * registered views (TPC-H Q3-shaped). The SQL text below runs verbatim
+    * in BOTH engines — Spark executes it here, DuckDB executes it as the
+    * oracle — demonstrating ANSI-dialect interchangeability. */
+  val q3Sql: String =
+    s"""SELECT l_orderkey,
+       |  ${sumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  o_orderdate
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2024-06-01'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  private def sqlQ3(s: SparkSession, dir: String): DataFrame = {
+    for (name <- Seq("customer", "orders", "lineitem"))
+      t(s, dir, name).createOrReplaceTempView(name)
+    s.sql(q3Sql)
+  }
+
   /** Exact distinct aggregation. */
   private def countDistinctQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -313,6 +334,7 @@ object Relational {
     "rel_percentile" -> percentileQ,
     "rel_topn" -> topN,
     "rel_pivot" -> pivotQ,
+    "rel_sql_q3" -> sqlQ3,
   )
 
   val oracles: Map[String, String] = Map(
@@ -461,5 +483,6 @@ object Relational {
          |  $cols
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
+    "rel_sql_q3" -> q3Sql, // the SAME text Spark executes
   )
 }
