@@ -221,6 +221,40 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs with Hamming distance <= 2, found WITHOUT an
+    * all-pairs comparison via the pigeonhole multi-index: split the 16-bit
+    * fingerprint into 3 chunks (6/5/5 bits) — any pair within distance 2
+    * shares at least one chunk exactly, so candidates come from equi-joins
+    * on (chunk_idx, chunk_value) and only those are verified with
+    * bit_count(xor). The same plan shape indexes 64-bit simhashes at
+    * corpus scale (k+1 chunks for distance k). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhash(s, dir) // (doc_id, simhash16 as bit string)
+    val asInt = conv(col("simhash16"), 2, 10).cast("long").as("sh")
+    // persisted: both sides of the chunk self-join read it (same rationale
+    // as the MinHash band table — tiny per-doc staging table)
+    val withInt = sh.select(col("doc_id"), asInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = withInt.select(col("doc_id"), col("sh"),
+      explode(array(
+        struct(lit(0).as("ci"), expr("sh % 64").as("cv")),            // low 6 bits
+        struct(lit(1).as("ci"), expr("(sh div 64) % 32").as("cv")),   // mid 5
+        struct(lit(2).as("ci"), expr("sh div 2048").as("cv"))         // high 5
+      )).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.ci"), col("c.cv"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      // filter BEFORE distinct: hamming is codegen'd per candidate row,
+      // so only surviving pairs reach the dedup shuffle
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exactDedup,
     "dedup_minhash_sig" -> minhashQuery,
@@ -228,6 +262,7 @@ object DedupOps {
     "dedup_lsh_neardup" -> lshNearDupPairs,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
     "dedup_simhash" -> simhash,
+    "dedup_simhash_pairs" -> simhashPairs,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -314,6 +349,28 @@ object DedupOps {
       s"""WITH tok1 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |bitsums AS (SELECT doc_id, $bitSums FROM tok1 GROUP BY doc_id)
          |SELECT doc_id, $bits AS simhash16 FROM bitsums ORDER BY doc_id""".stripMargin
+    },
+    "dedup_simhash_pairs" -> {
+      val bitSums = (1 to 16).map(i =>
+        s"SUM(CASE WHEN substr(md5(w), $i, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS b$i")
+        .mkString(", ")
+      // bit 1 is the most significant: shval = sum of 2^(16-i) for set bits
+      val shval = (1 to 16).map(i =>
+        s"(CASE WHEN b$i > 0 THEN ${1L << (16 - i)} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok1 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |bitsums AS (SELECT doc_id, $bitSums FROM tok1 GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $shval AS shval FROM bitsums),
+         |chunks AS (
+         |  SELECT doc_id, shval, 0 AS ci, shval % 64 AS cv FROM sh
+         |  UNION ALL SELECT doc_id, shval, 1, (shval // 64) % 32 FROM sh
+         |  UNION ALL SELECT doc_id, shval, 2, shval // 2048 FROM sh
+         |)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.shval, b.shval)) AS BIGINT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.shval, b.shval)) <= 2
+         |ORDER BY d1, d2""".stripMargin
     },
   )
 }

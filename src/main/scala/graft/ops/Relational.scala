@@ -281,6 +281,23 @@ object Relational {
       .agg(sumD(col("o_totalprice")))
       .orderBy(col("o_orderstatus"))
 
+  /** Window with a RANGE frame: 7-day trailing spend per customer at each
+    * order (event-time range frames, not row counts — the frame the rows
+    * variant cannot express when orders per day vary). */
+  private def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val days7 = 7L * 86400L
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("ts_s"))
+      .rangeBetween(-days7, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("ts_s", unix_timestamp(col("o_orderdate")))
+      .withColumn("trailing_7d", sum(col("o_totalprice").cast(Exact.dec)).over(w).cast("double"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("trailing_7d"), col("n_7d"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** SQL entry point: the same engine surface through `spark.sql` over
     * registered views (TPC-H Q3-shaped). The SQL text below runs verbatim
     * in BOTH engines — Spark executes it here, DuckDB executes it as the
@@ -335,6 +352,7 @@ object Relational {
     "rel_topn" -> topN,
     "rel_pivot" -> pivotQ,
     "rel_sql_q3" -> sqlQ3,
+    "rel_window_range" -> windowRange,
   )
 
   val oracles: Map[String, String] = Map(
@@ -484,5 +502,13 @@ object Relational {
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
     "rel_sql_q3" -> q3Sql, // the SAME text Spark executes
+    "rel_window_range" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE) AS trailing_7d,
+        |  COUNT(*) OVER w AS n_7d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
