@@ -129,6 +129,17 @@ object Relational {
         col("n_cust"), col("sum_bal"))
       .orderBy(col("region"), col("nation"))
 
+  /** CUBE over (status, priority) — all four grouping sets in one pass
+    * (Expand + single hash aggregate, not four scans). */
+  private def cubeQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
   /** Set operations: customers with both finished and open orders
     * (INTERSECT), only-finished (EXCEPT), tagged and unioned. */
   private def setOps(s: SparkSession, dir: String): DataFrame = {
@@ -353,6 +364,7 @@ object Relational {
     "rel_pivot" -> pivotQ,
     "rel_sql_q3" -> sqlQ3,
     "rel_window_range" -> windowRange,
+    "rel_cube" -> cubeQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -510,5 +522,11 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
         |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "rel_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
   )
 }

@@ -78,6 +78,23 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
   }
 
+  test("dedup_simhash_pairs: symmetric-free canonical pairs, hamming bounded") {
+    val pairs = DedupOps.queries("dedup_simhash_pairs")(spark, sf)
+    assert(pairs.filter(col("d1") >= col("d2")).count() == 0)
+    assert(pairs.filter(col("hamming") < 0 || col("hamming") > 2).count() == 0)
+    // pigeonhole completeness: every identical-fingerprint pair must appear
+    val sh = DedupOps.queries("dedup_simhash")(spark, sf)
+    val dup = sh.as("a").join(sh.as("b"),
+      col("a.simhash16") === col("b.simhash16") && col("a.doc_id") < col("b.doc_id"))
+    assert(pairs.filter(col("hamming") === 0).count() == dup.count())
+  }
+
+  test("rel_window_range: trailing window includes the current order") {
+    val out = Relational.queries("rel_window_range")(spark, sf)
+    assert(out.filter(col("n_7d") < 1).count() == 0)
+    assert(out.filter(col("trailing_7d") < col("o_totalprice")).count() == 0)
+  }
+
   test("mm_frame_sample: frame counts match payload size") {
     val meta = MultimodalOps.queries("mm_decode_meta")(spark, sf)
     val frames = MultimodalOps.queries("mm_frame_sample")(spark, sf)
