@@ -44,4 +44,13 @@ object FeatureSink {
     * reference's model), wrap and submit each partition's collection. */
   def foreachBatchSubmit(submit: String => Unit)(batch: DataFrame, batchId: Long): Unit =
     submitCollections(batch, submit)
+
+  /** Exactly-once file sink for foreachBatch: each micro-batch overwrites
+    * its own `batch_id=<id>` partition directory, so a batch replayed
+    * after failure (Structured Streaming reprocesses from the checkpoint)
+    * rewrites the same files instead of appending duplicates — the
+    * standard idempotent-by-batch-id pattern. */
+  def idempotentBatchWriter(root: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.select(to_json(col("feature")).as("value"))
+      .write.mode("overwrite").text(s"$root/batch_id=$batchId")
 }

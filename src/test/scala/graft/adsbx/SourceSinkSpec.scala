@@ -71,6 +71,18 @@ class SourceSinkSpec extends SparkSpec {
     assert(n1.geometry.coordinates == Seq(-119.0, 40.0))
   }
 
+  test("O3: idempotent batch sink — replaying a batch does not duplicate") {
+    val features = Pipeline.features(
+      AdsbxSource.fromJsonStrings(spark, Seq(envelope)),
+      Fixtures.includesDf(spark), AdsbxConfig(includesFiltering = false))
+    val root = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val write = FeatureSink.idempotentBatchWriter(root) _
+    write(features, 0L)
+    write(features, 0L) // simulated post-failure replay of the same batch
+    val rows = spark.read.text(s"$root/batch_id=0")
+    assert(rows.count() == 2) // still exactly the 2 features, not 4
+  }
+
   test("O1: observe metric counts features") {
     val features = Pipeline.features(
       AdsbxSource.fromJsonStrings(spark, Seq(envelope)),
