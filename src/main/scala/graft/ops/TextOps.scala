@@ -98,11 +98,38 @@ object TextOps {
         w => md5(w.cast("binary")))).as("fp_window"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF top-3 terms per document. Two shuffles: per-(doc, term)
+    * counts, then per-term document frequency; the DF table is vocabulary-
+    * sized (≪ corpus at scale) and joins back onto the term counts. ln()
+    * and the multiply order are identical in both engines, so scores
+    * hash-match exactly. Ties break on the term for determinism. */
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nDocs = d.count() // corpus size (an O(1) metadata-ish scan)
+    val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // rounded to 6 dp: ln() differs by 1 ulp across libm implementations,
+    // and the rank must be computed on the value both engines agree on
+    val scored = tf.join(df_, "w")
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(lit(nDocs.toDouble) / col("df").cast("double")), 6))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("w").asc)
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("w"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "text_lang_id" -> langId,
     "text_token_count" -> tokenCount,
     "text_fingerprint" -> fingerprint,
+    "text_tfidf_topk" -> tfidf,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -156,5 +183,20 @@ object TextOps {
       s"""SELECT doc_id, md5(text) AS fp_full,
          |  list_min(list_transform(${shinglesSql("text", 8)}, w -> md5(w))) AS fp_window
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df USING (w) CROSS JOIN n
+        |)
+        |SELECT doc_id, rk, w, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, w ASC) AS rk
+        |  FROM scored
+        |) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
   )
 }

@@ -45,6 +45,15 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), "includes join must broadcast")
     assert(!p.contains("SortMergeJoin"), "no shuffle join in the pipeline")
+    // D1 (max_by on id) and D2 (dropDuplicates on id) are keyed identically
+    // and the broadcast join preserves partitioning, so D2 must reuse D1's
+    // partitioning. Exactly 2 shuffles total: the aircraft dedup, and the
+    // probe-build aggregation on the config-sized includes side.
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val shuffles = simple.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles:\n$simple")
   }
 
   test("bucketed tables join with no shuffle exchange") {
