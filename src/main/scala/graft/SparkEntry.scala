@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CotQueries.queries ++ Relational.queries ++ DedupOps.queries ++
       TextOps.queries ++ Similarity.queries ++ MultimodalOps.queries ++
-      SkewOps.queries ++ ProfileOps.queries ++ graft.streaming.StreamOps.queries
+      SkewOps.queries ++ ProfileOps.queries ++ SplitOps.queries ++
+      graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
     CotQueries.oracles ++ Relational.oracles ++ DedupOps.oracles ++
       TextOps.oracles ++ Similarity.oracles ++ MultimodalOps.oracles ++
-      SkewOps.oracles ++ ProfileOps.oracles ++ graft.streaming.StreamOps.oracles
+      SkewOps.oracles ++ ProfileOps.oracles ++ SplitOps.oracles ++
+      graft.streaming.StreamOps.oracles
 }

@@ -95,6 +95,28 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(col("trailing_7d") < col("o_totalprice")).count() == 0)
   }
 
+  test("text_tfidf_topk: exactly ranks 1..3 per doc, scores descending") {
+    val out = TextOps.queries("text_tfidf_topk")(spark, sf)
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), min("rk").as("mn"), max("rk").as("mx"))
+    assert(perDoc.filter(col("n") =!= 3 || col("mn") =!= 1 || col("mx") =!= 3).count() == 0)
+    val bad = out.as("a").join(out.as("b"),
+      col("a.doc_id") === col("b.doc_id") && col("a.rk") < col("b.rk") &&
+        col("a.tfidf") < col("b.tfidf"))
+    assert(bad.count() == 0)
+  }
+
+  test("text_split_assign: deterministic, total-preserving, ~90/5/5") {
+    val out = SplitOps.queries("text_split_assign")(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == graft.Tables(spark, sf, "documents").count())
+    val bySplit = out.groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("n")).sum)
+    assert(bySplit("train").toDouble / total > 0.75) // pseudo-uniform, small corpus
+    // assignment is a pure function of doc_id: re-running gives identical rows
+    val again = SplitOps.queries("text_split_assign")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("mm_frame_sample: frame counts match payload size") {
     val meta = MultimodalOps.queries("mm_decode_meta")(spark, sf)
     val frames = MultimodalOps.queries("mm_frame_sample")(spark, sf)
