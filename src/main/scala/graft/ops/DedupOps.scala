@@ -107,7 +107,7 @@ object DedupOps {
 
   /** LSH buckets holding >1 doc — the near-dup candidate groups. */
   private def lshBuckets(s: SparkSession, dir: String): DataFrame =
-    bandTable(minhashSig(docs(s, dir)))
+    staged(s, dir, "bands")(bandTable(minhashSig(docs(s, dir))))
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
@@ -123,7 +123,7 @@ object DedupOps {
     * only the candidate docs' shingle sets. */
   private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = candidatePairs(d)
+    val pairs = candidatePairs(s, dir)
     val sets = forCandidates(pairs, d)(shingleSet.as("ws"))
     pairs
       .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
@@ -137,26 +137,31 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** LSH candidate pairs (shared by the verify-stage variants): docs
-    * sharing any (band, bucket), deduped. The band table is persisted —
-    * it is referenced by both sides of the self-join and would otherwise
-    * re-run the signature computation per reference; at corpus scale this
-    * is the LSH staging table you'd materialize (MEMORY_AND_DISK spills,
-    * it is 4 small rows per doc, orders of magnitude under the corpus). */
-  private def candidatePairs(d: DataFrame): DataFrame = {
-    val bands = bandTable(minhashSig(d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  // LSH staging tables, persisted once per (session, corpus) and SHARED
+  // across every consumer query (lsh_buckets / lsh_neardup / ngram_jaccard
+  // each used to build private copies — N identical cache entries per run).
+  // Memoizing the DataFrame object means all consumers hit the same cache
+  // entry; contents are 4 small rows per doc (bands) / the candidate pairs.
+  private val stagingCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def staged(s: SparkSession, dir: String, key: String)
+                    (build: => DataFrame): DataFrame =
+    stagingCache.getOrElseUpdate((s, dir, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = staged(s, dir, "bands")(bandTable(minhashSig(docs(s, dir))))
     // pairs is read three times downstream (candidate-id union + both join
-    // sides) — persist it too. Both caches are session-lifetime by design:
-    // they are the LSH staging tables (4 small rows per doc; pairs is
-    // smaller still), the price of not recomputing signatures per consumer.
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sides) — staged too
+    staged(s, dir, "pairs") {
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+    }
   }
 
   /** Restrict docs to those appearing in `pairs` BEFORE computing a
@@ -187,7 +192,7 @@ object DedupOps {
     * boundary shifts. */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = candidatePairs(d)
+    val pairs = candidatePairs(s, dir)
     val sets = forCandidates(pairs, d)(charNgramSet.as("gs"))
     pairs
       .join(sets.as("g1"), col("d1") === col("g1.doc_id"))
@@ -218,23 +223,30 @@ object DedupOps {
       .select(col("doc_id"),
         concat((1 to 16).map(i =>
           when(col(s"b$i") > 0, "1").otherwise("0")): _*).as("simhash16"))
-      .orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= 2, found WITHOUT an
-    * all-pairs comparison via the pigeonhole multi-index: split the 16-bit
-    * fingerprint into 3 chunks (6/5/5 bits) — any pair within distance 2
-    * shares at least one chunk exactly, so candidates come from equi-joins
-    * on (chunk_idx, chunk_value) and only those are verified with
-    * bit_count(xor). The same plan shape indexes 64-bit simhashes at
-    * corpus scale (k+1 chunks for distance k). */
+  /** Query wrapper: sorted for stable output (the core stays unsorted so
+    * downstream consumers don't pay a discarded range-partition sort). */
+  private def simhashQuery(s: SparkSession, dir: String): DataFrame =
+    simhash(s, dir).orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs with Hamming distance <= 2 via the pigeonhole
+    * multi-index: split the fingerprint into 3 chunks — any pair within
+    * distance 2 shares at least one chunk exactly, so candidates come from
+    * equi-joins on (chunk_idx, chunk_value), verified with bit_count(xor).
+    *
+    * Scale honesty: 16 bits give only ~128 distinct chunk values, so the
+    * candidate join is Θ(n²/128) — fine for this corpus, but the
+    * production shape is a 64-bit fingerprint chunked 3×21 bits (same plan,
+    * ~2M distinct chunk values), where candidates stay near-linear. The
+    * 16-bit width here matches `dedup_simhash` so the pair stage is
+    * oracle-checkable against the same fingerprints. */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhash(s, dir) // (doc_id, simhash16 as bit string)
     val asInt = conv(col("simhash16"), 2, 10).cast("long").as("sh")
-    // persisted: both sides of the chunk self-join read it (same rationale
-    // as the MinHash band table — tiny per-doc staging table)
-    val withInt = sh.select(col("doc_id"), asInt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // staged: both sides of the chunk self-join read it
+    val withInt = staged(s, dir, "simhash_int") {
+      simhash(s, dir).select(col("doc_id"), asInt)
+    }
     val chunks = withInt.select(col("doc_id"), col("sh"),
       explode(array(
         struct(lit(0).as("ci"), expr("sh % 64").as("cv")),            // low 6 bits
@@ -261,7 +273,7 @@ object DedupOps {
     "dedup_lsh_buckets" -> lshBuckets,
     "dedup_lsh_neardup" -> lshNearDupPairs,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
-    "dedup_simhash" -> simhash,
+    "dedup_simhash" -> simhashQuery,
     "dedup_simhash_pairs" -> simhashPairs,
   )
 

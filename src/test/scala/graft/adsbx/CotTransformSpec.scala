@@ -49,6 +49,15 @@ class CotTransformSpec extends SparkSpec {
     assert(row("g-abcd").getAs[String]("cot_type").contains("-A-M"))
     assert(row("n777xy").getAs[String]("cot_type").contains("-A-M"))  // dbFlags 3
     assert(row("ual123").getAs[String]("cot_type").contains("-A-C"))  // null
+    // full matrix, incl. even-nonzero (a parity→truthiness regression
+    // would pass every fixture row above but fail dbFlags=2.0 here)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(Some(0.0), Some(1.0), Some(2.0), Some(2.5), Some(3.0),
+      Some(-3.5), None).toDF("dbFlags")
+      .select(CotTransform.civMilFlag(col("dbFlags")).as("f"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("-C", "-M", "-C", "-M", "-M", "-M", "-C"))
   }
 
   test("P9/P10: emergency hostile only when configured (task.ts:182-185,191)") {
