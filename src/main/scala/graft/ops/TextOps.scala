@@ -124,12 +124,37 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget bins
+    * (training-batch packing), the window-cumsum formulation — bin =
+    * floor(tokens-before-me / capacity) per language in doc_id order.
+    * Deterministic, single keyed window, no iteration; a greedy first-fit
+    * packer would need stateful traversal, and at corpus scale this
+    * streaming-friendly form is what pipelines actually run. */
+  private val PACK_CAP = 2048L
+
+  private def packBins(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", ((col("cum") - col("n_tok")) / PACK_CAP).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "text_lang_id" -> langId,
     "text_token_count" -> tokenCount,
     "text_fingerprint" -> fingerprint,
     "text_tfidf_topk" -> tfidf,
+    "text_pack_bins" -> packBins,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -198,5 +223,19 @@ object TextOps {
         |    ORDER BY tfidf DESC, w ASC) AS rk
         |  FROM scored
         |) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_pack_bins" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), c AS (
+         |  SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t
+         |)
+         |SELECT lang, CAST((cum - n_tok) // $PACK_CAP AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
   )
 }
