@@ -117,6 +117,20 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("text_pack_bins: bins contiguous from 0, token totals preserved") {
+    val out = TextOps.queries("text_pack_bins")(spark, sf)
+    val perLang = out.groupBy("lang").agg(
+      min("bin").as("mn"), max("bin").as("mx"),
+      countDistinct("bin").as("nb"), sum("sum_tok").as("tot"))
+    // bins are 0..max with no gaps
+    assert(perLang.filter(col("mn") =!= 0 || col("nb") =!= col("mx") + 1).count() == 0)
+    // no tokens lost or invented by the packing
+    val totTok = graft.Tables(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n")).agg(sum("n"))
+      .head().getLong(0)
+    assert(out.agg(sum("sum_tok")).head().getLong(0) == totTok)
+  }
+
   test("mm_frame_sample: frame counts match payload size") {
     val meta = MultimodalOps.queries("mm_decode_meta")(spark, sf)
     val frames = MultimodalOps.queries("mm_frame_sample")(spark, sf)
