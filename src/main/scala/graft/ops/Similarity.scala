@@ -104,6 +104,36 @@ object Similarity {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Per-label centroids + cohesion: mean vector per label (exact decimal
+    * per-dimension sums, so the centroid is partitioning-independent),
+    * then each vector's cosine to its own label's centroid, reported as
+    * per-label average similarity. The centroid table is label-cardinality
+    * sized (tiny) and broadcast back onto the exploded vectors; the final
+    * dot products fold in dimension order so both engines accumulate
+    * identically. */
+  private def centroidCohesion(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir).select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("dim", "val")))
+    val cent = ex.groupBy(col("label"), col("dim"))
+      .agg((sum(col("val").cast(Exact.dec)).cast("double") / count(lit(1))).as("c"))
+    val prods = ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sort_array(collect_list(struct(col("dim"), (col("val") * col("c")).as("p")))).as("vc"),
+        sort_array(collect_list(struct(col("dim"), (col("val") * col("val")).as("p")))).as("vv"),
+        sort_array(collect_list(struct(col("dim"), (col("c") * col("c")).as("p")))).as("cc"))
+    def fold(a: Column): Column =
+      aggregate(transform(a, x => x.getField("p")), lit(0.0d), (acc, x) => acc + x)
+    prods
+      .withColumn("cos", round(fold(col("vc")) /
+        (sqrt(fold(col("vv"))) * sqrt(fold(col("cc")))), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        avgD(col("cos")).as("avg_cos"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+      .orderBy(col("label"))
+  }
+
   /** Per-label embedding stats (norm distribution). */
   private def embedStats(s: SparkSession, dir: String): DataFrame =
     withNorm(emb(s, dir))
@@ -120,6 +150,7 @@ object Similarity {
     "sim_ann_lsh" -> annLsh,
     "sim_embed_stats" -> embedStats,
     "dedup_embed_cosine" -> embedCosineNearDup,
+    "sim_centroid_cohesion" -> centroidCohesion,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -178,5 +209,27 @@ object Similarity {
          |SELECT label, COUNT(*) AS n, ${avgSql("nrm_r")} AS avg_norm,
          |  MIN(nrm_r) AS min_norm, MAX(nrm_r) AS max_norm
          |FROM r GROUP BY label ORDER BY label""".stripMargin,
+    "sim_centroid_cohesion" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |ex AS (
+         |  SELECT vec_id, label, i AS dim, v[i] AS val
+         |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+         |), cent AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM ex GROUP BY 1, 2
+         |), folded AS (
+         |  SELECT ex.vec_id, ex.label,
+         |    list_reduce(list(ex.val * cent.c ORDER BY ex.dim), (a,x) -> a+x) AS vc,
+         |    list_reduce(list(ex.val * ex.val ORDER BY ex.dim), (a,x) -> a+x) AS vv,
+         |    list_reduce(list(cent.c * cent.c ORDER BY ex.dim), (a,x) -> a+x) AS cc
+         |  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+         |  GROUP BY 1, 2
+         |), cosv AS (
+         |  SELECT label, round(vc / (sqrt(vv) * sqrt(cc)), 6) AS cos FROM folded
+         |)
+         |SELECT label, COUNT(*) AS n, ${avgSql("cos")} AS avg_cos,
+         |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
+         |FROM cosv GROUP BY label ORDER BY label""".stripMargin,
   )
 }
