@@ -121,21 +121,8 @@ object DedupOps {
     * — two shuffles keyed on doc_id, no (doc, shingle) explosion. At scale
     * the pair table is far smaller than the corpus, so each join moves
     * only the candidate docs' shingle sets. */
-  private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val pairs = candidatePairs(s, dir)
-    val sets = forCandidates(pairs, d)(shingleSet.as("ws"))
-    pairs
-      .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
-      .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
-      .select(col("d1"), col("d2"),
-        (col("i").cast("double") /
-          (size(col("s1.ws")) + size(col("s2.ws")) - col("i")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-      .orderBy(col("d1"), col("d2"))
-  }
+  private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir).orderBy(col("d1"), col("d2"))
 
   // LSH staging tables, persisted once per (session, corpus) and SHARED
   // across every consumer query (lsh_buckets / lsh_neardup / ngram_jaccard
@@ -206,6 +193,55 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Verified near-dup pairs without output ordering (shared core). */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = candidatePairs(s, dir)
+    val sets = forCandidates(pairs, d)(shingleSet.as("ws"))
+    pairs
+      .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") /
+          (size(col("s1.ws")) + size(col("s2.ws")) - col("i")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Duplicate clusters: connected components over the verified near-dup
+    * pairs — the step that turns pairwise matches into the actual dedup
+    * action (keep min doc_id per cluster, drop the rest). Iterative
+    * min-label propagation: each superstep takes the min label over
+    * neighbors, converging in O(component diameter) supersteps — the
+    * Pregel/GraphX plan shape, expressed with joins; each iteration is
+    * localCheckpointed so lineage stays bounded. Near-dup components are
+    * tiny by nature (mutual 0.8-Jaccard cliques), so convergence is fast
+    * at any corpus size. */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(s, dir)
+    val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("label", col("u")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges.join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
+        .groupBy(col("u")).agg(min(col("nl")).as("nl"))
+      val updated = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("u"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 16-bit SimHash over the distinct-token set, md5-hex-digit parity as
     * the per-bit hash (cross-engine reproducible). */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
@@ -272,6 +308,7 @@ object DedupOps {
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_lsh_buckets" -> lshBuckets,
     "dedup_lsh_neardup" -> lshNearDupPairs,
+    "dedup_clusters" -> nearDupClusters,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
     "dedup_simhash" -> simhashQuery,
     "dedup_simhash_pairs" -> simhashPairs,
@@ -330,6 +367,35 @@ object DedupOps {
          |JOIN cnt c2 ON d2 = c2.doc_id
          |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+    // min-label fixpoint == min reachable node == the recursive closure's
+    // per-node minimum
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $tok3Cte, $sigCte, $bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY 1),
+         |inter AS (
+         |  SELECT p.d1, p.d2, COUNT(*) AS i
+         |  FROM pairs p
+         |  JOIN tok3 t1 ON t1.doc_id = p.d1
+         |  JOIN tok3 t2 ON t2.doc_id = p.d2 AND t2.w = t1.w
+         |  GROUP BY 1, 2
+         |), vp AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN cnt c1 ON d1 = c1.doc_id
+         |  JOIN cnt c2 ON d2 = c2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.8
+         |), edges AS (
+         |  SELECT d1 AS u, d2 AS v FROM vp UNION SELECT d2, d1 FROM vp
+         |), reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+         |)
+         |SELECT u AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $tok3Cte, $sigCte, $bandsCte,
          |pairs AS (

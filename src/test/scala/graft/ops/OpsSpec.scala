@@ -78,6 +78,23 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
   }
 
+  test("dedup_clusters: valid connected components of the near-dup graph") {
+    val pairs = DedupOps.queries("dedup_lsh_neardup")(spark, sf).cache()
+    val clusters = DedupOps.queries("dedup_clusters")(spark, sf).cache()
+    // every doc in a pair is clustered; cluster_id is the component min
+    val inPairs = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2").as("doc_id"))).distinct()
+    assert(clusters.count() == inPairs.count())
+    assert(clusters.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    // both endpoints of every edge share a cluster
+    val viol = pairs
+      .join(clusters.select(col("doc_id").as("d1"), col("cluster_id").as("c1")), "d1")
+      .join(clusters.select(col("doc_id").as("d2"), col("cluster_id").as("c2")), "d2")
+      .filter(col("c1") =!= col("c2"))
+    assert(viol.count() == 0)
+    pairs.unpersist(); clusters.unpersist()
+  }
+
   test("dedup_simhash_pairs: symmetric-free canonical pairs, hamming bounded") {
     val pairs = DedupOps.queries("dedup_simhash_pairs")(spark, sf)
     assert(pairs.filter(col("d1") >= col("d2")).count() == 0)
