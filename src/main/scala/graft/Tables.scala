@@ -17,6 +17,29 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan rebalanced across all cores. The test corpus writes each table as
+    * ONE parquet row group, so the scan arrives as a single partition and
+    * any expression-heavy projection directly above it runs single-threaded
+    * until the first shuffle. A production 100 TB table has thousands of
+    * files/row groups and scans parallel natively — this rebalance exists
+    * purely to restore that parallelism on single-split inputs, and costs
+    * one shuffle of only the pruned columns (projection/filter pushdown
+    * still reach the scan below the exchange).
+    *
+    * Hash-partitioned on the table's unique key, NOT round-robin:
+    * `repartition(n)` binary-sorts every row before exchanging
+    * (sortBeforeRepartition, for retry determinism), which on a single
+    * input partition is a single-threaded whole-table sort — the exact
+    * bottleneck this helper removes. Hash exchange needs no such sort.
+    *
+    * Use for compute-heavy per-row kernels (hashing, shingling, vector
+    * math); plain filter/agg queries go straight to `apply`, whose first
+    * shuffle parallelizes them anyway. */
+  def balanced(spark: SparkSession, dir: String, name: String,
+               key: String): DataFrame =
+    apply(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism, col(key))
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")

@@ -25,8 +25,10 @@ object DedupOps {
   private val N_MINHASH = 8 // md5 chunks per shingle
   private val N_BANDS = 4   // bands of r = 2 minhashes each
 
+  // balanced: the md5/shingle kernels are expression-heavy per-row work
+  // that must not run on a single scan partition (see Tables.balanced)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.Tables(s, dir, "documents")
+    graft.Tables.balanced(s, dir, "documents", "doc_id")
 
   /** Distinct shingle set of a document, kept as an array column. Keeping
     * the set in-row (instead of exploding to a (doc_id, shingle) table)
@@ -180,7 +182,9 @@ object DedupOps {
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val pairs = candidatePairs(s, dir)
-    val sets = forCandidates(pairs, d)(charNgramSet.as("gs"))
+    // staged: referenced by both join sides — without it the n-gram HOF
+    // projection runs once per side
+    val sets = staged(s, dir, "gsets")(forCandidates(pairs, d)(charNgramSet.as("gs")))
     pairs
       .join(sets.as("g1"), col("d1") === col("g1.doc_id"))
       .join(sets.as("g2"), col("d2") === col("g2.doc_id"))
@@ -193,21 +197,26 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Verified near-dup pairs without output ordering (shared core). */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val pairs = candidatePairs(s, dir)
-    val sets = forCandidates(pairs, d)(shingleSet.as("ws"))
-    pairs
-      .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
-      .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
-      .select(col("d1"), col("d2"),
-        (col("i").cast("double") /
-          (size(col("s1.ws")) + size(col("s2.ws")) - col("i")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
-  }
+  /** Verified near-dup pairs without output ordering (shared core).
+    * Staged: both the neardup-pairs query and the clustering query consume
+    * it, and clustering reads it twice (edge directions). */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "vp") {
+      val d = docs(s, dir)
+      val pairs = candidatePairs(s, dir)
+      // staged: referenced by both join sides — without it the shingle HOF
+      // projection runs once per side
+      val sets = staged(s, dir, "wsets")(forCandidates(pairs, d)(shingleSet.as("ws")))
+      pairs
+        .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
+        .select(col("d1"), col("d2"),
+          (col("i").cast("double") /
+            (size(col("s1.ws")) + size(col("s2.ws")) - col("i")).cast("double"))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }
 
   /** Duplicate clusters: connected components over the verified near-dup
     * pairs — the step that turns pairwise matches into the actual dedup
@@ -219,27 +228,52 @@ object DedupOps {
     * tiny by nature (mutual 0.8-Jaccard cliques), so convergence is fast
     * at any corpus size. */
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val pairs = verifiedPairs(s, dir)
-    val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
-      .union(pairs.select(col("d2").as("u"), col("d1").as("v")))
+    // Iterative min-label propagation on co-partitioned RDDs — the GraphX/
+    // Pregel execution shape. The DataFrame API re-plans and re-shuffles
+    // BOTH join sides every superstep; here the edge list is hash-
+    // partitioned by destination once, the label RDD shares the
+    // partitioner, so each superstep's join is narrow and only the
+    // reduceByKey moves data. Partition count scales with the (verified
+    // near-dup) edge count, which is orders of magnitude smaller than the
+    // corpus at any scale.
+    val pairRdd = pairs.select(col("d1"), col("d2")).as[(Long, Long)].rdd
+    val nPairs = pairs.count() // pairs is persisted; drives partition sizing
+    val p = math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+      nPairs / 500000L + 1L)).toInt
+    val part = new org.apache.spark.HashPartitioner(p)
+    val nodes = pairRdd.flatMap { case (a, b) => Iterator(a, b) }.distinct(p)
+    // keyed by propagation source v: both directions + a self-loop per node,
+    // so one join+min-reduce is a whole superstep:
+    // new_label(u) = min(label(u), min over neighbors' labels)
+    val eByV = pairRdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .union(nodes.map(u => (u, u)))
+      .partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u")).distinct()
-      .withColumn("label", col("u")).localCheckpoint()
-    var changed = 1L
+    var lab = nodes.map(u => (u, u)).partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels only decrease, so their sum strictly decreases until the
+    // fixpoint; the sum is read from the same action that materializes the
+    // new labels — exactly one tiny job per superstep (doc_id sums stay
+    // well under 2^53, so the double-precision sum is exact)
+    var prevSum = lab.values.map(_.toDouble).sum()
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val nbrMin = edges.join(labels.select(col("u").as("v"), col("label").as("nl")), "v")
-        .groupBy(col("u")).agg(min(col("nl")).as("nl"))
-      val updated = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("new_label"))
-        .localCheckpoint()
-      changed = updated.filter(col("new_label") < col("label")).count()
-      labels = updated.select(col("u"), col("new_label").as("label"))
+    var converged = false
+    while (!converged && iter < 20) {
+      val next = eByV.join(lab)
+        .map { case (_, (u, lv)) => (u, lv) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s2 = next.values.map(_.toDouble).sum()
+      lab.unpersist(blocking = false)
+      lab = next
+      converged = s2 == prevSum
+      prevSum = s2
       iter += 1
     }
-    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    lab.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
   }
 
   /** 16-bit SimHash over the distinct-token set, md5-hex-digit parity as

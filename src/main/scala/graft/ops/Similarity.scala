@@ -29,7 +29,7 @@ object Similarity {
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    graft.Tables(s, dir, "embeddings")
+    graft.Tables.balanced(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
   }

@@ -46,13 +46,21 @@ object StreamOps {
     * invocation). */
   def runToMemory(streamed: DataFrame, outputMode: String): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = streamed.writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    streamed.sparkSession.table(name)
+    val spark = streamed.sparkSession
+    // stateful queries instantiate one state store per shuffle partition at
+    // query start; 8 is plenty for the bench corpus and cuts fixed setup
+    // cost (a production job sizes this to keys × state bytes instead)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = streamed.writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
   }
 
   /** Streaming hourly tumbling-window aggregation; complete mode so the
