@@ -21,13 +21,15 @@ object SparkEntry {
       AdsbxConfig(includesFiltering = false))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CotQueries.queries ++ Relational.queries ++ DedupOps.queries ++
+    CotQueries.queries ++ Relational.queries ++ Relational2.queries ++
+      FormatOps.queries ++ DedupOps.queries ++
       TextOps.queries ++ Similarity.queries ++ MultimodalOps.queries ++
       SkewOps.queries ++ ProfileOps.queries ++ SplitOps.queries ++
       graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
-    CotQueries.oracles ++ Relational.oracles ++ DedupOps.oracles ++
+    CotQueries.oracles ++ Relational.oracles ++ Relational2.oracles ++
+      FormatOps.oracles ++ DedupOps.oracles ++
       TextOps.oracles ++ Similarity.oracles ++ MultimodalOps.oracles ++
       SkewOps.oracles ++ ProfileOps.oracles ++ SplitOps.oracles ++
       graft.streaming.StreamOps.oracles

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Exact._
+
+/** File-format source/sink coverage (SURVEY §2.1/§2.6 generalized): each
+  * query writes a table out in a format, reads it back with an explicit
+  * schema, and aggregates — so the oracle (which runs on the ORIGINAL
+  * parquet) verifies the whole write→read cycle was lossless.
+  *
+  * Scale posture: writes shard per partition (no driver collect), reads are
+  * schema-explicit (no inference pass over 100 TB), and the partitioned
+  * variant proves partition PRUNING — the scan lists only the selected
+  * `o_orderstatus=F` directory, which is how a 100 TB table avoids reading
+  * 99% of its files.
+  */
+object FormatOps {
+
+  private def tmpDir(s: SparkSession, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_fmt_${tag}_" +
+      s.sparkContext.applicationId
+
+  /** CSV sink + source: orders → CSV (header, explicit timestamp format) →
+    * read back with an explicit schema → priority rollup. */
+  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "csv")
+    graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** JSON-lines sink + source round trip, including a nested struct column
+    * (assembled on write, fielded back out on read) — the reference's
+    * native interchange format (task.ts:131-134 reads JSON; the
+    * FeatureCollection sink emits it). */
+  private def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "jsonl")
+    graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        struct(col("event_type").as("type"), col("value").as("v")).as("payload"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("payload", StructType(Seq(
+        StructField("type", StringType), StructField("v", DoubleType))))))
+    s.read.schema(schema).json(path)
+      .groupBy(col("payload.type").as("event_type"))
+      .agg(count(lit(1)).as("n"), sumD(col("payload.v")).as("sum_value"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Hive-style partitioned parquet write + partition-PRUNED read: only the
+    * `o_orderstatus=F` directory is listed and scanned (PartitionFilters in
+    * the plan; verified by PlanSpec). */
+  private def partitionedPruned(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "part")
+    graft.Tables(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip" -> csvRoundtrip,
+    "src_jsonl_roundtrip" -> jsonlRoundtrip,
+    "src_partitioned_pruned" -> partitionedPruned,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the oracle reads the ORIGINAL table — matching hashes prove the
+    // write→read cycle preserved every value
+    "src_csv_roundtrip" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_custkey) AS n_cust
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_jsonl_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sumSql("value")} AS sum_value,
+         |  MAX(event_id) AS max_event
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "src_partitioned_pruned" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}

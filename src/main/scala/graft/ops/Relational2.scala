@@ -1,0 +1,315 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Exact._
+
+/** Round-2 relational coverage: the classical operator categories not yet
+  * exercised by `Relational` — explicit GROUPING SETS with grouping_id,
+  * unpivot (wide→long), correlated scalar / IN subqueries (Catalyst
+  * decorrelation), the analytic-window function battery, a bucketized
+  * interval/range join, array & map function batteries, regex extraction,
+  * and deterministic second-moment statistics.
+  *
+  * Scale posture matches `Relational`: hash aggregates with partial
+  * combine, keyed windows only, subqueries that decorrelate to joins (no
+  * per-row re-execution), and the range join is bucketized so it runs as an
+  * equi shuffle join — never a broadcast nested-loop cross product.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables(s, dir, name)
+
+  /** Explicit GROUPING SETS ((region, nation), (region), ()) with
+    * grouping_id over the supplier dimension — the general grouping-set
+    * form that rollup/cube are shorthands for (single Expand + one hash
+    * aggregate, not three scans). */
+  private def groupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_supp"), sumD(col("s_acctbal")).as("sum_bal"))
+      .select(col("gid"), coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_supp"), col("sum_bal"))
+      .orderBy(col("gid"), col("region"), col("nation"))
+
+  /** Unpivot (wide→long): lineitem measure columns melted into
+    * (measure, val) rows — the inverse of pivot, a pure per-row Expand
+    * with no shuffle. */
+  private def unpivotQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity").as("quantity"), col("l_discount").as("discount"),
+          col("l_tax").as("tax")),
+        "measure", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into a left
+    * outer aggregate join, so at scale it is one shuffle, not a per-row
+    * probe. The SQL text runs verbatim in both engines. */
+  val scalarSubquerySql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer WHERE c_custkey % 100 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** IN-subquery (planned as a left-semi join in both engines). */
+  val inSubquerySql: String =
+    """SELECT p_partkey, p_name, p_brand FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      |  AND p_size >= 40
+      |ORDER BY p_partkey""".stripMargin
+
+  private def viewsAndSql(s: SparkSession, dir: String, sql: String,
+                          names: String*): DataFrame = {
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  /** Analytic window battery: lead/lag/first/last/ntile/percent_rank/
+    * cume_dist over each customer's order history (keyed window — state is
+    * per-customer, never global). */
+  private def windowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") % 200 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byCust).as("next_price"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        ntile(4).over(byCust).cast("long").as("quartile"),
+        percent_rank().over(byCust).as("pct_rank"),
+        cume_dist().over(byCust).as("cdist"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Interval/range join, bucketized: sampled events open a 4-hour window;
+    * count all events falling inside each window. The window is exploded
+    * into its covered hour buckets and joined on the bucket EQUI key with
+    * the precise bounds as a residual predicate — a shuffle hash join that
+    * scales linearly, where the naive `ts BETWEEN lo AND hi` theta join
+    * plans as a broadcast-nested-loop cross product. */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val windows = ev.filter(col("event_id") % 997 === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("w_end"))
+    val winByHour = windows.withColumn("hour_b",
+      explode(sequence(
+        floor(unix_timestamp(col("w_start")) / 3600L),
+        floor((unix_timestamp(col("w_end")) - 1) / 3600L))))
+    val evB = ev.select(col("ts"),
+      floor(unix_timestamp(col("ts")) / 3600L).as("hour_b"))
+    evB.join(winByHour, Seq("hour_b"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("win_id"), col("w_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("win_id"))
+  }
+
+  /** Array-function battery: per market segment, the sorted distinct set of
+    * order priorities of its urgent-ish customers plus membership tests. */
+  private def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sort_array(collect_set(col("o_orderpriority"))).as("prios"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))
+      // scalars only in the output: list-typed result columns are not
+      // hash-comparable across engines (the compare sorts by value)
+      .select(col("c_mktsegment"),
+        size(col("prios")).cast("long").as("n_prios"),
+        array_contains(col("prios"), "1-URGENT").as("has_urgent"),
+        element_at(col("prios"), 1).as("first_prio"),
+        array_position(col("prios"), "5-LOW").cast("long").as("low_pos"),
+        concat_ws(",", col("prios")).as("prio_csv"), col("n_prio"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Map-function battery: per sampled user, a map event_type → count is
+    * assembled (map_from_entries), probed (element_at), then exploded back
+    * to sorted rows so the result is oracle-comparable. */
+  private def mapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .filter(col("user_id") % 100 === 0)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        explode(col("m")).as(Seq("event_type", "n")),
+        size(col("m")).cast("long").as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"))
+      .select(col("user_id"), col("event_type"), col("n"), col("n_types"),
+        col("n_click"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Regex battery: extraction groups, membership, and replace over part
+    * type strings. */
+  private def regexFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").rlike("^(red|blue) "))
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(red|blue) ([a-z]+)", 1).as("color"),
+        regexp_extract(col("p_name"), "^(red|blue) ([a-z]+)", 2).as("noun"),
+        regexp_replace(col("p_type"), "[AEIOU]", "").as("devowel"),
+        col("p_name").rlike("bolt").cast("boolean").as("bolty"))
+      .orderBy(col("p_partkey"))
+
+  /** Deterministic second moments: variance / stddev / correlation from
+    * exact decimal power sums, finished in double — bit-identical across
+    * engines and partitionings (the built-in streaming variance is
+    * order-sensitive in low bits, so it cannot be hash-verified). The
+    * shape is one pass, map-side combinable — exactly how a 100 TB moment
+    * computation should run. */
+  private def momentsQ(s: SparkSession, dir: String): DataFrame = {
+    // exact decimal power sums, then IDENTICAL double-precision arithmetic
+    // in both engines (decimal×decimal would overflow width 38; two exact
+    // inputs through the same IEEE expressions give bit-equal results)
+    def s1(c: Column) = sum(c.cast(dec)).cast("double")
+    def s2(c: Column, d: Column) = sum((c * d).cast(dec)).cast("double")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        s1(col("l_quantity")).as("sx"),
+        s2(col("l_quantity"), col("l_quantity")).as("sxx"),
+        s1(col("l_extendedprice")).as("sy"),
+        s2(col("l_extendedprice"), col("l_extendedprice")).as("syy"),
+        s2(col("l_quantity"), col("l_extendedprice")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("sd_qty"),
+        // rounded: the final quotient can differ by 1 ulp across engines
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))), 12)
+          .as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_grouping_sets" -> groupingSets,
+    "rel_unpivot" -> unpivotQ,
+    "rel_scalar_subquery" -> ((s, dir) =>
+      viewsAndSql(s, dir, scalarSubquerySql, "customer", "orders")),
+    "rel_in_subquery" -> ((s, dir) =>
+      viewsAndSql(s, dir, inSubquerySql, "part", "lineitem")),
+    "rel_window_analytics" -> windowAnalytics,
+    "rel_range_join" -> rangeJoin,
+    "rel_array_funcs" -> arrayFuncs,
+    "rel_map_funcs" -> mapFuncs,
+    "rel_regex_funcs" -> regexFuncs,
+    "rel_moments" -> momentsQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_grouping_sets" ->
+      s"""SELECT CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+         |  coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+         |  COUNT(*) AS n_supp, ${sumSql("s_acctbal")} AS sum_bal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+         |ORDER BY gid, region, nation""".stripMargin,
+    "rel_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+        |FROM lineitem WHERE l_orderkey % 500 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        |FROM lineitem WHERE l_orderkey % 500 = 0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        |FROM lineitem WHERE l_orderkey % 500 = 0
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "rel_scalar_subquery" -> scalarSubquerySql,
+    "rel_in_subquery" -> inSubquerySql,
+    "rel_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders WHERE o_custkey % 200 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_range_join" ->
+      """SELECT w.win_id, w.w_start, COUNT(*) AS n_events
+        |FROM (SELECT event_id AS win_id, ts AS w_start,
+        |        ts + INTERVAL 4 HOUR AS w_end
+        |      FROM events WHERE event_id % 997 = 0) w
+        |JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY w.win_id, w.w_start
+        |ORDER BY w.win_id""".stripMargin,
+    "rel_array_funcs" ->
+      """SELECT c_mktsegment,
+        |  CAST(len(list_sort(list_distinct(list(o_orderpriority)))) AS BIGINT) AS n_prios,
+        |  list_contains(list_distinct(list(o_orderpriority)), '1-URGENT') AS has_urgent,
+        |  list_sort(list_distinct(list(o_orderpriority)))[1] AS first_prio,
+        |  CAST(coalesce(list_position(list_sort(list_distinct(list(o_orderpriority))), '5-LOW'), 0) AS BIGINT) AS low_pos,
+        |  list_aggregate(list_sort(list_distinct(list(o_orderpriority))), 'string_agg', ',') AS prio_csv,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "rel_map_funcs" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |  WHERE user_id % 100 = 0 GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, c.event_type, c.n, t.n_types,
+        |  coalesce(k.n, 0) AS n_click
+        |FROM counts c
+        |JOIN (SELECT user_id, COUNT(*) AS n_types FROM counts GROUP BY 1) t
+        |  ON c.user_id = t.user_id
+        |LEFT JOIN (SELECT user_id, n FROM counts WHERE event_type = 'click') k
+        |  ON c.user_id = k.user_id
+        |ORDER BY c.user_id, c.event_type""".stripMargin,
+    "rel_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(red|blue) ([a-z]+)', 1) AS color,
+        |  regexp_extract(p_name, '^(red|blue) ([a-z]+)', 2) AS noun,
+        |  regexp_replace(p_type, '[AEIOU]', '', 'g') AS devowel,
+        |  regexp_matches(p_name, 'bolt') AS bolty
+        |FROM part WHERE regexp_matches(p_name, '^(red|blue) ')
+        |ORDER BY p_partkey""".stripMargin,
+    "rel_moments" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+        |  round((sxy - sx * sy / n) /
+        |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12) AS corr_qp
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -148,7 +148,49 @@ object TextOps {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** Repetition scoring (Gopher-style quality heuristic): fraction of
+    * duplicate tokens and duplicate word-2-grams per document, rolled up
+    * into per-source rates plus the count of high-repetition docs. Narrow
+    * per-row set arithmetic — no explode, no shuffle before the small
+    * per-source aggregate. */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val g2 = shingles(col("text"), 2)
+    val dupTok = lit(1.0) -
+      size(array_distinct(t)).cast("double") / size(t).cast("double")
+    val dupG2 = lit(1.0) -
+      size(array_distinct(g2)).cast("double") / size(g2).cast("double")
+    docs(s, dir)
+      .select(col("source"), round(dupTok, 6).as("dup_tok"),
+        round(dupG2, 6).as("dup_2gram"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        avgD(col("dup_tok")).as("avg_dup_tok"),
+        avgD(col("dup_2gram")).as("avg_dup_2gram"),
+        sum(when(col("dup_2gram") > 0.5, 1L).otherwise(0L)).as("n_high_rep"))
+      .orderBy(col("source"))
+  }
+
+  /** Zipf table: global top-25 terms by collection frequency with rank and
+    * the corpus share of each term — distributed term counting where the
+    * shuffle key space is the vocabulary (≪ corpus at scale) and the final
+    * top-k is a TakeOrdered, never a global sort. */
+  private def zipfTerms(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(explode(toks(col("text"))).as("w"))
+    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val total = tok.count().toDouble
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cf").desc, col("w").asc)
+    counts.orderBy(col("cf").desc, col("w").asc).limit(25)
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .withColumn("share", round(col("cf").cast("double") / total, 9))
+      .select(col("rank"), col("w"), col("cf"), col("share"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> repetition,
+    "text_zipf" -> zipfTerms,
     "text_stats" -> textStats,
     "text_lang_id" -> langId,
     "text_token_count" -> tokenCount,
@@ -162,6 +204,28 @@ object TextOps {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH per_doc AS (
+         |  SELECT source,
+         |    round(1.0 - CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |      / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS dup_tok,
+         |    round(1.0 - CAST(len(list_distinct(${shinglesSql("text", 2)})) AS DOUBLE)
+         |      / CAST(len(${shinglesSql("text", 2)}) AS DOUBLE), 6) AS dup_2gram
+         |  FROM documents
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  ${avgSql("dup_tok")} AS avg_dup_tok,
+         |  ${avgSql("dup_2gram")} AS avg_dup_2gram,
+         |  CAST(SUM(CASE WHEN dup_2gram > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rep
+         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    "text_zipf" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |counts AS (SELECT w, COUNT(*) AS cf FROM tok GROUP BY 1),
+        |total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
+        |SELECT CAST(row_number() OVER (ORDER BY cf DESC, w ASC) AS BIGINT) AS rank,
+        |  w, cf, round(CAST(cf AS DOUBLE) / total.n, 9) AS share
+        |FROM counts CROSS JOIN total
+        |ORDER BY rank LIMIT 25""".stripMargin,
     "text_stats" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang, source,

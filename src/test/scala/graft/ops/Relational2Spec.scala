@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-2 relational / format operators over
+  * sf0.001 (oracle equivalence is the driver gate; these check structural
+  * invariants and plan shapes). */
+class Relational2Spec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rel_grouping_sets: per-set totals agree with the grand total") {
+    val out = Relational2.queries("rel_grouping_sets")(spark, sf).collect()
+    val grand = out.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("n_supp")
+    // region-level rows (gid 1: nation aggregated away) sum to the total
+    assert(out.filter(_.getAs[Long]("gid") == 1L).map(_.getAs[Long]("n_supp")).sum == total)
+    // finest level too
+    assert(out.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n_supp")).sum == total)
+  }
+
+  test("rel_unpivot: 3 measure rows per source row, values preserved") {
+    val src = graft.Tables(spark, sf, "lineitem").filter(col("l_orderkey") % 500 === 0)
+    val out = Relational2.queries("rel_unpivot")(spark, sf)
+    assert(out.count() == 3 * src.count())
+    val qtySum = out.filter(col("measure") === "quantity").agg(sum("val")).head().getDouble(0)
+    assert(math.abs(qtySum - src.agg(sum("l_quantity")).head().getDouble(0)) < 1e-9)
+  }
+
+  test("rel_scalar_subquery: max_order matches a groupBy computation") {
+    val out = Relational2.queries("rel_scalar_subquery")(spark, sf)
+    val expected = graft.Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey")).agg(max("o_totalprice").as("m"), count(lit(1)).as("c"))
+    val j = out.join(expected, col("c_custkey") === col("o_custkey"), "left")
+    assert(j.filter(col("max_order") =!= col("m")).count() == 0)
+    assert(j.filter(col("n_orders") =!= coalesce(col("c"), lit(0L))).count() == 0)
+  }
+
+  test("rel_range_join: bucketized counts equal the naive theta join") {
+    val ev = graft.Tables(spark, sf, "events")
+    val w = ev.filter(col("event_id") % 997 === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("w_end"))
+    val naive = ev.crossJoin(w)
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("win_id").agg(count(lit(1)).as("n_naive"))
+    val out = Relational2.queries("rel_range_join")(spark, sf)
+    assert(out.join(naive, "win_id").filter(col("n_events") =!= col("n_naive")).count() == 0)
+    assert(out.count() == naive.count())
+  }
+
+  test("rel_range_join plan: equi join on the hour bucket, not a nested loop") {
+    val plan = Relational2.queries("rel_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("rel_moments: agrees with built-in var_samp within float tolerance") {
+    val out = Relational2.queries("rel_moments")(spark, sf)
+    val builtin = graft.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(var_samp("l_quantity").as("v"), corr("l_quantity", "l_extendedprice").as("r"))
+    val j = out.join(builtin, "l_returnflag").collect()
+    j.foreach { row =>
+      assert(math.abs(row.getAs[Double]("var_qty") - row.getAs[Double]("v")) < 1e-6)
+      assert(math.abs(row.getAs[Double]("corr_qp") - row.getAs[Double]("r")) < 1e-6)
+    }
+  }
+
+  test("rel_map_funcs: n_click consistent with per-type rows") {
+    val out = Relational2.queries("rel_map_funcs")(spark, sf)
+    val clicks = out.filter(col("event_type") === "click")
+      .select(col("user_id"), col("n"))
+    val j = out.join(clicks.withColumnRenamed("n", "n2"), Seq("user_id"), "left")
+    assert(j.filter(col("n_click") =!= coalesce(col("n2"), lit(0L))).count() == 0)
+  }
+
+  test("src_csv_roundtrip and src_jsonl_roundtrip: lossless vs direct aggregation") {
+    val csv = FormatOps.queries("src_csv_roundtrip")(spark, sf)
+    val direct = graft.Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_direct"))
+    assert(csv.join(direct, "o_orderpriority")
+      .filter(col("n") =!= col("n_direct")).count() == 0)
+    val jl = FormatOps.queries("src_jsonl_roundtrip")(spark, sf)
+    val directE = graft.Tables(spark, sf, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n_direct"))
+    assert(jl.join(directE, "event_type")
+      .filter(col("n") =!= col("n_direct")).count() == 0)
+  }
+
+  test("src_partitioned_pruned: partition filter reaches the scan") {
+    val q = FormatOps.queries("src_partitioned_pruned")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"), plan.take(2000))
+  }
+
+  test("text_repetition: rates in [0,1]; text_zipf: ranks 1..25 share-ordered") {
+    val rep = TextOps.queries("text_repetition")(spark, sf).collect()
+    rep.foreach { r =>
+      val d = r.getAs[Double]("avg_dup_2gram")
+      assert(d >= 0.0 && d <= 1.0)
+    }
+    val zipf = TextOps.queries("text_zipf")(spark, sf).collect()
+    assert(zipf.map(_.getAs[Long]("rank")).toList == (1L to 25L).toList)
+    val shares = zipf.map(_.getAs[Double]("share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+  }
+}
