@@ -134,6 +134,58 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  private val NPROBE = 2
+
+  /** Per-label centroid vectors in dimension order (exact decimal per-dim
+    * means — partitioning-independent), with their norms. Label count ≪
+    * corpus, so this is always a broadcast table. */
+  private def centroidVectors(s: SparkSession, dir: String): DataFrame = {
+    val ex = emb(s, dir).select(col("label"),
+      posexplode(col("v")).as(Seq("dim", "val")))
+    ex.groupBy(col("label"), col("dim"))
+      .agg((sum(col("val").cast(Exact.dec)).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+  }
+
+  /** IVF ANN — the inverted-file scale path: a coarse quantizer (per-label
+    * centroids standing in for k-means cells, so the oracle reproduces
+    * them) assigns every candidate to its nearest cell ONCE; each query
+    * probes only its NPROBE closest cells and re-ranks exactly within
+    * them. The quantizer table is broadcast both times; candidates never
+    * pairwise-join outside probed cells. At 100 TB: more cells (√n rule),
+    * same two broadcast joins + one keyed top-k — candidate work per query
+    * drops by ~n_cells/nprobe versus brute force. Cell skew = imbalanced
+    * Voronoi cells; the production mitigation (cap + spill to next cell)
+    * keeps the same plan shape. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir)).drop("label")
+    val cent = centroidVectors(s, dir)
+      .withColumnRenamed("label", "cell_label")
+    val cellScore = e.join(broadcast(cent))
+      .withColumn("csim",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell_label").asc)
+    val ranked = cellScore.withColumn("crk", row_number().over(wCell))
+    val assigned = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
+      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
+    val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("cell_label").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .withColumn("sim",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("cell"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Per-label embedding stats (norm distribution). */
   private def embedStats(s: SparkSession, dir: String): DataFrame =
     withNorm(emb(s, dir))
@@ -148,6 +200,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK,
     "sim_ann_lsh" -> annLsh,
+    "sim_ann_ivf" -> annIvf,
     "sim_embed_stats" -> embedStats,
     "dedup_embed_cosine" -> embedCosineNearDup,
     "sim_centroid_cohesion" -> centroidCohesion,
@@ -192,6 +245,46 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
          |  FROM scored
          |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin,
+    "sim_ann_ivf" -> {
+      val dotAC =
+        "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
+      val dotAQ =
+        "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*p.qv[i]), (x,y) -> x+y)"
+      s"""WITH $eCte,
+         |ex AS (
+         |  SELECT label, i AS dim, v[i] AS val
+         |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+         |), centd AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM ex GROUP BY 1, 2
+         |), cent AS (
+         |  SELECT label, list(c ORDER BY dim) AS cv FROM centd GROUP BY label
+         |), centn AS (
+         |  SELECT label, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,x) -> a+x)) AS cn
+         |  FROM cent
+         |), ranked AS (
+         |  SELECT e.vec_id, e.v, e.nrm, c.label,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round($dotAC / (e.nrm * c.cn), 6) DESC, c.label ASC) AS crk
+         |  FROM e CROSS JOIN centn c
+         |), assigned AS (
+         |  SELECT vec_id, label AS cell, v, nrm FROM ranked
+         |  WHERE crk = 1 AND vec_id >= $N_QUERIES
+         |), probes AS (
+         |  SELECT vec_id AS q_id, label AS cell, v AS qv, nrm AS qn FROM ranked
+         |  WHERE crk <= $NPROBE AND vec_id < $N_QUERIES
+         |), scored AS (
+         |  SELECT p.q_id, a.cell, a.vec_id,
+         |    round($dotAQ / (a.nrm * p.qn), 6) AS sim
+         |  FROM assigned a JOIN probes p USING (cell)
+         |)
+         |SELECT q_id, rk, cell, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+    },
     "dedup_embed_cosine" -> {
       val dotAb =
         "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"

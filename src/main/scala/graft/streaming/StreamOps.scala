@@ -163,10 +163,56 @@ object StreamOps {
       .orderBy(col("user_id"), col("s_start"))
   }
 
+  /** Stream-static join: the streaming fact enriched by a broadcast batch
+    * dimension (the streaming form of the reference's J2 includes-join —
+    * per micro-batch, the dim is joined map-side, no stream state). */
+  def streamStaticJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(s, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Exact.sumD(col("value")).as("sum_value"))
+    runToMemory(agg, "complete")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  /** Stream-stream inner join with watermarks and a time-range condition:
+    * each click joined to the same user's views within ±10 minutes. The
+    * range bound + watermark make join state evictable — the only shape a
+    * stream-stream join can scale with (unbounded equality-only state
+    * would grow forever). Inner-join matches emit as they form, so on
+    * bounded AvailableNow input the result equals the batch join. */
+  def streamStreamJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        // microsecond gap, undivided: integer division of negatives
+        // truncates in Spark but floors in DuckDB
+        (unix_micros(col("view_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    runToMemory(joined, "append")
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly_window" -> hourlyWindowQ,
     "stream_dedup_lastwins" -> dedupLastWinsQ,
     "stream_session_window" -> sessionWindowQ,
+    "stream_static_join" -> streamStaticJoinQ,
+    "stream_stream_join" -> streamStreamJoinQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +228,20 @@ object StreamOps {
         |  arg_max(value, event_id) AS value,
         |  arg_max(props, event_id) AS props
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_static_join" ->
+      s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,
+         |  ${graft.ops.Exact.sumSql("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  CAST(epoch_us(v.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts - INTERVAL 10 MINUTE
+        | AND v.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
     // gaps-and-islands with a >= gap test: two events exactly `gap` apart
     // do NOT merge in Spark's session_window ([ts, ts+gap) ranges must
     // overlap), unlike rel_sessionize's > test

@@ -97,6 +97,43 @@ class Relational2Spec extends SparkSpec {
       plan.contains("o_orderstatus"), plan.take(2000))
   }
 
+  test("sim_ann_ivf: 5 ranked hits per query with sims matching brute force") {
+    val ivf = Similarity.queries("sim_ann_ivf")(spark, sf)
+    val bf = Similarity.queries("sim_cosine_topk")(spark, sf)
+      .select(col("q_id"), col("vec_id"), col("sim").as("bf_sim"))
+    // per-query: exactly K ranked rows, descending sim
+    val perQ = ivf.groupBy("q_id").agg(count(lit(1)).as("k"),
+      max("rk").as("maxrk")).collect()
+    perQ.foreach { r => assert(r.getAs[Long]("k") == 5 && r.getAs[Int]("maxrk") == 5) }
+    // a (q, cand) pair scored by IVF must carry the same exact sim the
+    // brute-force scorer computes (only membership may differ)
+    val both = ivf.join(bf, Seq("q_id", "vec_id"))
+    assert(both.filter(col("sim") =!= col("bf_sim")).count() == 0)
+  }
+
+  test("stream_static_join and stream_stream_join equal their batch forms") {
+    val ss = graft.streaming.StreamOps.queries("stream_static_join")(spark, sf)
+    val cust = graft.Tables(spark, sf, "customer")
+    val batch = graft.Tables(spark, sf, "events")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type").agg(count(lit(1)).as("n_b"))
+    assert(ss.join(batch, Seq("c_mktsegment", "event_type"))
+      .filter(col("n") =!= col("n_b")).count() == 0)
+    assert(ss.count() == batch.count())
+
+    val sj = graft.streaming.StreamOps.queries("stream_stream_join")(spark, sf)
+    val ev = graft.Tables(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("vts"))
+    val batchJoin = clicks.join(views,
+      col("user_id") === col("vu") &&
+        col("vts") >= col("cts") - expr("INTERVAL 10 MINUTES") &&
+        col("vts") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+    assert(sj.count() == batchJoin.count())
+  }
+
   test("text_repetition: rates in [0,1]; text_zipf: ranks 1..25 share-ordered") {
     val rep = TextOps.queries("text_repetition")(spark, sf).collect()
     rep.foreach { r =>
