@@ -126,18 +126,11 @@ object DedupOps {
   private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame =
     verifiedPairs(s, dir).orderBy(col("d1"), col("d2"))
 
-  // LSH staging tables, persisted once per (session, corpus) and SHARED
-  // across every consumer query (lsh_buckets / lsh_neardup / ngram_jaccard
-  // each used to build private copies — N identical cache entries per run).
-  // Memoizing the DataFrame object means all consumers hit the same cache
-  // entry; contents are 4 small rows per doc (bands) / the candidate pairs.
-  private val stagingCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-
+  // LSH staging tables (see graft.ops.Staging): bands/pairs/sets are each
+  // read by several consumer queries and by both sides of the verify joins
   private def staged(s: SparkSession, dir: String, key: String)
                     (build: => DataFrame): DataFrame =
-    stagingCache.getOrElseUpdate((s, dir, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Staging.staged(s, dir, key)(build)
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val bands = staged(s, dir, "bands")(bandTable(minhashSig(docs(s, dir))))
@@ -254,11 +247,13 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.map(u => (u, u)).partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // labels only decrease, so their sum strictly decreases until the
-    // fixpoint; the sum is read from the same action that materializes the
-    // new labels — exactly one tiny job per superstep (doc_id sums stay
-    // well under 2^53, so the double-precision sum is exact)
-    var prevSum = lab.values.map(_.toDouble).sum()
+    // labels only decrease, so their exact Long sum strictly decreases
+    // until the fixpoint (wraparound still detects any change); the sum is
+    // read from the action that materializes the new labels — exactly one
+    // tiny job per superstep
+    def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
+      r.values.fold(0L)(_ + _)
+    var prevSum = labelSum(lab)
     var iter = 0
     var converged = false
     while (!converged && iter < 20) {
@@ -266,14 +261,20 @@ object DedupOps {
         .map { case (_, (u, lv)) => (u, lv) }
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s2 = next.values.map(_.toDouble).sum()
+      val s2 = labelSum(next)
       lab.unpersist(blocking = false)
       lab = next
       converged = s2 == prevSum
       prevSum = s2
       iter += 1
     }
-    lab.toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+    // truncate the plan to the materialized labels, then release the
+    // iteration state — nothing may pin block-manager memory for the rest
+    // of a long session once the query's result is independent of it
+    val result = lab.toDF("doc_id", "cluster_id").localCheckpoint(true)
+    eByV.unpersist(blocking = false)
+    lab.unpersist(blocking = false)
+    result.orderBy(col("doc_id"))
   }
 
   /** 16-bit SimHash over the distinct-token set, md5-hex-digit parity as

@@ -107,10 +107,14 @@ object Relational2 {
     val windows = ev.filter(col("event_id") % 997 === 0)
       .select(col("event_id").as("win_id"), col("ts").as("w_start"),
         (col("ts") + expr("INTERVAL 4 HOURS")).as("w_end"))
+    // bucket range is inclusive of w_end's hour: unix_timestamp truncates
+    // sub-seconds, so an event at 12:00:00.2 with w_end 12:00:00.5 lives in
+    // w_end's own hour bucket — subtracting 1 second here would drop it
+    // (the residual ts < w_end filter below handles end-exclusivity)
     val winByHour = windows.withColumn("hour_b",
       explode(sequence(
         floor(unix_timestamp(col("w_start")) / 3600L),
-        floor((unix_timestamp(col("w_end")) - 1) / 3600L))))
+        floor(unix_timestamp(col("w_end")) / 3600L))))
     val evB = ev.select(col("ts"),
       floor(unix_timestamp(col("ts")) / 3600L).as("hour_b"))
     evB.join(winByHour, Seq("hour_b"))

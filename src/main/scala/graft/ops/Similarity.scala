@@ -169,7 +169,12 @@ object Similarity {
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cell_label").asc)
-    val ranked = cellScore.withColumn("crk", row_number().over(wCell))
+    // staged: assigned and probes both filter this — unpersisted, the
+    // full corpus × cells scoring (and the centroid build under it) would
+    // run once per join branch
+    val ranked = Staging.staged(s, dir, "ivf_ranked") {
+      cellScore.withColumn("crk", row_number().over(wCell))
+    }
     val assigned = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
       .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
     val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)

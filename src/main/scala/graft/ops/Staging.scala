@@ -1,0 +1,21 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Session-scoped staging tables: intermediates persisted once per
+  * (session, corpus, key) and SHARED across every consumer query — both
+  * across queries in one run (Bench/Verify execute the whole suite in one
+  * SparkSession) and across the multiple join branches of a single query
+  * (Catalyst does not dedupe common DataFrame subtrees, so an unpersisted
+  * intermediate referenced by two join sides is computed twice). */
+object Staging {
+
+  private val cache =
+    TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def staged(s: SparkSession, dir: String, key: String)
+            (build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((s, dir, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+}

@@ -160,7 +160,9 @@ object TextOps {
       size(array_distinct(t)).cast("double") / size(t).cast("double")
     val dupG2 = lit(1.0) -
       size(array_distinct(g2)).cast("double") / size(g2).cast("double")
-    docs(s, dir)
+    // balanced: the shingle + distinct set work is the heavy part and must
+    // not run on the single scan partition (see Tables.balanced)
+    graft.Tables.balanced(s, dir, "documents", "doc_id")
       .select(col("source"), round(dupTok, 6).as("dup_tok"),
         round(dupG2, 6).as("dup_2gram"))
       .groupBy(col("source"))
@@ -176,14 +178,20 @@ object TextOps {
     * shuffle key space is the vocabulary (≪ corpus at scale) and the final
     * top-k is a TakeOrdered, never a global sort. */
   private def zipfTerms(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir).select(explode(toks(col("text"))).as("w"))
-    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
-    val total = tok.count().toDouble
+    val tok = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(explode(toks(col("text"))).as("w"))
+    val counts = Staging.staged(s, dir, "zipf_counts") {
+      tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    }
+    // denominator from the vocabulary-sized aggregate (broadcast single
+    // row) — NOT a second tokenize pass over the corpus
+    val total = counts.agg(sum(col("cf")).cast("double").as("total"))
     val win = org.apache.spark.sql.expressions.Window
       .orderBy(col("cf").desc, col("w").asc)
     counts.orderBy(col("cf").desc, col("w").asc).limit(25)
+      .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(win).cast("long"))
-      .withColumn("share", round(col("cf").cast("double") / total, 9))
+      .withColumn("share", round(col("cf").cast("double") / col("total"), 9))
       .select(col("rank"), col("w"), col("cf"), col("share"))
       .orderBy(col("rank"))
   }
