@@ -209,7 +209,28 @@ object Relational2 {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group top-k via the custom TypedImperativeAggregate
+    * (graft.functions.TopKBy): unlike the window formulation
+    * (rel_window_topk), each map task partial-aggregates its slice down to
+    * k pairs per group BEFORE the shuffle, so the exchange carries
+    * O(groups × k) rows at any input size. Oracle: the equivalent
+    * row_number window SQL. */
+  private def topkAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopKFunctions
+        .topkBy(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("c_mktsegment"), (col("i") + 1).cast("long").as("rk"),
+        col("p.id").as("o_orderkey"), col("p.value").as("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_topk_agg" -> topkAgg,
     "rel_grouping_sets" -> groupingSets,
     "rel_unpivot" -> unpivotQ,
     "rel_scalar_subquery" -> ((s, dir) =>
@@ -225,6 +246,13 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_topk_agg" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
     "rel_grouping_sets" ->
       s"""SELECT CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
          |  coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
