@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The library's user-facing surface: every operator the engine implements,
+  * exposed as extension methods over `DataFrame` so a pipeline reads as a
+  * chain of declarative transforms. All methods return lazy DataFrames
+  * (plans, not results) and are built exclusively from the operator modules
+  * verified by the oracle suite — this file adds no new semantics, only
+  * ergonomics.
+  *
+  * {{{
+  * import graft.api._
+  * events.lastWinsDedup("user_id", "event_id")
+  * docs.nearDupPairs(threshold = 0.8)
+  * orders.topkPerGroup(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"), 3)
+  * }}}
+  */
+package object api {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ---- dedup (reference D1/D2 + training-pipeline near-dup) ----------
+
+    /** Last-wins dedup by `key`, arrival order given by `ord` (the
+      * reference's D1 as a combiner-friendly max_by aggregate). */
+    def lastWinsDedup(key: String, ord: String): DataFrame =
+      adsbx.Dedup.lastWins(df, key, ord)
+
+    /** First-wins dedup (the reference's D2 emit guard). */
+    def firstWinsDedup(key: String, ord: String): DataFrame =
+      adsbx.Dedup.firstWins(df, key, ord)
+
+    /** MinHash+LSH near-duplicate pairs over (doc_id: long, text: string)
+      * columns; exact shingle-Jaccard verification at `threshold`. */
+    def nearDupPairs(threshold: Double = 0.8): DataFrame =
+      ops.DedupOps.nearDupPairs(df, threshold)
+
+    /** Connected components over (d1, d2) pair rows → (doc_id, cluster_id)
+      * with cluster_id = min reachable id. */
+    def clusterPairs(): DataFrame = ops.DedupOps.clusterPairs(df)
+
+    // ---- relational patterns ------------------------------------------
+
+    /** Gaps-and-islands sessionization: appends `session_idx` (0-based per
+      * `key`), splitting when consecutive `ts` differ by > `gapSeconds`. */
+    def sessionize(key: String, ts: String, gapSeconds: Long): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(col(ts))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("__prev_us", lag(unix_micros(col(ts)), 1).over(w))
+        .withColumn("__new_s",
+          when(col("__prev_us").isNull ||
+            unix_micros(col(ts)) - col("__prev_us") > gapSeconds * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("__new_s")).over(cum) - 1)
+        .drop("__prev_us", "__new_s")
+    }
+
+    /** Backward as-of join: for each left row (identified by `leftId`),
+      * attach the single right row with the greatest `rightTs` ≤ `leftTs`
+      * matching on the equi key — shuffled on the key, never a cross
+      * product; ties break on descending `tieBreak`. */
+    def asofJoinBackward(right: DataFrame, leftId: String,
+        leftKey: String, leftTs: String,
+        rightKey: String, rightTs: String, tieBreak: String): DataFrame = {
+      val joined = df.join(right,
+        df(leftKey) === right(rightKey) && right(rightTs) <= df(leftTs), "inner")
+      val w = Window.partitionBy(col(leftId))
+        .orderBy(col(rightTs).desc, col(tieBreak).desc)
+      joined.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).drop("__rk")
+    }
+
+    /** Exact per-group top-k via the graft_topk TypedImperativeAggregate
+      * (map-side partial top-k: the shuffle carries O(groups × k) rows).
+      * Returns (group, rk, id, value). */
+    def topkPerGroup(group: Column, value: Column, id: Column, k: Int): DataFrame = {
+      functions.TopKFunctions.register(df.sparkSession)
+      df.groupBy(group.as("group"))
+        .agg(functions.TopKFunctions.topkBy(value, id, k).as("__top"))
+        .select(col("group"), posexplode(col("__top")).as(Seq("__i", "__p")))
+        .select(col("group"), (col("__i") + 1).cast("long").as("rk"),
+          col("__p.id").as("id"), col("__p.value").as("value"))
+    }
+
+    /** Two-stage salted aggregation (count + exact sum) for skewed keys. */
+    def saltedAgg(key: Column, value: Column, nSalts: Int): DataFrame =
+      ops.SkewOps.saltedAgg(df, key, value, nSalts)
+
+    /** Single-pass column profile: nulls / distincts / min / max per column. */
+    def profileColumns(cols: String*): DataFrame =
+      ops.ProfileOps.profile(df, cols)
+
+    // ---- training-data pipeline ---------------------------------------
+
+    /** Deterministic train/val/test assignment (90/5/5) as a pure function
+      * of `key` — stable under repartition and corpus growth. */
+    def splitAssign(key: String): DataFrame =
+      df.withColumn("split", ops.SplitOps.splitLabel(col(key)))
+
+    /** Token-budget bin packing: appends `bin` per `partitionCol`, filled
+      * in `orderCol` order so that each bin's `weightCol` sum stays near
+      * `capacity` (window-cumsum formulation — single keyed window). */
+    def packBins(partitionCol: String, orderCol: String, weightCol: String,
+        capacity: Long): DataFrame = {
+      val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("__cum", sum(col(weightCol)).over(w))
+        .withColumn("bin", ((col("__cum") - col(weightCol)) / capacity).cast("long"))
+        .drop("__cum")
+    }
+
+    /** Per-document text quality stats over `textCol`: token counts,
+      * type-token ratio, average token length. */
+    def textQuality(textCol: String): DataFrame = {
+      val t = ops.Tokens.toks(col(textCol))
+      val nTok = size(t).cast("long")
+      val nDis = size(array_distinct(t)).cast("long")
+      val totChars = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
+      df.withColumn("n_tokens", nTok)
+        .withColumn("n_distinct", nDis)
+        .withColumn("ttr", nDis.cast("double") / nTok.cast("double"))
+        .withColumn("avg_token_len", totChars.cast("double") / nTok.cast("double"))
+    }
+
+    /** Brute-force cosine top-k neighbors: `df` are candidates with
+      * (`idCol`, `vecCol: array<double>`); `queries` shares the schema and
+      * is broadcast. Returns (q_id, rk, id, sim). */
+    def cosineTopK(queries: DataFrame, idCol: String, vecCol: String,
+        k: Int): DataFrame = {
+      val s = df.sparkSession
+      functions.VectorFunctions.register(s)
+      import functions.VectorFunctions.{dot, norm}
+      val cand = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+        .withColumn("qn", norm(col("qv")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("id").asc)
+      cand.join(broadcast(q))
+        .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("rk").cast("long").as("rk"), col("id"), col("sim"))
+    }
+  }
+}

@@ -132,18 +132,20 @@ object DedupOps {
                     (build: => DataFrame): DataFrame =
     Staging.staged(s, dir, key)(build)
 
+  /** Candidate pairs from a band table: bucket co-members, deduped. */
+  private def pairsFromBands(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val bands = staged(s, dir, "bands")(bandTable(minhashSig(docs(s, dir))))
     // pairs is read three times downstream (candidate-id union + both join
     // sides) — staged too
-    staged(s, dir, "pairs") {
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-    }
+    staged(s, dir, "pairs")(pairsFromBands(bands))
   }
 
   /** Restrict docs to those appearing in `pairs` BEFORE computing a
@@ -190,25 +192,44 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Verified near-dup pairs without output ordering (shared core).
+  /** PUBLIC generic near-dup pipeline over any (doc_id: long, text: string)
+    * DataFrame: word-3-shingle MinHash → 4×r=2 LSH bands → bucket-join
+    * candidates → exact shingle-Jaccard ≥ `threshold` verification.
+    * Returns (d1, d2, jaccard) pairs.
+    *
+    * `stage` controls how the intermediates read by multiple downstream
+    * branches (bands, candidate pairs, shingle sets) are materialized —
+    * defaults to a plain MEMORY_AND_DISK persist; the corpus queries pass
+    * the session-scoped Staging cache instead so repeated queries share
+    * one copy. Catalyst does not dedupe common subtrees, so skipping the
+    * persist recomputes the MinHash kernel once per consumer. */
+  def nearDupPairs(d: DataFrame, threshold: Double = 0.8,
+      stage: (String, DataFrame) => DataFrame = (_, df) =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : DataFrame = {
+    val bands = stage("bands", bandTable(minhashSig(d)))
+    val pairs = stage("pairs", pairsFromBands(bands))
+    // staged: referenced by both join sides — without it the shingle HOF
+    // projection runs once per side
+    val sets = stage("wsets", forCandidates(pairs, d)(shingleSet.as("ws")))
+    pairs
+      .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") /
+          (size(col("s1.ws")) + size(col("s2.ws")) - col("i")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Verified near-dup pairs without output ordering (shared corpus core).
     * Staged: both the neardup-pairs query and the clustering query consume
     * it, and clustering reads it twice (edge directions). */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "vp") {
-      val d = docs(s, dir)
-      val pairs = candidatePairs(s, dir)
-      // staged: referenced by both join sides — without it the shingle HOF
-      // projection runs once per side
-      val sets = staged(s, dir, "wsets")(forCandidates(pairs, d)(shingleSet.as("ws")))
-      pairs
-        .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
-        .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
-        .select(col("d1"), col("d2"),
-          (col("i").cast("double") /
-            (size(col("s1.ws")) + size(col("s2.ws")) - col("i")).cast("double"))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+      nearDupPairs(docs(s, dir), 0.8,
+        (k, df) => staged(s, dir, k)(df))
     }
 
   /** Duplicate clusters: connected components over the verified near-dup
@@ -220,9 +241,14 @@ object DedupOps {
     * localCheckpointed so lineage stays bounded. Near-dup components are
     * tiny by nature (mutual 0.8-Jaccard cliques), so convergence is fast
     * at any corpus size. */
-  private def nearDupClusters(s: SparkSession, dir: String): DataFrame = {
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterPairs(verifiedPairs(s, dir))
+
+  /** PUBLIC generic connected components over a (d1, d2) pair DataFrame:
+    * returns (doc_id, cluster_id) where cluster_id = min reachable id. */
+  def clusterPairs(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val pairs = verifiedPairs(s, dir)
     // Iterative min-label propagation on co-partitioned RDDs — the GraphX/
     // Pregel execution shape. The DataFrame API re-plans and re-shuffles
     // BOTH join sides every superstep; here the edge list is hash-

@@ -1,0 +1,110 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The public extension-method surface: each method must agree with the
+  * oracle-verified operator it wraps (or with a naive reference
+  * computation). */
+class ApiSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lastWinsDedup keeps exactly the max-ord row per key") {
+    val ev = graft.Tables(spark, sf, "events")
+    val out = ev.lastWinsDedup("user_id", "event_id")
+    assert(out.count() == ev.select("user_id").distinct().count())
+    val expect = ev.groupBy("user_id").agg(max("event_id").as("last_id"))
+    val chk = out.join(ev.select(col("user_id"), col("event_id"), col("value").as("v0")),
+        Seq("user_id"))
+      .join(expect, "user_id")
+      .filter(col("event_id") === col("last_id"))
+    assert(chk.filter(col("value") =!= col("v0")).count() == 0)
+  }
+
+  test("sessionize matches the rel_sessionize query's session count") {
+    val ev = graft.Tables(spark, sf, "events")
+    val api = ev.sessionize("user_id", "ts", 1800L)
+      .groupBy("user_id").agg((max("session_idx") + 1).as("n_sessions"))
+    val ref = graft.ops.Relational.queries("rel_sessionize")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_ref"))
+    assert(api.join(ref, "user_id")
+      .filter(col("n_sessions") =!= col("n_ref")).count() == 0)
+  }
+
+  test("asofJoinBackward matches rel_asof_join") {
+    val ev = graft.Tables(spark, sf, "events").filter(col("event_id") % 20 === 0)
+      .select("event_id", "user_id", "ts")
+    val o = graft.Tables(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val api = ev.asofJoinBackward(o, "event_id", "user_id", "ts",
+        "o_custkey", "o_orderdate", "o_orderkey")
+      .select("event_id", "o_orderkey")
+    val ref = graft.ops.Relational.queries("rel_asof_join")(spark, sf)
+      .select(col("event_id"), col("o_orderkey").as("ref_key"))
+    assert(api.join(ref, "event_id")
+      .filter(col("o_orderkey") =!= col("ref_key")).count() == 0)
+    assert(api.count() == ref.count())
+  }
+
+  test("topkPerGroup matches the window top-k") {
+    val j = graft.Tables(spark, sf, "orders")
+      .join(broadcast(graft.Tables(spark, sf, "customer")),
+        col("o_custkey") === col("c_custkey"))
+    val api = j.topkPerGroup(col("c_mktsegment"), col("o_totalprice"),
+        col("o_orderkey"), 3)
+      .withColumnRenamed("group", "c_mktsegment")
+      .withColumnRenamed("id", "o_orderkey")
+      .select("c_mktsegment", "rk", "o_orderkey")
+    val ref = graft.ops.Relational.queries("rel_window_topk")(spark, sf)
+      .select("c_mktsegment", "rk", "o_orderkey")
+    assert(api.exceptAll(ref).count() == 0 && ref.exceptAll(api).count() == 0)
+  }
+
+  test("nearDupPairs + clusterPairs agree with the corpus queries") {
+    val d = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+    val pairs = d.nearDupPairs(0.8)
+    val ref = graft.ops.DedupOps.queries("dedup_lsh_neardup")(spark, sf)
+    assert(pairs.select("d1", "d2").exceptAll(ref.select("d1", "d2")).count() == 0)
+    assert(pairs.count() == ref.count())
+    val clusters = pairs.clusterPairs()
+    val refC = graft.ops.DedupOps.queries("dedup_clusters")(spark, sf)
+    assert(clusters.exceptAll(refC).count() == 0 && clusters.count() == refC.count())
+  }
+
+  test("splitAssign and packBins append deterministic columns") {
+    val d = graft.Tables(spark, sf, "documents")
+    val s1 = d.splitAssign("doc_id").groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.keySet.subsetOf(Set("train", "val", "test")) && s1("train") > s1.getOrElse("val", 0L))
+    val binned = d.withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .packBins("lang", "doc_id", "n_tok", 2048L)
+    // within each (lang, bin), the weight BEFORE each row stays under cap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "bin").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bad = binned.withColumn("before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .filter(col("before") >= 2048L)
+    assert(bad.count() == 0)
+  }
+
+  test("cosineTopK matches sim_cosine_topk") {
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val api = e.filter(col("vec_id") >= 8)
+      .cosineTopK(e.filter(col("vec_id") < 8), "vec_id", "v", 5)
+      .select(col("q_id"), col("rk"), col("id").as("vec_id"),
+        round(col("sim"), 6).as("sim"))
+    val ref = graft.ops.Similarity.queries("sim_cosine_topk")(spark, sf)
+    assert(api.exceptAll(ref).count() == 0 && api.count() == ref.count())
+  }
+
+  test("textQuality and profileColumns run and are sane") {
+    val d = graft.Tables(spark, sf, "documents")
+    val tq = d.textQuality("text")
+    assert(tq.filter(col("ttr") > 1.0 || col("ttr") <= 0.0).count() == 0)
+    val prof = d.profileColumns("doc_id", "lang")
+    assert(prof.count() == 2 &&
+      prof.filter(col("column") === "doc_id").head().getAs[Long]("n_distinct") == d.count())
+  }
+}
