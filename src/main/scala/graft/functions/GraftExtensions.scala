@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: installs the library's native functions
+  * at session build time, so users get `graft_dot` / `graft_topk` in both
+  * the Column API and SQL without per-session `register` calls:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)        // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * This is the standard integration seam for third-party engines
+  * (injectFunction / injectOptimizerRule / injectPlannerStrategy); the
+  * library needs only function injection — every operator semantics is
+  * expressible as Catalyst plans, so there is deliberately no custom
+  * planner rule to inject (SURVEY §4.2). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKBy].getName, "graft_topk"),
+      (children: Seq[Expression]) =>
+        TopKBy(children(0), children(1), children(2)).toAggregateExpression()))
+  }
+}

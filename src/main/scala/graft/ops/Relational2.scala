@@ -229,7 +229,65 @@ object Relational2 {
       .orderBy(col("c_mktsegment"), col("rk"))
   }
 
+  /** Fixed-width histogram of order totals — the binning is a pure
+    * projection (no width_bucket dependency), one hash aggregate. */
+  private val HIST_W = 25000.0
+  private def histogramQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / HIST_W).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+
+  /** Conditional-aggregate battery: count_if / any / every / sum-distinct
+    * shapes (the FILTER-clause family). */
+  private def condAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_quantity") >= 45, 1)).as("n_heavy"),
+        count(when(col("l_discount") === 0.0, 1)).as("n_nodisc"),
+        max(col("l_quantity") >= 49.0).as("any_x49"),
+        min(col("l_quantity") >= 1.0).as("all_ge1"),
+        sum_distinct(col("l_quantity").cast(dec)).cast("double").as("sum_dist_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Upsert / merge (SCD-1): apply a batch of changes onto a current
+    * snapshot — updates override, inserts append, deletes drop. Expressed
+    * as a full outer join + coalesce, which is exactly the shuffle-join
+    * shape MERGE INTO compiles to on any lakehouse table format. The
+    * "changes" batch is derived deterministically from orders so the
+    * oracle reproduces it. */
+  private def upsertQ(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // change batch: every 7th key gets a price bump (update), every 11th a
+    // delete marker, and shifted keys append as inserts
+    val changes = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (col("o_totalprice") * 1.1).as("new_price"))
+      .union(
+        t(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("I").as("op"), col("o_totalprice").as("new_price")))
+    val merged = base.as("b").join(changes.as("c"), Seq("o_orderkey"), "full_outer")
+      .filter(coalesce(col("c.op"), lit("")) =!= "D")
+      .select(col("o_orderkey"),
+        coalesce(col("b.o_orderstatus"), lit("NEW")).as("o_orderstatus"),
+        coalesce(col("c.new_price"), col("b.o_totalprice")).as("o_totalprice"))
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_histogram" -> histogramQ,
+    "rel_cond_agg" -> condAgg,
+    "rel_upsert" -> upsertQ,
     "rel_topk_agg" -> topkAgg,
     "rel_grouping_sets" -> groupingSets,
     "rel_unpivot" -> unpivotQ,
@@ -246,6 +304,40 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price,
+         |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "rel_cond_agg" ->
+      s"""SELECT l_returnflag,
+         |  COUNT(CASE WHEN l_quantity >= 45 THEN 1 END) AS n_heavy,
+         |  COUNT(CASE WHEN l_discount = 0.0 THEN 1 END) AS n_nodisc,
+         |  bool_or(l_quantity >= 49.0) AS any_x49,
+         |  bool_and(l_quantity >= 1.0) AS all_ge1,
+         |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_dist_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_upsert" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |), changes AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+         |    o_totalprice * 1.1 AS new_price
+         |  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, 'I', o_totalprice
+         |  FROM orders WHERE o_orderkey % 13 = 0
+         |), merged AS (
+         |  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         |    coalesce(b.o_orderstatus, 'NEW') AS o_orderstatus,
+         |    coalesce(c.new_price, b.o_totalprice) AS o_totalprice
+         |  FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+         |  WHERE coalesce(c.op, '') <> 'D'
+         |)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price
+         |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "rel_topk_agg" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,
