@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Fleet-wide physical-plan audit: no batch query may plan a Cartesian
+  * product or a broadcast-nested-loop join — the two shapes that cannot
+  * survive a 100 TB input. Streaming queries are excluded (their plans are
+  * only materialized by execution) as are queries whose WHOLE POINT is a
+  * bounded cross join against a broadcast one-row/row-tiny side, listed
+  * with justification. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // justified exclusions:
+  //   text_zipf          — crossJoin(broadcast(1-row total)) by construction
+  //   sim_cosine_topk / sim_ann_ivf / dedup_embed_cosine / sim_centroid_cohesion
+  //                      — brute-force or quantizer scoring joins against a
+  //                        BROADCAST query/centroid set (bounded by design;
+  //                        the LSH/IVF variants are the unbounded-scale path)
+  //   cot_* fixture queries — VALUES-sized inputs
+  private val allowNestedLoop = Set(
+    "text_zipf", "sim_cosine_topk", "sim_ann_ivf", "dedup_embed_cosine",
+    "sim_centroid_cohesion", "cot_transform_dedup", "cot_transform_hostile",
+    "cot_includes_join")
+
+  private val skip = Set( // streaming: plan forms only at execution
+    "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
+    "stream_static_join", "stream_stream_join",
+    // write-then-read roundtrips execute a write action at plan build
+    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned")
+
+  test("no unplanned CartesianProduct / BroadcastNestedLoopJoin anywhere") {
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip.contains)
+      .flatMap { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnl = plan.contains("BroadcastNestedLoopJoin") &&
+          !allowNestedLoop.contains(name)
+        if (cartesian || bnl)
+          Some(s"$name: cartesian=$cartesian bnl=$bnl")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
