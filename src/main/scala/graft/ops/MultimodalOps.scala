@@ -83,6 +83,41 @@ object MultimodalOps {
       greatest(lit(1), floor(col("height") * scale)).cast("int").as("out_h"))
   }
 
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
+      mean_byte: Double, min_byte: Int, max_byte: Int, n_distinct: Long)
+
+  /** Feature extraction over raw payload bytes: per-partition extractor
+    * (the stand-in for an image/audio embedding model held once per task),
+    * emitting deterministic byte statistics. The real pipeline swaps the
+    * loop body for a model forward pass; the partitioning, lifecycle, and
+    * schema stay exactly this. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition "model load"
+      val histogram = new Array[Long](256)
+      it.map { rec =>
+        java.util.Arrays.fill(histogram, 0L)
+        var sum = 0L; var mn = 256; var mx = -1
+        rec.media.foreach { b =>
+          val v = b & 0xff
+          histogram(v) += 1
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        val n = rec.media.length.toLong
+        val distinct = histogram.count(_ > 0).toLong
+        MediaFeatures(rec.doc_id, n,
+          BigDecimal(sum.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          mn, mx, distinct)
+      }
+    }
+  }
+
+  private def featuresQ(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(s, dir)).toDF().orderBy(col("doc_id"))
+
   private def decodeMetaQ(s: SparkSession, dir: String): DataFrame =
     decodeAll(mediaTable(s, dir)).toDF().orderBy(col("doc_id"))
 
@@ -97,6 +132,7 @@ object MultimodalOps {
     "mm_decode_meta" -> decodeMetaQ,
     "mm_frame_sample" -> frameSampleQ,
     "mm_resize" -> resizeQ,
+    "mm_features" -> featuresQ,
   )
 
   // The stub's fake metadata is pure arithmetic on (bytes, doc_id), so the
@@ -116,6 +152,20 @@ object MultimodalOps {
          |    unnest(generate_series(0, CAST(octet_length(encode(text)) // $FRAME_BYTES AS BIGINT))) AS frame_idx
          |  FROM documents
          |) ORDER BY doc_id, frame_idx""".stripMargin,
+    // the corpus text is pure ASCII (codepoints 32..121, checked), so byte
+    // values equal codepoints and the char-level SQL reproduces the byte
+    // kernel exactly
+    "mm_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)) AS cs
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_bytes,
+        |  round(CAST(list_reduce(cs, (a, x) -> a + x) AS DOUBLE) / len(cs), 6) AS mean_byte,
+        |  CAST(list_min(cs) AS INTEGER) AS min_byte,
+        |  CAST(list_max(cs) AS INTEGER) AS max_byte,
+        |  CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct
+        |FROM chars ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       """WITH dims AS (
         |  SELECT doc_id,
