@@ -84,4 +84,12 @@ class PlanSpec extends SparkSpec {
       assert(joined.count() == graft.Tables(spark, sf, "lineitem").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("Tables.balanced: filter + column pruning still reach the scan below the exchange") {
+    import org.apache.spark.sql.functions.col
+    val p = plan(graft.Tables.balanced(spark, sf, "documents", "doc_id")
+      .filter(col("lang") === "en").select("doc_id", "lang"))
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
 }
