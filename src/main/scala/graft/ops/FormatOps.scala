@@ -77,10 +77,32 @@ object FormatOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Range-partitioned, sorted-within-partition parquet write (the
+    * clustering layout that makes parquet row-group min/max statistics
+    * selective), then a time-window read whose predicate row-group-skips.
+    * At 100 TB this layout is the difference between scanning a month and
+    * scanning the lake; at test scale the oracle verifies the cycle is
+    * lossless and the window agg exact. */
+  private def sortedWrite(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "sorted")
+    graft.Tables(s, dir, "orders")
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("yr"), col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_jsonl_roundtrip" -> jsonlRoundtrip,
     "src_partitioned_pruned" -> partitionedPruned,
+    "src_sorted_skipping" -> sortedWrite,
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +122,12 @@ object FormatOps {
          |  ${sumSql("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderstatus = 'F'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_sorted_skipping" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+         |  COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2 ORDER BY yr, o_orderpriority""".stripMargin,
   )
 }

@@ -284,7 +284,22 @@ object Relational2 {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Approximate percentiles (t-digest-style sketch) — the constant-memory
+    * path that replaces rel_percentile's exact interpolation at 100 TB.
+    * No DuckDB oracle (sketch implementations differ across engines), so
+    * the driver records the weaker rows-only check — the exact twin
+    * rel_percentile is the hash-verified anchor. */
+  private def approxPercentileQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        approx_percentile(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_approx_percentile" -> approxPercentileQ,
     "rel_histogram" -> histogramQ,
     "rel_cond_agg" -> condAgg,
     "rel_upsert" -> upsertQ,

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
     "stream_static_join", "stream_stream_join",
     // write-then-read roundtrips execute a write action at plan build
-    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned")
+    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
+    "src_sorted_skipping")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin anywhere") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
