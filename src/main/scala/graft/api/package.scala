@@ -118,7 +118,10 @@ package object api {
       val t = ops.Tokens.toks(col(textCol))
       val nTok = size(t).cast("long")
       val nDis = size(array_distinct(t)).cast("long")
-      val totChars = aggregate(transform(t, w => length(w)), lit(0), (a, x) => a + x)
+      // closed form: tokens are the text split on single spaces, so total
+      // token chars = length - (n_tokens - 1); stays in codegen (the HOF
+      // fold evaluates interpreted) and cannot overflow an Int accumulator
+      val totChars = length(col(textCol)).cast("long") - (nTok - 1L)
       df.withColumn("n_tokens", nTok)
         .withColumn("n_distinct", nDis)
         .withColumn("ttr", nDis.cast("double") / nTok.cast("double"))

@@ -25,11 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      VectorFunctions.dotBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKBy].getName, "graft_topk"),
-      (children: Seq[Expression]) =>
-        TopKBy(children(0), children(1), children(2)).toAggregateExpression()))
+      TopKFunctions.topkBuilder))
   }
 }

@@ -42,6 +42,11 @@ case class TopKBy(
   override def checkInputDataTypes(): TypeCheckResult =
     if (!kChild.foldable)
       TypeCheckResult.TypeCheckFailure("graft_topk: k must be a literal")
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(kChild.dataType) || kChild.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: k must be a non-null integer literal, got " +
+          s"${kChild.dataType.simpleString}")
     else if (valueChild.dataType != DoubleType || idChild.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"graft_topk requires (double, bigint, int), got " +
@@ -54,9 +59,13 @@ case class TopKBy(
     StructField("value", DoubleType), StructField("id", LongType))), containsNull = false)
   override def prettyName: String = "graft_topk"
 
-  // value DESC, id ASC
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // value DESC, id ASC — via Double.compare's TOTAL order (NaN greatest,
+  // deterministic): a naive `>`-based comparator violates strict weak
+  // ordering when NaN appears, which TimSort detects and throws on
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(b._1, a._1)
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def compact(buf: ArrayBuffer[(Double, Long)]): Unit =
     if (buf.length > k) {
@@ -125,15 +134,21 @@ object TopKFunctions {
 
   private val fid = FunctionIdentifier("graft_topk")
 
+  /** Shared SQL builder (used by register() and GraftExtensions) with an
+    * arity check. */
+  private[functions] val topkBuilder: Seq[Expression] => Expression = children => {
+    require(children.size == 3,
+      s"graft_topk requires exactly 3 arguments (value, id, k), got ${children.size}")
+    TopKBy(children(0), children(1), children(2)).toAggregateExpression()
+  }
+
   /** Idempotently register `graft_topk` (Column API + SQL). */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(fid))
       reg.registerFunction(fid,
         new ExpressionInfo(classOf[TopKBy].getName, "graft_topk"),
-        (children: Seq[Expression]) =>
-          TopKBy(children(0), children(1), children(2))
-            .toAggregateExpression())
+        topkBuilder)
   }
 
   /** Top-k (value, id) pairs per group, value DESC / id ASC. */

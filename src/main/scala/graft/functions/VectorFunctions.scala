@@ -72,6 +72,15 @@ object VectorFunctions {
 
   private val fid = FunctionIdentifier("graft_dot")
 
+  /** Shared SQL builder (used by register() and GraftExtensions) with an
+    * arity check, so a wrong-argument call fails analysis with a clear
+    * message instead of an IndexOutOfBoundsException. */
+  private[functions] val dotBuilder: Seq[Expression] => Expression = children => {
+    require(children.size == 2,
+      s"graft_dot requires exactly 2 arguments, got ${children.size}")
+    DotProduct(children.head, children(1))
+  }
+
   /** Idempotently register `graft_dot` on the session (usable from both
     * the Column API via `dot` and SQL via `graft_dot(a, b)`). */
   def register(spark: SparkSession): Unit = synchronized {
@@ -79,7 +88,7 @@ object VectorFunctions {
     if (!reg.functionExists(fid))
       reg.registerFunction(fid,
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+        dotBuilder)
   }
 
   /** Dot product a·b; requires `register(spark)` once per session. */

@@ -197,11 +197,18 @@ object DedupOps {
     * candidates → exact shingle-Jaccard ≥ `threshold` verification.
     * Returns (d1, d2, jaccard) pairs.
     *
+    * RECALL: the band structure is tuned for near-duplicates — candidate
+    * recall is 1-(1-J²)⁴ (~98% at J=0.8, but only ~68% at J=0.5), so
+    * `threshold` below ~0.75 silently loses qualifying pairs to the LSH
+    * stage; lower-similarity matching needs more bands / smaller r, not a
+    * lower verify threshold.
+    *
     * `stage` controls how the intermediates read by multiple downstream
     * branches (bands, candidate pairs, shingle sets) are materialized —
-    * defaults to a plain MEMORY_AND_DISK persist; the corpus queries pass
-    * the session-scoped Staging cache instead so repeated queries share
-    * one copy. Catalyst does not dedupe common subtrees, so skipping the
+    * defaults to a plain MEMORY_AND_DISK persist (NOT unpersisted when the
+    * result is consumed: repeated calls should pass a memoizing stage like
+    * graft.ops.Staging, or unpersist via spark.catalog.clearCache between
+    * corpora). Catalyst does not dedupe common subtrees, so skipping the
     * persist recomputes the MinHash kernel once per consumer. */
   def nearDupPairs(d: DataFrame, threshold: Double = 0.8,
       stage: (String, DataFrame) => DataFrame = (_, df) =>
@@ -246,9 +253,16 @@ object DedupOps {
 
   /** PUBLIC generic connected components over a (d1, d2) pair DataFrame:
     * returns (doc_id, cluster_id) where cluster_id = min reachable id. */
-  def clusterPairs(pairs: DataFrame): DataFrame = {
-    val s = pairs.sparkSession
+  def clusterPairs(pairs0: DataFrame): DataFrame = {
+    val s = pairs0.sparkSession
     import s.implicits._
+    // the pair plan is read three times before the first superstep (count,
+    // node set, edge set) — persist it unless the caller already did (an
+    // unpersisted nearDupPairs chain would otherwise recompute the whole
+    // Jaccard verify pipeline per read); released after the loop
+    val inputCached = pairs0.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pairs = if (inputCached) pairs0
+      else pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Iterative min-label propagation on co-partitioned RDDs — the GraphX/
     // Pregel execution shape. The DataFrame API re-plans and re-shuffles
     // BOTH join sides every superstep; here the edge list is hash-
@@ -300,6 +314,7 @@ object DedupOps {
     val result = lab.toDF("doc_id", "cluster_id").localCheckpoint(true)
     eByV.unpersist(blocking = false)
     lab.unpersist(blocking = false)
+    if (!inputCached) pairs.unpersist(blocking = false)
     result.orderBy(col("doc_id"))
   }
 

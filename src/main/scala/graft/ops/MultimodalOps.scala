@@ -108,7 +108,9 @@ object MultimodalOps {
         }
         val n = rec.media.length.toLong
         val distinct = histogram.count(_ > 0).toLong
-        MediaFeatures(rec.doc_id, n,
+        // empty payload: all-zero features (BigDecimal(NaN) would throw)
+        if (n == 0L) MediaFeatures(rec.doc_id, 0L, 0.0, 0, 0, 0L)
+        else MediaFeatures(rec.doc_id, n,
           BigDecimal(sum.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
           mn, mx, distinct)
       }
