@@ -298,7 +298,52 @@ object Relational2 {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** NULL-ordering semantics: Spark sorts nulls FIRST ascending by
+    * default, DuckDB sorts them LAST — portable plans must say which.
+    * Both sides here pin NULLS FIRST / NULLS LAST explicitly; nulls are
+    * synthesized via nullif on a corpus column. */
+  private def nullOrdering(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 200 === 0)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio_n"),
+        col("o_totalprice"))
+      .orderBy(col("prio_n").asc_nulls_first, col("o_totalprice").desc_nulls_last,
+        col("o_orderkey"))
+
+  /** Date/time arithmetic battery: add/diff/trunc/extract/last_day —
+    * calendar semantics that must agree across engines. */
+  private def dateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+        add_months(to_date(col("o_orderdate")), 2).as("d_plus2m"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        datediff(lit("2002-01-01").cast("date"),
+          to_date(col("o_orderdate"))).cast("long").as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  /** Deterministic hash sampling — the reproducible alternative to
+    * TABLESAMPLE/rand() at any scale: a pure function of the key keeps
+    * ~2% of rows, stable across runs, partitionings, and engines (the
+    * same md5-bucket machinery as the train/val/test splitter). */
+  private def hashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(SplitOps.hashBucket(
+        concat(col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"))) < 2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_null_ordering" -> nullOrdering,
+    "rel_date_arith" -> dateArith,
+    "rel_hash_sample" -> hashSample,
     "rel_approx_percentile" -> approxPercentileQ,
     "rel_histogram" -> histogramQ,
     "rel_cond_agg" -> condAgg,
@@ -319,6 +364,29 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_null_ordering" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio_n, o_totalprice
+        |FROM orders WHERE o_orderkey % 200 = 0
+        |ORDER BY prio_n ASC NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey""".stripMargin,
+    // DuckDB dayofweek is 0-based (Sunday=0); Spark's is 1-based — shifted
+    // here so semantics match
+    "rel_date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d_plus30,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS d_plus2m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+        |FROM orders WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin,
+    "rel_hash_sample" -> {
+      val b = SplitOps.hashBucketSql(
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE $b < 2
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "rel_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
          |  COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price,
