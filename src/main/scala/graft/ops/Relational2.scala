@@ -333,6 +333,9 @@ object Relational2 {
     * ~2% of rows, stable across runs, partitionings, and engines (the
     * same md5-bucket machinery as the train/val/test splitter). */
   private def hashSample(s: SparkSession, dir: String): DataFrame =
+    // note: the bucket filter sits directly on the scan (Catalyst pushes it
+    // below any repartition), which is the right 100 TB plan — rows are
+    // dropped before they could ever shuffle
     t(s, dir, "lineitem")
       .filter(SplitOps.hashBucket(
         concat(col("l_orderkey").cast("string"), lit("|"),

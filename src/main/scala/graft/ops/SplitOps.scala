@@ -14,29 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object SplitOps {
 
-  private val HEX = "0123456789abcdef"
-
   /** Uniform bucket 0..99, identical in Spark and DuckDB: the first 4 md5
     * hex digits as a 16-bit value, mod 100. Residual bias is 65536 % 100 =
     * 36 buckets seeing one extra value in 655 (~0.15%) — negligible, unlike
     * an ascii-code mix, whose 256 reachable combinations make the split
-    * deterministically lumpy (a 90/5/5 target lands at 90.2/5.5/4.3). */
-  def hashBucket(key: Column): Column = {
-    val h = md5(key.cast("string").cast("binary"))
-    val v = (1 to 4).map(i =>
-      (call_function("instr", lit(HEX), substring(h, i, 1)) - 1) *
-        (1 << (4 * (4 - i))))
-      .reduce(_ + _)
-    v % 100
-  }
+    * deterministically lumpy (a 90/5/5 target lands at 90.2/5.5/4.3).
+    *
+    * ONE md5 + one hex-parse per row (Spark `conv`, DuckDB '0x' cast) —
+    * the earlier per-digit instr arithmetic referenced the md5 column four
+    * times, and CollapseProject re-evaluates it per reference. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 100
 
-  def hashBucketSql(keyExpr: String): String = {
-    val h = s"md5(CAST($keyExpr AS VARCHAR))"
-    val v = (1 to 4).map(i =>
-      s"(instr('$HEX', substr($h, $i, 1)) - 1) * ${1 << (4 * (4 - i))}")
-      .mkString(" + ")
-    s"($v) % 100"
-  }
+  def hashBucketSql(keyExpr: String): String =
+    s"(CAST('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) AS UBIGINT) % 100)"
 
   /** Split label for a key: train (<90), val (<95), test. */
   def splitLabel(key: Column): Column = {
