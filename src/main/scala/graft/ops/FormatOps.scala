@@ -98,7 +98,23 @@ object FormatOps {
       .orderBy(col("yr"), col("o_orderpriority"))
   }
 
+  /** ORC sink + source roundtrip (the second columnar format Spark ships
+    * natively), aggregating the read-back to prove losslessness. */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "orc")
+    graft.Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sumD(col("l_quantity")).as("sum_qty"),
+        sumD(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_orc_roundtrip" -> orcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_jsonl_roundtrip" -> jsonlRoundtrip,
     "src_partitioned_pruned" -> partitionedPruned,
@@ -108,6 +124,11 @@ object FormatOps {
   val oracles: Map[String, String] = Map(
     // the oracle reads the ORIGINAL table — matching hashes prove the
     // write→read cycle preserved every value
+    "src_orc_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${sumSql("l_quantity")} AS sum_qty,
+         |  ${sumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "src_csv_roundtrip" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |  ${sumSql("o_totalprice")} AS sum_price,

@@ -49,6 +49,34 @@ class TopKFunctionsSpec extends SparkSpec {
     assert(agg.exceptAll(win).count() == 0 && win.exceptAll(agg).count() == 0)
   }
 
+  test("graft_topk property: equals sort-take for random inputs (incl. ties/NaN)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    TopKFunctions.register(spark)
+    val rowGen = Gen.nonEmptyListOf(for {
+      v <- Gen.oneOf(Gen.choose(-100.0, 100.0), Gen.const(Double.NaN),
+        Gen.const(0.0), Gen.const(1.5))
+      id <- Gen.choose(0L, 50L)
+    } yield (v, id))
+    (1 to 20).foreach { seed =>
+      val rows = rowGen(Gen.Parameters.default, Seed(seed.toLong)).getOrElse(Nil)
+      val k = 1 + seed % 10
+      val got = rows.toDF("v", "id").repartition(5)
+        .agg(TopKFunctions.topkBy(col("v"), col("id"), k).as("top"))
+        .select(explode(col("top")).as("p")).select("p.value", "p.id")
+        .as[(Double, Long)].collect().toList
+      // reference: total order value DESC (NaN greatest), id ASC
+      val expect = rows.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(b._1, a._1)
+        c < 0 || (c == 0 && a._2 < b._2)
+      }.take(k)
+      assert(got.map(t => (java.lang.Double.doubleToLongBits(t._1), t._2)) ==
+        expect.map(t => (java.lang.Double.doubleToLongBits(t._1), t._2)),
+        s"seed=$seed k=$k rows=$rows")
+    }
+  }
+
   test("graft_topk also callable from SQL") {
     TopKFunctions.register(spark)
     graft.Tables(spark, "/root/testdata/sf0.001", "orders")

@@ -29,7 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "stream_static_join", "stream_stream_join",
     // write-then-read roundtrips execute a write action at plan build
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
-    "src_sorted_skipping")
+    "src_sorted_skipping", "src_orc_roundtrip")
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin anywhere") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
