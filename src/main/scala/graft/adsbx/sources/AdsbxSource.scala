@@ -62,6 +62,27 @@ object AdsbxSource {
     (good, bad)
   }
 
+  /** Batch read of a snapshot directory through the native DataSource V2
+    * transport (`SnapshotSource`) — one envelope file per scheduled fetch,
+    * scanned with one partition per snapshot, then the usual FAILFAST
+    * parse. */
+  def fromSnapshotDir(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Pipeline.fromEnvelopeJson(spark,
+      spark.read.format(SnapshotSource.NAME).load(dir)
+        .select(col("body").as("value")))
+  }
+
+  /** Streaming read of a snapshot directory via the V2 MicroBatchStream:
+    * each trigger consumes exactly the snapshots that arrived since the
+    * last committed offset — the reference's scheduled-poll model (E1). */
+  def streamSnapshotDir(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Pipeline.fromEnvelopeJson(spark,
+      spark.readStream.format(SnapshotSource.NAME).load(dir)
+        .select(col("body").as("value")))
+  }
+
   /** S4 — schema introspection (reference task.ts:100-113): the schemas a
     * platform UI would render, exposed as stable public values. */
   def inputSchema: org.apache.spark.sql.types.StructType = Schemas.envelope

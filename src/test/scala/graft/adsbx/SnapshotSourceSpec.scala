@@ -1,0 +1,74 @@
+package graft.adsbx
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.adsbx.sources.{AdsbxSource, SnapshotSource}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The DataSource V2 snapshot source: batch scan, micro-batch offsets, and
+  * the end-to-end path into the CoT pipeline. */
+class SnapshotSourceSpec extends SparkSpec {
+
+  private def envelope(hexes: String*): String = {
+    val acs = hexes.map(h =>
+      s"""{"hex":"$h","type":"adsb_icao","flight":"FL$h","r":"N$h",""" +
+      s""""lat":1.0,"lon":2.0,"seen_pos":0.5,"seen":1.0}""").mkString(",")
+    s"""{"msg":"ok","ac":[$acs]}"""
+  }
+
+  private def mkDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_snap_$tag")
+    d.toString
+  }
+
+  private def write(dir: String, name: String, body: String): Unit =
+    Files.write(Paths.get(dir, name), body.getBytes("UTF-8"))
+
+  test("batch read: one row per snapshot, one partition per file") {
+    val dir = mkDir("batch")
+    write(dir, "s1.json", envelope("a1", "a2"))
+    write(dir, "s2.json", envelope("b1"))
+    val df = spark.read.format(SnapshotSource.NAME).load(dir)
+    assert(df.count() == 2)
+    assert(df.rdd.getNumPartitions == 2)
+    val rows = df.orderBy("arrival_idx").collect()
+    assert(rows.map(_.getAs[Long]("arrival_idx")).toList == List(0L, 1L))
+    assert(rows(0).getAs[String]("snapshot_path").endsWith("s1.json"))
+  }
+
+  test("micro-batch stream: new snapshots arrive as new offsets") {
+    val dir = mkDir("stream")
+    write(dir, "s1.json", envelope("a1", "a2"))
+    val stream = spark.readStream.format(SnapshotSource.NAME).load(dir)
+    val q = stream.writeStream.format("memory").queryName("snap_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_out").count() == 1)
+      // a new snapshot lands between triggers → exactly one more row
+      write(dir, "s2.json", envelope("b1"))
+      q.processAllAvailable()
+      val out = spark.table("snap_out").orderBy("arrival_idx").collect()
+      assert(out.length == 2)
+      assert(out(1).getAs[String]("snapshot_path").endsWith("s2.json"))
+    } finally q.stop()
+  }
+
+  test("end-to-end: snapshot dir through the CoT pipeline (batch + stream)") {
+    val dir = mkDir("e2e")
+    write(dir, "s1.json", envelope("a1", "a2"))
+    write(dir, "s2.json", envelope("b1"))
+    val aircraft = AdsbxSource.fromSnapshotDir(spark, dir)
+    assert(aircraft.count() == 3)
+    assert(aircraft.select("hex").orderBy("hex").collect()
+      .map(_.getString(0)).toList == List("a1", "a2", "b1"))
+    // streaming flavor reaches the same rows
+    val q = AdsbxSource.streamSnapshotDir(spark, dir)
+      .writeStream.format("memory").queryName("snap_cot")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(spark.table("snap_cot").count() == 3)
+  }
+}
