@@ -71,6 +71,46 @@ object TextOps {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Character-trigram set per doc (shared by the n-gram language-ID). */
+  private def charTrigrams: Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+      i => col("text").substr(i, lit(3))))
+
+  /** N-gram language-ID: per-language character-trigram profiles (top-20
+    * trigrams by frequency) are learned from the labeled corpus, then each
+    * document is scored by profile overlap and assigned the argmax
+    * language — the classic n-gram LID shape (profiles ≈ Cavnar-Trenkle
+    * rank profiles). Self-training on the corpus keeps it oracle-exact;
+    * at scale the profile table stays vocabulary-sized and broadcasts.
+    * Output: confusion matrix vs the label. */
+  private def langIdNgram(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("lang"), explode(charTrigrams).as("g"))
+    val grams = Staging.staged(s, dir, "lid_g3")(d)
+    val profile = grams.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("g").asc)
+    val top = profile.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 20)
+      .select(col("lang").as("p_lang"), col("g"))
+    val scores = grams.join(broadcast(top), "g")
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("s"))
+    // full (doc, candidate-lang) grid so zero-overlap languages still rank
+    val langs = grams.select(col("lang").as("p_lang")).distinct()
+    val grid = grams.select(col("doc_id"), col("lang")).distinct()
+      .crossJoin(broadcast(langs))
+      .join(scores, Seq("doc_id", "lang", "p_lang"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+    val wPred = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s").desc, col("p_lang").asc)
+    grid.withColumn("rk", row_number().over(wPred)).filter(col("rk") === 1)
+      .groupBy(col("lang"), col("p_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** BPE-ish sub-word segmentation via a syllable regex; counts aggregated
     * per source (regex identical in Java and RE2 dialects). */
   private val sylRe = "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*"
@@ -197,6 +237,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id_ngram" -> langIdNgram,
     "text_repetition" -> repetition,
     "text_zipf" -> zipfTerms,
     "text_stats" -> textStats,
@@ -212,6 +253,36 @@ object TextOps {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_lang_id_ngram" ->
+      """WITH g3 AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(length(text) - 2, 1)),
+        |      i -> substr(text, i, 3)))) AS g
+        |  FROM documents
+        |), profile AS (
+        |  SELECT lang, g, COUNT(*) AS n FROM g3 GROUP BY 1, 2
+        |), top AS (
+        |  SELECT lang AS p_lang, g FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, g ASC) AS rk
+        |    FROM profile
+        |  ) WHERE rk <= 20
+        |), scores AS (
+        |  SELECT d.doc_id, d.lang, t.p_lang, COUNT(*) AS s
+        |  FROM g3 d JOIN top t ON d.g = t.g GROUP BY 1, 2, 3
+        |), grid AS (
+        |  SELECT dl.doc_id, dl.lang, l.p_lang, coalesce(s.s, 0) AS s
+        |  FROM (SELECT DISTINCT doc_id, lang FROM g3) dl
+        |  CROSS JOIN (SELECT DISTINCT lang AS p_lang FROM g3) l
+        |  LEFT JOIN scores s ON s.doc_id = dl.doc_id AND s.p_lang = l.p_lang
+        |), pred AS (
+        |  SELECT doc_id, lang, p_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, p_lang ASC) AS rk
+        |    FROM grid
+        |  ) WHERE rk = 1
+        |)
+        |SELECT lang, p_lang AS pred_lang, COUNT(*) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
     "text_repetition" ->
       s"""WITH per_doc AS (
          |  SELECT source,

@@ -19,7 +19,10 @@ class PlanAuditSpec extends SparkSpec {
   //                        BROADCAST query/centroid set (bounded by design;
   //                        the LSH/IVF variants are the unbounded-scale path)
   //   cot_* fixture queries — VALUES-sized inputs
+  //   text_lang_id_ngram — doc × candidate-language grid against the
+  //                        BROADCAST distinct-language set (bounded)
   private val allowNestedLoop = Set(
+    "text_lang_id_ngram",
     "text_zipf", "sim_cosine_topk", "sim_ann_ivf", "dedup_embed_cosine",
     "sim_centroid_cohesion", "cot_transform_dedup", "cot_transform_hostile",
     "cot_includes_join")

@@ -1,0 +1,37 @@
+package graft.tmp
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md — formatted physical plans of headline queries
+  * with the scale-relevant features annotated (dev tool). */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val sf = "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val picks = Seq(
+      "rel_agg_pricing" -> "pushdown filter + partial/final hash aggregate",
+      "rel_star_join" -> "broadcast dims, single fact-fact shuffle",
+      "rel_window_topk" -> "WindowGroupLimit prunes per partition before the shuffle",
+      "rel_topk_agg" -> "custom TypedImperativeAggregate: partial top-k map-side",
+      "rel_range_join" -> "interval join bucketized to an equi shuffle join",
+      "dedup_lsh_buckets" -> "MinHash kernel + band explode, hash aggregate",
+      "sim_cosine_topk" -> "broadcast query set, codegen'd graft_dot, per-query top-k",
+      "cot_pipeline_corpus" -> "P1-P17 fused projection + max_by dedup + broadcast includes join")
+    val sb = new StringBuilder
+    sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
+    sb ++= "Regenerate with `sbt \"Test/runMain graft.tmp.DumpPlans\"`.\n"
+    picks.foreach { case (name, note) =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+      sb ++= s"\n## $name\n\n$note\n\n```\n${plan.trim}\n```\n"
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println("PLANS.md written")
+    spark.stop()
+  }
+}
