@@ -63,6 +63,34 @@ object Relational2 {
       |FROM customer WHERE c_custkey % 100 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a month spine generated
+    * recursively, left-joined to order counts — the standard gap-filling
+    * date-spine pattern; trailing months correctly report 0. The SQL text
+    * runs verbatim in both engines. */
+  val recursiveSpineSql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT TIMESTAMP '1995-01-01'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-12-01'
+      |)
+      |SELECT m, count(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      |GROUP BY m ORDER BY m""".stripMargin
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: per-segment top-2
+    * orders — the lateral form of the window top-k, decorrelated by
+    * Catalyst. Verbatim text in both engines. */
+  val lateralTopkSql: String =
+    """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+      |FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders JOIN customer cc ON o_custkey = cc.c_custkey
+      |  WHERE cc.c_mktsegment = c.c_mktsegment
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+      |) o
+      |ORDER BY c.c_mktsegment, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
   /** IN-subquery (planned as a left-semi join in both engines). */
   val inSubquerySql: String =
     """SELECT p_partkey, p_name, p_brand FROM part
@@ -356,6 +384,10 @@ object Relational2 {
     "rel_unpivot" -> unpivotQ,
     "rel_scalar_subquery" -> ((s, dir) =>
       viewsAndSql(s, dir, scalarSubquerySql, "customer", "orders")),
+    "rel_recursive_spine" -> ((s, dir) =>
+      viewsAndSql(s, dir, recursiveSpineSql, "orders")),
+    "rel_lateral_topk" -> ((s, dir) =>
+      viewsAndSql(s, dir, lateralTopkSql, "customer", "orders")),
     "rel_in_subquery" -> ((s, dir) =>
       viewsAndSql(s, dir, inSubquerySql, "part", "lineitem")),
     "rel_window_analytics" -> windowAnalytics,
@@ -451,6 +483,8 @@ object Relational2 {
         |FROM lineitem WHERE l_orderkey % 500 = 0
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "rel_scalar_subquery" -> scalarSubquerySql,
+    "rel_recursive_spine" -> recursiveSpineSql,
+    "rel_lateral_topk" -> lateralTopkSql,
     "rel_in_subquery" -> inSubquerySql,
     "rel_window_analytics" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
