@@ -32,8 +32,42 @@ object SkewOps {
       .withColumnRenamed("k", "event_type")
       .orderBy(col("event_type"))
 
+  /** Salted JOIN for a hot probe key: the big side gets a salt shard, the
+    * small side is replicated once per shard, and the join runs on
+    * (key, salt) — the hot key's rows spread over `nSalts` reducer
+    * partitions instead of one. This is the manual fallback when AQE's
+    * skew-join splitting can't apply (e.g. the skewed side is an
+    * aggregation output, or partitions sit under the size threshold while
+    * a single task still straggles). Results are identical to the plain
+    * join by construction. */
+  def saltedJoin(big: DataFrame, bigKey: Column, dim: DataFrame,
+                 dimKey: Column, nSalts: Int): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(nSalts)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1)).cast("array<long>")))
+    salted.join(replicated,
+      bigKey === dimKey && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
+  /** Query: 90% of events collapse onto one hot derived key; the salted
+    * join to a per-key dimension still balances. Oracle = the plain
+    * unsalted join aggregate. */
+  private def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+      .withColumn("k",
+        when(col("user_id") % 10 < 9, 0L).otherwise(col("user_id")))
+    val dim = ev.select(col("k")).distinct()
+      .withColumn("k_attr", concat(lit("attr_"), (col("k") % 7).cast("string")))
+    saltedJoin(ev, col("k"), dim.withColumnRenamed("k", "dk"), col("dk"), 8)
+      .groupBy(col("k_attr"))
+      .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))
+      .orderBy(col("k_attr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_salted_agg" -> saltedAggQ,
+    "rel_salted_join" -> saltedJoinQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -41,5 +75,17 @@ object SkewOps {
     "rel_salted_agg" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sumSql("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle is the UNSALTED join — equivalence is the point
+    "rel_salted_join" ->
+      s"""WITH ev AS (
+         |  SELECT *, CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k
+         |  FROM events
+         |), dim AS (
+         |  SELECT DISTINCT k AS dk, 'attr_' || CAST(k % 7 AS VARCHAR) AS k_attr
+         |  FROM ev
+         |)
+         |SELECT k_attr, COUNT(*) AS n, ${sumSql("value")} AS sum_value
+         |FROM ev JOIN dim ON k = dk
+         |GROUP BY k_attr ORDER BY k_attr""".stripMargin,
   )
 }
