@@ -19,12 +19,21 @@ object Pipeline {
     * explicit `seq` column capturing array position (= arrival order, the
     * order D1's last-wins is defined over). */
   def fromEnvelopeJson(spark: SparkSession, jsonLines: DataFrame): DataFrame = {
-    val parsed = jsonLines.select(
+    val withBase =
+      if (jsonLines.columns.contains("arrival_idx")) jsonLines
+      else jsonLines.withColumn("arrival_idx", lit(0L))
+    val parsed = withBase.select(col("arrival_idx"),
       from_json(col("value"), Schemas.envelope,
         Map("mode" -> "FAILFAST")).as("env"))
+    // seq spans snapshots: a later snapshot's aircraft ALWAYS outranks an
+    // earlier one's in D1's last-wins (the scheduled-poll recency model);
+    // within a snapshot, array position orders as before. 2^32 >> any
+    // envelope's ac[] length.
     parsed
-      .select(posexplode(col("env.ac")).as(Seq("seq", "ac")))
-      .select(col("seq").cast("long").as("seq"), col("ac.*"))
+      .select(col("arrival_idx"), posexplode(col("env.ac")).as(Seq("pos", "ac")))
+      .select(
+        (col("arrival_idx") * (1L << 32) + col("pos")).cast("long").as("seq"),
+        col("ac.*"))
   }
 
   /** Full pipeline over an aircraft DataFrame that already has

@@ -68,9 +68,11 @@ object AdsbxSource {
     * parse. */
   def fromSnapshotDir(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // arrival_idx flows into the cross-snapshot seq so D1's last-wins
+    // prefers the NEWER snapshot's record for a duplicate id
     Pipeline.fromEnvelopeJson(spark,
       spark.read.format(SnapshotSource.NAME).load(dir)
-        .select(col("body").as("value")))
+        .select(col("body").as("value"), col("arrival_idx")))
   }
 
   /** Streaming read of a snapshot directory via the V2 MicroBatchStream:
@@ -80,7 +82,7 @@ object AdsbxSource {
     import org.apache.spark.sql.functions.col
     Pipeline.fromEnvelopeJson(spark,
       spark.readStream.format(SnapshotSource.NAME).load(dir)
-        .select(col("body").as("value")))
+        .select(col("body").as("value"), col("arrival_idx")))
   }
 
   /** S4 — schema introspection (reference task.ts:100-113): the schemas a

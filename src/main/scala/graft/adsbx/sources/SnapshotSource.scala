@@ -46,6 +46,11 @@ class SnapshotSource extends TableProvider {
       properties: JMap[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(s"${SnapshotSource.NAME}: .load(path) is required"))
+    // fail loudly on a missing/mistyped directory — a misconfigured job
+    // must not "succeed" with zero rows
+    if (!Files.isDirectory(Paths.get(path)))
+      throw new IllegalArgumentException(
+        s"${SnapshotSource.NAME}: '$path' is not a directory")
     new SnapshotTable(path)
   }
 }
@@ -58,13 +63,22 @@ object SnapshotSource {
     StructField("body", StringType, nullable = false),
     StructField("arrival_idx", LongType, nullable = false)))
 
-  /** Deterministic arrival order: filename-sorted .json files. */
+  /** Deterministic arrival order: filename-sorted .json files. The
+    * snapshot-log CONTRACT is monotonically increasing filenames (e.g.
+    * zero-padded timestamps — what a fetcher daemon naturally writes);
+    * streaming offsets are filename watermarks on that order. The JDK
+    * stream is closed eagerly (Files.list leaks a directory handle
+    * otherwise). */
   private[sources] def listSnapshots(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(f => f.getFileName.toString.endsWith(".json"))
-      .toSeq.sortBy(_.getFileName.toString)
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
   }
 }
 
@@ -116,28 +130,53 @@ private object SnapshotReaderFactory extends PartitionReaderFactory {
   }
 }
 
-/** Offset = count of snapshots consumed so far (filename order is the
-  * arrival order contract). Each micro-batch covers [start, end) of the
-  * sorted listing — the scheduled-poll model: a trigger fires, everything
-  * that arrived since the last commit is one batch. */
-private case class SnapshotOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** Offset = FILENAME WATERMARK: the greatest snapshot filename consumed so
+  * far ("" before any). Each micro-batch covers files with
+  * `start < name <= end` — robust where a positional index is not:
+  * deleting already-consumed files shifts no indices (retention daemons
+  * are safe), and a transiently empty/unavailable directory cannot rewind
+  * the offset (the watermark never decreases). Late files sorting BELOW
+  * the committed watermark are outside the snapshot-log contract
+  * (monotonic filenames) and are skipped rather than double-processed. */
+private case class SnapshotOffset(watermark: String) extends Offset {
+  override def json(): String = watermark
 }
 
 private class SnapshotMicroBatchStream(dir: String) extends MicroBatchStream {
-  override def initialOffset(): Offset = SnapshotOffset(0L)
-  override def latestOffset(): Offset =
-    SnapshotOffset(SnapshotSource.listSnapshots(dir).size.toLong)
-  override def deserializeOffset(json: String): Offset =
-    SnapshotOffset(json.trim.toLong)
+  // one listing per trigger: latestOffset snapshots it, planInputPartitions
+  // reuses it (falls back to a fresh listing after recovery, when
+  // planInputPartitions can run without a prior latestOffset call)
+  @volatile private var lastListing: Seq[java.nio.file.Path] = Seq.empty
+  @volatile private var maxSeen: String = ""
+
+  override def initialOffset(): Offset = SnapshotOffset("")
+  override def latestOffset(): Offset = {
+    lastListing = SnapshotSource.listSnapshots(dir)
+    if (lastListing.nonEmpty) {
+      val m = lastListing.last.getFileName.toString
+      if (m > maxSeen) maxSeen = m
+    }
+    SnapshotOffset(maxSeen)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val w = SnapshotOffset(json)
+    if (json > maxSeen) maxSeen = json
+    w
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SnapshotOffset].n.toInt
-    val e = end.asInstanceOf[SnapshotOffset].n.toInt
-    SnapshotSource.listSnapshots(dir).slice(s, e).zipWithIndex
-      .map { case (p, i) => SnapshotPartition(p.toString, (s + i).toLong) }
+    val s = start.asInstanceOf[SnapshotOffset].watermark
+    val e = end.asInstanceOf[SnapshotOffset].watermark
+    val listing =
+      if (lastListing.nonEmpty) lastListing else SnapshotSource.listSnapshots(dir)
+    listing.zipWithIndex
+      .filter { case (p, _) =>
+        val n = p.getFileName.toString
+        n > s && n <= e
+      }
+      .map { case (p, i) => SnapshotPartition(p.toString, i.toLong) }
       .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -162,13 +162,9 @@ object DedupOps {
 
   private val NGRAM = 3
 
-  /** Distinct character 3-gram set of a document, in-row (same zero-shuffle
-    * rationale as `shingleSet`; `text` is a plain attribute so per-element
-    * substr is cheap). */
-  private def charNgramSet: Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(col("text")) - (NGRAM - 1), lit(1))),
-      i => col("text").substr(i, lit(NGRAM))))
+  /** Distinct character 3-gram set of a document (shared helper; same
+    * zero-shuffle in-row rationale as `shingleSet`). */
+  private def charNgramSet: Column = Tokens.charNgramSet(col("text"), NGRAM)
 
   /** Character-n-gram Jaccard near-dup: LSH recall stage (word-shingle
     * MinHash bands) then char-3-gram Jaccard >= 0.7 verification — a

@@ -71,11 +71,8 @@ object TextOps {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
-  /** Character-trigram set per doc (shared by the n-gram language-ID). */
-  private def charTrigrams: Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
-      i => col("text").substr(i, lit(3))))
+  /** Character-trigram set per doc (shared Tokens helper). */
+  private def charTrigrams: Column = Tokens.charNgramSet(col("text"), 3)
 
   /** N-gram language-ID: per-language character-trigram profiles (top-20
     * trigrams by frequency) are learned from the labeled corpus, then each

@@ -49,6 +49,21 @@ object Tokens {
        | ELSE [$textExpr] END)""".stripMargin.replace("\n", " ")
   }
 
+  /** Distinct character n-gram set, in-row (shared by the char-Jaccard
+    * dedup verify and the n-gram language-ID; `text` is a plain attribute
+    * so per-element substr is cheap). Texts shorter than n yield their
+    * single truncated prefix. */
+  def charNgramSet(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** DuckDB equivalent of `charNgramSet`. */
+  def charNgramSetSql(textExpr: String, n: Int): String =
+    s"""list_distinct(list_transform(
+       | generate_series(1, greatest(length($textExpr) - ${n - 1}, 1)),
+       | i -> substr($textExpr, i, $n)))""".stripMargin.replace("\n", " ")
+
   /** First 8 hex chars of md5 of `salt|token` — the deterministic "random
     * permutation" used for MinHash. SQL: `substr(md5('SALT|' || w), 1, 8)`. */
   def saltedHash(w: Column, salt: Int): Column =

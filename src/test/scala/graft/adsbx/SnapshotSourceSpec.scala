@@ -56,6 +56,51 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-snapshot last-wins: the NEWER snapshot's record survives D1") {
+    val dir = mkDir("lastwins")
+    // same registration in both snapshots, ac[5] of the old one (lat=1.0)
+    // vs ac[0] of the new one (lat=99.0) — recency must win, not array
+    // position
+    def ac(h: String, lat: Double) =
+      s"""{"hex":"$h","type":"adsb_icao","flight":"FL$h","r":"N$h",""" +
+      s""""lat":$lat,"lon":2.0,"seen_pos":0.5,"seen":1.0}"""
+    val oldAcs = ((1 to 5).map(i => ac(s"x$i", 1.0)) :+ ac("dup", 1.0)).mkString(",")
+    write(dir, "s1.json", s"""{"msg":"ok","ac":[$oldAcs]}""")
+    write(dir, "s2.json", s"""{"msg":"ok","ac":[${ac("dup", 99.0)}]}""")
+    val aircraft = AdsbxSource.fromSnapshotDir(spark, dir)
+    val deduped = graft.adsbx.Dedup.lastWins(aircraft, "hex", "seq")
+    val lat = deduped.filter(col("hex") === "dup").select("lat").head().getDouble(0)
+    assert(lat == 99.0, s"expected the s2 record to win (lat=$lat)")
+  }
+
+  test("watermark offsets: deleting consumed snapshots cannot skip new ones") {
+    val dir = mkDir("retention")
+    write(dir, "s1.json", envelope("a1"))
+    write(dir, "s2.json", envelope("a2"))
+    val stream = spark.readStream.format(SnapshotSource.NAME).load(dir)
+    val q = stream.writeStream.format("memory").queryName("snap_ret")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_ret").count() == 2)
+      // a retention daemon removes the consumed files; a new snapshot lands
+      Files.delete(Paths.get(dir, "s1.json"))
+      Files.delete(Paths.get(dir, "s2.json"))
+      write(dir, "s3.json", envelope("a3"))
+      q.processAllAvailable()
+      val paths = spark.table("snap_ret")
+        .select("snapshot_path").collect().map(_.getString(0)).toList
+      assert(paths.count(_.endsWith("s3.json")) == 1, paths)
+      assert(spark.table("snap_ret").count() == 3)
+    } finally q.stop()
+  }
+
+  test("a missing directory fails loudly instead of returning zero rows") {
+    intercept[Exception] {
+      spark.read.format(SnapshotSource.NAME).load("/no/such/dir_graft").collect()
+    }
+  }
+
   test("end-to-end: snapshot dir through the CoT pipeline (batch + stream)") {
     val dir = mkDir("e2e")
     write(dir, "s1.json", envelope("a1", "a2"))
