@@ -371,7 +371,33 @@ object Relational2 {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Outer-join matrix: LEFT / RIGHT / FULL over the same key, with null
+    * probes counted — completes the join-type coverage (inner/semi/anti/
+    * asof/range elsewhere). Customers vs high-value orders so all three
+    * produce unmatched rows on at least one side. */
+  private def outerJoins(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val big = t(s, dir, "orders")
+      .filter(col("o_totalprice") >= 400000.0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    def stats(joined: DataFrame, tag: String): DataFrame =
+      joined.agg(
+        lit(tag).as("join_type"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_no_order"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_no_cust"),
+        sumD(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
+    val on = cust("c_custkey") === big("o_custkey")
+    stats(cust.join(big, on, "left"), "left")
+      .unionAll(stats(cust.join(big, on, "right"), "right"))
+      .unionAll(stats(cust.join(big, on, "full_outer"), "full"))
+      .orderBy(col("join_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_outer_joins" -> outerJoins,
     "rel_null_ordering" -> nullOrdering,
     "rel_date_arith" -> dateArith,
     "rel_hash_sample" -> hashSample,
@@ -399,6 +425,23 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_outer_joins" -> {
+      def stats(jt: String, tag: String) =
+        s"""SELECT '$tag' AS join_type, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order,
+           |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_cust,
+           |  ${sumSql("coalesce(o_totalprice, 0.0)")} AS sum_price
+           |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0) c
+           |$jt JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+           |          WHERE o_totalprice >= 400000.0) o
+           |  ON c.c_custkey = o.o_custkey""".stripMargin
+      s"""${stats("LEFT", "left")}
+         |UNION ALL
+         |${stats("RIGHT", "right")}
+         |UNION ALL
+         |${stats("FULL", "full")}
+         |ORDER BY join_type""".stripMargin
+    },
     "rel_null_ordering" ->
       """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio_n, o_totalprice
         |FROM orders WHERE o_orderkey % 200 = 0

@@ -6,6 +6,7 @@ import graft.adsbx.sources.AdsbxSource
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
 import java.sql.Timestamp
 import scala.collection.mutable
 
@@ -154,5 +155,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((7L, ts("2024-01-01 10:00:00"))))
     assert(rows.contains((7L, ts("2024-01-01 15:10:00"))))
     assert(!rows.contains((7L, ts("2024-01-01 10:10:00"))))
+  }
+
+  test("incremental merge: state accumulates across micro-batches exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().toDF("user_id", "value")
+    val root = Files.createTempDirectory("graft_incmerge_test").toString
+    val (q, readState) = StreamOps.startIncrementalMerge(
+      events, root, Trigger.ProcessingTime(50))
+    try {
+      input.addData((1L, 1.5), (1L, 2.5), (2L, 10.0))
+      q.processAllAvailable()
+      input.addData((1L, 6.0), (3L, 0.25))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = readState()
+      .select(col("user_id"), col("n"), col("sum_dec").cast("double").as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(state == Map(
+      1L -> ((3L, 10.0)), 2L -> ((1L, 10.0)), 3L -> ((1L, 0.25))))
   }
 }
