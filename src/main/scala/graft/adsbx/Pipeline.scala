@@ -25,10 +25,11 @@ object Pipeline {
     val parsed = withBase.select(col("arrival_idx"),
       from_json(col("value"), Schemas.envelope,
         Map("mode" -> "FAILFAST")).as("env"))
-    // seq spans snapshots: a later snapshot's aircraft ALWAYS outranks an
-    // earlier one's in D1's last-wins (the scheduled-poll recency model);
-    // within a snapshot, array position orders as before. 2^32 >> any
-    // envelope's ac[] length.
+    // seq spans snapshots WHEN the input carries an `arrival_idx` column
+    // (SnapshotSource and fromJsonStrings do): a later snapshot's aircraft
+    // then outranks an earlier one's in D1's last-wins (the scheduled-poll
+    // recency model); inputs without it (plain text scans) order only
+    // within each envelope. 2^32 >> any envelope's ac[] length.
     parsed
       .select(col("arrival_idx"), posexplode(col("env.ac")).as(Seq("pos", "ac")))
       .select(

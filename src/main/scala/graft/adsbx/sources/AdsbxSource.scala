@@ -18,14 +18,22 @@ import graft.adsbx.{Pipeline, Schemas}
 object AdsbxSource {
 
   /** Batch: envelope JSON documents already in memory (what a driver-side
-    * HTTP fetch returns — the zero-egress stand-in for the REST call). */
+    * HTTP fetch returns — the zero-egress stand-in for the REST call).
+    * Sequence position = arrival order, so last-wins dedup prefers later
+    * envelopes for duplicate ids. */
   def fromJsonStrings(spark: SparkSession, envelopes: Seq[String]): DataFrame = {
     import spark.implicits._
-    Pipeline.fromEnvelopeJson(spark, envelopes.toDF("value"))
+    Pipeline.fromEnvelopeJson(spark,
+      envelopes.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+        .toDF("value", "arrival_idx"))
   }
 
-  /** Batch: a directory/glob of envelope JSON documents, one per line
-    * (e.g. one snapshot per scheduled invocation, appended to a log). */
+  /** Batch: a directory/glob of envelope JSON documents, one per line.
+    * LIMITATION: a text scan carries no line-order column, so arrival
+    * order is NOT defined across envelopes here and last-wins dedup is
+    * only meaningful within each envelope — ingest through
+    * `fromSnapshotDir` (file-per-snapshot, ordered) or add an explicit
+    * `arrival_idx` column when cross-envelope recency matters. */
   def fromJsonFiles(spark: SparkSession, path: String): DataFrame =
     Pipeline.fromEnvelopeJson(spark, spark.read.text(path))
 

@@ -148,6 +148,13 @@ private class SnapshotMicroBatchStream(dir: String) extends MicroBatchStream {
   // planInputPartitions can run without a prior latestOffset call)
   @volatile private var lastListing: Seq[java.nio.file.Path] = Seq.empty
   @volatile private var maxSeen: String = ""
+  // arrival_idx base: cumulative count of snapshots assigned so far, so
+  // indices stay MONOTONIC across micro-batches even after retention
+  // deletes shrink the listing (a listing-local index would collide);
+  // resets per driver run — cross-restart recency ordering needs
+  // name-encoded ordering, which the filename watermark already gives the
+  // offsets themselves
+  @volatile private var assignedBase: Long = 0L
 
   override def initialOffset(): Offset = SnapshotOffset("")
   override def latestOffset(): Offset = {
@@ -171,12 +178,14 @@ private class SnapshotMicroBatchStream(dir: String) extends MicroBatchStream {
     val e = end.asInstanceOf[SnapshotOffset].watermark
     val listing =
       if (lastListing.nonEmpty) lastListing else SnapshotSource.listSnapshots(dir)
-    listing.zipWithIndex
-      .filter { case (p, _) =>
-        val n = p.getFileName.toString
-        n > s && n <= e
-      }
-      .map { case (p, i) => SnapshotPartition(p.toString, i.toLong) }
+    val files = listing.filter { p =>
+      val n = p.getFileName.toString
+      n > s && n <= e
+    }
+    val base = assignedBase
+    assignedBase = base + files.size
+    files.zipWithIndex
+      .map { case (p, i) => SnapshotPartition(p.toString, base + i) }
       .toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =

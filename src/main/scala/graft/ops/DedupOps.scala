@@ -475,9 +475,7 @@ object DedupOps {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |), gs AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(length(text) - ${NGRAM - 1}, 1)),
-         |    i -> substr(text, i, $NGRAM))) AS g
+         |  SELECT doc_id, ${charNgramSetSql("text", NGRAM)} AS g
          |  FROM documents
          |), inter AS (
          |  SELECT p.d1, p.d2,

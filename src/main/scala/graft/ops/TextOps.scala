@@ -251,11 +251,9 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_lang_id_ngram" ->
-      """WITH g3 AS (
+      s"""WITH g3 AS (
         |  SELECT doc_id, lang,
-        |    unnest(list_distinct(list_transform(
-        |      generate_series(1, greatest(length(text) - 2, 1)),
-        |      i -> substr(text, i, 3)))) AS g
+        |    unnest(${charNgramSetSql("text", 3)}) AS g
         |  FROM documents
         |), profile AS (
         |  SELECT lang, g, COUNT(*) AS n FROM g3 GROUP BY 1, 2

@@ -237,20 +237,40 @@ object StreamOps {
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("sum_dec", graft.ops.Exact.dec))))
-    @volatile var version = 0
-    def readState(): DataFrame =
-      if (version == 0) emptyState else spark.read.parquet(s"$root/v$version")
+    // versions are DERIVED FROM THE BATCH ID (batch b writes v(b+1), read
+    // from the latest version <= b): a replayed batch re-reads the same
+    // pre-state and overwrites its own version — idempotent under
+    // at-least-once foreachBatch — and a restarted driver resumes from the
+    // on-disk versions rather than a reset in-memory counter
+    def versions(): Seq[Long] = {
+      val d = new java.io.File(root)
+      if (!d.isDirectory) Seq.empty
+      else d.listFiles().toSeq.map(_.getName)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+    }
+    def readVersion(v: Long): DataFrame =
+      if (v == 0L) emptyState else spark.read.parquet(s"$root/v$v")
+    def readState(): DataFrame = readVersion(versions().lastOption.getOrElse(0L))
     val q = events.writeStream
       .outputMode("update")
       .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val agg = batch.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(graft.ops.Exact.dec)).cast(graft.ops.Exact.dec)
               .as("sum_dec"))
-        mergeUserState(readState(), agg)
-          .write.mode("overwrite").parquet(s"$root/v${version + 1}")
-        version += 1
+        val prev = versions().filter(_ <= batchId).lastOption.getOrElse(0L)
+        mergeUserState(readVersion(prev), agg)
+          .write.mode("overwrite").parquet(s"$root/v${batchId + 1}")
+        // retain only the version just written and its predecessor (the
+        // swap source) — unbounded version history is O(batches × state)
+        versions().filter(_ < prev).foreach { v =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(s"$root/v$v"))
+        }
       }
       .start()
     (q, readState)
