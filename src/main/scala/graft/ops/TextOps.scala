@@ -142,16 +142,19 @@ object TextOps {
     * hash-match exactly. Ties break on the term for determinism. */
   private def tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val nDocs = d.count() // corpus size (an O(1) metadata-ish scan)
+    // corpus size as a broadcast 1-row aggregate INSIDE the pipeline (the
+    // oracle's `n` CTE) — a driver-side d.count() here would be a whole
+    // extra pass over the corpus before the real job at 100 TB
+    val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
     val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("w"))
     val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // rounded to 6 dp: ln() differs by 1 ulp across libm implementations,
     // and the rank must be computed on the value both engines agree on
-    val scored = tf.join(df_, "w")
+    val scored = tf.join(df_, "w").crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf").cast("double") *
-          log(lit(nDocs.toDouble) / col("df").cast("double")), 6))
+          log(col("n_docs") / col("df").cast("double")), 6))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("w").asc)

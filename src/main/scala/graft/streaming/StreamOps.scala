@@ -148,18 +148,53 @@ object StreamOps {
 
   /** Streaming session windows (30-min inactivity gap) — the native
     * operator form of the batch gaps-and-islands sessionization
-    * (rel_sessionize); complete mode so the final state equals the batch
-    * result. session_window.end = last event + gap, hence the oracle's
-    * `max(ts) + INTERVAL 30 MINUTE`. */
+    * (rel_sessionize), in WATERMARK + APPEND mode: a session is emitted
+    * (and its state evicted) as soon as the watermark passes its end, so
+    * state stays bounded by the number of OPEN sessions — the only shape
+    * that survives an unbounded stream. (The r2 version ran complete mode,
+    * which re-emits all state every trigger and never evicts: a
+    * scale-killer, and 28 s on the bench.)
+    *
+    * Bounded-input bridge: on a finite corpus the watermark (max event
+    * time - delay) never passes the LAST session per user, so append mode
+    * would withhold exactly the tail sessions the oracle expects. A single
+    * far-future FLUSH row (sentinel user -1) is unioned into the stream:
+    * it advances the global watermark past every real session's end,
+    * closing and emitting all of them. The sentinel's own singleton
+    * session ends after the final watermark and is never emitted (and is
+    * filtered anyway). session_window.end = last event + gap, hence the
+    * oracle's `max(ts) + INTERVAL 30 MINUTE`. */
   def sessionWindowQ(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(s, dir)
+    import org.apache.spark.sql.types._
+    val flushDir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_flush_" +
+      s.sparkContext.applicationId
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val flushNanos = 4102444800L * 1000000000L // 2100-01-01, as INT64 nanos
+    s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        -1L, flushNanos, -1L, "__flush", 0.0, null)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(flushDir)
+    val flushStream = s.readStream.schema(schema).parquet(flushDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = eventsStream(s, dir).unionByName(flushStream)
+      .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         graft.ops.Exact.sumD(col("value")).as("sum_value"))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("sum_value"))
-    runToMemory(agg, "complete")
+    // The sentinel filter must run on the RESULT table, not inside the
+    // streaming plan: a `user_id >= 0` filter there references only a
+    // grouping key, so Catalyst pushes it below the watermark operator and
+    // the flush row is eliminated before it can advance the watermark —
+    // silently withholding the tail sessions. (The sentinel's own session
+    // also never emits: it ends 30 min after the final watermark.)
+    runToMemory(agg, "append")
+      .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("s_start"))
   }
 
