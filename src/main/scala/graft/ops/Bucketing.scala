@@ -27,4 +27,37 @@ object Bucketing {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
                     key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Oracle-checked end-to-end: orders and customer written bucketed by the
+    * (renamed-to-common) custkey, then the co-located join + rollup. The
+    * join itself plans with zero exchanges (PlanSpec asserts this for the
+    * same helper); only the tiny post-join segment rollup shuffles. The
+    * oracle runs the plain join on the ORIGINAL tables, proving the
+    * bucketed write→read→join cycle is lossless. */
+  private def bucketedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import Exact._
+    writeBucketed(graft.Tables(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice")),
+      "graft_bkt_orders", "custkey", 8)
+    writeBucketed(graft.Tables(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+      "graft_bkt_customer", "custkey", 8)
+    colocatedJoin(s, "graft_bkt_orders", "graft_bkt_customer", "custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_bucketed_join" -> bucketedJoinQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_bucketed_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  ${Exact.sumSql("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  )
 }

@@ -249,13 +249,21 @@ object Relational {
 
   /** Approximate distinct (HyperLogLog++) — the constant-memory
     * alternative to countDistinct at 100 TB (no exact-distinct shuffle of
-    * the key space). No DuckDB oracle: sketch implementations differ
-    * across engines, so the driver records the weaker rows-only check. */
+    * the key space). Sketch values can't hash-match across engines, so the
+    * query asserts its own error bound instead: it emits the exact count
+    * plus `within_bounds` = |approx-exact|/exact <= 5% (the sketch runs at
+    * rsd 0.01, so 5% is a ±5σ envelope) and the oracle expects TRUE —
+    * a drifting sketch now fails the hash check rather than going
+    * unverified. */
   private def approxDistinctQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= 0.05).as("within_bounds"))
       .orderBy(col("event_type"))
 
   /** Exact interpolated percentiles (Spark `percentile` == DuckDB
@@ -495,6 +503,12 @@ object Relational {
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
         |  COUNT(*) AS n_orders, COUNT(DISTINCT o_orderpriority) AS n_prio
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the sketch side is checked by the query itself (within_bounds must
+    // come out TRUE); the oracle verifies the exact twin columns
+    "rel_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |  COUNT(*) AS n, TRUE AS within_bounds
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rel_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,

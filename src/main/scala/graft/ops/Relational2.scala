@@ -314,16 +314,23 @@ object Relational2 {
 
   /** Approximate percentiles (t-digest-style sketch) — the constant-memory
     * path that replaces rel_percentile's exact interpolation at 100 TB.
-    * No DuckDB oracle (sketch implementations differ across engines), so
-    * the driver records the weaker rows-only check — the exact twin
-    * rel_percentile is the hash-verified anchor. */
+    * Sketch values can't hash-match across engines, so the query asserts
+    * its own error bound: it emits the exact percentiles plus
+    * `within_p50`/`within_p99` = relative error <= 1% (accuracy 10000 ⇒
+    * rank error <= 1e-4, far inside 1% in value on this distribution) and
+    * the oracle expects TRUE — a drifting sketch fails the hash check. */
   private def approxPercentileQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-        approx_percentile(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+        approx_percentile(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p99"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("p50"), col("p99"), col("n"),
+        (abs(col("ap50") - col("p50")) / col("p50") <= 0.01).as("within_p50"),
+        (abs(col("ap99") - col("p99")) / col("p99") <= 0.01).as("within_p99"))
       .orderBy(col("l_returnflag"))
 
   /** NULL-ordering semantics: Spark sorts nulls FIRST ascending by
@@ -425,6 +432,14 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the sketch side is checked by the query itself (within_* must come
+    // out TRUE); the oracle verifies the exact twin columns
+    "rel_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99,
+        |  COUNT(*) AS n, TRUE AS within_p50, TRUE AS within_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_outer_joins" -> {
       def stats(jt: String, tag: String) =
         s"""SELECT '$tag' AS join_type, COUNT(*) AS n_rows,

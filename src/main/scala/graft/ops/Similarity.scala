@@ -191,6 +191,30 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Recall@K of both ANN paths against the exact brute-force top-k — the
+    * number an embedding pipeline actually tunes (more LSH planes / more
+    * IVF probes trade recall for candidate volume). All three rankings are
+    * deterministic, so recall itself is oracle-checkable. The exact top-k
+    * is staged: both union branches probe it, and Catalyst would otherwise
+    * recompute the full brute-force scan per branch. */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = Staging.staged(s, dir, "ann_exact") {
+      cosineTopK(s, dir).select(col("q_id"), col("vec_id"))
+    }
+    def recallOf(method: String, ann: DataFrame): DataFrame = {
+      val a = ann.select(col("q_id").as("aq"), col("vec_id").as("av"))
+      exact.join(a, col("q_id") === col("aq") && col("vec_id") === col("av"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("aq")).as("n_hits"))
+        .select(lit(method).as("method"), col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / K, 6).as("recall"))
+    }
+    recallOf("ivf", annIvf(s, dir))
+      .unionByName(recallOf("lsh", annLsh(s, dir)))
+      .orderBy(col("method"), col("q_id"))
+  }
+
   /** Per-label embedding stats (norm distribution). */
   private def embedStats(s: SparkSession, dir: String): DataFrame =
     withNorm(emb(s, dir))
@@ -206,6 +230,7 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopK,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
+    "sim_ann_recall" -> annRecall,
     "sim_embed_stats" -> embedStats,
     "dedup_embed_cosine" -> embedCosineNearDup,
     "sim_centroid_cohesion" -> centroidCohesion,
@@ -226,9 +251,8 @@ object Similarity {
        |  sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,x) -> a+x)) AS nrm
        |  FROM embeddings)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "sim_cosine_topk" ->
-      s"""WITH $eCte,
+  private val cosineTopkSql =
+    s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
          |scored AS (
          |  SELECT q.q_id, e.vec_id, round($dotSql / (e.nrm * q.qn), 6) AS sim
@@ -237,9 +261,10 @@ object Similarity {
          |SELECT q_id, rk, vec_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
          |  FROM scored
-         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin,
-    "sim_ann_lsh" ->
-      s"""WITH $eCte,
+         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  private val annLshSql =
+    s"""WITH $eCte,
          |eb AS (SELECT *, $bucketSql AS bkt FROM e),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bkt AS qbkt FROM eb WHERE vec_id < $N_QUERIES),
          |scored AS (
@@ -249,8 +274,9 @@ object Similarity {
          |SELECT q_id, bkt, rk, vec_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
          |  FROM scored
-         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin,
-    "sim_ann_ivf" -> {
+         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  private val annIvfSql = {
       val dotAC =
         "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
       val dotAQ =
@@ -289,7 +315,28 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
          |  FROM scored
          |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> cosineTopkSql,
+    "sim_ann_lsh" -> annLshSql,
+    "sim_ann_ivf" -> annIvfSql,
+    // recall@K composes the three rankings above verbatim as subqueries
+    "sim_ann_recall" ->
+      s"""WITH exact AS (SELECT q_id, vec_id FROM ($cosineTopkSql)),
+         |lshr AS (SELECT q_id, vec_id FROM ($annLshSql)),
+         |ivfr AS (SELECT q_id, vec_id FROM ($annIvfSql)),
+         |hits AS (
+         |  SELECT 'ivf' AS method, e.q_id, COUNT(i.q_id) AS n_hits
+         |  FROM exact e LEFT JOIN ivfr i ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+         |  GROUP BY e.q_id
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, e.q_id, COUNT(l.q_id) AS n_hits
+         |  FROM exact e LEFT JOIN lshr l ON e.q_id = l.q_id AND e.vec_id = l.vec_id
+         |  GROUP BY e.q_id
+         |)
+         |SELECT method, q_id, n_hits, round(n_hits / $K.0, 6) AS recall
+         |FROM hits ORDER BY method, q_id""".stripMargin,
     "dedup_embed_cosine" -> {
       val dotAb =
         "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"
