@@ -375,7 +375,64 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Production-width SimHash: a 63-bit fingerprint (63, not 64, so the
+    * value stays a positive BIGINT both engines agree on) — the variant
+    * the 16-bit `dedup_simhash` scaladoc names as the real-scale shape.
+    * Bits 1-32 are the parity (bit 0) of each md5 hex digit; bits 33-63
+    * are bit 1 of hex digits 1-31 — 63 independent bits from the single
+    * md5 already computed per token. */
+  private val hexBit0 = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+  private val hexBit1 = Seq("2", "3", "6", "7", "a", "b", "e", "f")
+
+  private[graft] def simhash64(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(toks(col("text")))).as("w"))
+      .select(col("doc_id"), md5(col("w").cast("binary")).as("h"))
+    def bitTest(i: Int): Column =
+      if (i <= 32) substring(col("h"), i, 1).isin(hexBit0: _*)
+      else substring(col("h"), i - 32, 1).isin(hexBit1: _*)
+    val bitSums = (1 to 63).map(i =>
+      sum(when(bitTest(i), 1).otherwise(-1)).as(s"b$i"))
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (1 to 63).map(i =>
+          when(col(s"b$i") > 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+  }
+
+  /** 63-bit SimHash near-dup pairs via the pigeonhole 3×21-bit chunk
+    * index (the scale path promised at `simhashPairs`): ~2M distinct
+    * values per chunk keep candidates near-linear in corpus size. The
+    * oracle is the BRUTE-FORCE all-pairs Hamming join over the same
+    * fingerprints — a hash match therefore proves both that the
+    * fingerprint construction is bit-identical and that the chunk index
+    * finds EVERY pair within distance 2 (pigeonhole completeness), which
+    * is exactly the property that lets production drop the quadratic
+    * scan. (The oracle side is quadratic, but only the test-scale oracle
+    * — the Spark side never pairs outside chunk buckets.) */
+  private def simhash64Pairs(s: SparkSession, dir: String): DataFrame = {
+    val withInt = staged(s, dir, "simhash64_int")(simhash64(s, dir))
+    val chunks = withInt.select(col("doc_id"), col("sh"),
+      explode(array(
+        struct(lit(0).as("ci"), expr("sh % 2097152").as("cv")),
+        struct(lit(1).as("ci"), expr("(sh div 2097152) % 2097152").as("cv")),
+        struct(lit(2).as("ci"), expr("sh div 4398046511104").as("cv"))
+      )).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.ci"), col("c.cv"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash64_pairs" -> simhash64Pairs,
     "dedup_exact" -> exactDedup,
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_lsh_buckets" -> lshBuckets,
@@ -405,6 +462,27 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // brute-force all-pairs Hamming (test-scale only) — matching the
+    // Spark chunk-index output proves pigeonhole completeness
+    "dedup_simhash64_pairs" -> {
+      val bitSums = (1 to 63).map { i =>
+        val (digit, set) =
+          if (i <= 32) (i, "('1','3','5','7','9','b','d','f')")
+          else (i - 32, "('2','3','6','7','a','b','e','f')")
+        s"SUM(CASE WHEN substr(md5(w), $digit, 1) IN $set THEN 1 ELSE -1 END) AS b$i"
+      }.mkString(", ")
+      val shval = (1 to 63).map(i =>
+        s"(CASE WHEN b$i > 0 THEN ${1L << (i - 1)}::BIGINT ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH tok1 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |bitsums AS (SELECT doc_id, $bitSums FROM tok1 GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $shval AS sh FROM bitsums)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 2
+         |ORDER BY d1, d2""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies, max(n_chars) AS n_chars
