@@ -129,19 +129,23 @@ object StreamOps {
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[(Long, Long)]) =>
+         state: GroupState[(Long, java.sql.Timestamp)]) =>
           if (state.hasTimedOut) {
             val (n, last) = state.get
             state.remove()
-            UserRunning(user, n, new java.sql.Timestamp(last), closed = true)
+            UserRunning(user, n, last, closed = true)
           } else {
             val batch = rows.toSeq
-            val (n0, last0) = state.getOption.getOrElse((0L, Long.MinValue))
+            // the state carries the Timestamp itself: an epoch-MILLIS long
+            // would silently truncate the microsecond precision the
+            // batch oracle's max(ts) retains
+            val (n0, last0) = state.getOption
+              .getOrElse((0L, new java.sql.Timestamp(Long.MinValue / 2)))
             val n = n0 + batch.size
-            val last = math.max(last0, batch.map(_._2.getTime).max)
+            val last = (last0 +: batch.map(_._2)).max(Ordering.fromLessThan[java.sql.Timestamp](_ before _))
             state.update((n, last))
-            state.setTimeoutTimestamp(last + gapMs)
-            UserRunning(user, n, new java.sql.Timestamp(last), closed = false)
+            state.setTimeoutTimestamp(last.getTime + gapMs)
+            UserRunning(user, n, last, closed = false)
           }
       }
   }
@@ -164,7 +168,13 @@ object StreamOps {
     * session ends after the final watermark and is never emitted (and is
     * filtered anyway). session_window.end = last event + gap, hence the
     * oracle's `max(ts) + INTERVAL 30 MINUTE`. */
-  def sessionWindowQ(s: SparkSession, dir: String): DataFrame = {
+  /** The events stream unioned with a single far-future FLUSH row
+    * (sentinel user -1, ts 2100-01-01): once processed, it advances the
+    * global watermark past every real event, so watermark-evicted state
+    * (closed sessions, timed-out keys) is fully emitted on bounded input.
+    * Callers must drop `user_id < 0` rows from the RESULT table (not
+    * inside the streaming plan — see sessionWindowQ). */
+  def withFlushSentinel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val flushDir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_flush_" +
       s.sparkContext.applicationId
@@ -179,7 +189,11 @@ object StreamOps {
       .coalesce(1).write.mode("overwrite").parquet(flushDir)
     val flushStream = s.readStream.schema(schema).parquet(flushDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = eventsStream(s, dir).unionByName(flushStream)
+    eventsStream(s, dir).unionByName(flushStream)
+  }
+
+  def sessionWindowQ(s: SparkSession, dir: String): DataFrame = {
+    val agg = withFlushSentinel(s, dir)
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -196,6 +210,22 @@ object StreamOps {
     runToMemory(agg, "append")
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("s_start"))
+  }
+
+  /** `runningUserCounts` driven to completion — the custom-keyed-state
+    * operator (mapGroupsWithState) oracle-checked end-to-end: the flush
+    * sentinel advances the watermark past every user's timeout, so every
+    * key's state times out and emits its final `closed = true` row, which
+    * must equal the batch per-user aggregate. The closed/sentinel filters
+    * run on the RESULT table (the streaming plan must see the raw stream —
+    * see sessionWindowQ on watermark-vs-pushdown). */
+  def runningCountsQ(s: SparkSession, dir: String): DataFrame = {
+    val running = runningUserCounts(
+      withFlushSentinel(s, dir), watermark = "0 seconds")
+    runToMemory(running.toDF(), "update")
+      .filter(col("closed") && col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"), col("last_ts"))
+      .orderBy(col("user_id"))
   }
 
   /** Stream-static join: the streaming fact enriched by a broadcast batch
@@ -330,6 +360,7 @@ object StreamOps {
     "stream_hourly_window" -> hourlyWindowQ,
     "stream_dedup_lastwins" -> dedupLastWinsQ,
     "stream_session_window" -> sessionWindowQ,
+    "stream_running_counts" -> runningCountsQ,
     "stream_static_join" -> streamStaticJoinQ,
     "stream_stream_join" -> streamStreamJoinQ,
   )
@@ -351,6 +382,10 @@ object StreamOps {
     "stream_incremental_merge" ->
       s"""SELECT user_id, COUNT(*) AS n, ${graft.ops.Exact.sumSql("value")} AS sum_value
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // every key's timed-out final state == the batch per-user aggregate
+    "stream_running_counts" ->
+      """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_static_join" ->
       s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,
          |  ${graft.ops.Exact.sumSql("value")} AS sum_value
