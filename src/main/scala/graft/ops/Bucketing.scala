@@ -34,9 +34,25 @@ object Bucketing {
     * same helper); only the tiny post-join segment rollup shuffles. The
     * oracle runs the plain join on the ORIGINAL tables, proving the
     * bucketed write→read→join cycle is lossless. */
+  /** The in-memory catalog forgets managed tables across JVMs while their
+    * warehouse directories persist, so a later session's CREATE fails with
+    * LOCATION_ALREADY_EXISTS — drop both the entry and the directory. */
+  private def resetTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val loc = new java.io.File(wh, table)
+    if (loc.exists()) rm(loc)
+  }
+
   private def bucketedJoinQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import Exact._
+    resetTable(s, "graft_bkt_orders")
+    resetTable(s, "graft_bkt_customer")
     writeBucketed(graft.Tables(s, dir, "orders")
       .select(col("o_custkey").as("custkey"), col("o_totalprice")),
       "graft_bkt_orders", "custkey", 8)

@@ -21,15 +21,18 @@ class PlanAuditSpec extends SparkSpec {
   //   cot_* fixture queries — VALUES-sized inputs
   //   text_lang_id_ngram — doc × candidate-language grid against the
   //                        BROADCAST distinct-language set (bounded)
+  //   text_tfidf_topk    — crossJoin(broadcast(1-row n_docs aggregate))
+  //   sim_ann_recall     — composes sim_cosine_topk (the justified
+  //                        broadcast brute-force baseline) as its truth set
   private val allowNestedLoop = Set(
-    "text_lang_id_ngram",
+    "text_lang_id_ngram", "text_tfidf_topk", "sim_ann_recall",
     "text_zipf", "sim_cosine_topk", "sim_ann_ivf", "dedup_embed_cosine",
     "sim_centroid_cohesion", "cot_transform_dedup", "cot_transform_hostile",
     "cot_includes_join")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
-    "stream_static_join", "stream_stream_join",
+    "stream_static_join", "stream_stream_join", "stream_running_counts",
     // write-then-read roundtrips execute a write action at plan build
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
     "src_sorted_skipping", "src_orc_roundtrip")

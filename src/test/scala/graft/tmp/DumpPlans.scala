@@ -20,6 +20,8 @@ object DumpPlans {
       "rel_range_join" -> "interval join bucketized to an equi shuffle join",
       "dedup_lsh_buckets" -> "MinHash kernel + band explode, hash aggregate",
       "sim_cosine_topk" -> "broadcast query set, codegen'd graft_dot, per-query top-k",
+      "dedup_simhash64_pairs" -> "63-bit simhash: chunk explode → equi self-join on (ci, cv) — candidates only from chunk co-membership, never all-pairs",
+      "rel_bucketed_join" -> "bucketed tables co-located join: no Exchange on either join side",
       "cot_pipeline_corpus" -> "P1-P17 fused projection + max_by dedup + broadcast includes join")
     val sb = new StringBuilder
     sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
