@@ -378,6 +378,29 @@ object Relational2 {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Stratified sampling with EXACT per-stratum quotas: rows rank inside
+    * each stratum by a pure md5 of the key and the first 100 survive.
+    * Unlike TABLESAMPLE/BERNOULLI, quotas are met exactly and assignment
+    * is reproducible across runs, engines, and partitionings; the rank
+    * filter plans as WindowGroupLimit, so each partition keeps only its
+    * local top-100 per stratum before the shuffle — no global sort at
+    * 100 TB. The hash is projected to an attribute BELOW the window:
+    * referencing the md5 expression in both ORDER BY and output would
+    * re-evaluate it per consumer (CollapseProject). */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("hk").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        md5(col("o_orderkey").cast("string").cast("binary")).as("hk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 100)
+      .select(col("o_orderstatus"), col("rk"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderstatus"), col("rk"))
+  }
+
   /** Outer-join matrix: LEFT / RIGHT / FULL over the same key, with null
     * probes counted — completes the join-type coverage (inner/semi/anti/
     * asof/range elsewhere). Customers vs high-value orders so all three
@@ -408,6 +431,7 @@ object Relational2 {
     "rel_null_ordering" -> nullOrdering,
     "rel_date_arith" -> dateArith,
     "rel_hash_sample" -> hashSample,
+    "rel_stratified_sample" -> stratifiedSample,
     "rel_approx_percentile" -> approxPercentileQ,
     "rel_histogram" -> histogramQ,
     "rel_cond_agg" -> condAgg,
@@ -480,6 +504,13 @@ object Relational2 {
          |WHERE $b < 2
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "rel_stratified_sample" ->
+      """SELECT o_orderstatus, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS BIGINT) AS rk
+        |  FROM orders
+        |) WHERE rk <= 100 ORDER BY o_orderstatus, rk""".stripMargin,
     "rel_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
          |  COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price,

@@ -191,6 +191,62 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Multi-probe sign-LSH ANN: each query probes its own bucket PLUS the
+    * 4 buckets at Hamming distance 1 (one plane-sign flipped) — the
+    * standard recall/cost dial: candidates grow ~5×/16 of the corpus
+    * instead of 1/16, recall rises accordingly, and the plan shape is
+    * unchanged (probe expansion happens on the tiny broadcast query side;
+    * candidates still join by bucket equality, never all-pairs). Probe
+    * buckets are pairwise distinct, so no candidate dedup is needed. */
+  private def annMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir)).withColumn("bkt", bucket(col("v")))
+    def flip(b: Column, i: Int): Column = concat(
+      substring(b, 1, i - 1),
+      when(substring(b, i, 1) === "1", "0").otherwise("1"),
+      substring(b, i + 1, LSH_DIMS.size - i))
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bkt").as("qbkt"))
+      .withColumn("pbkt", explode(array(
+        col("qbkt") +: (1 to LSH_DIMS.size).map(i => flip(col("qbkt"), i)): _*)))
+    val cand = e.filter(col("vec_id") >= N_QUERIES)
+    val scored = cand.join(broadcast(q), col("bkt") === col("pbkt"))
+      .withColumn("sim", round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Int8 scale quantization of the embedding column — the ANN memory
+    * path (4× smaller vectors; a 100 TB embedding store becomes 25 TB and
+    * cache-resident per-cell). Per vector: scale = max|x|/127, q[i] =
+    * round(x[i]/scale) ∈ [-127,127] by construction (unit-norm corpus ⇒
+    * scale > 0), reconstruction x̂[i] = q[i]·scale. Reports per-label
+    * RMSE of the reconstruction — the number that decides whether int8
+    * re-rank needs an fp32 refinement pass. All arithmetic is IEEE-pinned
+    * in both engines: scale via a sequential max fold, RMSE via a
+    * sequential sum fold, round-half-away on both sides. */
+  private def quantizeI8(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+      .withColumn("q", transform(col("v"), x => round(x / col("scale"), 0)))
+    val sqErr = zip_with(col("v"), col("q"),
+      (a, b) => { val d = a - b * col("scale"); d * d })
+    e.withColumn("rmse",
+      round(sqrt(aggregate(sqErr, lit(0.0), (acc, x) => acc + x) /
+        size(col("v"))), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        avgD(col("rmse")).as("avg_rmse"),
+        max(col("rmse")).as("max_rmse"),
+        avgD(round(col("scale"), 6)).as("avg_scale"))
+      .orderBy(col("label"))
+  }
+
   /** Recall@K of both ANN paths against the exact brute-force top-k — the
     * number an embedding pipeline actually tunes (more LSH planes / more
     * IVF probes trade recall for candidate volume). All three rankings are
@@ -212,6 +268,7 @@ object Similarity {
     }
     recallOf("ivf", annIvf(s, dir))
       .unionByName(recallOf("lsh", annLsh(s, dir)))
+      .unionByName(recallOf("mp", annMultiprobe(s, dir)))
       .orderBy(col("method"), col("q_id"))
   }
 
@@ -231,6 +288,8 @@ object Similarity {
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_recall" -> annRecall,
+    "sim_ann_multiprobe" -> annMultiprobe,
+    "sim_quantize_i8" -> quantizeI8,
     "sim_embed_stats" -> embedStats,
     "dedup_embed_cosine" -> embedCosineNearDup,
     "sim_centroid_cohesion" -> centroidCohesion,
@@ -317,15 +376,53 @@ object Similarity {
          |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
   }
 
+  private val annMultiprobeSql = {
+    def flipSql(i: Int) =
+      s"substr(qbkt, 1, ${i - 1}) || (CASE WHEN substr(qbkt, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(qbkt, ${i + 1})"
+    val probeRows = (s"SELECT q_id, qv, qn, qbkt AS pbkt FROM q" +:
+      (1 to LSH_DIMS.size).map(i =>
+        s"SELECT q_id, qv, qn, ${flipSql(i)} FROM q")).mkString(" UNION ALL ")
+    s"""WITH $eCte,
+       |eb AS (SELECT *, $bucketSql AS bkt FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bkt AS qbkt FROM eb WHERE vec_id < $N_QUERIES),
+       |probes AS ($probeRows),
+       |scored AS (
+       |  SELECT p.q_id, eb.vec_id, round($dotSql / (eb.nrm * p.qn), 6) AS sim
+       |  FROM eb JOIN probes p ON eb.bkt = p.pbkt WHERE eb.vec_id >= $N_QUERIES
+       |)
+       |SELECT q_id, rk, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopkSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
+    "sim_ann_multiprobe" -> annMultiprobeSql,
+    "sim_quantize_i8" -> {
+      val sq = "(v[i] - round(v[i]/scale, 0)*scale) * (v[i] - round(v[i]/scale, 0)*scale)"
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |s1 AS (SELECT label, v,
+         |  list_reduce(list_transform(v, x -> abs(x)), (a,x) -> greatest(a,x)) / 127.0 AS scale
+         |  FROM e),
+         |s2 AS (SELECT label,
+         |  round(sqrt(list_reduce(
+         |    list_transform(generate_series(1, len(v)), i -> $sq),
+         |    (a,x) -> a+x) / len(v)), 6) AS rmse,
+         |  round(scale, 6) AS scale_r
+         |  FROM s1)
+         |SELECT label, COUNT(*) AS n, ${avgSql("rmse")} AS avg_rmse,
+         |  MAX(rmse) AS max_rmse, ${avgSql("scale_r")} AS avg_scale
+         |FROM s2 GROUP BY label ORDER BY label""".stripMargin
+    },
     // recall@K composes the three rankings above verbatim as subqueries
     "sim_ann_recall" ->
       s"""WITH exact AS (SELECT q_id, vec_id FROM ($cosineTopkSql)),
          |lshr AS (SELECT q_id, vec_id FROM ($annLshSql)),
          |ivfr AS (SELECT q_id, vec_id FROM ($annIvfSql)),
+         |mpr AS (SELECT q_id, vec_id FROM ($annMultiprobeSql)),
          |hits AS (
          |  SELECT 'ivf' AS method, e.q_id, COUNT(i.q_id) AS n_hits
          |  FROM exact e LEFT JOIN ivfr i ON e.q_id = i.q_id AND e.vec_id = i.vec_id
@@ -333,6 +430,10 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'lsh' AS method, e.q_id, COUNT(l.q_id) AS n_hits
          |  FROM exact e LEFT JOIN lshr l ON e.q_id = l.q_id AND e.vec_id = l.vec_id
+         |  GROUP BY e.q_id
+         |  UNION ALL
+         |  SELECT 'mp' AS method, e.q_id, COUNT(m.q_id) AS n_hits
+         |  FROM exact e LEFT JOIN mpr m ON e.q_id = m.q_id AND e.vec_id = m.vec_id
          |  GROUP BY e.q_id
          |)
          |SELECT method, q_id, n_hits, round(n_hits / $K.0, 6) AS recall

@@ -164,6 +164,43 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Benchmark decontamination — the n-gram-overlap scan every training
+    * pipeline runs before release: flag documents sharing too many word
+    * 5-grams with an evaluation/benchmark set. The benchmark here is a
+    * deterministic corpus subset (doc_id % 100 == 7) standing in for the
+    * real eval files. Scale shape: the benchmark gram set is FIXED-size
+    * (eval suites don't grow with the corpus) and broadcast, so the scan
+    * side streams map-side — explode, broadcast-join, per-doc count; the
+    * only shuffle is the per-doc aggregate. Output: every non-benchmark
+    * doc with at least one overlapping gram, its contamination fraction,
+    * and the flag at the 50% threshold (near-dup clones of benchmark docs
+    * flag; incidental phrase overlap doesn't). The gram size is a dial:
+    * real pipelines run 8-13 on natural text; 3 here so the synthetic
+    * word-soup corpus produces both incidental and clone-level overlap. */
+  private val DECON_K = 3
+
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Staging.staged(s, dir, s"decon_g$DECON_K") {
+      graft.Tables.balanced(s, dir, "documents", "doc_id")
+        .select(col("doc_id"),
+          array_distinct(shingles(col("text"), DECON_K)).as("gs"))
+    }
+    val bench = grams.filter(col("doc_id") % 100 === 7)
+      .select(explode(col("gs")).as("g")).distinct()
+    val scan = grams.filter(col("doc_id") % 100 =!= 7)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+    scan.join(broadcast(bench), "g")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+      .withColumn("flagged", col("contamination") >= 0.5)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        col("contamination"), col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget bins
     * (training-batch packing), the window-cumsum formulation — bin =
     * floor(tokens-before-me / capacity) per language in doc_id order.
@@ -246,6 +283,7 @@ object TextOps {
     "text_fingerprint" -> fingerprint,
     "text_tfidf_topk" -> tfidf,
     "text_pack_bins" -> packBins,
+    "text_decontaminate" -> decontaminate,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -349,6 +387,18 @@ object TextOps {
       s"""SELECT doc_id, md5(text) AS fp_full,
          |  list_min(list_transform(${shinglesSql("text", 8)}, w -> md5(w))) AS fp_window
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("text", DECON_K)}) AS gm FROM documents),
+         |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+         |bench AS (SELECT DISTINCT gm FROM g WHERE doc_id % 100 = 7),
+         |hit AS (
+         |  SELECT g.doc_id, COUNT(*) AS n_hit FROM g JOIN bench USING (gm)
+         |  WHERE g.doc_id % 100 <> 7 GROUP BY g.doc_id
+         |)
+         |SELECT h.doc_id, ng.n_grams, h.n_hit,
+         |  round(CAST(h.n_hit AS DOUBLE) / ng.n_grams, 6) AS contamination,
+         |  (round(CAST(h.n_hit AS DOUBLE) / ng.n_grams, 6) >= 0.5) AS flagged
+         |FROM hit h JOIN ng USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
