@@ -177,4 +177,32 @@ class StreamingSpec extends SparkSpec {
     assert(state == Map(
       1L -> ((3L, 10.0)), 2L -> ((1L, 10.0)), 3L -> ((1L, 0.25))))
   }
+
+  test("stateful aggregation on the RocksDB state store (100 TB state backend)") {
+    // HDFSBackedStateStore keeps every key on the executor heap — at
+    // production state sizes the JVM dies long before 100 TB of input.
+    // RocksDB is the off-heap, incremental-checkpoint backend; this pins
+    // that the engine's stateful operators run (and agree with batch
+    // semantics) under it.
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = StreamOps.dedupLastWinsQ(spark, dir)
+        .select(col("user_id"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val exp = graft.Tables(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got == exp)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
