@@ -10,6 +10,7 @@ object DumpPlans {
     val sf = "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val picks = Seq(
@@ -21,7 +22,7 @@ object DumpPlans {
       "dedup_lsh_buckets" -> "MinHash kernel + band explode, hash aggregate",
       "sim_cosine_topk" -> "broadcast query set, codegen'd graft_dot, per-query top-k",
       "dedup_simhash64_pairs" -> "63-bit simhash: chunk explode → equi self-join on (ci, cv) — candidates only from chunk co-membership, never all-pairs",
-      "rel_bucketed_join" -> "bucketed tables co-located join: no Exchange on either join side",
+      "rel_bucketed_join" -> "bucketed scans (Bucketed: true, SelectedBucketsCount 8/8): no shuffle Exchange on either join input — at this scale AQE still picks broadcast for the small side; PlanSpec pins the zero-exchange sort-merge form with broadcast disabled",
       "cot_pipeline_corpus" -> "P1-P17 fused projection + max_by dedup + broadcast includes join")
     val sb = new StringBuilder
     sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
