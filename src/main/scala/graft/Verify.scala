@@ -25,7 +25,7 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,7 +44,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // targeted mode must not clobber a full run's oracle file in a reused
+    // outDir with its subset (the full map still covers the subset)
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    if (only.isEmpty || !Files.exists(oraclePath))
+      Files.writeString(oraclePath, json)
     spark.stop()
   }
 }

@@ -50,8 +50,10 @@ object ConfigValidation {
   def partitionIncludes(includes: DataFrame): (DataFrame, DataFrame) = {
     val defaulted = includes.withColumn("group",
       coalesce(col("group"), lit("UNKNOWN")))
-    val ok = col("domain").isin(domains: _*) &&
-      col("group").isin(Schemas.includeGroups: _*)
+    // NULL-safe: a NULL domain makes `isin` NULL, and filter(NULL) drops
+    // the row from BOTH splits — coalesce pins it to the quarantine side
+    val ok = coalesce(col("domain").isin(domains: _*) &&
+      col("group").isin(Schemas.includeGroups: _*), lit(false))
     (defaulted.filter(ok), defaulted.filter(!ok))
   }
 }

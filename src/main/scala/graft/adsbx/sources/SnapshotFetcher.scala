@@ -57,7 +57,9 @@ object SnapshotFetcher {
     var last: Throwable = null
     while (attempt < maxAttempts) {
       try return http(request(config, clock()))
-      catch { case e: Throwable => last = e; attempt += 1 }
+      // NonFatal: an interrupt or VM error must abort the poll loop, not
+      // burn the remaining attempts against a dying process
+      catch { case scala.util.control.NonFatal(e) => last = e; attempt += 1 }
     }
     throw new RuntimeException(
       s"snapshot fetch failed after $maxAttempts attempts", last)

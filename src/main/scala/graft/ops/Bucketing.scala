@@ -37,15 +37,11 @@ object Bucketing {
   /** The in-memory catalog forgets managed tables across JVMs while their
     * warehouse directories persist, so a later session's CREATE fails with
     * LOCATION_ALREADY_EXISTS — drop both the entry and the directory. */
-  private def resetTable(s: SparkSession, table: String): Unit = {
+  def resetTable(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    val loc = new java.io.File(wh, table)
-    if (loc.exists()) rm(loc)
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) Fs.deleteRecursively(loc)
   }
 
   private def bucketedJoinQ(s: SparkSession, dir: String): DataFrame = {

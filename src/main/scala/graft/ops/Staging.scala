@@ -18,4 +18,14 @@ object Staging {
             (build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((s, dir, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and forget every staged intermediate of a session. Bench
+    * calls this between its warmup and timed passes: staged tables
+    * materialized during warmup would otherwise turn the timed pass into
+    * a cache read for every staged query, silently excluding the staged
+    * computation from the official record. */
+  def clear(s: SparkSession): Unit =
+    cache.keys.filter(_._1 eq s).foreach { k =>
+      cache.remove(k).foreach(_.unpersist(blocking = false))
+    }
 }

@@ -330,11 +330,7 @@ object StreamOps {
         // retain only the version just written and its predecessor (the
         // swap source) — unbounded version history is O(batches × state)
         versions().filter(_ < prev).foreach { v =>
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(); ()
-          }
-          rm(new java.io.File(s"$root/v$v"))
+          graft.ops.Fs.deleteRecursively(new java.io.File(s"$root/v$v"))
         }
       }
       .start()

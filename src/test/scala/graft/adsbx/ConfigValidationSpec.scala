@@ -36,14 +36,15 @@ class ConfigValidationSpec extends SparkSpec {
   test("DataFrame variant: quarantine split + the UNKNOWN group default") {
     import spark.implicits._
     val df = Seq(
-      (0L, "FIRE", Some("C1"), Some("N1"), Some("FIRE_INTEL")),
-      (1L, "NAVY", None, Some("N2"), Some("FIRE_INTEL")),   // bad domain
-      (2L, "EMS", None, Some("N3"), Some("MOON_PATROL")),   // bad group
-      (3L, "LAW", None, Some("N4"), None))                  // null group -> UNKNOWN
+      (0L, Some("FIRE"), Some("C1"), Some("N1"), Some("FIRE_INTEL")),
+      (1L, Some("NAVY"), None, Some("N2"), Some("FIRE_INTEL")), // bad domain
+      (2L, Some("EMS"), None, Some("N3"), Some("MOON_PATROL")), // bad group
+      (3L, Some("LAW"), None, Some("N4"), None),                // null group -> UNKNOWN
+      (4L, None, None, Some("N5"), Some("FIRE_INTEL")))         // NULL domain -> quarantine, not dropped
       .toDF("inc_pos", "domain", "callsign", "registration", "group")
     val (ok, bad) = ConfigValidation.partitionIncludes(df)
     assert(ok.select("inc_pos").as[Long].collect().sorted.toSeq == Seq(0L, 3L))
-    assert(bad.select("inc_pos").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(bad.select("inc_pos").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
     assert(ok.filter(col("inc_pos") === 3L).select("group").as[String].head() == "UNKNOWN")
   }
 }

@@ -64,14 +64,8 @@ class PlanSpec extends SparkSpec {
       .withColumnRenamed("o_orderkey", "l_orderkey")
     // the in-memory catalog forgets tables between JVM runs but their
     // warehouse dirs persist — clear both before writing
-    for (t <- Seq("b_lineitem", "b_orders")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(s"/tmp/graft-warehouse/$t"))
-    }
+    for (t <- Seq("b_lineitem", "b_orders"))
+      Bucketing.resetTable(spark, t)
     Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 4)
     Bucketing.writeBucketed(ord, "b_orders", "l_orderkey", 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
