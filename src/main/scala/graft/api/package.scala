@@ -128,6 +128,49 @@ package object api {
         .withColumn("avg_token_len", totChars.cast("double") / nTok.cast("double"))
     }
 
+    /** Stratified sampling with exact per-stratum quotas: keeps the first
+      * `n` rows of each `stratum`, ranked by a pure md5 of `key` —
+      * reproducible across runs and partitionings; plans as
+      * WindowGroupLimit (per-partition top-n, no global sort). */
+    def stratifiedSample(stratum: String, key: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(stratum))
+        .orderBy(col("__hk").asc, col(key).asc)
+      df.withColumn("__hk", md5(col(key).cast("string").cast("binary")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .drop("__hk", "__rk")
+    }
+
+    /** Benchmark decontamination: per document (`idCol`, `textCol`), the
+      * word-`k`-gram overlap with `bench`'s text column of the same name —
+      * (id, n_grams, n_hit, contamination, flagged ≥ threshold). Only docs
+      * with ≥ 1 overlapping gram appear. The benchmark gram set is
+      * broadcast (eval suites are fixed-size; the corpus is not). */
+    def decontaminateAgainst(bench: DataFrame, idCol: String,
+        textCol: String, k: Int = 8, threshold: Double = 0.5): DataFrame = {
+      def grams(c: Column) = array_distinct(ops.Tokens.shingles(c, k))
+      val bgrams = bench.select(explode(grams(col(textCol))).as("__g")).distinct()
+      df.select(col(idCol), size(grams(col(textCol))).cast("long").as("n_grams"),
+          explode(grams(col(textCol))).as("__g"))
+        .join(broadcast(bgrams), "__g")
+        .groupBy(col(idCol), col("n_grams"))
+        .agg(count(lit(1)).as("n_hit"))
+        .withColumn("contamination",
+          col("n_hit").cast("double") / col("n_grams").cast("double"))
+        .withColumn("flagged", col("contamination") >= threshold)
+    }
+
+    /** Int8 scale quantization of `vecCol: array<double>`: appends
+      * `<vecCol>_i8` (values in [-127, 127]) and `<vecCol>_scale`
+      * (per-vector dequantization factor) — the 4× embedding-store
+      * memory path. */
+    def quantizeI8(vecCol: String): DataFrame =
+      df.withColumn("__scale",
+          aggregate(col(vecCol), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+        .withColumn(s"${vecCol}_i8",
+          transform(col(vecCol), x => round(x / col("__scale"), 0).cast("int")))
+        .withColumnRenamed("__scale", s"${vecCol}_scale")
+
     /** Brute-force cosine top-k neighbors: `df` are candidates with
       * (`idCol`, `vecCol: array<double>`); `queries` shares the schema and
       * is broadcast. Returns (q_id, rk, id, sim). */

@@ -99,6 +99,42 @@ class ApiSpec extends SparkSpec {
     assert(api.exceptAll(ref).count() == 0 && api.count() == ref.count())
   }
 
+  test("stratifiedSample: exact quotas, deterministic, subset of input") {
+    val o = graft.Tables(spark, sf, "orders")
+    val s1 = o.stratifiedSample("o_orderstatus", "o_orderkey", 50)
+    val s2 = o.stratifiedSample("o_orderstatus", "o_orderkey", 50)
+    val counts = s1.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = o.groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (k, n) => assert(counts(k) == math.min(50L, n)) }
+    assert(s1.exceptAll(s2).count() == 0 && s1.count() == s2.count())
+  }
+
+  test("decontaminateAgainst matches text_decontaminate") {
+    val d = graft.Tables(spark, sf, "documents")
+    val api = d.filter(col("doc_id") % 100 =!= 7)
+      .decontaminateAgainst(d.filter(col("doc_id") % 100 === 7),
+        "doc_id", "text", k = 3, threshold = 0.5)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("contamination"), 6).as("contamination"), col("flagged"))
+    val ref = graft.ops.TextOps.queries("text_decontaminate")(spark, sf)
+    assert(api.exceptAll(ref).count() == 0 && api.count() == ref.count())
+  }
+
+  test("quantizeI8: values bounded, reconstruction close") {
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .quantizeI8("v")
+    assert(e.filter(exists(col("v_i8"), q => abs(q) > 127)).count() == 0)
+    val err = e.select(aggregate(
+      zip_with(col("v"), col("v_i8"),
+        (a, b) => abs(a - b.cast("double") * col("v_scale"))),
+      lit(0.0), (acc, x) => greatest(acc, x)).as("maxerr"))
+      .agg(max(col("maxerr"))).head().getDouble(0)
+    assert(err < 0.005) // half a quantization step at unit norm
+  }
+
   test("textQuality and profileColumns run and are sane") {
     val d = graft.Tables(spark, sf, "documents")
     val tq = d.textQuality("text")
