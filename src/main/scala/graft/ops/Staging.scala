@@ -26,6 +26,8 @@ object Staging {
     * computation from the official record. */
   def clear(s: SparkSession): Unit =
     cache.keys.filter(_._1 eq s).foreach { k =>
-      cache.remove(k).foreach(_.unpersist(blocking = false))
+      // blocking: lazily-removed blocks would coexist with the rebuilt
+      // caches through the next pass and turn its tail into GC churn
+      cache.remove(k).foreach(_.unpersist(blocking = true))
     }
 }
