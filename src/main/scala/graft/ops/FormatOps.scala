@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Exact._
@@ -98,6 +98,47 @@ object FormatOps {
       .orderBy(col("yr"), col("o_orderpriority"))
   }
 
+  /** Z-ORDER clustered write + 2-D predicate read — the multi-column
+    * data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER): interleaving
+    * the bits of two columns into one sort key co-locates rows that are
+    * close in BOTH dimensions, so parquet row-group min/max stats become
+    * selective for predicates on EITHER column — a single-column sort
+    * (src_sorted_skipping) only skips on its leading column. The z-value
+    * is 16 bits per dimension built from shift/mask built-ins (pure
+    * codegen, no UDF); the read filters a (custkey range × date range)
+    * box and aggregates, and the oracle runs the same box on the ORIGINAL
+    * table — proving the clustered cycle lossless. At 100 TB this is the
+    * difference between reading ~1/k of row groups for a 2-D box and
+    * reading everything that matches only the lead column. */
+  private def zorderBits = 16
+
+  private def zvalue(x: Column, y: Column): Column =
+    (0 until zorderBits).map { i =>
+      (shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)): Column
+    }.reduce(_ + _)
+
+  private def zorderWrite(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "zorder")
+    // dimensions: custkey (< 2^16 at test SFs; at larger scale widen the
+    // bit budget or range-bucket first) and days since 1992-01-01
+    val days = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+    graft.Tables(s, dir, "orders")
+      .withColumn("zv", zvalue(col("o_custkey"), days.cast("long")))
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_custkey") >= 100 && col("o_custkey") < 200 &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** ORC sink + source roundtrip (the second columnar format Spark ships
     * natively), aggregating the read-back to prove losslessness. */
   private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -119,6 +160,7 @@ object FormatOps {
     "src_jsonl_roundtrip" -> jsonlRoundtrip,
     "src_partitioned_pruned" -> partitionedPruned,
     "src_sorted_skipping" -> sortedWrite,
+    "src_zorder_skipping" -> zorderWrite,
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +184,15 @@ object FormatOps {
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |  ${sumSql("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_zorder_skipping" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_custkey) AS n_cust
+         |FROM orders
+         |WHERE o_custkey >= 100 AND o_custkey < 200
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_sorted_skipping" ->
       s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,

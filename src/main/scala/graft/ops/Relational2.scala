@@ -63,6 +63,48 @@ object Relational2 {
       |FROM customer WHERE c_custkey % 100 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** Correlated EXISTS (decorrelated by Catalyst to a left-semi join —
+    * one shuffle, never a per-row probe) and its NOT EXISTS dual (left
+    * anti). Verbatim SQL both engines. */
+  val existsSubquerySql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** NOT IN vs NOT EXISTS null semantics — the classic SQL trap: with a
+    * NULL in the subquery result, `x NOT IN (...)` is never TRUE (three-
+    * valued logic), while NOT EXISTS still filters row-by-row. Both
+    * engines must agree on both counts; nulls are synthesized with
+    * nullif. Verbatim SQL both engines. */
+  val notInNullsSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+      |     (SELECT nullif(o_custkey, 14) FROM orders)) AS n_not_in_with_null,
+      |  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+      |     (SELECT o_custkey FROM orders WHERE o_custkey <> 14)) AS n_not_in_no_null,
+      |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders WHERE nullif(o_custkey, 14) = c.c_custkey)) AS n_not_exists""".stripMargin
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — the semantics MERGE pipelines need
+    * for nullable business keys. Verbatim SQL both engines (Spark parses
+    * IS NOT DISTINCT FROM and plans it as a hash join on a null-safe
+    * key, not a nested loop). */
+  val nullsafeJoinSql: String =
+    """WITH l AS (SELECT o_orderkey, nullif(o_orderkey % 7, 3) AS k, o_totalprice
+      |           FROM orders WHERE o_orderkey % 100 = 0),
+      |r AS (SELECT nullif(n, 3) AS k, concat('g', CAST(n AS VARCHAR(30))) AS tag
+      |      FROM (SELECT DISTINCT o_orderkey % 7 AS n FROM orders))
+      |SELECT l.o_orderkey, l.k, r.tag, l.o_totalprice
+      |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+      |ORDER BY l.o_orderkey, r.tag""".stripMargin
+
   /** Recursive CTE (Spark 4 WITH RECURSIVE): a month spine generated
     * recursively, left-joined to order counts — the standard gap-filling
     * date-spine pattern; trailing months correctly report 0. The SQL text
@@ -441,6 +483,12 @@ object Relational2 {
     "rel_unpivot" -> unpivotQ,
     "rel_scalar_subquery" -> ((s, dir) =>
       viewsAndSql(s, dir, scalarSubquerySql, "customer", "orders")),
+    "rel_exists_subquery" -> ((s, dir) =>
+      viewsAndSql(s, dir, existsSubquerySql, "customer", "orders")),
+    "rel_not_in_nulls" -> ((s, dir) =>
+      viewsAndSql(s, dir, notInNullsSql, "customer", "orders")),
+    "rel_nullsafe_join" -> ((s, dir) =>
+      viewsAndSql(s, dir, nullsafeJoinSql, "orders")),
     "rel_recursive_spine" -> ((s, dir) =>
       viewsAndSql(s, dir, recursiveSpineSql, "orders")),
     "rel_lateral_topk" -> ((s, dir) =>
@@ -456,6 +504,10 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // verbatim-SQL queries: the identical text runs in both engines
+    "rel_exists_subquery" -> existsSubquerySql,
+    "rel_not_in_nulls" -> notInNullsSql,
+    "rel_nullsafe_join" -> nullsafeJoinSql,
     // the sketch side is checked by the query itself (within_* must come
     // out TRUE); the oracle verifies the exact twin columns
     "rel_approx_percentile" ->

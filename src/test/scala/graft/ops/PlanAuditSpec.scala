@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "stream_static_join", "stream_stream_join", "stream_running_counts",
     // write-then-read roundtrips execute a write action at plan build
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
-    "src_sorted_skipping", "src_orc_roundtrip",
+    "src_sorted_skipping", "src_orc_roundtrip", "src_zorder_skipping",
     // executes DROP TABLE + two bucketed writes at plan build; the
     // zero-exchange join form is pinned by PlanSpec instead
     "rel_bucketed_join")
