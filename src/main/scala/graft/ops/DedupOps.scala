@@ -381,16 +381,27 @@ object DedupOps {
     * Bits 1-32 are the parity (bit 0) of each md5 hex digit; bits 33-63
     * are bit 1 of hex digits 1-31 — 63 independent bits from the single
     * md5 already computed per token. */
-  private val hexBit0 = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-  private val hexBit1 = Seq("2", "3", "6", "7", "a", "b", "e", "f")
-
   private[graft] def simhash64(s: SparkSession, dir: String): DataFrame = {
+    // the md5 is parsed ONCE into four 32-bit words; each bit test is then
+    // a shift+mask instead of a substring+8-way isin (63 of them per
+    // token) — same bits, ~integer-arithmetic cost. The DuckDB oracle
+    // keeps the per-hex-digit substr derivation, so the hash match also
+    // cross-checks this packing against an independent construction.
+    val words = (0 until 4).map(sgm =>
+      conv(substring(col("h"), 1 + 8 * sgm, 8), 16, 10).cast("long").as(s"w$sgm"))
     val tok = docs(s, dir).select(col("doc_id"),
       explode(array_distinct(toks(col("text")))).as("w"))
       .select(col("doc_id"), md5(col("w").cast("binary")).as("h"))
-    def bitTest(i: Int): Column =
-      if (i <= 32) substring(col("h"), i, 1).isin(hexBit0: _*)
-      else substring(col("h"), i - 32, 1).isin(hexBit1: _*)
+      .select(col("doc_id") +: words: _*)
+    // hex digit j (1-based, leftmost) of word w = (w >> 4*(8 - j)) & 0xF;
+    // fingerprint bits 1..32 take bit 0 of digits 1..32, bits 33..63 take
+    // bit 1 of digits 1..31 (hex digit sets {1,3,..,f} / {2,3,6,7,..} in
+    // the oracle's substr form)
+    def bitTest(i: Int): Column = {
+      val (digit, bit) = if (i <= 32) (i, 0) else (i - 32, 1)
+      val word = col(s"w${(digit - 1) / 8}")
+      shiftright(word, 4 * (7 - (digit - 1) % 8) + bit).bitwiseAND(1) === 1
+    }
     val bitSums = (1 to 63).map(i =>
       sum(when(bitTest(i), 1).otherwise(-1)).as(s"b$i"))
     tok.groupBy(col("doc_id"))
