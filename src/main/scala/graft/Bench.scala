@@ -27,6 +27,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_warehouse")
+      // 104 queries x 2 passes overflow the default 100-entry codegen
+      // class cache, so wide plans (63-aggregate simhash) could pay their
+      // multi-second janino compile AGAIN in the timed pass — an eviction
+      // artifact, not query cost
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
