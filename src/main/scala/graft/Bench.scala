@@ -39,6 +39,10 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "region").count()
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // measurement basis: .count(), deliberately — it lets Catalyst prune
+    // unreferenced projections, but r1 and r2 were recorded on the same
+    // basis, and cross-round comparability is what the record is for
+    // (switching to toRdd.count() mid-series would read as a regression)
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }

@@ -44,11 +44,24 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    // targeted mode must not clobber a full run's oracle file in a reused
-    // outDir with its subset (the full map still covers the subset)
+    // targeted mode MERGES into an existing oracle file instead of
+    // clobbering it with the subset — and instead of skipping the write,
+    // which would leave edited oracle SQL stale on disk
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
     if (only.isEmpty || !Files.exists(oraclePath))
       Files.writeString(oraclePath, json)
+    else {
+      import org.json4s._
+      val existing = jackson.JsonMethods.parse(Files.readString(oraclePath)) match {
+        case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }
+        case _ => Nil
+      }
+      val subset = SparkEntry.oracleSql
+        .filter { case (k, _) => only.exists(_.contains(k)) }
+      val merged = (existing.toMap ++ subset)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(oraclePath, merged)
+    }
     spark.stop()
   }
 }

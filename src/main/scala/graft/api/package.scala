@@ -130,8 +130,11 @@ package object api {
 
     /** Stratified sampling with exact per-stratum quotas: keeps the first
       * `n` rows of each `stratum`, ranked by a pure md5 of `key` —
-      * reproducible across runs and partitionings; plans as
-      * WindowGroupLimit (per-partition top-n, no global sort). */
+      * reproducible across runs and partitionings PROVIDED `key` is
+      * unique per row (duplicate keys tie on both the hash and the
+      * tiebreak, leaving which physical duplicate survives partition-
+      * dependent); plans as WindowGroupLimit (per-partition top-n, no
+      * global sort). */
     def stratifiedSample(stratum: String, key: String, n: Int): DataFrame = {
       val w = Window.partitionBy(col(stratum))
         .orderBy(col("__hk").asc, col(key).asc)
@@ -150,8 +153,12 @@ package object api {
         textCol: String, k: Int = 8, threshold: Double = 0.5): DataFrame = {
       def grams(c: Column) = array_distinct(ops.Tokens.shingles(c, k))
       val bgrams = bench.select(explode(grams(col(textCol))).as("__g")).distinct()
-      df.select(col(idCol), size(grams(col(textCol))).cast("long").as("n_grams"),
-          explode(grams(col(textCol))).as("__g"))
+      // gram set projected to an attribute below the Generate: the shingle
+      // HOF evaluates interpreted, and referencing it twice in one select
+      // (size + explode) would compute it twice per corpus row
+      df.select(col(idCol), grams(col(textCol)).as("__gs"))
+        .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"),
+          explode(col("__gs")).as("__g"))
         .join(broadcast(bgrams), "__g")
         .groupBy(col(idCol), col("n_grams"))
         .agg(count(lit(1)).as("n_hit"))
@@ -168,7 +175,12 @@ package object api {
       df.withColumn("__scale",
           aggregate(col(vecCol), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
         .withColumn(s"${vecCol}_i8",
-          transform(col(vecCol), x => round(x / col("__scale"), 0).cast("int")))
+          // zero-vector guard: under Spark's default ANSI mode x / 0.0
+          // THROWS (DIVIDE_BY_ZERO) instead of yielding NaN — an all-zero
+          // padding row must quantize to zeros, not kill the job
+          transform(col(vecCol), x =>
+            when(col("__scale") === 0.0, lit(0))
+              .otherwise(round(x / col("__scale"), 0).cast("int"))))
         .withColumnRenamed("__scale", s"${vecCol}_scale")
 
     /** Brute-force cosine top-k neighbors: `df` are candidates with
