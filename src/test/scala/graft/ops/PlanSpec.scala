@@ -79,6 +79,44 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom-filter join pruning injects might_contain on the fact side") {
+    // At 100 TB the biggest win on a selective fact-dim shuffle join is
+    // Spark's runtime row-level filter: a bloom filter built from the
+    // selective side is pushed into the fact scan, cutting shuffle volume
+    // before the join. Thresholds are floored here to trigger it at test
+    // scale; results must be identical with the filter on and off.
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def join() = {
+      val li = graft.Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val sel = graft.Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      li.join(sel, col("l_orderkey") === col("o_orderkey"))
+    }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val filtered = join()
+      assert(plan(filtered).contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan(filtered)}")
+      val expected = {
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        try join().count()
+        finally spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      }
+      assert(filtered.count() == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Tables.balanced: filter + column pruning still reach the scan below the exchange") {
     import org.apache.spark.sql.functions.col
     val p = plan(graft.Tables.balanced(spark, sf, "documents", "doc_id")
