@@ -22,8 +22,8 @@ import Tokens._
 object DedupOps {
 
   private val SHINGLE_K = 3
-  private val N_MINHASH = 8 // md5 chunks per shingle
-  private val N_BANDS = 4   // bands of r = 2 minhashes each
+  private[graft] val N_MINHASH = 8 // md5 chunks per shingle
+  private[graft] val N_BANDS = 4   // bands of r = 2 minhashes each
 
   // balanced: the md5/shingle kernels are expression-heavy per-row work
   // that must not run on a single scan partition (see Tables.balanced)
@@ -61,8 +61,9 @@ object DedupOps {
     * measured 5-10x slower than this JVM loop. The kernel is narrow (no
     * shuffle, embarrassingly parallel) and byte-identical to the DuckDB
     * oracle (`sigCte`): same shingles, same md5 hex, same lexicographic
-    * chunk min. */
-  private def minhashSig(d: DataFrame): DataFrame = {
+    * chunk min. Streaming-safe (stateless) — also feeds
+    * StreamOps.streamingNearDup on an unbounded doc stream. */
+  private[graft] def minhashSig(d: DataFrame): DataFrame = {
     import d.sparkSession.implicits._
     d.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
@@ -99,7 +100,7 @@ object DedupOps {
     * 5k docs at sf0.1); r=2 keeps near-dup recall at 1-(1-J^2)^4 (98% at
     * J=0.8) while cutting random-pair collisions ~10x. A single explode of
     * a 4-struct array — one pass over sig. */
-  private def bandTable(sig: DataFrame): DataFrame =
+  private[graft] def bandTable(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       explode(array((0 until N_BANDS).map(i =>
         struct(lit(i).as("band"),
@@ -456,16 +457,16 @@ object DedupOps {
 
   // ---- DuckDB oracle ----------------------------------------------------
 
-  private val tok3Cte =
+  private[graft] val tok3Cte =
     s"""tok3 AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("text", SHINGLE_K)}) AS w FROM documents)"""
 
-  private val sigCte = {
+  private[graft] val sigCte = {
     val mins = (0 until N_MINHASH)
       .map(i => s"min(substr(md5(w), ${1 + 4 * i}, 4)) AS mh$i").mkString(", ")
     s"sig AS (SELECT doc_id, $mins FROM tok3 GROUP BY doc_id)"
   }
 
-  private val bandsCte = {
+  private[graft] val bandsCte = {
     val rows = (0 until N_BANDS)
       .map(i => s"SELECT $i AS band, mh${2 * i} || mh${2 * i + 1} AS bucket, doc_id FROM sig")
       .mkString(" UNION ALL ")

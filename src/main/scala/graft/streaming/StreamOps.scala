@@ -228,6 +228,80 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  final case class NearDupPair(d1: Long, d2: Long, n_agree: Long)
+
+  /** Streaming near-duplicate detection with cross-batch LSH state — the
+    * operator a continuously-ingesting training pipeline runs instead of
+    * re-deduping the whole corpus per batch. Per arriving doc: MinHash
+    * signature (stateless kernel), explode to 4 band buckets, then
+    * flatMapGroupsWithState keyed by (band, bucket) holds the signatures
+    * previously seen in that bucket and emits a pair for every state doc
+    * whose signature agrees on ≥ `AGREE_MIN` of the 8 chunks (estimated
+    * Jaccard ≥ AGREE_MIN/8). State is per-bucket and bounded by
+    * `maxPerBucket` (newest-first recency window — the standard streaming
+    * dedup compromise: at production rates you dedup against the recent
+    * past, not all history; the cap here is far above any test-scale
+    * bucket, so results equal the unbounded batch oracle). A pair sharing
+    * several buckets is emitted once per bucket — dedupe downstream
+    * (`nearDupStreamQ` distincts the result table). */
+  private val AGREE_MIN = 4
+
+  def streamingNearDup(docsStream: DataFrame,
+                       maxPerBucket: Int = 4096): Dataset[NearDupPair] = {
+    import docsStream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sig = graft.ops.DedupOps.minhashSig(docsStream)
+    val banded = graft.ops.DedupOps.bandTable(sig)
+      .join(sig.withColumnRenamed("doc_id", "sdoc"),
+        col("doc_id") === col("sdoc"))
+      .select(col("band"), col("bucket"), col("doc_id"),
+        array((0 until graft.ops.DedupOps.N_MINHASH)
+          .map(i => col(s"mh$i")): _*).as("sig"))
+    banded.as[(Int, String, Long, Seq[String])]
+      .groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[(Int, String, Long, Seq[String])],
+         state: GroupState[List[(Long, Seq[String])]]) => {
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDupPair]
+          // doc_id order within the batch: emitted pairs are independent
+          // of shuffle arrival order, matching the batch oracle exactly
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, s) =>
+            seen.foreach { case (oid, os) =>
+              val agree = (0 until graft.ops.DedupOps.N_MINHASH)
+                .count(i => os(i) == s(i))
+              if (oid != id && agree >= AGREE_MIN)
+                out += NearDupPair(math.min(oid, id), math.max(oid, id), agree)
+            }
+            seen = ((id, s) :: seen).take(maxPerBucket)
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
+
+  /** documents as a stream (file source, explicit schema). */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** streamingNearDup run to completion; the multi-bucket duplicates are
+    * distinct-ed on the result table. Oracle: the batch LSH candidate
+    * pairs with the same chunk-agreement threshold. */
+  def nearDupStreamQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = streamingNearDup(docsStream(s, dir)).toDF()
+    runToMemory(pairs, "append")
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Stream-static join: the streaming fact enriched by a broadcast batch
     * dimension (the streaming form of the reference's J2 includes-join —
     * per micro-batch, the dim is joined map-side, no stream state). */
@@ -357,6 +431,7 @@ object StreamOps {
     "stream_dedup_lastwins" -> dedupLastWinsQ,
     "stream_session_window" -> sessionWindowQ,
     "stream_running_counts" -> runningCountsQ,
+    "stream_lsh_neardup" -> nearDupStreamQ,
     "stream_static_join" -> streamStaticJoinQ,
     "stream_stream_join" -> streamStreamJoinQ,
   )
@@ -378,6 +453,27 @@ object StreamOps {
     "stream_incremental_merge" ->
       s"""SELECT user_id, COUNT(*) AS n, ${graft.ops.Exact.sumSql("value")} AS sum_value
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // batch equivalent of the streaming LSH state: bucket-co-member pairs
+    // with >= AGREE_MIN equal signature chunks
+    "stream_lsh_neardup" -> {
+      val agree = (0 until graft.ops.DedupOps.N_MINHASH)
+        .map(i => s"(CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH ${graft.ops.DedupOps.tok3Cte},
+         |${graft.ops.DedupOps.sigCte},
+         |${graft.ops.DedupOps.bandsCte},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2, CAST($agree AS BIGINT) AS n_agree
+         |FROM cand
+         |JOIN sig s1 ON d1 = s1.doc_id
+         |JOIN sig s2 ON d2 = s2.doc_id
+         |WHERE $agree >= 4
+         |ORDER BY d1, d2""".stripMargin
+    },
     // every key's timed-out final state == the batch per-user aggregate
     "stream_running_counts" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts

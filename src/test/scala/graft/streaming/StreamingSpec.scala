@@ -178,6 +178,31 @@ class StreamingSpec extends SparkSpec {
       1L -> ((3L, 10.0)), 2L -> ((1L, 10.0)), 3L -> ((1L, 0.25))))
   }
 
+  test("streamingNearDup pairs docs ACROSS micro-batches (LSH state carries)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.streamingNearDup(docs).toDF()
+      .writeStream.format("memory").queryName("snd_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      // batch 1: one doc + one unrelated doc (no pair yet)
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight nine"))
+      q.processAllAvailable()
+      assert(spark.table("snd_test").count() == 0)
+      // batch 2: an exact duplicate of doc 1 — the pair must be found
+      // against the PREVIOUS batch's state
+      input.addData((3L, "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("snd_test").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 3L, 8L)))
+  }
+
   test("stateful aggregation on the RocksDB state store (100 TB state backend)") {
     // HDFSBackedStateStore keeps every key on the executor heap — at
     // production state sizes the JVM dies long before 100 TB of input.
