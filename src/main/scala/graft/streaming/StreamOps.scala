@@ -251,12 +251,17 @@ object StreamOps {
     import docsStream.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sig = graft.ops.DedupOps.minhashSig(docsStream)
-    val banded = graft.ops.DedupOps.bandTable(sig)
-      .join(sig.withColumnRenamed("doc_id", "sdoc"),
-        col("doc_id") === col("sdoc"))
-      .select(col("band"), col("bucket"), col("doc_id"),
-        array((0 until graft.ops.DedupOps.N_MINHASH)
-          .map(i => col(s"mh$i")): _*).as("sig"))
+    // band explode CARRIES the signature array — joining the band table
+    // back to sig would be a stream-stream self-join with unbounded join
+    // state, the exact shape this operator exists to avoid
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until graft.ops.DedupOps.N_BANDS).map(i =>
+        struct(lit(i).as("band"),
+          concat(col(s"mh${2 * i}"), col(s"mh${2 * i + 1}")).as("bucket"))): _*)).as("bb"),
+      array((0 until graft.ops.DedupOps.N_MINHASH)
+        .map(i => col(s"mh$i")): _*).as("sig"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"), col("sig"))
     banded.as[(Int, String, Long, Seq[String])]
       .groupByKey { case (band, bucket, _, _) => (band, bucket) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
