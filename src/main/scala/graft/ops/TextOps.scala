@@ -82,27 +82,33 @@ object TextOps {
     * at scale the profile table stays vocabulary-sized and broadcasts.
     * Output: confusion matrix vs the label. */
   private def langIdNgram(s: SparkSession, dir: String): DataFrame = {
-    val d = graft.Tables.balanced(s, dir, "documents", "doc_id")
-      .select(col("doc_id"), col("lang"), explode(charTrigrams).as("g"))
-    val grams = Staging.staged(s, dir, "lid_g3")(d)
-    val profile = grams.groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+    // the trigram SET is computed once per doc (the charNgramSet HOF is
+    // the expensive part) and staged as an in-row array: the profile
+    // build explodes it once, but SCORING never touches the exploded
+    // table again — each doc intersects its set with the 5 broadcast
+    // top-20 profile arrays in-row (score = |docSet ∩ profileSet|,
+    // identical to the former join-and-count over distinct grams, which
+    // was a second pass over the ~5M-row explode and the query's
+    // dominant cost)
+    val withSets = Staging.staged(s, dir, "lid_gs") {
+      graft.Tables.balanced(s, dir, "documents", "doc_id")
+        .select(col("doc_id"), col("lang"), charTrigrams.as("gs"))
+    }
+    val profile = withSets
+      .select(col("lang"), explode(col("gs")).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("g").asc)
-    val top = profile.withColumn("rk", row_number().over(wTop))
+    val profArrays = profile.withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 20)
-      .select(col("lang").as("p_lang"), col("g"))
-    val scores = grams.join(broadcast(top), "g")
-      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-      .agg(count(lit(1)).as("s"))
-    // full (doc, candidate-lang) grid so zero-overlap languages still rank
-    val langs = grams.select(col("lang").as("p_lang")).distinct()
-    val grid = grams.select(col("doc_id"), col("lang")).distinct()
-      .crossJoin(broadcast(langs))
-      .join(scores, Seq("doc_id", "lang", "p_lang"), "left")
-      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .groupBy(col("lang").as("p_lang"))
+      .agg(collect_list(col("g")).as("pg")) // 20 grams x n_langs — tiny
+    val scored = withSets.crossJoin(broadcast(profArrays))
+      .select(col("doc_id"), col("lang"), col("p_lang"),
+        size(array_intersect(col("gs"), col("pg"))).cast("long").as("s"))
     val wPred = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s").desc, col("p_lang").asc)
-    grid.withColumn("rk", row_number().over(wPred)).filter(col("rk") === 1)
+    scored.withColumn("rk", row_number().over(wPred)).filter(col("rk") === 1)
       .groupBy(col("lang"), col("p_lang").as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
