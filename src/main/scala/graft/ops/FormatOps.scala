@@ -139,6 +139,29 @@ object FormatOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Schema evolution: two parquet files in one dataset written with
+    * DIFFERENT schemas (a column added later — the normal life of a
+    * long-lived lake table), read back with mergeSchema so the early
+    * file's missing column surfaces as NULL. At 100 TB schema changes
+    * are certain; a reader that can't union schemas forces a full
+    * rewrite. The oracle reconstructs the same union from the original
+    * table, with the added column NULLed for the "old" half. */
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "evolve")
+    val o = graft.Tables(s, dir, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/v1")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority")) // the column added in v2
+      .write.mode("overwrite").parquet(s"$path/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   /** ORC sink + source roundtrip (the second columnar format Spark ships
     * natively), aggregating the read-back to prove losslessness. */
   private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -161,6 +184,7 @@ object FormatOps {
     "src_partitioned_pruned" -> partitionedPruned,
     "src_sorted_skipping" -> sortedWrite,
     "src_zorder_skipping" -> zorderWrite,
+    "src_schema_evolution" -> schemaEvolution,
   )
 
   val oracles: Map[String, String] = Map(
@@ -185,6 +209,18 @@ object FormatOps {
          |  ${sumSql("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderstatus = 'F'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_schema_evolution" ->
+      s"""WITH unioned AS (
+         |  SELECT o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 2 = 0
+         |  UNION ALL
+         |  SELECT o_orderstatus, o_totalprice, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 2 <> 0
+         |)
+         |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM unioned GROUP BY 1, 2
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "src_zorder_skipping" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |  ${sumSql("o_totalprice")} AS sum_price,

@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpec {
     // write-then-read roundtrips execute a write action at plan build
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
     "src_sorted_skipping", "src_orc_roundtrip", "src_zorder_skipping",
+    "src_schema_evolution",
     // executes DROP TABLE + two bucketed writes at plan build; the
     // zero-exchange join form is pinned by PlanSpec instead
     "rel_bucketed_join")
