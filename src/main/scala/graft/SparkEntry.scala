@@ -23,14 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CotQueries.queries ++ Relational.queries ++ Relational2.queries ++
       Bucketing.queries ++ FormatOps.queries ++ DedupOps.queries ++
-      TextOps.queries ++ Similarity.queries ++ MultimodalOps.queries ++
-      SkewOps.queries ++ ProfileOps.queries ++ SplitOps.queries ++
-      graft.streaming.StreamOps.queries
+      TextOps.queries ++ CleanOps.queries ++ Similarity.queries ++
+      MultimodalOps.queries ++ SkewOps.queries ++ ProfileOps.queries ++
+      SplitOps.queries ++ graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
     CotQueries.oracles ++ Relational.oracles ++ Relational2.oracles ++
       Bucketing.oracles ++ FormatOps.oracles ++ DedupOps.oracles ++
-      TextOps.oracles ++ Similarity.oracles ++ MultimodalOps.oracles ++
-      SkewOps.oracles ++ ProfileOps.oracles ++ SplitOps.oracles ++
-      graft.streaming.StreamOps.oracles
+      TextOps.oracles ++ CleanOps.oracles ++ Similarity.oracles ++
+      MultimodalOps.oracles ++ SkewOps.oracles ++ ProfileOps.oracles ++
+      SplitOps.oracles ++ graft.streaming.StreamOps.oracles
 }

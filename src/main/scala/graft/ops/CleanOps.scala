@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tokens._
+
+/** Corpus-cleaning operators every large-scale training-data pipeline runs
+  * before a token ever reaches a model: PII detection/redaction, a
+  * hashed-feature quality classifier (the fastText-style keep/drop gate),
+  * and corpus-frequency boilerplate-line removal (the C4 rule: drop any
+  * line that repeats across too many documents).
+  *
+  * Scale shapes:
+  *   - PII redaction is pure per-row regex work — map-side only, zero
+  *     shuffles, whole-stage codegen; at 100 TB it is embarrassingly
+  *     parallel and the scan is the only cost.
+  *   - The classifier is explode → broadcast-join(weight table) → per-doc
+  *     sum: the weight table is model-sized (fixed, tiny), so the single
+  *     shuffle is the per-doc aggregate with map-side partial sums.
+  *   - Line-dedup's frequency table is bounded by the distinct-line
+  *     vocabulary (≪ corpus), and only the over-threshold BLOCKLIST — far
+  *     smaller still — is broadcast back for the anti-join.
+  */
+object CleanOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+
+  // ---- PII detection + redaction -----------------------------------------
+
+  /** RE2-compatible (no lookaround) so Spark's Java regex and the DuckDB
+    * oracle agree byte-for-byte. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val ipRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The synthetic corpus is PII-free word-soup, so PII-bearing text is
+    * DERIVED deterministically from the row (doc_id decides which PII kind
+    * is appended) — the same derivation the oracle applies, so the regex
+    * detection + redaction machinery is exercised on real PII shapes.
+    * Same pattern as `text_decontaminate`'s benchmark subset. */
+  private def piiText: Column = {
+    val d = col("doc_id")
+    when(d % 5 === 0, concat(col("text"), lit(" contact user"),
+      d.cast("string"), lit("@example.com now")))
+      .when(d % 5 === 1, concat(col("text"), lit(" call +1-555-"),
+        lpad((d % 10000).cast("string"), 4, "0"), lit(" today")))
+      .when(d % 5 === 2, concat(col("text"), lit(" host 10."),
+        (d % 256).cast("string"), lit(".0."), (d % 100).cast("string"),
+        lit(" up")))
+      .otherwise(col("text"))
+  }
+
+  private val piiTextSql =
+    """CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |     WHEN doc_id % 5 = 1 THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      |     WHEN doc_id % 5 = 2 THEN text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+      |     ELSE text END""".stripMargin.replace("\n", " ")
+
+  /** Per-document PII hit counts by kind plus the redacted text.
+    * Counts are taken BEFORE redaction; redaction applies email → phone →
+    * ip (the patterns are mutually non-overlapping, so order is cosmetic).
+    * Zero shuffles before the final orderBy — the 100 TB plan is scan +
+    * project. */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val txt = piiText
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(txt, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipRe, "[IP]")
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(txt, lit(emailRe), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(txt, lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+      size(regexp_extract_all(txt, lit(ipRe), lit(0))).cast("long").as("n_ip"),
+      red.as("redacted"))
+      .withColumn("has_pii",
+        col("n_email") + col("n_phone") + col("n_ip") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Hashed-feature quality classifier ---------------------------------
+
+  private val CLS_BUCKETS = 64
+
+  /** Token → feature bucket: first 4 md5 hex digits mod 64 (same
+    * cross-engine-deterministic trick as SplitOps.hashBucket). */
+  private def featBucket(w: Column): Column =
+    conv(substring(md5(w.cast("binary")), 1, 4), 16, 10)
+      .cast("long") % CLS_BUCKETS
+
+  /** Linear quality classifier over hashed bag-of-words features — the
+    * standard learned keep/drop gate (fastText-style) with the learned
+    * weight VECTOR as a broadcast table. Weights here are a deterministic
+    * function of the bucket (a stand-in for trained values; the join/score
+    * machinery is the operator). Integer weights keep the raw score exact;
+    * the sigmoid is rounded to 6 dp so both engines' libm agree. */
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val weights = broadcast(
+      s.range(0, CLS_BUCKETS.toLong)
+        .select(col("id").as("bucket"), (col("id") % 7 - 3).as("wgt")))
+    val prob = round(
+      lit(1.0) / (lit(1.0) + exp(-col("raw_score").cast("double") / 100.0)), 6)
+    docs(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .withColumn("bucket", featBucket(col("w")))
+      .join(weights, "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wgt")).as("raw_score"))
+      .withColumn("prob", prob)
+      .withColumn("keep", col("prob") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Boilerplate line removal (C4-style) -------------------------------
+
+  /** The corpus has no newlines, so a "line" is a non-overlapping LINE_K-
+    * token chunk — the same partition-the-document semantics. A line is
+    * boilerplate when it appears in >= LINE_THR distinct documents. */
+  private val LINE_K = 3
+  private val LINE_THR = 3
+
+  /** Remove corpus-frequent lines from every document. Plan: posexplode →
+    * per-(doc, line-no) chunk assembly (one shuffle, map-side combined) →
+    * line-frequency aggregate over the line vocabulary (≪ corpus) →
+    * broadcast anti-join of the over-threshold blocklist → per-doc
+    * reassembly in line order. The chunk table is staged: the frequency
+    * build and the anti-join both consume it, and Catalyst would otherwise
+    * compute it twice. */
+  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
+    val lines = Staging.staged(s, dir, s"clean_lines_$LINE_K") {
+      tok.withColumn("ln", floor(col("pos") / LINE_K).cast("long"))
+        .groupBy(col("doc_id"), col("ln"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("line"))
+    }
+    val block = lines.groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= LINE_THR)
+      .select(col("line"))
+    val kept = lines.join(broadcast(block), Seq("line"), "left_anti")
+    val total = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ln"), col("line")))),
+          x => x.getField("line")), " ").as("cleaned"))
+    total.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_redact" -> piiRedact,
+    "text_quality_classifier" -> qualityClassifier,
+    "text_line_dedup" -> lineDedup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $piiTextSql AS txt FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '$emailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(txt, '$phoneRe')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(txt, '$ipRe')) AS BIGINT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g'),
+         |    '$ipRe', '[IP]', 'g') AS redacted,
+         |  (len(regexp_extract_all(txt, '$emailRe'))
+         |   + len(regexp_extract_all(txt, '$phoneRe'))
+         |   + len(regexp_extract_all(txt, '$ipRe'))) > 0 AS has_pii
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "text_quality_classifier" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |tb AS (SELECT doc_id,
+         |  CAST(CAST('0x' || substr(md5(w), 1, 4) AS UBIGINT) % $CLS_BUCKETS AS BIGINT) AS bucket
+         |  FROM tok),
+         |wt AS (SELECT CAST(unnest(range(0, $CLS_BUCKETS)) AS BIGINT) AS bucket),
+         |wt2 AS (SELECT bucket, bucket % 7 - 3 AS wgt FROM wt),
+         |sc AS (SELECT doc_id, CAST(SUM(wgt) AS BIGINT) AS raw_score
+         |       FROM tb JOIN wt2 USING (bucket) GROUP BY 1)
+         |SELECT doc_id, raw_score,
+         |  round(1.0 / (1.0 + exp(-CAST(raw_score AS DOUBLE) / 100.0)), 6) AS prob,
+         |  round(1.0 / (1.0 + exp(-CAST(raw_score AS DOUBLE) / 100.0)), 6) >= 0.5 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_line_dedup" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |lx AS (SELECT doc_id,
+         |  unnest(list_transform(range(0, CAST(ceil(len(t) / $LINE_K.0) AS BIGINT)),
+         |    p -> {'ln': p, 'line': array_to_string(t[p*$LINE_K+1 : p*$LINE_K+$LINE_K], ' ')})) AS s
+         |  FROM base),
+         |l2 AS (SELECT doc_id, s.ln AS ln, s.line AS line FROM lx),
+         |block AS (SELECT line FROM (
+         |  SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l2 GROUP BY 1) WHERE nd >= $LINE_THR),
+         |kept AS (SELECT l2.* FROM l2 ANTI JOIN block USING (line)),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l2 GROUP BY 1),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |       string_agg(line, ' ' ORDER BY ln) AS cleaned FROM kept GROUP BY 1)
+         |SELECT t.doc_id, t.n_lines,
+         |  coalesce(ka.n_kept, 0) AS n_kept, coalesce(ka.cleaned, '') AS cleaned
+         |FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-cleaning operators (CleanOps). */
+class CleanOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("text_pii_redact: injected PII is detected by kind and fully redacted") {
+    val out = CleanOps.queries("text_pii_redact")(spark, sf)
+    val d5 = col("doc_id") % 5
+    // each injected kind is counted exactly once, on the right rows
+    assert(out.filter(d5 === 0 && col("n_email") =!= 1).count() == 0)
+    assert(out.filter(d5 === 1 && col("n_phone") =!= 1).count() == 0)
+    assert(out.filter(d5 === 2 && col("n_ip") =!= 1).count() == 0)
+    assert(out.filter(d5.isin(3, 4) && col("has_pii")).count() == 0)
+    // redaction is total: no raw pattern survives, the placeholder appears
+    assert(out.filter(col("redacted").rlike("@")).count() == 0)
+    assert(out.filter(d5 === 0 && !col("redacted").contains("[EMAIL]")).count() == 0)
+    assert(out.filter(d5 === 1 && !col("redacted").contains("[PHONE]")).count() == 0)
+    assert(out.filter(d5 === 2 && !col("redacted").contains("[IP]")).count() == 0)
+  }
+
+  test("text_quality_classifier: probabilities coherent, score bounded by |w|max * n_tokens") {
+    val out = CleanOps.queries("text_quality_classifier")(spark, sf)
+    assert(out.filter(col("prob") <= 0.0 || col("prob") >= 1.0).count() == 0)
+    assert(out.filter(col("keep") =!= (col("prob") >= 0.5)).count() == 0)
+    val joined = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .join(out, "doc_id")
+    assert(joined.filter(abs(col("raw_score")) > col("n_tok") * 3).count() == 0)
+    // every document is scored (bucket join is total over 0..63)
+    assert(out.count() == graft.Tables(spark, sf, "documents").count())
+  }
+
+  test("text_line_dedup: untouched docs reconstruct their original text exactly") {
+    val out = CleanOps.queries("text_line_dedup")(spark, sf)
+    assert(out.filter(col("n_kept") > col("n_lines")).count() == 0)
+    val joined = graft.Tables(spark, sf, "documents").join(out, "doc_id")
+    // chunks rejoined on single spaces reproduce the source text verbatim
+    assert(joined.filter(col("n_kept") === col("n_lines") &&
+      col("cleaned") =!= col("text")).count() == 0)
+    // something was actually removed somewhere (the operator is exercised)
+    assert(out.filter(col("n_kept") < col("n_lines")).count() > 0)
+  }
+}
