@@ -315,6 +315,56 @@ object DedupOps {
     result.orderBy(col("doc_id"))
   }
 
+  /** Containment near-dup — the asymmetric case Jaccard misses: a document
+    * wholly embedded in a larger one (boilerplate wrapping, quote-and-extend
+    * plagiarism) has containment |A∩B|/|A| ≈ 1 but low Jaccard, so MinHash
+    * LSH never surfaces it. Candidates come from a PPJoin-style PREFIX
+    * FILTER instead: order each doc's shingles by global rarity (ascending
+    * document frequency); if A is ≥90% contained in B, at most ⌊|A|/10⌋ of
+    * A's shingles miss B, so among any ⌊|A|/10⌋+1 of them — we take the
+    * rarest — at least one lands in B. Joining only those prefix shingles
+    * against the corpus shingle table yields every qualifying pair
+    * (pigeonhole-complete), and because prefix shingles are by construction
+    * the RAREST, the join's per-key fan-out is bounded — that is what makes
+    * the shape linear-ish at 100 TB where an all-pairs verify is Θ(n²).
+    *
+    * The oracle verifies all pairs sharing ≥1 shingle (brute force, test-
+    * scale only) — a hash match therefore PROVES the prefix filter lost no
+    * qualifying pair, the property that lets production skip the quadratic
+    * scan. */
+  private val CONT_THR = 0.9
+
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = staged(s, dir, "cont_sets") {
+      docs(s, dir).select(col("doc_id"), shingleSet.as("ws"))
+    }
+    // (doc, shingle) table: feeds the df count, the prefix ranking, and the
+    // candidate join's corpus side
+    val tok = staged(s, dir, "cont_tok") {
+      sets.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("w"))
+    }
+    val df_ = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val wRare = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("w").asc)
+    val prefix = tok.join(df_, "w")
+      .withColumn("rk", row_number().over(wRare))
+      .filter(col("rk") <= expr("n div 10") + 1) // integer ⌊|A|/10⌋+1, engine-exact
+      .select(col("doc_id").as("pa"), col("w"))
+    val cand = prefix.join(tok.select(col("doc_id").as("pb"), col("w")), "w")
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("d1"),
+        greatest(col("pa"), col("pb")).as("d2"))
+      .distinct()
+    cand.join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / size(col("s1.ws")).cast("double")).as("c12"),
+        (col("i").cast("double") / size(col("s2.ws")).cast("double")).as("c21"))
+      .filter(greatest(col("c12"), col("c21")) >= CONT_THR)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** 16-bit SimHash over the distinct-token set, md5-hex-digit parity as
     * the per-bit hash (cross-engine reproducible). */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
@@ -451,6 +501,7 @@ object DedupOps {
     "dedup_lsh_neardup" -> lshNearDupPairs,
     "dedup_clusters" -> nearDupClusters,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
+    "dedup_containment" -> containmentPairs,
     "dedup_simhash" -> simhashQuery,
     "dedup_simhash_pairs" -> simhashPairs,
   )
@@ -558,6 +609,26 @@ object DedupOps {
          |)
          |SELECT u AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // brute force over every shingle-sharing pair (test-scale only):
+    // matching the prefix-filtered Spark output proves filter completeness
+    "dedup_containment" ->
+      s"""WITH $tok3Cte,
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY 1),
+         |inter AS (
+         |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS i
+         |  FROM tok3 t1 JOIN tok3 t2
+         |    ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d1, d2,
+         |  CAST(i AS DOUBLE) / CAST(c1.n AS DOUBLE) AS c12,
+         |  CAST(i AS DOUBLE) / CAST(c2.n AS DOUBLE) AS c21
+         |FROM inter
+         |JOIN cnt c1 ON d1 = c1.doc_id
+         |JOIN cnt c2 ON d2 = c2.doc_id
+         |WHERE greatest(CAST(i AS DOUBLE) / CAST(c1.n AS DOUBLE),
+         |               CAST(i AS DOUBLE) / CAST(c2.n AS DOUBLE)) >= $CONT_THR
+         |ORDER BY d1, d2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $tok3Cte, $sigCte, $bandsCte,
          |pairs AS (

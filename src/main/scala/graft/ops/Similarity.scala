@@ -136,6 +136,25 @@ object Similarity {
 
   private val NPROBE = 2
 
+  /** Every vector scored against every (broadcast) quantizer cell, ranked
+    * per vector by cell similarity. Staged: IVF's assignment + probe
+    * branches and the semantic-dedup query all filter this — unpersisted,
+    * the full corpus × cells scoring (and the centroid build under it)
+    * would run once per consumer. */
+  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir)).drop("label")
+    val cent = centroidVectors(s, dir)
+      .withColumnRenamed("label", "cell_label")
+    val cellScore = e.join(broadcast(cent))
+      .withColumn("csim",
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cell_label").asc)
+    Staging.staged(s, dir, "ivf_ranked") {
+      cellScore.withColumn("crk", row_number().over(wCell))
+    }
+  }
+
   /** Per-label centroid vectors in dimension order (exact decimal per-dim
     * means — partitioning-independent), with their norms. Label count ≪
     * corpus, so this is always a broadcast table. */
@@ -161,20 +180,7 @@ object Similarity {
     * Voronoi cells; the production mitigation (cap + spill to next cell)
     * keeps the same plan shape. */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(emb(s, dir)).drop("label")
-    val cent = centroidVectors(s, dir)
-      .withColumnRenamed("label", "cell_label")
-    val cellScore = e.join(broadcast(cent))
-      .withColumn("csim",
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cell_label").asc)
-    // staged: assigned and probes both filter this — unpersisted, the
-    // full corpus × cells scoring (and the centroid build under it) would
-    // run once per join branch
-    val ranked = Staging.staged(s, dir, "ivf_ranked") {
-      cellScore.withColumn("crk", row_number().over(wCell))
-    }
+    val ranked = ivfRanked(s, dir)
     val assigned = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
       .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
     val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)
@@ -218,6 +224,41 @@ object Similarity {
       .filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val SEM_TAU = 0.35
+
+  /** SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): quantizer cells bound the pairwise work — within
+    * each cell, vectors closer than SEM_TAU cosine form a duplicate
+    * neighborhood, and of any near-dup pair the member FARTHER from the
+    * cell centroid is kept preferentially (it is the more informative /
+    * less prototypical example; ties break on vec_id). A vector is dropped
+    * when some cell-mate within τ beats it under that rule. Pairwise
+    * scoring never leaves a cell — the same bounded-candidate posture as
+    * IVF; at 100 TB the cells come from k-means with a per-cell cap, same
+    * plan. Output: every vector with its cell, centroid similarity, and
+    * the drop verdict. */
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfRanked(s, dir).filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell_label").as("cell"),
+        col("v"), col("nrm"), col("csim"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim",
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("sim") >= SEM_TAU)
+      // b wins over a: farther from the centroid (SemDeDup keeps the
+      // extreme example), vec_id as the deterministic tie-break
+      .filter(col("b.csim") < col("a.csim") ||
+        (col("b.csim") === col("a.csim") && col("b.vec_id") < col("a.vec_id")))
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("csim"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
+      .orderBy(col("vec_id"))
   }
 
   /** Int8 scale quantization of the embedding column — the ANN memory
@@ -292,6 +333,7 @@ object Similarity {
     "sim_quantize_i8" -> quantizeI8,
     "sim_embed_stats" -> embedStats,
     "dedup_embed_cosine" -> embedCosineNearDup,
+    "dedup_semantic" -> semanticDedup,
     "sim_centroid_cohesion" -> centroidCohesion,
   )
 
@@ -448,6 +490,45 @@ object Similarity {
          |FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
          |WHERE round($dotAb / (a.nrm * b.nrm), 6) >= 0.45
          |ORDER BY v1, v2""".stripMargin
+    },
+    "dedup_semantic" -> {
+      val dotAC =
+        "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
+      val dotAB =
+        "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"
+      s"""WITH $eCte,
+         |ex AS (
+         |  SELECT label, i AS dim, v[i] AS val
+         |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+         |), centd AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM ex GROUP BY 1, 2
+         |), cent AS (
+         |  SELECT label, list(c ORDER BY dim) AS cv FROM centd GROUP BY label
+         |), centn AS (
+         |  SELECT label, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,x) -> a+x)) AS cn
+         |  FROM cent
+         |), cs AS (
+         |  SELECT e.vec_id, e.v, e.nrm, c.label,
+         |    round($dotAC / (e.nrm * c.cn), 6) AS csim
+         |  FROM e CROSS JOIN centn c
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, label ASC) AS crk FROM cs
+         |), assigned AS (
+         |  SELECT vec_id, label AS cell, v, nrm, csim FROM ranked WHERE crk = 1
+         |), dup AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE round($dotAB / (a.nrm * b.nrm), 6) >= $SEM_TAU
+         |    AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+         |)
+         |SELECT a.vec_id, a.cell, a.csim, (d.vec_id IS NOT NULL) AS dropped
+         |FROM assigned a LEFT JOIN dup d USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
     },
     "sim_embed_stats" ->
       s"""WITH $eCte,

@@ -35,6 +35,24 @@ class CleanOpsSpec extends SparkSpec {
     assert(out.count() == graft.Tables(spark, sf, "documents").count())
   }
 
+  test("dedup_containment: exact duplicates surface as containment-1 pairs, canonical order") {
+    val out = DedupOps.queries("dedup_containment")(spark, sf)
+    assert(out.filter(col("d1") >= col("d2")).count() == 0)
+    assert(out.filter(greatest(col("c12"), col("c21")) < 0.9).count() == 0)
+    // every exact-duplicate group (n_copies > 1) implies a containment-1 pair
+    val nDupGroups = DedupOps.queries("dedup_exact")(spark, sf)
+      .filter(col("n_copies") > 1).count()
+    assert(out.filter(col("c12") === 1.0 && col("c21") === 1.0).count() >= nDupGroups)
+  }
+
+  test("dedup_semantic: covers the corpus; every cell keeps at least one member") {
+    val out = Similarity.queries("dedup_semantic")(spark, sf)
+    assert(out.count() == graft.Tables(spark, sf, "embeddings").count())
+    val perCell = out.groupBy(col("cell"))
+      .agg(sum(when(!col("dropped"), 1L).otherwise(0L)).as("n_kept"))
+    assert(perCell.filter(col("n_kept") < 1).count() == 0)
+  }
+
   test("text_line_dedup: untouched docs reconstruct their original text exactly") {
     val out = CleanOps.queries("text_line_dedup")(spark, sf)
     assert(out.filter(col("n_kept") > col("n_lines")).count() == 0)

@@ -28,7 +28,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_lang_id_ngram", "text_tfidf_topk", "sim_ann_recall",
     "text_zipf", "sim_cosine_topk", "sim_ann_ivf", "dedup_embed_cosine",
     "sim_centroid_cohesion", "cot_transform_dedup", "cot_transform_hostile",
-    "cot_includes_join")
+    "cot_includes_join",
+    // dedup_semantic scores vectors against the BROADCAST quantizer-cell
+    // table (bounded by design, same as sim_ann_ivf)
+    "dedup_semantic")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
