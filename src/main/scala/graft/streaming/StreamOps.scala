@@ -107,6 +107,24 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id")
 
+  /** `streamingDedup`'s operator (dropDuplicatesWithinWatermark) driven to
+    * completion — the retransmission-dedup every at-least-once ingest runs.
+    * Only the KEY columns are projected: which physical row wins the
+    * first-seen race depends on partition arrival order, but the surviving
+    * key set does not, so the projection is deterministic and the oracle is
+    * plain DISTINCT. State is per-key and watermark-evicted (keys older
+    * than the delay are forgotten — the bounded-state contract; on this
+    * bounded single-file input no eviction fires, so the result equals the
+    * full distinct). */
+  def watermarkDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToMemory(deduped, "append")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long,
       last_ts: java.sql.Timestamp, closed: Boolean)
 
@@ -439,6 +457,7 @@ object StreamOps {
     "stream_lsh_neardup" -> nearDupStreamQ,
     "stream_static_join" -> streamStaticJoinQ,
     "stream_stream_join" -> streamStreamJoinQ,
+    "stream_watermark_dedup" -> ((s, dir) => watermarkDedupQ(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -483,6 +502,10 @@ object StreamOps {
     "stream_running_counts" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // surviving key set of first-seen dedup == DISTINCT keys
+    "stream_watermark_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "stream_static_join" ->
       s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,
          |  ${graft.ops.Exact.sumSql("value")} AS sum_value
