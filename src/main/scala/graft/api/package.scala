@@ -42,6 +42,36 @@ package object api {
       * with cluster_id = min reachable id. */
     def clusterPairs(): DataFrame = ops.DedupOps.clusterPairs(df)
 
+    /** Asymmetric containment pairs over (doc_id: long, text: string):
+      * (d1, d2, c12, c21) where either |A∩B|/|A| direction reaches
+      * `threshold` — catches a document embedded in a larger one, which
+      * Jaccard-targeted MinHash misses. PPJoin-style rarest-prefix
+      * candidate generation (pigeonhole-complete, never all-pairs). */
+    def containmentPairs(threshold: Double = 0.9): DataFrame =
+      ops.DedupOps.containmentPairs(df, threshold)
+
+    // ---- corpus cleaning ------------------------------------------------
+
+    /** Append PII detection + redaction columns (n_email/n_phone/n_ip,
+      * redacted, has_pii) for `textCol`. Pure map-side regex work. */
+    def piiRedact(textCol: String): DataFrame =
+      ops.CleanOps.redactPii(df, textCol)
+
+    /** C4-style boilerplate removal: drop every k-token line appearing in
+      * ≥ `minDocs` distinct documents; returns (idCol, n_lines, n_kept,
+      * cleaned). */
+    def removeFrequentLines(idCol: String, textCol: String,
+        k: Int = 3, minDocs: Long = 3): DataFrame =
+      ops.CleanOps.removeFrequentLines(df, idCol, textCol, k, minDocs)
+
+    /** Hashed bag-of-words linear classifier score (fastText-style gate):
+      * tokens hash into `nBuckets` md5 buckets, the broadcast
+      * (bucket, wgt) `weights` table supplies the model; returns
+      * (idCol, raw_score, prob, keep). */
+    def hashedLinearScore(idCol: String, textCol: String, weights: DataFrame,
+        nBuckets: Int = 64, temperature: Double = 100.0): DataFrame =
+      ops.CleanOps.linearScore(df, idCol, textCol, weights, nBuckets, temperature)
+
     // ---- relational patterns ------------------------------------------
 
     /** Gaps-and-islands sessionization: appends `session_idx` (0-based per

@@ -57,59 +57,71 @@ object CleanOps {
       |     WHEN doc_id % 5 = 2 THEN text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
       |     ELSE text END""".stripMargin.replace("\n", " ")
 
-  /** Per-document PII hit counts by kind plus the redacted text.
-    * Counts are taken BEFORE redaction; redaction applies email → phone →
-    * ip (the patterns are mutually non-overlapping, so order is cosmetic).
-    * Zero shuffles before the final orderBy — the 100 TB plan is scan +
-    * project. */
-  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
-    val txt = piiText
+  /** PUBLIC: append per-row PII hit counts by kind (n_email/n_phone/n_ip,
+    * counted BEFORE redaction), the redacted text, and a has_pii flag.
+    * Pure per-row regex work — map-side only, zero shuffles, whole-stage
+    * codegen; at 100 TB it is embarrassingly parallel and the scan is the
+    * only cost. Redaction applies email → phone → ip (the patterns are
+    * mutually non-overlapping, so order is cosmetic). */
+  def redactPii(d: DataFrame, textCol: String): DataFrame = {
+    val txt = col(textCol)
     val red = regexp_replace(
       regexp_replace(
         regexp_replace(txt, emailRe, "[EMAIL]"),
         phoneRe, "[PHONE]"),
       ipRe, "[IP]")
-    docs(s, dir).select(
-      col("doc_id"),
-      size(regexp_extract_all(txt, lit(emailRe), lit(0))).cast("long").as("n_email"),
-      size(regexp_extract_all(txt, lit(phoneRe), lit(0))).cast("long").as("n_phone"),
-      size(regexp_extract_all(txt, lit(ipRe), lit(0))).cast("long").as("n_ip"),
-      red.as("redacted"))
+    d.withColumn("n_email",
+        size(regexp_extract_all(txt, lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_phone",
+        size(regexp_extract_all(txt, lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("n_ip",
+        size(regexp_extract_all(txt, lit(ipRe), lit(0))).cast("long"))
+      .withColumn("redacted", red)
       .withColumn("has_pii",
         col("n_email") + col("n_phone") + col("n_ip") > 0)
-      .orderBy(col("doc_id"))
   }
+
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    redactPii(docs(s, dir).select(col("doc_id"), piiText.as("txt")), "txt")
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        col("redacted"), col("has_pii"))
+      .orderBy(col("doc_id"))
 
   // ---- Hashed-feature quality classifier ---------------------------------
 
+  /** Feature buckets = first 4 md5 hex digits mod N (same cross-engine-
+    * deterministic trick as SplitOps.hashBucket). */
   private val CLS_BUCKETS = 64
 
-  /** Token → feature bucket: first 4 md5 hex digits mod 64 (same
-    * cross-engine-deterministic trick as SplitOps.hashBucket). */
-  private def featBucket(w: Column): Column =
-    conv(substring(md5(w.cast("binary")), 1, 4), 16, 10)
-      .cast("long") % CLS_BUCKETS
-
-  /** Linear quality classifier over hashed bag-of-words features — the
+  /** PUBLIC: linear classifier over hashed bag-of-words features — the
     * standard learned keep/drop gate (fastText-style) with the learned
-    * weight VECTOR as a broadcast table. Weights here are a deterministic
-    * function of the bucket (a stand-in for trained values; the join/score
-    * machinery is the operator). Integer weights keep the raw score exact;
-    * the sigmoid is rounded to 6 dp so both engines' libm agree. */
-  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val weights = broadcast(
-      s.range(0, CLS_BUCKETS.toLong)
-        .select(col("id").as("bucket"), (col("id") % 7 - 3).as("wgt")))
+    * weight VECTOR supplied as a (bucket, wgt) table, broadcast (a model is
+    * always tiny relative to the corpus). Plan: explode → broadcast-join →
+    * per-doc sum (one shuffle, map-side combined). Returns
+    * (idCol, raw_score, prob, keep); prob is rounded to 6 dp. */
+  def linearScore(d: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, nBuckets: Int, temperature: Double): DataFrame = {
     val prob = round(
-      lit(1.0) / (lit(1.0) + exp(-col("raw_score").cast("double") / 100.0)), 6)
-    docs(s, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      .withColumn("bucket", featBucket(col("w")))
-      .join(weights, "bucket")
-      .groupBy(col("doc_id"))
+      lit(1.0) / (lit(1.0) + exp(-col("raw_score").cast("double") / temperature)), 6)
+    d.select(col(idCol), explode(toks(col(textCol))).as("w"))
+      .withColumn("bucket",
+        conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % nBuckets)
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
       .agg(sum(col("wgt")).as("raw_score"))
       .withColumn("prob", prob)
       .withColumn("keep", col("prob") >= 0.5)
+  }
+
+  /** Query wrapper: weights are a deterministic function of the bucket (a
+    * stand-in for trained values; the join/score machinery is the operator
+    * under test). Integer weights keep the raw score exact; the 6 dp
+    * rounding makes both engines' libm agree on the sigmoid. */
+  private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val weights = s.range(0, CLS_BUCKETS.toLong)
+      .select(col("id").as("bucket"), (col("id") % 7 - 3).as("wgt"))
+    linearScore(docs(s, dir), "doc_id", "text", weights, CLS_BUCKETS, 100.0)
       .orderBy(col("doc_id"))
   }
 
@@ -121,40 +133,51 @@ object CleanOps {
   private val LINE_K = 3
   private val LINE_THR = 3
 
-  /** Remove corpus-frequent lines from every document. Plan: posexplode →
+  /** PUBLIC: remove corpus-frequent lines from every document ("line" = a
+    * non-overlapping k-token chunk; a real newline-delimited corpus would
+    * split on newlines instead — same plan). Plan: posexplode →
     * per-(doc, line-no) chunk assembly (one shuffle, map-side combined) →
     * line-frequency aggregate over the line vocabulary (≪ corpus) →
     * broadcast anti-join of the over-threshold blocklist → per-doc
-    * reassembly in line order. The chunk table is staged: the frequency
-    * build and the anti-join both consume it, and Catalyst would otherwise
-    * compute it twice. */
-  private def lineDedup(s: SparkSession, dir: String): DataFrame = {
-    val tok = graft.Tables.balanced(s, dir, "documents", "doc_id")
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "w")))
-    val lines = Staging.staged(s, dir, s"clean_lines_$LINE_K") {
-      tok.withColumn("ln", floor(col("pos") / LINE_K).cast("long"))
-        .groupBy(col("doc_id"), col("ln"))
+    * reassembly in line order. The chunk table is read by the frequency
+    * build and the anti-join both, so it is materialized via `stage`
+    * (Catalyst would otherwise compute it twice). Returns
+    * (idCol, n_lines, n_kept, cleaned). */
+  def removeFrequentLines(d: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Long,
+      stage: DataFrame => DataFrame = _.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val tok = d.select(col(idCol), posexplode(toks(col(textCol))).as(Seq("pos", "w")))
+    val lines = stage {
+      tok.withColumn("ln", floor(col("pos") / k).cast("long"))
+        .groupBy(col(idCol), col("ln"))
         .agg(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("w")))),
           x => x.getField("w")), " ").as("line"))
     }
     val block = lines.groupBy(col("line"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= LINE_THR)
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
       .select(col("line"))
     val kept = lines.join(broadcast(block), Seq("line"), "left_anti")
-    val total = lines.groupBy(col("doc_id")).agg(count(lit(1)).as("n_lines"))
-    val keptAgg = kept.groupBy(col("doc_id"))
+    val total = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("ln"), col("line")))),
           x => x.getField("line")), " ").as("cleaned"))
-    total.join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
+    total.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
-      .orderBy(col("doc_id"))
   }
+
+  private def lineDedup(s: SparkSession, dir: String): DataFrame =
+    removeFrequentLines(
+      graft.Tables.balanced(s, dir, "documents", "doc_id"),
+      "doc_id", "text", LINE_K, LINE_THR,
+      df => Staging.staged(s, dir, s"clean_lines_$LINE_K")(df))
+      .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_redact" -> piiRedact,

@@ -334,21 +334,27 @@ object DedupOps {
     * scan. */
   private val CONT_THR = 0.9
 
-  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
-    val sets = staged(s, dir, "cont_sets") {
-      docs(s, dir).select(col("doc_id"), shingleSet.as("ws"))
-    }
+  /** PUBLIC generic containment pipeline over any (doc_id, text) DataFrame:
+    * returns (d1, d2, c12, c21) for pairs where either direction's
+    * containment reaches `threshold`. The prefix size ⌊(1-t)·|A|⌋+1 is
+    * computed with a +1e-9 guard so a 1-ulp-low product cannot shrink the
+    * prefix below the pigeonhole bound. */
+  def containmentPairs(d: DataFrame, threshold: Double = CONT_THR,
+      stage: (String, DataFrame) => DataFrame = (_, df) =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      : DataFrame = {
+    val sets = stage("cont_sets", d.select(col("doc_id"), shingleSet.as("ws")))
     // (doc, shingle) table: feeds the df count, the prefix ranking, and the
     // candidate join's corpus side
-    val tok = staged(s, dir, "cont_tok") {
-      sets.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("w"))
-    }
+    val tok = stage("cont_tok",
+      sets.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("w")))
     val df_ = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val wRare = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df").asc, col("w").asc)
     val prefix = tok.join(df_, "w")
       .withColumn("rk", row_number().over(wRare))
-      .filter(col("rk") <= expr("n div 10") + 1) // integer ⌊|A|/10⌋+1, engine-exact
+      .filter(col("rk") <=
+        floor(col("n") * (1.0 - threshold) + 1e-9).cast("int") + 1)
       .select(col("doc_id").as("pa"), col("w"))
     val cand = prefix.join(tok.select(col("doc_id").as("pb"), col("w")), "w")
       .filter(col("pa") =!= col("pb"))
@@ -361,9 +367,13 @@ object DedupOps {
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / size(col("s1.ws")).cast("double")).as("c12"),
         (col("i").cast("double") / size(col("s2.ws")).cast("double")).as("c21"))
-      .filter(greatest(col("c12"), col("c21")) >= CONT_THR)
-      .orderBy(col("d1"), col("d2"))
+      .filter(greatest(col("c12"), col("c21")) >= threshold)
   }
+
+  private def containmentQuery(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(docs(s, dir), CONT_THR,
+      (k, df) => staged(s, dir, k)(df))
+      .orderBy(col("d1"), col("d2"))
 
   /** 16-bit SimHash over the distinct-token set, md5-hex-digit parity as
     * the per-bit hash (cross-engine reproducible). */
@@ -501,7 +511,7 @@ object DedupOps {
     "dedup_lsh_neardup" -> lshNearDupPairs,
     "dedup_clusters" -> nearDupClusters,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
-    "dedup_containment" -> containmentPairs,
+    "dedup_containment" -> containmentQuery,
     "dedup_simhash" -> simhashQuery,
     "dedup_simhash_pairs" -> simhashPairs,
   )

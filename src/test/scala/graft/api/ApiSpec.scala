@@ -72,6 +72,30 @@ class ApiSpec extends SparkSpec {
     assert(clusters.exceptAll(refC).count() == 0 && clusters.count() == refC.count())
   }
 
+  test("containmentPairs, piiRedact, removeFrequentLines, hashedLinearScore agree with the corpus queries") {
+    val d = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+    val cont = d.containmentPairs(0.9)
+    val contRef = graft.ops.DedupOps.queries("dedup_containment")(spark, sf)
+    assert(cont.exceptAll(contRef).count() == 0 && cont.count() == contRef.count())
+
+    val lines = d.removeFrequentLines("doc_id", "text", 3, 3)
+    val linesRef = graft.ops.CleanOps.queries("text_line_dedup")(spark, sf)
+    assert(lines.exceptAll(linesRef).count() == 0 && lines.count() == linesRef.count())
+
+    val weights = spark.range(0, 64)
+      .select(col("id").as("bucket"), (col("id") % 7 - 3).as("wgt"))
+    val score = d.hashedLinearScore("doc_id", "text", weights)
+    val scoreRef = graft.ops.CleanOps.queries("text_quality_classifier")(spark, sf)
+    assert(score.exceptAll(scoreRef).count() == 0 && score.count() == scoreRef.count())
+
+    // piiRedact preserves input columns and flags nothing on a PII-free corpus
+    val pii = d.piiRedact("text")
+    assert(pii.columns.toSet ==
+      Set("doc_id", "text", "n_email", "n_phone", "n_ip", "redacted", "has_pii"))
+    assert(pii.filter(col("has_pii")).count() == 0)
+    assert(pii.filter(col("redacted") =!= col("text")).count() == 0)
+  }
+
   test("splitAssign and packBins append deterministic columns") {
     val d = graft.Tables(spark, sf, "documents")
     val s1 = d.splitAssign("doc_id").groupBy("split").count().collect()
