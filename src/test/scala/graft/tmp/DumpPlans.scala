@@ -23,6 +23,8 @@ object DumpPlans {
       "sim_cosine_topk" -> "broadcast query set, codegen'd graft_dot, per-query top-k",
       "dedup_simhash64_pairs" -> "63-bit simhash: chunk explode → equi self-join on (ci, cv) — candidates only from chunk co-membership, never all-pairs",
       "rel_bucketed_join" -> "bucketed scans (Bucketed: true, SelectedBucketsCount 8/8): no shuffle Exchange on either join input — at this scale AQE still picks broadcast for the small side; PlanSpec pins the zero-exchange sort-merge form with broadcast disabled",
+      "dedup_containment" -> "PPJoin-style prefix filter: rarest-shingle prefix (window top-p per doc) equi-joined against the corpus shingle table — candidates only from prefix hits, never all-pairs",
+      "text_line_dedup" -> "line-frequency blocklist (vocabulary-sized) broadcast LEFT ANTI join, per-doc reassembly",
       "cot_pipeline_corpus" -> "P1-P17 fused projection + max_by dedup + broadcast includes join")
     val sb = new StringBuilder
     sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
