@@ -46,9 +46,11 @@ package object api {
       * (d1, d2, c12, c21) where either |A∩B|/|A| direction reaches
       * `threshold` — catches a document embedded in a larger one, which
       * Jaccard-targeted MinHash misses. PPJoin-style rarest-prefix
-      * candidate generation (pigeonhole-complete, never all-pairs). */
-    def containmentPairs(threshold: Double = 0.9): DataFrame =
-      ops.DedupOps.containmentPairs(df, threshold)
+      * candidate generation (pigeonhole-complete, never all-pairs); `k` is
+      * the shingle width — raise it until shingles are effectively unique
+      * in the corpus (see DedupOps.containmentPairs). */
+    def containmentPairs(threshold: Double = 0.9, k: Int = 5): DataFrame =
+      ops.DedupOps.containmentPairs(df, threshold, k)
 
     // ---- corpus cleaning ------------------------------------------------
 

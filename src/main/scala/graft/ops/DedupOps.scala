@@ -333,17 +333,28 @@ object DedupOps {
     * qualifying pair, the property that lets production skip the quadratic
     * scan. */
   private val CONT_THR = 0.9
+  private val CONT_K = 5
 
   /** PUBLIC generic containment pipeline over any (doc_id, text) DataFrame:
     * returns (d1, d2, c12, c21) for pairs where either direction's
     * containment reaches `threshold`. The prefix size ⌊(1-t)·|A|⌋+1 is
     * computed with a +1e-9 guard so a 1-ulp-low product cannot shrink the
-    * prefix below the pigeonhole bound. */
+    * prefix below the pigeonhole bound.
+    *
+    * `k` (shingle width) is the candidate-volume dial: the prefix join's
+    * output is Θ(Σ df(prefix shingle)), so k must be large enough that the
+    * shingle space outgrows the corpus (df ≈ 1). k=3 on this small-vocab
+    * corpus leaves avg df ≈ 8 at sf0.1 and the candidate set quadratic-ish
+    * (measured 16.8 s); k=5 makes shingles effectively unique and the
+    * whole pipeline near-linear — the same tuning a production PPJoin
+    * applies to natural text. */
   def containmentPairs(d: DataFrame, threshold: Double = CONT_THR,
+      k: Int = CONT_K,
       stage: (String, DataFrame) => DataFrame = (_, df) =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       : DataFrame = {
-    val sets = stage("cont_sets", d.select(col("doc_id"), shingleSet.as("ws")))
+    val sets = stage("cont_sets",
+      d.select(col("doc_id"), array_distinct(shingles(col("text"), k)).as("ws")))
     // (doc, shingle) table: feeds the df count, the prefix ranking, and the
     // candidate join's corpus side
     val tok = stage("cont_tok",
@@ -371,8 +382,8 @@ object DedupOps {
   }
 
   private def containmentQuery(s: SparkSession, dir: String): DataFrame =
-    containmentPairs(docs(s, dir), CONT_THR,
-      (k, df) => staged(s, dir, k)(df))
+    containmentPairs(docs(s, dir), CONT_THR, CONT_K,
+      (key, df) => staged(s, dir, key)(df))
       .orderBy(col("d1"), col("d2"))
 
   /** 16-bit SimHash over the distinct-token set, md5-hex-digit parity as
@@ -622,11 +633,11 @@ object DedupOps {
     // brute force over every shingle-sharing pair (test-scale only):
     // matching the prefix-filtered Spark output proves filter completeness
     "dedup_containment" ->
-      s"""WITH $tok3Cte,
-         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY 1),
+      s"""WITH tokc AS (SELECT DISTINCT doc_id, unnest(${shinglesSql("text", CONT_K)}) AS w FROM documents),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tokc GROUP BY 1),
          |inter AS (
          |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, COUNT(*) AS i
-         |  FROM tok3 t1 JOIN tok3 t2
+         |  FROM tokc t1 JOIN tokc t2
          |    ON t1.w = t2.w AND t1.doc_id < t2.doc_id
          |  GROUP BY 1, 2
          |)

@@ -74,7 +74,7 @@ class ApiSpec extends SparkSpec {
 
   test("containmentPairs, piiRedact, removeFrequentLines, hashedLinearScore agree with the corpus queries") {
     val d = graft.Tables(spark, sf, "documents").select("doc_id", "text")
-    val cont = d.containmentPairs(0.9)
+    val cont = d.containmentPairs(0.9, k = 5)
     val contRef = graft.ops.DedupOps.queries("dedup_containment")(spark, sf)
     assert(cont.exceptAll(contRef).count() == 0 && cont.count() == contRef.count())
 
