@@ -47,6 +47,32 @@ object DedupOps {
         max(col("n_chars")).as("n_chars"))
       .orderBy(col("fp"))
 
+  /** Incremental exact dedup — the shape a continuously-ingesting pipeline
+    * runs instead of re-deduping the whole corpus: the incoming batch
+    * (doc_id % 10 == 0 standing in for today's crawl) is first deduped
+    * within itself (min-doc_id keeper per fingerprint), then anti-joined
+    * against the HISTORICAL corpus's fingerprint set. Only genuinely new
+    * documents survive.
+    *
+    * Scale shape: the anti-join shuffles fingerprints, not documents — the
+    * history side is a 16-byte-key projection, and the batch side is tiny
+    * relative to history. (Spark's runtime bloom-filter join pruning —
+    * pinned in PlanSpec — prefilters exactly this shape when the batch
+    * side is selective; a production pipeline additionally keeps history
+    * as a bucketed fingerprint table so the anti-join is zero-exchange on
+    * the history side.) */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val hist = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    batch.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch"))
+      .join(hist.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("n_batch"))
+      .orderBy(col("doc_id"))
+  }
+
   final case class MinHashSig(doc_id: Long,
       mh0: String, mh1: String, mh2: String, mh3: String,
       mh4: String, mh5: String, mh6: String, mh7: String)
@@ -517,6 +543,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash64_pairs" -> simhash64Pairs,
     "dedup_exact" -> exactDedup,
+    "dedup_incremental" -> incrementalDedup,
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_lsh_buckets" -> lshBuckets,
     "dedup_lsh_neardup" -> lshNearDupPairs,
@@ -567,6 +594,14 @@ object DedupOps {
          |WHERE bit_count(xor(a.sh, b.sh)) <= 2
          |ORDER BY d1, d2""".stripMargin
     },
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_batch
+        |  FROM documents WHERE doc_id % 10 = 0 GROUP BY 1
+        |), hist AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT b.doc_id, b.fp, b.n_batch
+        |FROM batch b ANTI JOIN hist USING (fp)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies, max(n_chars) AS n_chars

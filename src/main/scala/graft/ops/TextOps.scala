@@ -170,6 +170,43 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Character-trigram language-model quality score — the CCNet/KenLM-style
+    * filter every production corpus pass runs: score each document by the
+    * average log-probability of its trigrams under an n-gram LM,
+    * P(c₃|c₁c₂) = count₃(g)/count₂(prefix), here self-trained on the corpus
+    * (a real pipeline trains on a held-out clean reference; the machinery
+    * is identical). Low scores = improbable character sequences = noise.
+    *
+    * Scale shape: the model tables are VOCABULARY-sized (≤ alphabet³ —
+    * bounded, unlike the corpus) and broadcast onto the per-doc trigram
+    * explode; the only corpus-keyed shuffle is the per-doc aggregate.
+    * Each per-trigram log-prob is rounded to 6 dp before the exact decimal
+    * average so both engines agree bit-for-bit (ln differs by 1 ulp across
+    * libm implementations — same contract as text_tfidf_topk).
+    *
+    * Every trigram's prefix bigram necessarily exists in the bigram table
+    * (it occurs at the same position), so the model joins are total —
+    * including the short-doc edge where both degrade to truncated
+    * prefixes. */
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val g3 = Staging.staged(s, dir, "lm_g3") {
+      graft.Tables.balanced(s, dir, "documents", "doc_id")
+        .select(col("doc_id"), explode(Tokens.charNgrams(col("text"), 3)).as("g"))
+    }
+    val c3 = g3.groupBy(col("g")).agg(count(lit(1)).as("c3"))
+    val c2 = docs(s, dir)
+      .select(explode(Tokens.charNgrams(col("text"), 2)).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c2"))
+    g3.withColumn("p", substring(col("g"), 1, 2))
+      .join(broadcast(c3), "g")
+      .join(broadcast(c2), "p")
+      .withColumn("lp",
+        round(log(col("c3").cast("double") / col("c2").cast("double")), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), avgD(col("lp")).as("avg_lp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination — the n-gram-overlap scan every training
     * pipeline runs before release: flag documents sharing too many word
     * 5-grams with an evaluation/benchmark set. The benchmark here is a
@@ -290,6 +327,7 @@ object TextOps {
     "text_tfidf_topk" -> tfidf,
     "text_pack_bins" -> packBins,
     "text_decontaminate" -> decontaminate,
+    "text_lm_score" -> lmScore,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -405,6 +443,22 @@ object TextOps {
          |  round(CAST(h.n_hit AS DOUBLE) / ng.n_grams, 6) AS contamination,
          |  (round(CAST(h.n_hit AS DOUBLE) / ng.n_grams, 6) >= 0.5) AS flagged
          |FROM hit h JOIN ng USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH g3 AS (
+         |  SELECT doc_id, unnest(${charNgramsSql("text", 3)}) AS g FROM documents
+         |), g2 AS (
+         |  SELECT unnest(${charNgramsSql("text", 2)}) AS p FROM documents
+         |), c3 AS (SELECT g, COUNT(*) AS c3 FROM g3 GROUP BY 1),
+         |c2 AS (SELECT p, COUNT(*) AS c2 FROM g2 GROUP BY 1),
+         |lp AS (
+         |  SELECT d.doc_id,
+         |    round(ln(CAST(c3.c3 AS DOUBLE) / CAST(c2.c2 AS DOUBLE)), 6) AS lp
+         |  FROM g3 d
+         |  JOIN c3 ON d.g = c3.g
+         |  JOIN c2 ON substr(d.g, 1, 2) = c2.p
+         |)
+         |SELECT doc_id, COUNT(*) AS n_grams, ${avgSql("lp")} AS avg_lp
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

@@ -58,6 +58,20 @@ object Tokens {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))
 
+  /** Character n-grams WITH repeats (multiset) — the language-model
+    * counterpart of `charNgramSet` (counts need multiplicity). Texts
+    * shorter than n yield their single truncated prefix. */
+  def charNgrams(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  /** DuckDB equivalent of `charNgrams`. */
+  def charNgramsSql(textExpr: String, n: Int): String =
+    s"""list_transform(
+       | generate_series(1, greatest(length($textExpr) - ${n - 1}, 1)),
+       | i -> substr($textExpr, i, $n))""".stripMargin.replace("\n", " ")
+
   /** DuckDB equivalent of `charNgramSet`. */
   def charNgramSetSql(textExpr: String, n: Int): String =
     s"""list_distinct(list_transform(

@@ -70,6 +70,27 @@ class OpsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("text_lm_score: log-probs negative, gram count matches text length") {
+    val out = TextOps.queries("text_lm_score")(spark, sf)
+    assert(out.filter(col("avg_lp") >= 0.0).count() == 0) // every P < 1
+    val joined = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .join(out, "doc_id")
+    assert(joined.filter(col("len") >= 3 &&
+      col("n_grams") =!= col("len") - 2).count() == 0)
+    assert(out.count() == graft.Tables(spark, sf, "documents").count())
+  }
+
+  test("dedup_incremental: surviving batch docs are genuinely absent from history") {
+    val out = DedupOps.queries("dedup_incremental")(spark, sf)
+    val d = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    assert(out.filter(col("doc_id") % 10 =!= 0).count() == 0)
+    val leaked = out.join(d.filter(col("doc_id") % 10 =!= 0).select("fp"), "fp")
+    assert(leaked.count() == 0)
+    assert(out.filter(col("n_batch") < 1).count() == 0)
+  }
+
   test("text_stats: ratios bounded, token counts positive") {
     val out = TextOps.queries("text_stats")(spark, sf)
     assert(out.filter(col("n_tokens") <= 0).count() == 0)
