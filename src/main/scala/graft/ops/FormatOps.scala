@@ -177,7 +177,34 @@ object FormatOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Plain-text sink + source roundtrip (one record per line — the format
+    * raw crawl dumps and many tokenizer pipelines exchange). Lines carry
+    * "doc_id<TAB>text"; read-back parses on the FIRST tab only, so tabs in
+    * the payload would survive (the corpus has none — a real pipeline
+    * escapes or length-prefixes). Fidelity proof: an order-insensitive
+    * md5-prefix checksum over every (doc_id, text) pair, plus min/max
+    * fingerprints — any lost or altered byte shifts the sum. */
+  private def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "text")
+    graft.Tables(s, dir, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").text(path)
+    val parts = split(col("value"), "\t", 2)
+    // attributes below the Aggregate: the split runs once per row (a bare
+    // Project would be CollapseProject-inlined into every consumer)
+    val back = s.read.text(path)
+      .select(parts.getItem(0).cast("long").as("doc_id"),
+        parts.getItem(1).as("text"))
+      .select(md5(concat(col("doc_id").cast("string"), lit("|"), col("text"))
+        .cast("binary")).as("fp"), length(col("text")).as("len"))
+    back.agg(count(lit(1)).as("n_docs"),
+      sum(conv(substring(col("fp"), 1, 8), 16, 10).cast("long")).as("fp_sum"),
+      min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"),
+      sum(col("len")).as("sum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_text_roundtrip" -> textRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_jsonl_roundtrip" -> jsonlRoundtrip,
@@ -190,6 +217,17 @@ object FormatOps {
   val oracles: Map[String, String] = Map(
     // the oracle reads the ORIGINAL table — matching hashes prove the
     // write→read cycle preserved every value
+    "src_text_roundtrip" ->
+      """WITH f AS (
+        |  SELECT md5(CAST(doc_id AS VARCHAR) || '|' || text) AS fp,
+        |    length(text) AS len
+        |  FROM documents
+        |)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST('0x' || substr(fp, 1, 8) AS UBIGINT)) AS BIGINT) AS fp_sum,
+        |  MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+        |  CAST(SUM(len) AS BIGINT) AS sum_chars
+        |FROM f""".stripMargin,
     "src_orc_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${sumSql("l_quantity")} AS sum_qty,

@@ -226,6 +226,32 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  private val KNN_K = 3
+
+  /** Approximate k-NN graph — the input structure for graph-based semantic
+    * clustering and label propagation over a corpus: every vector's top-k
+    * neighbors AMONG ITS OWN QUANTIZER CELL (nprobe=1 approximation; recall
+    * rises with more probes, same as sim_ann_ivf — sim_ann_recall is the
+    * dial's metric). The pairwise work never leaves a cell, so the graph
+    * build is Θ(Σ cell²) not Θ(n²); at 100 TB cells come from k-means with
+    * the √n rule + caps, and the per-cell self-join co-partitions on the
+    * cell key. */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfRanked(s, dir).filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
+    val scored = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        col("a.cell").as("cell"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KNN_K)
+      .select(col("src"), col("rk"), col("dst"), col("cell"), col("sim"))
+      .orderBy(col("src"), col("rk"))
+  }
+
   private val SEM_TAU = 0.35
 
   /** SemDeDup-shape semantic deduplication (Abbas et al. 2023,
@@ -334,6 +360,7 @@ object Similarity {
     "sim_embed_stats" -> embedStats,
     "dedup_embed_cosine" -> embedCosineNearDup,
     "dedup_semantic" -> semanticDedup,
+    "sim_knn_graph" -> knnGraph,
     "sim_centroid_cohesion" -> centroidCohesion,
   )
 
@@ -490,6 +517,45 @@ object Similarity {
          |FROM eb a JOIN eb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
          |WHERE round($dotAb / (a.nrm * b.nrm), 6) >= 0.45
          |ORDER BY v1, v2""".stripMargin
+    },
+    "sim_knn_graph" -> {
+      val dotAC =
+        "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
+      val dotAB =
+        "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"
+      s"""WITH $eCte,
+         |ex AS (
+         |  SELECT label, i AS dim, v[i] AS val
+         |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+         |), centd AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM ex GROUP BY 1, 2
+         |), cent AS (
+         |  SELECT label, list(c ORDER BY dim) AS cv FROM centd GROUP BY label
+         |), centn AS (
+         |  SELECT label, cv,
+         |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,x) -> a+x)) AS cn
+         |  FROM cent
+         |), cs AS (
+         |  SELECT e.vec_id, e.v, e.nrm, c.label,
+         |    round($dotAC / (e.nrm * c.cn), 6) AS csim
+         |  FROM e CROSS JOIN centn c
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, label ASC) AS crk FROM cs
+         |), assigned AS (
+         |  SELECT vec_id, label AS cell, v, nrm FROM ranked WHERE crk = 1
+         |), scored AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, a.cell,
+         |    round($dotAB / (a.nrm * b.nrm), 6) AS sim
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |)
+         |SELECT src, rk, dst, cell, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src
+         |    ORDER BY sim DESC, dst ASC) AS rk FROM scored
+         |) WHERE rk <= $KNN_K ORDER BY src, rk""".stripMargin
     },
     "dedup_semantic" -> {
       val dotAC =

@@ -29,9 +29,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_zipf", "sim_cosine_topk", "sim_ann_ivf", "dedup_embed_cosine",
     "sim_centroid_cohesion", "cot_transform_dedup", "cot_transform_hostile",
     "cot_includes_join",
-    // dedup_semantic scores vectors against the BROADCAST quantizer-cell
-    // table (bounded by design, same as sim_ann_ivf)
-    "dedup_semantic")
+    // dedup_semantic / sim_knn_graph score vectors against the BROADCAST
+    // quantizer-cell table (bounded by design, same as sim_ann_ivf)
+    "dedup_semantic", "sim_knn_graph")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
@@ -40,7 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     // write-then-read roundtrips execute a write action at plan build
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
     "src_sorted_skipping", "src_orc_roundtrip", "src_zorder_skipping",
-    "src_schema_evolution",
+    "src_schema_evolution", "src_text_roundtrip",
     // executes DROP TABLE + two bucketed writes at plan build; the
     // zero-exchange join form is pinned by PlanSpec instead
     "rel_bucketed_join")
