@@ -173,30 +173,36 @@ object TextOps {
   /** Character-trigram language-model quality score — the CCNet/KenLM-style
     * filter every production corpus pass runs: score each document by the
     * average log-probability of its trigrams under an n-gram LM,
-    * P(c₃|c₁c₂) = count₃(g)/count₂(prefix), here self-trained on the corpus
-    * (a real pipeline trains on a held-out clean reference; the machinery
-    * is identical). Low scores = improbable character sequences = noise.
+    * P(c₃|c₁c₂) = count₃(g)/Σₓcount₃(c₁c₂·x) — the MLE with context
+    * counts, here self-trained on the corpus (a real pipeline trains on a
+    * held-out clean reference; the machinery is identical). Low scores =
+    * improbable character sequences = noise.
     *
-    * Scale shape: the model tables are VOCABULARY-sized (≤ alphabet³ —
-    * bounded, unlike the corpus) and broadcast onto the per-doc trigram
-    * explode; the only corpus-keyed shuffle is the per-doc aggregate.
-    * Each per-trigram log-prob is rounded to 6 dp before the exact decimal
-    * average so both engines agree bit-for-bit (ln differs by 1 ulp across
-    * libm implementations — same contract as text_tfidf_topk).
+    * Scale shape: ONE corpus explode. The trigram model table is
+    * VOCABULARY-sized (≤ alphabet³ — bounded, unlike the corpus); the
+    * context (bigram) table is derived by re-aggregating THAT table, never
+    * a second corpus pass (measured: the separate bigram explode doubled
+    * the query's cost). Both broadcast onto the exploded docs; the only
+    * corpus-keyed shuffle is the per-doc aggregate. Each per-trigram
+    * log-prob is rounded to 6 dp before the exact decimal average so both
+    * engines agree bit-for-bit (ln differs by 1 ulp across libm
+    * implementations — same contract as text_tfidf_topk).
     *
-    * Every trigram's prefix bigram necessarily exists in the bigram table
-    * (it occurs at the same position), so the model joins are total —
-    * including the short-doc edge where both degrade to truncated
-    * prefixes. */
+    * Every trigram's context necessarily exists in the context table (it
+    * contributes to it), so the model joins are total — including the
+    * short-doc edge where the "trigram" is a truncated prefix. */
   private def lmScore(s: SparkSession, dir: String): DataFrame = {
     val g3 = Staging.staged(s, dir, "lm_g3") {
       graft.Tables.balanced(s, dir, "documents", "doc_id")
         .select(col("doc_id"), explode(Tokens.charNgrams(col("text"), 3)).as("g"))
     }
-    val c3 = g3.groupBy(col("g")).agg(count(lit(1)).as("c3"))
-    val c2 = docs(s, dir)
-      .select(explode(Tokens.charNgrams(col("text"), 2)).as("p"))
-      .groupBy(col("p")).agg(count(lit(1)).as("c2"))
+    // c3 feeds both the model join and the context aggregation — staged so
+    // the vocabulary aggregate over the corpus runs once
+    val c3 = Staging.staged(s, dir, "lm_c3") {
+      g3.groupBy(col("g")).agg(count(lit(1)).as("c3"))
+    }
+    val c2 = c3.groupBy(substring(col("g"), 1, 2).as("p"))
+      .agg(sum(col("c3")).as("c2"))
     g3.withColumn("p", substring(col("g"), 1, 2))
       .join(broadcast(c3), "g")
       .join(broadcast(c2), "p")
@@ -446,10 +452,8 @@ object TextOps {
     "text_lm_score" ->
       s"""WITH g3 AS (
          |  SELECT doc_id, unnest(${charNgramsSql("text", 3)}) AS g FROM documents
-         |), g2 AS (
-         |  SELECT unnest(${charNgramsSql("text", 2)}) AS p FROM documents
          |), c3 AS (SELECT g, COUNT(*) AS c3 FROM g3 GROUP BY 1),
-         |c2 AS (SELECT p, COUNT(*) AS c2 FROM g2 GROUP BY 1),
+         |c2 AS (SELECT substr(g, 1, 2) AS p, SUM(c3) AS c2 FROM c3 GROUP BY 1),
          |lp AS (
          |  SELECT d.doc_id,
          |    round(ln(CAST(c3.c3 AS DOUBLE) / CAST(c2.c2 AS DOUBLE)), 6) AS lp
