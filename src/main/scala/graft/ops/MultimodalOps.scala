@@ -130,7 +130,26 @@ object MultimodalOps {
     sampleFrames(decodeAll(mediaTable(s, dir)))
       .toDF().orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Content-hash dedup over the binary payload column — the first pass of
+    * every multimodal ingest (identical bytes from different crawls/shards).
+    * Reports every content group with its keeper, multiplicity, and
+    * whether copies span sources (the cross-crawl case that motivates
+    * global, not per-source, dedup) — the dedup action is
+    * `filter(n_copies > 1)`; the unfiltered table is emitted because the
+    * small-SF corpus has its duplicates only at sf0.1 and a trivially
+    * empty result would be a weak check. Payload bytes are hashed in
+    * place and never shuffled — only the 16-byte fingerprint moves. */
+  private def mmDedupQ(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).toDF()
+      .groupBy(md5(col("media")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col("source")).as("n_sources"))
+      .withColumn("cross_source", col("n_sources") > 1)
+      .orderBy(col("fp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup" -> mmDedupQ,
     "mm_decode_meta" -> decodeMetaQ,
     "mm_frame_sample" -> frameSampleQ,
     "mm_resize" -> resizeQ,
@@ -140,6 +159,12 @@ object MultimodalOps {
   // The stub's fake metadata is pure arithmetic on (bytes, doc_id), so the
   // oracle reproduces it exactly in SQL.
   val oracles: Map[String, String] = Map(
+    "mm_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies, COUNT(DISTINCT source) AS n_sources,
+        |  COUNT(DISTINCT source) > 1 AS cross_source
+        |FROM documents GROUP BY 1
+        |ORDER BY fp""".stripMargin,
     "mm_decode_meta" ->
       s"""SELECT doc_id, source,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -236,20 +236,43 @@ object Similarity {
     * build is Θ(Σ cell²) not Θ(n²); at 100 TB cells come from k-means with
     * the √n rule + caps, and the per-cell self-join co-partitions on the
     * cell key. */
-  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val assigned = ivfRanked(s, dir).filter(col("crk") === 1)
-      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
-    val scored = assigned.as("a")
-      .join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        col("a.cell").as("cell"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
-    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KNN_K)
-      .select(col("src"), col("rk"), col("dst"), col("cell"), col("sim"))
-      .orderBy(col("src"), col("rk"))
+  /** Staged: the knn-graph query and the semantic-components query both
+    * consume the edge set. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "knn_edges") {
+      val assigned = ivfRanked(s, dir).filter(col("crk") === 1)
+        .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
+      val scored = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+          col("a.cell").as("cell"),
+          round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= KNN_K)
+        .select(col("src"), col("rk"), col("dst"), col("cell"), col("sim"))
+    }
+
+  private def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnEdges(s, dir).orderBy(col("src"), col("rk"))
+
+  private val KNN_EDGE_TAU = 0.3
+
+  /** Semantic clusters — the downstream of the k-NN graph: keep edges with
+    * cosine ≥ τ (undirected, canonicalized), then connected components via
+    * the same min-label propagation the text near-dup clustering uses
+    * (DedupOps.clusterPairs). The full quantize → knn → threshold → cluster
+    * pipeline, each stage oracle-checked; isolated vectors (no qualifying
+    * edge) don't appear — production treats them as singleton clusters. */
+  private def knnComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(s, dir).filter(col("sim") >= KNN_EDGE_TAU)
+      .select(least(col("src"), col("dst")).as("d1"),
+        greatest(col("src"), col("dst")).as("d2"))
+      .distinct()
+    DedupOps.clusterPairs(edges)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy(col("vec_id"))
   }
 
   private val SEM_TAU = 0.35
@@ -361,6 +384,7 @@ object Similarity {
     "dedup_embed_cosine" -> embedCosineNearDup,
     "dedup_semantic" -> semanticDedup,
     "sim_knn_graph" -> knnGraph,
+    "sim_knn_components" -> knnComponents,
     "sim_centroid_cohesion" -> centroidCohesion,
   )
 
@@ -465,6 +489,50 @@ object Similarity {
        |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Shared CTE chain for the knn-graph oracles: quantizer cells (as in
+    * sim_ann_ivf), nearest-cell assignment, within-cell pairwise scores,
+    * per-source top-KNN_K as `knn`. */
+  private val knnCtes = {
+    val dotAC =
+      "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
+    val dotAB =
+      "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"
+    s"""$eCte,
+       |ex AS (
+       |  SELECT label, i AS dim, v[i] AS val
+       |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+       |), centd AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM ex GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label, list(c ORDER BY dim) AS cv FROM centd GROUP BY label
+       |), centn AS (
+       |  SELECT label, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,x) -> a+x)) AS cn
+       |  FROM cent
+       |), cs AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.label,
+       |    round($dotAC / (e.nrm * c.cn), 6) AS csim
+       |  FROM e CROSS JOIN centn c
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, label ASC) AS crk FROM cs
+       |), assigned AS (
+       |  SELECT vec_id, label AS cell, v, nrm FROM ranked WHERE crk = 1
+       |), scored AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst, a.cell,
+       |    round($dotAB / (a.nrm * b.nrm), 6) AS sim
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |), knn AS (
+       |  SELECT src, rk, dst, cell, sim FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst ASC) AS rk FROM scored
+       |  ) WHERE rk <= $KNN_K
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopkSql,
     "sim_ann_lsh" -> annLshSql,
@@ -518,45 +586,25 @@ object Similarity {
          |WHERE round($dotAb / (a.nrm * b.nrm), 6) >= 0.45
          |ORDER BY v1, v2""".stripMargin
     },
-    "sim_knn_graph" -> {
-      val dotAC =
-        "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
-      val dotAB =
-        "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"
-      s"""WITH $eCte,
-         |ex AS (
-         |  SELECT label, i AS dim, v[i] AS val
-         |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
-         |), centd AS (
-         |  SELECT label, dim,
-         |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
-         |  FROM ex GROUP BY 1, 2
-         |), cent AS (
-         |  SELECT label, list(c ORDER BY dim) AS cv FROM centd GROUP BY label
-         |), centn AS (
-         |  SELECT label, cv,
-         |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,x) -> a+x)) AS cn
-         |  FROM cent
-         |), cs AS (
-         |  SELECT e.vec_id, e.v, e.nrm, c.label,
-         |    round($dotAC / (e.nrm * c.cn), 6) AS csim
-         |  FROM e CROSS JOIN centn c
-         |), ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY csim DESC, label ASC) AS crk FROM cs
-         |), assigned AS (
-         |  SELECT vec_id, label AS cell, v, nrm FROM ranked WHERE crk = 1
-         |), scored AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst, a.cell,
-         |    round($dotAB / (a.nrm * b.nrm), 6) AS sim
-         |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    "sim_knn_graph" ->
+      s"""WITH $knnCtes
+         |SELECT src, rk, dst, cell, sim FROM knn ORDER BY src, rk""".stripMargin,
+    // knn edges ≥ τ, undirected, then min-reachable-id components (same
+    // recursive-closure oracle pattern as dedup_clusters)
+    "sim_knn_components" ->
+      s"""WITH RECURSIVE $knnCtes,
+         |ke AS (
+         |  SELECT DISTINCT least(src, dst) AS d1, greatest(src, dst) AS d2
+         |  FROM knn WHERE sim >= $KNN_EDGE_TAU
+         |), edges AS (
+         |  SELECT d1 AS u, d2 AS v FROM ke UNION SELECT d2, d1 FROM ke
+         |), reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
          |)
-         |SELECT src, rk, dst, cell, sim FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY src
-         |    ORDER BY sim DESC, dst ASC) AS rk FROM scored
-         |) WHERE rk <= $KNN_K ORDER BY src, rk""".stripMargin
-    },
+         |SELECT u AS vec_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
     "dedup_semantic" -> {
       val dotAC =
         "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"

@@ -53,6 +53,26 @@ class CleanOpsSpec extends SparkSpec {
     assert(perCell.filter(col("n_kept") < 1).count() == 0)
   }
 
+  test("sim_knn_graph + sim_knn_components: cell-local edges, components honor min-label rule") {
+    val g = Similarity.queries("sim_knn_graph")(spark, sf)
+    // neighbors never leave the cell and src != dst
+    assert(g.filter(col("src") === col("dst")).count() == 0)
+    val perSrc = g.groupBy("src").agg(count(lit(1)).as("n"))
+    assert(perSrc.filter(col("n") > 3).count() == 0)
+    val c = Similarity.queries("sim_knn_components")(spark, sf)
+    // every cluster's id equals its minimum member id
+    val bad = c.groupBy("cluster_id").agg(min(col("vec_id")).as("mn"))
+      .filter(col("cluster_id") =!= col("mn"))
+    assert(bad.count() == 0)
+  }
+
+  test("mm_dedup: group sizes cover the corpus, keeper is a member") {
+    val out = MultimodalOps.queries("mm_dedup")(spark, sf)
+    val total = graft.Tables(spark, sf, "documents").count()
+    assert(out.agg(sum(col("n_copies"))).head().getLong(0) == total)
+    assert(out.filter(col("n_sources") < 1 || col("n_sources") > col("n_copies")).count() == 0)
+  }
+
   test("text_line_dedup: untouched docs reconstruct their original text exactly") {
     val out = CleanOps.queries("text_line_dedup")(spark, sf)
     assert(out.filter(col("n_kept") > col("n_lines")).count() == 0)
