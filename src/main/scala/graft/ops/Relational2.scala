@@ -468,7 +468,61 @@ object Relational2 {
       .orderBy(col("join_type"))
   }
 
+  /** Funnel analysis — the ordered-sequence conversion report every product
+    * pipeline runs: users who viewed, then clicked strictly after their
+    * first view, then purchased strictly after that click. Each stage is a
+    * keyed aggregate joined to the previous stage's first-completion time
+    * (decorrelated — no per-user re-scan); stage tables shrink
+    * monotonically, so at 100 TB each later join moves less data. */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    def stageAfter(prev: DataFrame, prevCol: String, typ: String, out: String) =
+      ev.filter(col("event_type") === typ)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = stageAfter(t1, "t1", "click", "t2")
+    val t3 = stageAfter(t2, "t2", "purchase", "t3")
+    def countOf(stage: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"), col("n_users"))
+    val counts = countOf("1_view", t1)
+      .unionByName(countOf("2_click", t2))
+      .unionByName(countOf("3_purchase", t3))
+    val top = t1.agg(count(lit(1)).cast("double").as("n_top"))
+    counts.crossJoin(broadcast(top))
+      .withColumn("pct_of_top", round(col("n_users").cast("double") / col("n_top"), 6))
+      .select(col("stage"), col("n_users"), col("pct_of_top"))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention — users grouped by first-activity day, activity
+    * counted per day offset: the warehouse query behind every retention
+    * curve. Two corpus aggregates (first-day per user, distinct active
+    * days per user) joined on the user key; the output is
+    * (cohort × offset)-sized, ≪ corpus. */
+  private def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("c"))
+    val act = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val size = first.groupBy(col("c")).agg(count(lit(1)).as("n0"))
+    act.join(first, "user_id")
+      .withColumn("off", datediff(col("d"), col("c")).cast("long"))
+      .groupBy(col("c"), col("off"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(size, "c")
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("n0").cast("double"), 6))
+      .select(col("c").as("cohort_day"), col("off").as("day_offset"),
+        col("n_active"), col("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_funnel" -> funnel,
+    "rel_cohort_retention" -> cohortRetention,
     "rel_outer_joins" -> outerJoins,
     "rel_null_ordering" -> nullOrdering,
     "rel_date_arith" -> dateArith,
@@ -504,6 +558,39 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+        |), t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+        |), counts AS (
+        |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM t1
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM t2
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM t3
+        |), top AS (SELECT CAST(n_users AS DOUBLE) AS n_top FROM counts WHERE stage = '1_view')
+        |SELECT stage, n_users,
+        |  round(CAST(n_users AS DOUBLE) / top.n_top, 6) AS pct_of_top
+        |FROM counts CROSS JOIN top ORDER BY stage""".stripMargin,
+    "rel_cohort_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS c FROM events GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), sz AS (SELECT c, COUNT(*) AS n0 FROM first GROUP BY 1)
+        |SELECT f.c AS cohort_day,
+        |  CAST(datediff('day', f.c, a.d) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_active,
+        |  round(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / CAST(sz.n0 AS DOUBLE), 6) AS retention
+        |FROM act a JOIN first f USING (user_id) JOIN sz ON f.c = sz.c
+        |GROUP BY f.c, a.d, sz.n0
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     // verbatim-SQL queries: the identical text runs in both engines
     "rel_exists_subquery" -> existsSubquerySql,
     "rel_not_in_nulls" -> notInNullsSql,

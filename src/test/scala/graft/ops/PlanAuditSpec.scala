@@ -31,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     "cot_includes_join",
     // dedup_semantic / sim_knn_graph score vectors against the BROADCAST
     // quantizer-cell table (bounded by design, same as sim_ann_ivf)
-    "dedup_semantic", "sim_knn_graph", "sim_knn_components")
+    "dedup_semantic", "sim_knn_graph", "sim_knn_components", "rel_funnel")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
