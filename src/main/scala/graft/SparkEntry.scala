@@ -25,12 +25,16 @@ object SparkEntry {
       Bucketing.queries ++ FormatOps.queries ++ DedupOps.queries ++
       TextOps.queries ++ CleanOps.queries ++ Similarity.queries ++
       MultimodalOps.queries ++ SkewOps.queries ++ ProfileOps.queries ++
-      SplitOps.queries ++ graft.streaming.StreamOps.queries
+      SplitOps.queries ++ GeoOps.queries ++ HistoryOps.queries ++
+      GraphOps.queries ++
+      graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
     CotQueries.oracles ++ Relational.oracles ++ Relational2.oracles ++
       Bucketing.oracles ++ FormatOps.oracles ++ DedupOps.oracles ++
       TextOps.oracles ++ CleanOps.oracles ++ Similarity.oracles ++
       MultimodalOps.oracles ++ SkewOps.oracles ++ ProfileOps.oracles ++
-      SplitOps.oracles ++ graft.streaming.StreamOps.oracles
+      SplitOps.oracles ++ GeoOps.oracles ++ HistoryOps.oracles ++
+      GraphOps.oracles ++
+      graft.streaming.StreamOps.oracles
 }

@@ -203,7 +203,81 @@ object FormatOps {
       sum(col("len")).as("sum_chars"))
   }
 
+  /** Manifest-driven file pruning — the Iceberg/Delta planning model made
+    * explicit: per-file min/max column stats live in a MANIFEST, the
+    * planner intersects the predicate with each file's range and reads
+    * only overlapping files. Spark's parquet reader row-group-skips
+    * WITHIN files it opens; manifest pruning skips whole files WITHOUT
+    * opening them — at 100 TB (≈100k files) the difference between
+    * footer-probing every file and a metadata-only plan.
+    *
+    * Here the manifest is built with one stats scan (a real table
+    * maintains it incrementally at write commit); the file list that
+    * survives pruning is collected to the DRIVER — a deliberate,
+    * metadata-sized collect (file paths, not data; exactly what every
+    * table-format planner does). The exact predicate still applies after
+    * the coarse file filter, and the oracle (plain filter on the
+    * original table) proves no qualifying row was pruned away. */
+  def manifestPrune(s: SparkSession, path: String,
+                    lo: java.sql.Timestamp, hi: java.sql.Timestamp): (Seq[String], Int) = {
+    val manifest = s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+    val selected = manifest
+      .filter(col("lo") < lit(hi) && col("hi") >= lit(lo))
+      .select("file").collect().map(_.getString(0)).toSeq
+    (selected, s.read.parquet(path).inputFiles.length)
+  }
+
+  private def manifestPruned(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "manifest")
+    graft.Tables(s, dir, "orders")
+      .repartitionByRange(16, col("o_orderdate"))
+      .write.mode("overwrite").parquet(path)
+    val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val (files, _) = manifestPrune(s, path, lo, hi)
+    s.read.parquet(files: _*)
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Small-file compaction — the maintenance op that keeps a streamed-into
+    * table readable: many small files (here 64, the shape a per-trigger
+    * streaming sink leaves behind) are rewritten into size-targeted large
+    * ones. The target file COUNT comes from filesystem metadata (sum of
+    * file lengths / 128 MB), not from scanning data — how a real
+    * compaction planner sizes its job; `coalesce` merges splits without a
+    * shuffle. The checksum aggregate over the compacted table vs the
+    * ORIGINAL proves the rewrite byte-preserved every row. */
+  private def compaction(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "compact")
+    graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$path/small")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/small"))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+    s.read.parquet(s"$path/small").coalesce(nFiles)
+      .write.mode("overwrite").parquet(s"$path/big")
+    val back = s.read.parquet(s"$path/big")
+      .select(md5(concat(col("event_id").cast("string"), lit(":"),
+        col("event_type")).cast("binary")).as("fp"),
+        col("user_id"), col("value"))
+    back.agg(count(lit(1)).as("n"),
+      sum(conv(substring(col("fp"), 1, 8), 16, 10).cast("long")).as("fp_sum"),
+      min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"),
+      countDistinct(col("user_id")).as("n_users"),
+      sumD(col("value")).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_manifest_pruned" -> manifestPruned,
+    "src_compaction" -> compaction,
     "src_text_roundtrip" -> textRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -215,6 +289,27 @@ object FormatOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the plain filter on the ORIGINAL table — matching
+    // proves manifest pruning lost no qualifying row
+    "src_manifest_pruned" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "src_compaction" ->
+      s"""WITH f AS (
+         |  SELECT md5(CAST(event_id AS VARCHAR) || ':' || event_type) AS fp,
+         |    user_id, "value" AS v
+         |  FROM events
+         |)
+         |SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST('0x' || substr(fp, 1, 8) AS UBIGINT)) AS BIGINT) AS fp_sum,
+         |  MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  ${sumSql("v")} AS sum_value
+         |FROM f""".stripMargin,
     // the oracle reads the ORIGINAL table — matching hashes prove the
     // write→read cycle preserved every value
     "src_text_roundtrip" ->

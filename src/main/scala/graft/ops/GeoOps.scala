@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Exact._
+
+/** Geospatial analytics — the operator family a positional feed like the
+  * reference's (aircraft lat/lon per snapshot, `task.ts:100-116`) needs
+  * once it becomes an analytics workload: spatial binning, proximity
+  * detection, and per-track path statistics.
+  *
+  * The corpus has no coordinate columns, so each query derives
+  * DETERMINISTIC pseudo-coordinates from `events` (per-user base cell +
+  * fractional jitter from `value`) with arithmetic both engines evaluate
+  * bit-identically: integer modulus, IEEE add/sub/mul and a correctly-
+  * rounded `sqrt` — no transcendental functions, whose libm rounding can
+  * differ between engines. Production note: with real lat/lon the planar
+  * degree metric below becomes haversine; every plan shape here is
+  * unchanged by that swap (distance is always computed AFTER candidate
+  * generation, never to generate candidates).
+  *
+  * Scale design:
+  *   - `geo_grid_cells` is one hash aggregate on a derived cell key —
+  *     the standard spatial-partitioning shape (a 100 TB feed buckets by
+  *     cell, then all heavier spatial work is cell-local).
+  *   - `geo_proximity_pairs` NEVER goes all-pairs: each point joins only
+  *     the 3x3 neighborhood of its grid cell (cell size >= the distance
+  *     threshold, so no qualifying pair can be missed — the same
+  *     pigeonhole argument as the simhash chunk index). Candidates come
+  *     from a hash equi-join on the cell key; the exact predicate prunes
+  *     after. The brute-force DuckDB oracle proves completeness.
+  *   - `geo_track_distance` is one keyed window (lag) + one decimal-exact
+  *     aggregate — both partition by `user_id`, so a 100 TB track store
+  *     shuffles once.
+  */
+object GeoOps {
+
+  /** Deterministic point cloud: each user gets a 1-degree base cell, each
+    * event jitters inside it by the fractional part of `value`. */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      ((col("user_id") * 37 % 170) - 85 +
+        (col("value") - floor(col("value")))).as("lat"),
+      ((col("user_id") * 53 % 350) - 175 +
+        (col("value") * 3 - floor(col("value") * 3))).as("lon"))
+
+  private val pointsSql: String =
+    """pts AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    (user_id * 37 % 170) - 85 + ("value" - floor("value")) AS lat,
+      |    (user_id * 53 % 350) - 175 + ("value" * 3 - floor("value" * 3)) AS lon
+      |  FROM events
+      |)""".stripMargin
+
+  /** Spatial binning: occupancy + distinct users per 1-degree grid cell.
+    * Counts only — exact under any aggregation order. */
+  private def gridCellsQ(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
+      .groupBy(floor(col("lat")).cast("long").as("cell_lat"),
+               floor(col("lon")).cast("long").as("cell_lon"))
+      .agg(count(lit(1)).as("n_points"),
+           count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cell_lat"), col("cell_lon"))
+
+  /** All point pairs within `thresh` degrees (planar), via grid-cell
+    * candidate generation. Requires cellSize >= thresh: a pair within
+    * thresh can span at most one cell boundary per axis, so the 3x3
+    * neighborhood of either point's cell contains the other. One side
+    * explodes to its 9 neighbor cells, the other keeps its home cell;
+    * the equi-join on the cell key yields each ordered candidate pair
+    * exactly once (9 distinct neighbor keys meet 1 home key), and
+    * `id < id` keeps one direction — no post-join distinct needed. */
+  def proximityPairs(pts: DataFrame, id: Column, lat: Column, lon: Column,
+                     thresh: Double): DataFrame = {
+    require(thresh <= 1.0, "grid cell is 1 degree; cellSize >= thresh required")
+    val base = pts.select(id.as("pid"), lat.as("plat"), lon.as("plon"),
+      floor(lat).cast("long").as("cx"), floor(lon).cast("long").as("cy"))
+    val probe = base.select(col("pid").as("e2"), col("plat").as("lat2"),
+      col("plon").as("lon2"), col("cx"), col("cy"))
+    val neighborhood = array(
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct((col("cx") + dx).as("x"), (col("cy") + dy).as("y"))): _*)
+    val build = base.select(col("pid").as("e1"), col("plat").as("lat1"),
+      col("plon").as("lon1"), explode(neighborhood).as("nc"))
+    val d2 = (col("lat1") - col("lat2")) * (col("lat1") - col("lat2")) +
+      (col("lon1") - col("lon2")) * (col("lon1") - col("lon2"))
+    build.join(probe,
+        col("nc.x") === col("cx") && col("nc.y") === col("cy") &&
+          col("e1") < col("e2"))
+      .select(col("e1"), col("e2"), d2.as("dist2"))
+      .filter(col("dist2") < lit(thresh * thresh))
+  }
+
+  /** Proximity query on the purchase subset (dense enough for pairs,
+    * small enough for the all-pairs oracle to prove completeness). */
+  private def proximityQ(s: SparkSession, dir: String): DataFrame =
+    proximityPairs(points(s, dir).filter(col("event_type") === "purchase"),
+      col("event_id"), col("lat"), col("lon"), thresh = 0.05)
+      .orderBy(col("e1"), col("e2"))
+
+  /** Per-user path length: consecutive-event step distances (planar sqrt,
+    * correctly rounded IEEE on both engines) summed decimal-exact so the
+    * per-group addition order cannot show through. */
+  private def trackDistanceQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val step = sqrt(
+      (col("lat") - lag(col("lat"), 1).over(w)) *
+        (col("lat") - lag(col("lat"), 1).over(w)) +
+      (col("lon") - lag(col("lon"), 1).over(w)) *
+        (col("lon") - lag(col("lon"), 1).over(w)))
+    points(s, dir)
+      .withColumn("step", step)
+      .groupBy(col("user_id"))
+      .agg(count(col("step")).as("n_steps"), sumD(col("step")).as("path_len"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_grid_cells" -> gridCellsQ,
+    "geo_proximity_pairs" -> proximityQ,
+    "geo_track_distance" -> trackDistanceQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "geo_grid_cells" ->
+      s"""WITH $pointsSql
+         |SELECT CAST(floor(lat) AS BIGINT) AS cell_lat,
+         |       CAST(floor(lon) AS BIGINT) AS cell_lon,
+         |       COUNT(*) AS n_points, COUNT(DISTINCT user_id) AS n_users
+         |FROM pts GROUP BY 1, 2 ORDER BY cell_lat, cell_lon""".stripMargin,
+    // the oracle is the ALL-PAIRS join the Spark plan must never run —
+    // matching it proves the 3x3 grid neighborhood loses no pair
+    "geo_proximity_pairs" ->
+      s"""WITH $pointsSql, p AS (
+         |  SELECT event_id, lat, lon FROM pts WHERE event_type = 'purchase'
+         |)
+         |SELECT a.event_id AS e1, b.event_id AS e2,
+         |  (a.lat - b.lat) * (a.lat - b.lat) +
+         |  (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+         |FROM p a JOIN p b ON a.event_id < b.event_id
+         |WHERE (a.lat - b.lat) * (a.lat - b.lat) +
+         |      (a.lon - b.lon) * (a.lon - b.lon) < 0.0025
+         |ORDER BY e1, e2""".stripMargin,
+    "geo_track_distance" ->
+      s"""WITH $pointsSql, steps AS (
+         |  SELECT user_id,
+         |    sqrt((lat - lag(lat) OVER w) * (lat - lag(lat) OVER w) +
+         |         (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)) AS step
+         |  FROM pts
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |)
+         |SELECT user_id, COUNT(step) AS n_steps, ${sumSql("step")} AS path_len
+         |FROM steps GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -51,8 +51,38 @@ object SplitOps {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** Dataset mixing to a per-source token budget: the pre-training step
+    * that turns N raw corpora + a mixture recipe into one training set.
+    * Docs are ranked inside each source by a hash priority (deterministic
+    * "random" — stable under repartition and corpus growth, same property
+    * as `splitLabel`) and taken greedily until the source's token quota is
+    * filled (window cumulative sum; integer tokens, so exact).
+    *
+    * Scale: one shuffle on `source` + a per-source sort — the same shape
+    * as any top-k-per-group. A skewed source salts like any hot key; the
+    * quota here is a pure function of the source, but a real recipe joins
+    * a BROADCAST (source → quota) table, which changes nothing in the
+    * plan. Token proxy = n_chars div 4 (the usual chars-per-token rule of
+    * thumb); swap in real token counts (`text_token_count`) unchanged. */
+  private def mixQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quota = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+      1500L).otherwise(500L)
+    val priority = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(priority, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables(s, dir, "documents")
+      .withColumn("tok", expr("n_chars div 4"))
+      .withColumn("cum_tokens", sum(col("tok")).over(w))
+      .filter(col("cum_tokens") <= quota)
+      .select(col("source"), col("doc_id"), col("tok"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_split_assign" -> splitQ,
+    "text_mix_budget" -> mixQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -60,5 +90,17 @@ object SplitOps {
       s"""SELECT ${splitLabelSql("doc_id")} AS split, lang, COUNT(*) AS n,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "text_mix_budget" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars // 4 AS tok,
+        |    CAST(SUM(n_chars // 4) OVER (PARTITION BY source
+        |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM documents
+        |)
+        |SELECT source, doc_id, tok, cum_tokens FROM ranked
+        |WHERE cum_tokens <= CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+        |                         THEN 1500 ELSE 500 END
+        |ORDER BY source, cum_tokens""".stripMargin,
   )
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeoOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("proximity grid join finds exactly the brute-force pair set") {
+    import spark.implicits._
+    val pts = graft.Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        ((col("user_id") * 37 % 170) - 85 +
+          (col("value") - floor(col("value")))).as("lat"),
+        ((col("user_id") * 53 % 350) - 175 +
+          (col("value") * 3 - floor(col("value") * 3))).as("lon"))
+    val grid = GeoOps.proximityPairs(pts, col("event_id"), col("lat"),
+        col("lon"), thresh = 0.05)
+      .select("e1", "e2").as[(Long, Long)].collect().toSet
+    val a = pts.select(col("event_id").as("e1"), col("lat").as("la"), col("lon").as("lo"))
+    val b = pts.select(col("event_id").as("e2"), col("lat").as("lb"), col("lon").as("lb2"))
+    val brute = a.crossJoin(b).filter(col("e1") < col("e2"))
+      .filter((col("la") - col("lb")) * (col("la") - col("lb")) +
+        (col("lo") - col("lb2")) * (col("lo") - col("lb2")) < 0.0025)
+      .select("e1", "e2").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must produce at least one close pair")
+    assert(grid == brute)
+  }
+
+  test("proximity plan is a hash equi-join on the cell key, not a cross product") {
+    val plan = GeoOps.queries("geo_proximity_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("each ordered pair is produced exactly once (no multi-cell dups)") {
+    val df = GeoOps.queries("geo_proximity_pairs")(spark, sf)
+    assert(df.count() == df.select("e1", "e2").distinct().count())
+  }
+
+  test("track distance: per-user path is non-negative with n-1 steps") {
+    import spark.implicits._
+    val out = GeoOps.queries("geo_track_distance")(spark, sf)
+    val evCounts = graft.Tables(spark, sf, "events")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    out.as[(Long, Long, Double)].collect().foreach { case (u, n, len) =>
+      assert(n == evCounts(u) - 1, s"user $u: steps $n vs events ${evCounts(u)}")
+      assert(len >= 0.0)
+    }
+  }
+}

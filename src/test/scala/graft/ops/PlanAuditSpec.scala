@@ -31,7 +31,10 @@ class PlanAuditSpec extends SparkSpec {
     "cot_includes_join",
     // dedup_semantic / sim_knn_graph score vectors against the BROADCAST
     // quantizer-cell table (bounded by design, same as sim_ann_ivf)
-    "dedup_semantic", "sim_knn_graph", "sim_knn_components", "rel_funnel")
+    "dedup_semantic", "sim_knn_graph", "sim_knn_components", "rel_funnel",
+    // graph_* cross-join a BROADCAST 1-row aggregate (node/edge count)
+    // into the pipeline — the in-pipeline alternative to a driver count()
+    "graph_pagerank", "graph_triangles")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
@@ -41,6 +44,7 @@ class PlanAuditSpec extends SparkSpec {
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
     "src_sorted_skipping", "src_orc_roundtrip", "src_zorder_skipping",
     "src_schema_evolution", "src_text_roundtrip",
+    "src_manifest_pruned", "src_compaction",
     // executes DROP TABLE + two bucketed writes at plan build; the
     // zero-exchange join form is pinned by PlanSpec instead
     "rel_bucketed_join")
