@@ -26,7 +26,7 @@ object SparkEntry {
       TextOps.queries ++ CleanOps.queries ++ Similarity.queries ++
       MultimodalOps.queries ++ SkewOps.queries ++ ProfileOps.queries ++
       SplitOps.queries ++ GeoOps.queries ++ HistoryOps.queries ++
-      GraphOps.queries ++
+      GraphOps.queries ++ ContractOps.queries ++
       graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
@@ -35,6 +35,6 @@ object SparkEntry {
       TextOps.oracles ++ CleanOps.oracles ++ Similarity.oracles ++
       MultimodalOps.oracles ++ SkewOps.oracles ++ ProfileOps.oracles ++
       SplitOps.oracles ++ GeoOps.oracles ++ HistoryOps.oracles ++
-      GraphOps.oracles ++
+      GraphOps.oracles ++ ContractOps.oracles ++
       graft.streaming.StreamOps.oracles
 }

@@ -80,9 +80,32 @@ object SplitOps {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling: each row accepted with
+    * probability proportional to its weight (here o_totalprice, capped at
+    * 1), decided by comparing an md5 bucket against an integer threshold
+    * derived from the weight — rand()-free, so the sample is reproducible
+    * across runs/engines/partitionings and stable under corpus growth
+    * (the properties quality-weighted corpus sampling needs: upweight
+    * high-quality docs, keep the choice a pure function of the key).
+    * All-integer compare: bucket ∈ [0,10000) vs floor(weight/50) — no
+    * float threshold to disagree on. */
+  private def weightedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(concat(lit("ws:"), col("o_orderkey").cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("long") % 10000
+    val threshold = floor(col("o_totalprice") / 50.0).cast("long")
+    graft.Tables(s, dir, "orders")
+      .filter(bucket < threshold)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"),
+        graft.ops.Exact.sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_split_assign" -> splitQ,
     "text_mix_budget" -> mixQ,
+    "rel_weighted_sample" -> weightedSampleQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -90,6 +113,13 @@ object SplitOps {
       s"""SELECT ${splitLabelSql("doc_id")} AS split, lang, COUNT(*) AS n,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "rel_weighted_sample" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_sampled,
+         |  ${graft.ops.Exact.sumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE (CAST('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 4) AS UBIGINT) % 10000)
+         |      < CAST(floor(o_totalprice / 50.0) AS BIGINT)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "text_mix_budget" ->
       """WITH ranked AS (
         |  SELECT source, doc_id, n_chars // 4 AS tok,

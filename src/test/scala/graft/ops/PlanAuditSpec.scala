@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_semantic", "sim_knn_graph", "sim_knn_components", "rel_funnel",
     // graph_* cross-join a BROADCAST 1-row aggregate (node/edge count)
     // into the pipeline — the in-pipeline alternative to a driver count()
-    "graph_pagerank", "graph_triangles")
+    "graph_pagerank", "graph_triangles",
+    // rel_expectations: referential branch cross-joins a BROADCAST 1-row
+    // total (n_checked) into the report
+    "rel_expectations")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
