@@ -95,9 +95,11 @@ object GeoOps {
 
   /** Proximity query on the purchase subset (dense enough for pairs,
     * small enough for the all-pairs oracle to prove completeness). */
+  private val PROX_T = 0.05
+
   private def proximityQ(s: SparkSession, dir: String): DataFrame =
     proximityPairs(points(s, dir).filter(col("event_type") === "purchase"),
-      col("event_id"), col("lat"), col("lon"), thresh = 0.05)
+      col("event_id"), col("lat"), col("lon"), thresh = PROX_T)
       .orderBy(col("e1"), col("e2"))
 
   /** Per-user path length: consecutive-event step distances (planar sqrt,
@@ -131,7 +133,11 @@ object GeoOps {
          |       COUNT(*) AS n_points, COUNT(DISTINCT user_id) AS n_users
          |FROM pts GROUP BY 1, 2 ORDER BY cell_lat, cell_lon""".stripMargin,
     // the oracle is the ALL-PAIRS join the Spark plan must never run —
-    // matching it proves the 3x3 grid neighborhood loses no pair
+    // matching it proves the 3x3 grid neighborhood loses no pair. The
+    // threshold is interpolated from the SAME Scala double product the
+    // Spark side compares against (0.05*0.05 != the literal 0.0025 in
+    // the last bit — a boundary row must fall the same way in both
+    // engines).
     "geo_proximity_pairs" ->
       s"""WITH $pointsSql, p AS (
          |  SELECT event_id, lat, lon FROM pts WHERE event_type = 'purchase'
@@ -141,7 +147,7 @@ object GeoOps {
          |  (a.lon - b.lon) * (a.lon - b.lon) AS dist2
          |FROM p a JOIN p b ON a.event_id < b.event_id
          |WHERE (a.lat - b.lat) * (a.lat - b.lat) +
-         |      (a.lon - b.lon) * (a.lon - b.lon) < 0.0025
+         |      (a.lon - b.lon) * (a.lon - b.lon) < ${PROX_T * PROX_T}
          |ORDER BY e1, e2""".stripMargin,
     "geo_track_distance" ->
       s"""WITH $pointsSql, steps AS (
