@@ -275,7 +275,37 @@ object FormatOps {
       sumD(col("value")).as("sum_value"))
   }
 
+  /** Snapshot time travel — immutable version directories plus a one-line
+    * commit pointer (the minimal form of a table format's metadata log):
+    * writers publish a NEW version dir then atomically advance the
+    * pointer; readers resolve the pointer (or any pinned historical
+    * version) to a directory, so concurrent reads never see a partial
+    * write and yesterday's report is reproducible byte-for-byte. The
+    * query reads BOTH versions and reports them side by side; the oracle
+    * reconstructs each version by its defining predicate — matching
+    * proves version isolation (v1 must NOT see rows added in v2). */
+  private def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "ttravel")
+    val orders = graft.Tables(s, dir, "orders")
+    orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$path/v1")
+    orders.write.mode("overwrite").parquet(s"$path/v2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_latest"), "2")
+    def readVersion(v: Int): DataFrame = s.read.parquet(s"$path/v$v")
+    val latest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$path/_latest")).trim.toInt
+    def agg(df: DataFrame, version: Int): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+        .select(lit(version).cast("long").as("version"), col("o_orderstatus"),
+          col("n"), col("sum_price"))
+    agg(readVersion(1), 1).unionByName(agg(readVersion(latest), latest))
+      .orderBy(col("version"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_time_travel" -> timeTravel,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
     "src_text_roundtrip" -> textRoundtrip,
@@ -289,6 +319,18 @@ object FormatOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // each version reconstructed by its defining predicate — v1 matching
+    // proves the pinned read did NOT see v2's rows
+    "src_time_travel" ->
+      s"""SELECT CAST(1 AS BIGINT) AS version, o_orderstatus, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), o_orderstatus, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY version, o_orderstatus""".stripMargin,
     // the oracle is the plain filter on the ORIGINAL table — matching
     // proves manifest pruning lost no qualifying row
     "src_manifest_pruned" ->

@@ -37,16 +37,21 @@ import Exact._
 object GeoOps {
 
   /** Deterministic point cloud: each user gets a 1-degree base cell, each
-    * event jitters inside it by the fractional part of `value`. */
-  private def points(s: SparkSession, dir: String): DataFrame =
-    graft.Tables(s, dir, "events").select(
+    * event jitters inside it by the fractional part of `value`. Takes any
+    * events-shaped frame (batch table or stream) so the streaming
+    * proximity query derives identical coordinates. */
+  private[graft] def derivePoints(events: DataFrame): DataFrame =
+    events.select(
       col("event_id"), col("user_id"), col("ts"), col("event_type"),
       ((col("user_id") * 37 % 170) - 85 +
         (col("value") - floor(col("value")))).as("lat"),
       ((col("user_id") * 53 % 350) - 175 +
         (col("value") * 3 - floor(col("value") * 3))).as("lon"))
 
-  private val pointsSql: String =
+  private def points(s: SparkSession, dir: String): DataFrame =
+    derivePoints(graft.Tables(s, dir, "events"))
+
+  private[graft] val pointsSql: String =
     """pts AS (
       |  SELECT event_id, user_id, ts, event_type,
       |    (user_id * 37 % 170) - 85 + ("value" - floor("value")) AS lat,
@@ -95,7 +100,7 @@ object GeoOps {
 
   /** Proximity query on the purchase subset (dense enough for pairs,
     * small enough for the all-pairs oracle to prove completeness). */
-  private val PROX_T = 0.05
+  private[graft] val PROX_T = 0.05
 
   private def proximityQ(s: SparkSession, dir: String): DataFrame =
     proximityPairs(points(s, dir).filter(col("event_type") === "purchase"),

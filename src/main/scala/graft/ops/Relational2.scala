@@ -520,7 +520,38 @@ object Relational2 {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Multi-touch attribution — for each conversion (purchase), the first
+    * and last touch (view/click) by the same user in the preceding 7-day
+    * window, plus the touch count: the report behind every marketing
+    * attribution model. One equi-join on the user key with the lookback
+    * bound applied in the join (fan-out bounded by the window), then a
+    * partial-aggregable min/max over (ts, id, type) structs — lexicographic
+    * struct ordering makes the winner deterministic under ties, and the
+    * aggregate form never sorts all touches per conversion (the window
+    * row_number formulation the oracle uses would). */
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("touch_ts"))
+    conv.join(touch, "user_id")
+      .filter(col("touch_ts") <= col("conv_ts") &&
+        col("touch_ts") > col("conv_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("touch_ts"), col("touch_id"), col("touch_type"))).as("f"),
+        max(struct(col("touch_ts"), col("touch_id"), col("touch_type"))).as("l"))
+      .select(col("conv_id"), col("n_touches"),
+        col("f.touch_id").as("first_touch"), col("f.touch_type").as("first_type"),
+        col("l.touch_id").as("last_touch"), col("l.touch_type").as("last_type"))
+      .orderBy(col("conv_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_attribution" -> attribution,
     "rel_funnel" -> funnel,
     "rel_cohort_retention" -> cohortRetention,
     "rel_outer_joins" -> outerJoins,
@@ -558,6 +589,33 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the window row_number formulation — deliberately NOT mirroring the
+    // aggregate plan; same semantics, ties broken by (ts, id) both ways
+    "rel_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        |    ts AS touch_ts
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), j AS (
+        |  SELECT c.conv_id, t.touch_id, t.touch_type,
+        |    row_number() OVER (PARTITION BY c.conv_id
+        |      ORDER BY t.touch_ts ASC, t.touch_id ASC, t.touch_type ASC) AS rf,
+        |    row_number() OVER (PARTITION BY c.conv_id
+        |      ORDER BY t.touch_ts DESC, t.touch_id DESC, t.touch_type DESC) AS rl,
+        |    COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |   AND t.touch_ts <= c.conv_ts
+        |   AND t.touch_ts > c.conv_ts - INTERVAL 7 DAY
+        |)
+        |SELECT conv_id, CAST(MAX(n_touches) AS BIGINT) AS n_touches,
+        |  MAX(CASE WHEN rf = 1 THEN touch_id END) AS first_touch,
+        |  MAX(CASE WHEN rf = 1 THEN touch_type END) AS first_type,
+        |  MAX(CASE WHEN rl = 1 THEN touch_id END) AS last_touch,
+        |  MAX(CASE WHEN rl = 1 THEN touch_type END) AS last_type
+        |FROM j GROUP BY conv_id ORDER BY conv_id""".stripMargin,
     "rel_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events

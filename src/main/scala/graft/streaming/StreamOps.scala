@@ -369,6 +369,59 @@ object StreamOps {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Streaming spatial proximity detection — the reference's domain made
+    * streaming (aircraft positions arriving continuously, emit an alert
+    * when two tracks come close in space AND time). The batch grid-join
+    * (GeoOps.proximityPairs) shape carries over unchanged: one side
+    * explodes to its 3x3 neighbor cells (a stateless projection), the
+    * other keeps its home cell, and the stream-stream join runs on CELL
+    * EQUALITY plus a +/-1 day time-range bound — both sides watermarked,
+    * so join state evicts once the watermark passes the range (the only
+    * stream-stream join shape that survives an unbounded feed; same
+    * contract as streamStreamJoinQ). The exact distance predicate prunes
+    * after the cell-key candidates, never generating them. */
+  def geoProximityStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.GeoOps
+    def pts() = GeoOps.derivePoints(eventsStream(s, dir))
+      .filter(col("event_type") === "purchase")
+    val neighborhood = array(
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield struct((col("cx") + dx).as("x"), (col("cy") + dy).as("y"))): _*)
+    val left = pts()
+      .select(col("event_id").as("e1"), col("ts").as("ts1"),
+        col("lat").as("lat1"), col("lon").as("lon1"),
+        floor(col("lat")).cast("long").as("cx"),
+        floor(col("lon")).cast("long").as("cy"))
+      .withColumn("nc", explode(neighborhood))
+      .drop("cx", "cy")
+      .withWatermark("ts1", "1 day")
+    val right = pts()
+      .select(col("event_id").as("e2"), col("ts").as("ts2"),
+        col("lat").as("lat2"), col("lon").as("lon2"),
+        floor(col("lat")).cast("long").as("hx"),
+        floor(col("lon")).cast("long").as("hy"))
+      .withWatermark("ts2", "1 day")
+    val d2 = (col("lat1") - col("lat2")) * (col("lat1") - col("lat2")) +
+      (col("lon1") - col("lon2")) * (col("lon1") - col("lon2"))
+    val joined = left.join(right,
+        col("nc.x") === col("hx") && col("nc.y") === col("hy") &&
+          col("ts2") >= col("ts1") - expr("INTERVAL 1 DAY") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 1 DAY"))
+      .select(col("e1"), col("e2"), d2.as("dist2"),
+        (unix_micros(col("ts2")) - unix_micros(col("ts1"))).as("gap_us"))
+    // ONLY cell equality + the time range live in the join condition: any
+    // other conjunct there (the distance predicate, even e1 < e2) breaks
+    // StreamingJoinHelper's state-constraint extraction (WARN + no state
+    // watermark) and the join state would never evict. The exact distance
+    // and the ordered-pair dedup run on the RESULT table instead — the
+    // join's output is a tiny neighbor-cell + time-close alert stream, so
+    // the post-filter (and the 2x both-directions emission) is trivial.
+    runToMemory(joined, "append")
+      .filter(col("e1") < col("e2") &&
+        col("dist2") < lit(GeoOps.PROX_T * GeoOps.PROX_T))
+      .orderBy(col("e1"), col("e2"))
+  }
+
   /** Merge one micro-batch of per-user partial aggregates into the running
     * state: full-outer on the key, counts and exact decimal sums combine —
     * the MERGE shape every incremental pipeline maintains. */
@@ -458,6 +511,7 @@ object StreamOps {
     "stream_static_join" -> streamStaticJoinQ,
     "stream_stream_join" -> streamStreamJoinQ,
     "stream_watermark_dedup" -> ((s, dir) => watermarkDedupQ(s, dir)),
+    "stream_geo_proximity" -> geoProximityStreamQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -520,6 +574,23 @@ object StreamOps {
         | AND v.ts >= c.ts - INTERVAL 10 MINUTE
         | AND v.ts <= c.ts + INTERVAL 10 MINUTE
         |ORDER BY click_id, view_id""".stripMargin,
+    // the all-pairs spatial join the streaming plan must never run —
+    // matching proves the neighbor-cell candidates + time bound lose no
+    // qualifying pair (threshold interpolated from the SAME double
+    // product the Spark side uses)
+    "stream_geo_proximity" ->
+      s"""WITH ${graft.ops.GeoOps.pointsSql},
+         |p AS (SELECT event_id, ts, lat, lon FROM pts WHERE event_type = 'purchase')
+         |SELECT a.event_id AS e1, b.event_id AS e2,
+         |  (a.lat - b.lat) * (a.lat - b.lat) +
+         |  (a.lon - b.lon) * (a.lon - b.lon) AS dist2,
+         |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+         |FROM p a JOIN p b ON a.event_id < b.event_id
+         | AND b.ts >= a.ts - INTERVAL 1 DAY AND b.ts <= a.ts + INTERVAL 1 DAY
+         |WHERE (a.lat - b.lat) * (a.lat - b.lat) +
+         |      (a.lon - b.lon) * (a.lon - b.lon)
+         |      < ${graft.ops.GeoOps.PROX_T * graft.ops.GeoOps.PROX_T}
+         |ORDER BY e1, e2""".stripMargin,
     // gaps-and-islands with a >= gap test: two events exactly `gap` apart
     // do NOT merge in Spark's session_window ([ts, ts+gap) ranges must
     // overlap), unlike rel_sessionize's > test

@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
     "src_sorted_skipping", "src_orc_roundtrip", "src_zorder_skipping",
     "src_schema_evolution", "src_text_roundtrip",
-    "src_manifest_pruned", "src_compaction",
+    "src_manifest_pruned", "src_compaction", "src_time_travel",
+    "stream_geo_proximity",
     // executes DROP TABLE + two bucketed writes at plan build; the
     // zero-exchange join form is pinned by PlanSpec instead
     "rel_bucketed_join")
