@@ -124,10 +124,42 @@ object GeoOps {
       .orderBy(col("user_id"))
   }
 
+  /** Density heatmap with 3x3 neighbor smoothing — a grid STENCIL
+    * (convolution) computed relationally: aggregate points to cells
+    * first, then each CELL (not point) scatters its count to its 9
+    * neighbors and the smoothed density re-aggregates. The stencil runs
+    * over cell-sized data (orders of magnitude below the point count),
+    * so at 100 TB the convolution costs one shuffle of the cell table;
+    * top-k is TakeOrderedAndProject (per-partition top-10, no global
+    * sort). Halo cells (receiving spill but containing no points) are
+    * dropped by the own-count null filter. */
+  private def heatmapQ(s: SparkSession, dir: String): DataFrame = {
+    val cells = points(s, dir)
+      .groupBy(floor(col("lat")).cast("long").as("cy"),
+               floor(col("lon")).cast("long").as("cx"))
+      .agg(count(lit(1)).as("n"))
+    val offsets = array(
+      (for (dy <- -1 to 1; dx <- -1 to 1)
+        yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    cells.select(col("cy"), col("cx"), col("n"), explode(offsets).as("o"))
+      .select((col("cy") + col("o.dy")).as("sy"),
+        (col("cx") + col("o.dx")).as("sx"), col("n"),
+        (col("o.dy") === 0 && col("o.dx") === 0).as("own"))
+      .groupBy(col("sy"), col("sx"))
+      .agg(sum(col("n")).as("smoothed"),
+        max(when(col("own"), col("n"))).as("n_points"))
+      .filter(col("n_points").isNotNull)
+      .select(col("sy").as("cell_lat"), col("sx").as("cell_lon"),
+        col("n_points"), col("smoothed"))
+      .orderBy(col("smoothed").desc, col("cell_lat"), col("cell_lon"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid_cells" -> gridCellsQ,
     "geo_proximity_pairs" -> proximityQ,
     "geo_track_distance" -> trackDistanceQ,
+    "geo_heatmap_topk" -> heatmapQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +186,23 @@ object GeoOps {
          |WHERE (a.lat - b.lat) * (a.lat - b.lat) +
          |      (a.lon - b.lon) * (a.lon - b.lon) < ${PROX_T * PROX_T}
          |ORDER BY e1, e2""".stripMargin,
+    "geo_heatmap_topk" ->
+      s"""WITH $pointsSql, cells AS (
+         |  SELECT CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx,
+         |    COUNT(*) AS n
+         |  FROM pts GROUP BY 1, 2
+         |), contrib AS (
+         |  SELECT c.cy + dy.g AS sy, c.cx + dx.g AS sx, c.n,
+         |    (dy.g = 0 AND dx.g = 0) AS own
+         |  FROM cells c, generate_series(-1, 1) dy(g), generate_series(-1, 1) dx(g)
+         |), sm AS (
+         |  SELECT sy, sx, CAST(SUM(n) AS BIGINT) AS smoothed,
+         |    MAX(CASE WHEN own THEN n END) AS n_points
+         |  FROM contrib GROUP BY sy, sx
+         |)
+         |SELECT sy AS cell_lat, sx AS cell_lon, n_points, smoothed
+         |FROM sm WHERE n_points IS NOT NULL
+         |ORDER BY smoothed DESC, cell_lat, cell_lon LIMIT 10""".stripMargin,
     "geo_track_distance" ->
       s"""WITH $pointsSql, steps AS (
          |  SELECT user_id,

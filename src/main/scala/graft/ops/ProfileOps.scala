@@ -36,8 +36,35 @@ object ProfileOps {
     profile(graft.Tables(s, dir, "orders"),
       Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
 
+  /** Robust outlier detection via median absolute deviation — the
+    * anomaly screen that, unlike z-scores, a few extreme rows cannot
+    * drag. Two grouped exact-percentile passes (median, then MAD of the
+    * deviations) with the group constants BROADCAST back between them,
+    * then a conditional count of |x - med| > 3 * MAD. Exact percentiles
+    * sort within each group — at 100 TB swap in approx_percentile
+    * (same shape, documented at rel_percentile) and the pipeline loses
+    * the sorts; the exact form here is what the oracle can hash. */
+  private def outliersMadQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_profile" -> profileOrdersQ,
+    "rel_outliers_mad" -> outliersMadQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,5 +79,21 @@ object ProfileOps {
            |FROM orders""".stripMargin)
       selects.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+    "rel_outliers_mad" ->
+      """WITH ev AS (SELECT event_type, "value" AS v FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_type, e.v, m.med, abs(e.v - m.med) AS adev
+        |  FROM ev e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_type, MIN(d.med) AS med, MIN(m.mad) AS mad,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
   )
 }
