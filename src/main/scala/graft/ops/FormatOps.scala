@@ -304,7 +304,35 @@ object FormatOps {
       .orderBy(col("version"), col("o_orderstatus"))
   }
 
+  /** Targeted delete + rewrite — the right-to-be-forgotten op every
+    * GDPR-governed lake runs: a (small) key set of deletion requests
+    * anti-joins the table and the survivors are REWRITTEN as a new
+    * version (published with the same pointer-swap as src_time_travel;
+    * the old version ages out with retention). The anti join broadcasts
+    * the request keys — at 100 TB a delete touches every file that MIGHT
+    * hold a requested row; combine with the manifest (src_manifest_pruned)
+    * on the request keys' ranges to rewrite only affected files. The
+    * oracle reconstructs the survivor set by predicate, proving no
+    * requested row survived and no other row was lost. */
+  private def gdprDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "gdpr")
+    val orders = graft.Tables(s, dir, "orders")
+    orders.write.mode("overwrite").parquet(s"$path/v1")
+    val requests = graft.Tables(s, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    s.read.parquet(s"$path/v1")
+      .join(broadcast(requests), col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .write.mode("overwrite").parquet(s"$path/v2")
+    s.read.parquet(s"$path/v2")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_gdpr_delete" -> gdprDelete,
     "src_time_travel" -> timeTravel,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
@@ -319,6 +347,16 @@ object FormatOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // survivor set reconstructed by predicate: no requested row survives,
+    // no other row lost
+    "src_gdpr_delete" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_custkey) AS n_cust
+         |FROM orders
+         |WHERE o_custkey NOT IN (
+         |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // each version reconstructed by its defining predicate — v1 matching
     // proves the pinned read did NOT see v2's rows
     "src_time_travel" ->

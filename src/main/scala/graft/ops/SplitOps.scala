@@ -102,10 +102,30 @@ object SplitOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Corpus-build composition — the operators chained the way a real
+    * pre-training data build runs them: exact dedup (keep the lowest
+    * doc_id per content hash, `min_by` so the keeper's attributes ride
+    * along without a second join) → deterministic split assignment →
+    * per-split document/token budget report. Each stage is itself an
+    * oracle-checked operator (dedup_exact / text_split_assign); this
+    * query pins that they COMPOSE — one corpus scan, two hash-aggregate
+    * shuffles, no driver round-trips between stages. */
+  private def corpusBuildQ(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("n_chars"), col("doc_id")).as("n_chars"))
+      .withColumn("split", splitLabel(col("doc_id")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("n_chars div 4")).as("n_tokens"))
+      .orderBy(col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_split_assign" -> splitQ,
     "text_mix_budget" -> mixQ,
     "rel_weighted_sample" -> weightedSampleQ,
+    "text_corpus_build" -> corpusBuildQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +133,14 @@ object SplitOps {
       s"""SELECT ${splitLabelSql("doc_id")} AS split, lang, COUNT(*) AS n,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+    "text_corpus_build" ->
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
+         |  FROM documents GROUP BY md5(text)
+         |)
+         |SELECT ${splitLabelSql("doc_id")} AS split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars // 4) AS BIGINT) AS n_tokens
+         |FROM keep GROUP BY 1 ORDER BY split""".stripMargin,
     "rel_weighted_sample" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_sampled,
          |  ${graft.ops.Exact.sumSql("o_totalprice")} AS sum_price
