@@ -121,6 +121,32 @@ package object api {
     def saltedAgg(key: Column, value: Column, nSalts: Int): DataFrame =
       ops.SkewOps.saltedAgg(df, key, value, nSalts)
 
+    /** All point pairs within `thresh` (planar) via grid-cell candidate
+      * generation — never all-pairs; see GeoOps.proximityPairs. */
+    def proximityPairs(id: Column, lat: Column, lon: Column,
+        thresh: Double): DataFrame =
+      ops.GeoOps.proximityPairs(df, id, lat, lon, thresh)
+
+    /** SCD2 history: appends valid_to / is_current per `key` version
+      * chain ordered by (`validFrom`, `tieBreak`). */
+    def scd2History(key: String, validFrom: String, tieBreak: String): DataFrame =
+      ops.HistoryOps.scd2(df, key, validFrom, tieBreak)
+
+    /** CDC fold: latest change per `key` wins, op "D" deletes; see
+      * HistoryOps.cdcApply. */
+    def cdcApply(key: String, op: String, attrs: Seq[String],
+        version: Seq[String]): DataFrame =
+      ops.HistoryOps.cdcApply(df, key, op, attrs, version)
+
+    /** Fixed-point PageRank over this (src, dst) edge list (bit-stable
+      * across engines and cluster sizes); persist the edges first. */
+    def pagerank(iters: Int = 3): DataFrame = ops.GraphOps.pagerank(df, iters)
+
+    /** One-scan data-contract report: (rule, n_checked, n_violations)
+      * for each (name, violation-predicate) pair. */
+    def expectations(rules: Seq[(String, Column)]): DataFrame =
+      ops.ContractOps.rowExpectations(df, rules)
+
     /** Single-pass column profile: nulls / distincts / min / max per column. */
     def profileColumns(cols: String*): DataFrame =
       ops.ProfileOps.profile(df, cols)

@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   * `adsbx.ConfigValidation`'s permissive path. */
 object ContractOps {
 
+  /** One-scan rule report over any table: each (name, VIOLATION
+    * predicate) becomes a conditional-count aggregate in a single pass,
+    * unpivoted to (rule, n_checked, n_violations) rows. */
+  def rowExpectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_checked") +:
+      rules.map { case (name, viol) => sum(when(viol, 1L).otherwise(0L)).as(name) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array(col("n_checked")),
+        rules.map { case (name, _) => col(name) }.toArray,
+        "rule", "n_violations")
+      .select(col("rule"), col("n_checked"), col("n_violations"))
+  }
+
   /** Row-level rules as (name, VIOLATION predicate). */
   private def rowRules: Seq[(String, Column)] = Seq(
     "totalprice_positive" -> (col("o_totalprice") <= 0),
@@ -32,16 +45,7 @@ object ContractOps {
 
   private def expectationsQ(s: SparkSession, dir: String): DataFrame = {
     val orders = graft.Tables(s, dir, "orders")
-    // one scan: each rule is a conditional count over the same pass
-    val aggs = count(lit(1)).as("n_checked") +:
-      rowRules.map { case (name, viol) =>
-        sum(when(viol, 1L).otherwise(0L)).as(name)
-      }
-    val wide = orders.agg(aggs.head, aggs.tail: _*)
-    val long = wide.unpivot(
-      Array(col("n_checked")),
-      rowRules.map { case (name, _) => col(name) }.toArray,
-      "rule", "n_violations")
+    val long = rowExpectations(orders, rowRules)
     // referential rule: orphaned o_custkey values (anti join against the
     // broadcast customer key set)
     val orphans = orders.join(

@@ -67,8 +67,10 @@ object GraphOps {
     * unit counts <= 1e15 < 2^53 cast to DOUBLE exactly for display. */
   private val SCALE = 1000000000000000L
 
-  private def pagerankQ(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+  /** Fixed-point PageRank over any (src, dst) edge list → (node, rank_fp,
+    * rank). Callers should persist/stage `e` — it is consumed once per
+    * iteration. */
+  def pagerank(e: DataFrame, iters: Int = ITERS): DataFrame = {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // node count as a broadcast 1-row aggregate: stays in-pipeline (no
@@ -80,7 +82,7 @@ object GraphOps {
       .select(col("node"), expr(s"$SCALE div n_nodes").as("r_u"))
     val baseU = math.round((1 - DAMP) * SCALE) // 0.15 in units, exact
     val dampPct = math.round(DAMP * 100)       // damping as an integer %
-    for (_ <- 1 to ITERS) {
+    for (_ <- 1 to iters) {
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), expr("r_u div deg").as("c_u"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c_u")).as("sd"))
@@ -90,11 +92,12 @@ object GraphOps {
           expr(s"$baseU div n_nodes + ($dampPct * coalesce(sd, 0)) div 100")
             .as("r_u"))
     }
-    ranks
-      .select(col("node"), col("r_u").as("rank_fp"),
-        (col("r_u").cast("double") / lit(SCALE.toDouble)).as("rank"))
-      .orderBy(col("node"))
+    ranks.select(col("node"), col("r_u").as("rank_fp"),
+      (col("r_u").cast("double") / lit(SCALE.toDouble)).as("rank"))
   }
+
+  private def pagerankQ(s: SparkSession, dir: String): DataFrame =
+    pagerank(edges(s, dir)).orderBy(col("node"))
 
   private def trianglesQ(s: SparkSession, dir: String): DataFrame = {
     val und = edges(s, dir)

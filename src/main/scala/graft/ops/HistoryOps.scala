@@ -21,20 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object HistoryOps {
 
+  /** SCD2 over any version feed: appends `valid_to` (the next version's
+    * `validFrom` within the same `key`, ties broken by `tieBreak`) and
+    * `is_current`. One keyed window — one shuffle. */
+  def scd2(df: DataFrame, key: String, validFrom: String,
+           tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(validFrom), col(tieBreak))
+    df.withColumn("valid_to", lead(col(validFrom), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** CDC fold over any change feed: latest change per `key` wins (version
+    * order = lexicographic over `version` columns), `op` = "D" removes the
+    * key, the named `attrs` of the winner survive. Partial-aggregable —
+    * never sorts the losers. */
+  def cdcApply(changes: DataFrame, key: String, op: String,
+               attrs: Seq[String], version: Seq[String]): DataFrame =
+    changes.groupBy(col(key))
+      .agg(max_by(struct((op +: attrs).map(col): _*),
+        struct(version.map(col): _*)).as("__last"))
+      .filter(col(s"__last.$op") =!= "D")
+      .select(col(key) +: (op +: attrs).map(c => col(s"__last.$c").as(c)): _*)
+
   /** SCD2: each order is a new version of its customer's state; close each
     * version at the next version's start. Ties on the date break by
     * orderkey so the chain is total-ordered and deterministic. */
-  private def scd2Q(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("valid_from"), col("o_orderkey"))
-    graft.Tables(s, dir, "orders")
+  private def scd2Q(s: SparkSession, dir: String): DataFrame =
+    scd2(graft.Tables(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        col("o_orderdate").as("valid_from"))
-      .withColumn("valid_to",
-        lead(col("valid_from"), 1).over(w))
-      .withColumn("is_current", col("valid_to").isNull)
+        col("o_orderdate").as("valid_from")),
+      "o_custkey", "valid_from", "o_orderkey")
       .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
-  }
 
   /** CDC apply: a change feed (derived deterministically from orders —
     * ~10% deletes, ~30% updates, rest inserts; version = (date, orderkey))
@@ -47,11 +64,7 @@ object HistoryOps {
         .when(col("o_orderkey") % 10 < 4, "U").otherwise("I").as("op"),
       col("o_totalprice").as("attr"),
       col("o_orderdate").as("ver_ts"), col("o_orderkey").as("ver_seq"))
-    changes.groupBy(col("key"))
-      .agg(max_by(struct(col("op"), col("attr")),
-        struct(col("ver_ts"), col("ver_seq"))).as("last"))
-      .filter(col("last.op") =!= "D")
-      .select(col("key"), col("last.op").as("op"), col("last.attr").as("attr"))
+    cdcApply(changes, "key", "op", Seq("attr"), Seq("ver_ts", "ver_seq"))
       .orderBy(col("key"))
   }
 
