@@ -35,6 +35,21 @@ object ContractOps {
       .select(col("rule"), col("n_checked"), col("n_violations"))
   }
 
+  /** Streaming form of the contract gate: attach the rule aggregates as
+    * OBSERVED METRICS — computed inline with whatever the stream already
+    * does (no second pass, no extra shuffle; metrics ride the existing
+    * tasks) and surfaced per micro-batch through
+    * `StreamingQueryProgress.observedMetrics("contract")`. This is how a
+    * 100 TB/day ingest watches its own quality: alert on a batch's
+    * violation counts without ever running a separate audit job.
+    * (`StreamObserveSpec` pins metrics == batch counts; the batch report
+    * form is `rowExpectations`.) */
+  def observedGate(stream: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map { case (name, viol) => sum(when(viol, 1L).otherwise(0L)).as(name) }
+    stream.observe("contract", aggs.head, aggs.tail: _*)
+  }
+
   /** Row-level rules as (name, VIOLATION predicate). */
   private def rowRules: Seq[(String, Column)] = Seq(
     "totalprice_positive" -> (col("o_totalprice") <= 0),
