@@ -253,6 +253,40 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sketch-accuracy metric — the dedup analog of sim_ann_recall: over
+    * every LSH candidate pair, the MinHash estimate (agreeing chunks / 8)
+    * against the exact shingle Jaccard, reported as mean/max absolute
+    * error. This is the number N_MINHASH and the band structure are tuned
+    * against; at 8 permutations the expected |err| is ~sqrt(J(1-J)/8)
+    * (~0.14 at J=0.5) — raising permutations tightens it as 1/sqrt(n).
+    * Candidate pairs only (bucket co-members): the metric measures the
+    * estimator where it is actually used, without an all-pairs pass.
+    * Pairs can share a bucket through 16-bit chunk collisions with zero
+    * true overlap, so the exact side left-joins (Jaccard 0), never
+    * drops. */
+  private def minhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = candidatePairs(s, dir)
+    val sig = staged(s, dir, "sig")(minhashSig(d))
+    val sets = staged(s, dir, "wsets")(forCandidates(pairs, d)(shingleSet.as("ws")))
+    val agree = (0 until N_MINHASH)
+      .map(i => when(col(s"s1.mh$i") === col(s"s2.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), (agree.cast("double") / lit(8.0)).as("est"))
+      .join(sets.as("w1"), col("d1") === col("w1.doc_id"))
+      .join(sets.as("w2"), col("d2") === col("w2.doc_id"))
+      .withColumn("i", size(array_intersect(col("w1.ws"), col("w2.ws"))))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("w1.ws")) + size(col("w2.ws")) - col("i")).cast("double"))
+      .withColumn("abs_err", abs(col("est") - col("jaccard")))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.ops.Exact.avgD(col("abs_err")).as("mean_abs_err"),
+        max(col("abs_err")).as("max_abs_err"))
+  }
+
   /** Verified near-dup pairs without output ordering (shared corpus core).
     * Staged: both the neardup-pairs query and the clustering query consume
     * it, and clustering reads it twice (edge directions). */
@@ -547,6 +581,7 @@ object DedupOps {
     "dedup_minhash_sig" -> minhashQuery,
     "dedup_lsh_buckets" -> lshBuckets,
     "dedup_lsh_neardup" -> lshNearDupPairs,
+    "dedup_minhash_accuracy" -> minhashAccuracy,
     "dedup_clusters" -> nearDupClusters,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
     "dedup_containment" -> containmentQuery,
@@ -636,6 +671,38 @@ object DedupOps {
          |JOIN cnt c2 ON d2 = c2.doc_id
          |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_minhash_accuracy" -> {
+      val agree = (0 until N_MINHASH)
+        .map(i => s"(CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $tok3Cte, $sigCte, $bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY 1),
+         |inter AS (
+         |  SELECT p.d1, p.d2, COUNT(*) AS i
+         |  FROM pairs p
+         |  JOIN tok3 t1 ON t1.doc_id = p.d1
+         |  JOIN tok3 t2 ON t2.doc_id = p.d2 AND t2.w = t1.w
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT CAST($agree AS DOUBLE) / 8.0 AS est,
+         |    CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |      CAST(c1.n + c2.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig s1 ON p.d1 = s1.doc_id
+         |  JOIN sig s2 ON p.d2 = s2.doc_id
+         |  JOIN cnt c1 ON p.d1 = c1.doc_id
+         |  JOIN cnt c2 ON p.d2 = c2.doc_id
+         |  LEFT JOIN inter i ON p.d1 = i.d1 AND p.d2 = i.d2
+         |)
+         |SELECT COUNT(*) AS n_pairs,
+         |  ${graft.ops.Exact.avgSql("abs(est - jaccard)")} AS mean_abs_err,
+         |  MAX(abs(est - jaccard)) AS max_abs_err
+         |FROM scored""".stripMargin
+    },
     // min-label fixpoint == min reachable node == the recursive closure's
     // per-node minimum
     "dedup_clusters" ->
