@@ -310,6 +310,27 @@ object Relational2 {
         min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
       .orderBy(col("bucket"))
 
+  /** Equi-DEPTH histogram (the fixed-width one is rel_histogram): ntile
+    * assigns equal-population buckets, then per-bucket bounds/mass — the
+    * binning a quantile-aware optimizer or a feature-bucketizer wants.
+    * ntile needs a total order: ties broken by orderkey so bucket
+    * membership is deterministic. One global sort at test scale; at
+    * 100 TB the same report comes from approx_percentile cutpoints + the
+    * rel_histogram projection shape (documented trade; the exact form is
+    * what the oracle can hash). */
+  private def equidepthHistQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Conditional-aggregate battery: count_if / any / every / sum-distinct
     * shapes (the FILTER-clause family). */
   private def condAgg(s: SparkSession, dir: String): DataFrame =
@@ -561,6 +582,7 @@ object Relational2 {
     "rel_stratified_sample" -> stratifiedSample,
     "rel_approx_percentile" -> approxPercentileQ,
     "rel_histogram" -> histogramQ,
+    "rel_equidepth_hist" -> equidepthHistQ,
     "rel_cond_agg" -> condAgg,
     "rel_upsert" -> upsertQ,
     "rel_topk_agg" -> topkAgg,
@@ -713,6 +735,15 @@ object Relational2 {
          |  COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price,
          |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "rel_equidepth_hist" ->
+      s"""WITH b AS (
+         |  SELECT o_totalprice,
+         |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+         |  FROM orders
+         |)
+         |SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo,
+         |  MAX(o_totalprice) AS hi, ${sumSql("o_totalprice")} AS sum_price
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "rel_cond_agg" ->
       s"""SELECT l_returnflag,
          |  COUNT(CASE WHEN l_quantity >= 45 THEN 1 END) AS n_heavy,
