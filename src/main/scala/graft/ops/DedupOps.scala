@@ -275,7 +275,8 @@ object DedupOps {
     pairs
       .join(sig.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sig.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"), (agree.cast("double") / lit(8.0)).as("est"))
+      .select(col("d1"), col("d2"),
+        (agree.cast("double") / lit(N_MINHASH.toDouble)).as("est"))
       .join(sets.as("w1"), col("d1") === col("w1.doc_id"))
       .join(sets.as("w2"), col("d2") === col("w2.doc_id"))
       .withColumn("i", size(array_intersect(col("w1.ws"), col("w2.ws"))))
@@ -688,7 +689,7 @@ object DedupOps {
          |  JOIN tok3 t2 ON t2.doc_id = p.d2 AND t2.w = t1.w
          |  GROUP BY 1, 2
          |), scored AS (
-         |  SELECT CAST($agree AS DOUBLE) / 8.0 AS est,
+         |  SELECT CAST($agree AS DOUBLE) / ${N_MINHASH}.0 AS est,
          |    CAST(COALESCE(i.i, 0) AS DOUBLE) /
          |      CAST(c1.n + c2.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
          |  FROM pairs p

@@ -229,6 +229,15 @@ object FormatOps {
     (selected, s.read.parquet(path).inputFiles.length)
   }
 
+  /** Read only the manifest-selected files. An empty selection (no file
+    * overlaps the predicate window) is a legitimate planning outcome, but
+    * `read.parquet()` with zero paths throws "unable to infer schema" —
+    * so it degrades to an empty frame WITH the table's schema, read from
+    * the full path's footers (metadata-only; no row data scanned). */
+  def readPruned(s: SparkSession, path: String, files: Seq[String]): DataFrame =
+    if (files.isEmpty) s.read.parquet(path).limit(0)
+    else s.read.parquet(files: _*)
+
   private def manifestPruned(s: SparkSession, dir: String): DataFrame = {
     val path = tmpDir(s, "manifest")
     graft.Tables(s, dir, "orders")
@@ -237,7 +246,7 @@ object FormatOps {
     val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
     val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
     val (files, _) = manifestPrune(s, path, lo, hi)
-    s.read.parquet(files: _*)
+    readPruned(s, path, files)
       .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))

@@ -70,18 +70,34 @@ object GeoOps {
       .orderBy(col("cell_lat"), col("cell_lon"))
 
   /** All point pairs within `thresh` degrees (planar), via grid-cell
-    * candidate generation. Requires cellSize >= thresh: a pair within
-    * thresh can span at most one cell boundary per axis, so the 3x3
-    * neighborhood of either point's cell contains the other. One side
-    * explodes to its 9 neighbor cells, the other keeps its home cell;
-    * the equi-join on the cell key yields each ordered candidate pair
-    * exactly once (9 distinct neighbor keys meet 1 home key), and
-    * `id < id` keeps one direction — no post-join distinct needed. */
+    * candidate generation. Cell size = `cellSize` (default: the threshold
+    * itself — the smallest size for which the 3x3 neighborhood is still
+    * complete): a pair within thresh <= cellSize can span at most one cell
+    * boundary per axis, so the 3x3 neighborhood of either point's cell
+    * contains the other. One side explodes to its 9 neighbor cells, the
+    * other keeps its home cell; the equi-join on the cell key yields each
+    * ordered candidate pair exactly once (9 distinct neighbor keys meet 1
+    * home key), and `id < id` keeps one direction — no post-join distinct
+    * needed. Threshold-sized cells matter at scale: a cell K× the
+    * threshold co-buckets ~K² cells' worth of points per axis pair, so
+    * candidate pairs inflate ~K⁴ per occupied region before the exact
+    * distance predicate prunes them. */
   def proximityPairs(pts: DataFrame, id: Column, lat: Column, lon: Column,
-                     thresh: Double): DataFrame = {
-    require(thresh <= 1.0, "grid cell is 1 degree; cellSize >= thresh required")
+                     thresh: Double): DataFrame =
+    proximityCandidates(pts, id, lat, lon, thresh, cellSize = thresh)
+      .filter(col("dist2") < lit(thresh * thresh))
+
+  /** Candidate pairs from the 3x3 neighborhood equi-join, BEFORE the exact
+    * distance predicate. Exposed so specs can measure the candidate volume
+    * a given cell size admits. Requires cellSize >= thresh for the
+    * pigeonhole completeness argument. */
+  private[graft] def proximityCandidates(pts: DataFrame, id: Column,
+      lat: Column, lon: Column, thresh: Double, cellSize: Double): DataFrame = {
+    require(cellSize >= thresh, "completeness needs cellSize >= thresh")
+    val cell = lit(cellSize)
     val base = pts.select(id.as("pid"), lat.as("plat"), lon.as("plon"),
-      floor(lat).cast("long").as("cx"), floor(lon).cast("long").as("cy"))
+      floor(lat / cell).cast("long").as("cx"),
+      floor(lon / cell).cast("long").as("cy"))
     val probe = base.select(col("pid").as("e2"), col("plat").as("lat2"),
       col("plon").as("lon2"), col("cx"), col("cy"))
     val neighborhood = array(
@@ -95,7 +111,6 @@ object GeoOps {
         col("nc.x") === col("cx") && col("nc.y") === col("cy") &&
           col("e1") < col("e2"))
       .select(col("e1"), col("e2"), d2.as("dist2"))
-      .filter(col("dist2") < lit(thresh * thresh))
   }
 
   /** Proximity query on the purchase subset (dense enough for pairs,
@@ -108,8 +123,13 @@ object GeoOps {
       .orderBy(col("e1"), col("e2"))
 
   /** Per-user path length: consecutive-event step distances (planar sqrt,
-    * correctly rounded IEEE on both engines) summed decimal-exact so the
-    * per-group addition order cannot show through. */
+    * correctly rounded IEEE on both engines). Each step is FLOORED to the
+    * 1e-6 grid as an integer before summing: floor(step * 1e6) is the
+    * same exact long in both engines (IEEE multiply + exact floor), long
+    * sums are associative, and one final divide by 1e6 is one correctly-
+    * rounded double op — so the per-group addition order AND each
+    * engine's double->decimal rounding rule (which can disagree on a tie)
+    * cannot show through. */
   private def trackDistanceQ(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val step = sqrt(
@@ -120,7 +140,8 @@ object GeoOps {
     points(s, dir)
       .withColumn("step", step)
       .groupBy(col("user_id"))
-      .agg(count(col("step")).as("n_steps"), sumD(col("step")).as("path_len"))
+      .agg(count(col("step")).as("n_steps"),
+        (sum(floor(col("step") * 1e6).cast("long")) / lit(1e6)).as("path_len"))
       .orderBy(col("user_id"))
   }
 
@@ -211,7 +232,8 @@ object GeoOps {
          |  FROM pts
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |)
-         |SELECT user_id, COUNT(step) AS n_steps, ${sumSql("step")} AS path_len
+         |SELECT user_id, COUNT(step) AS n_steps,
+         |  CAST(SUM(CAST(floor(step * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS path_len
          |FROM steps GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -310,20 +310,59 @@ object Relational2 {
         min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
       .orderBy(col("bucket"))
 
-  /** Equi-DEPTH histogram (the fixed-width one is rel_histogram): ntile
-    * assigns equal-population buckets, then per-bucket bounds/mass — the
-    * binning a quantile-aware optimizer or a feature-bucketizer wants.
-    * ntile needs a total order: ties broken by orderkey so bucket
-    * membership is deterministic. One global sort at test scale; at
-    * 100 TB the same report comes from approx_percentile cutpoints + the
-    * rel_histogram projection shape (documented trade; the exact form is
-    * what the oracle can hash). */
+  /** Global 1-based rank over a total order WITHOUT a single-partition
+    * window — the scalable replacement for `row_number() OVER (ORDER BY
+    * ...)`: range-repartition on the sort key, sort within partitions,
+    * collect the PER-PARTITION row counts (<= numShufflePartitions rows —
+    * a metadata-sized driver read, same class as FormatOps' file-path
+    * listing, never row data), and add each partition's cumulative offset
+    * to the row's partition-local ordinal. The ordinal comes from
+    * `monotonically_increasing_id()` (= pid << 33 | ordinal-in-partition,
+    * assigned in the partition's physical row order, which the local sort
+    * has just made the key order; the optimizer never reorders it across
+    * the Sort because it is marked nondeterministic). The only full-data
+    * exchange is the range repartition; everything downstream is narrow.
+    * The counts job and the final job recompute the same range bounds:
+    * RangePartitioner's reservoir sampling is seeded by partition index,
+    * so identical input splits yield identical bounds. Ties must be broken
+    * by the caller (include a unique key). Output adds `__rank` (long,
+    * 1-based) and `__n` (long, total rows). */
+  private[graft] def globalRank(df: DataFrame, keys: Column*): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val counts = ranged.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2))       // exclusive prefix sums
+    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    ranged.withColumn("__rank",
+        element_at(offMap, spark_partition_id()) +
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .withColumn("__n", lit(total))
+  }
+
+  /** Equi-DEPTH histogram (the fixed-width one is rel_histogram):
+    * equal-population buckets, then per-bucket bounds/mass — the binning a
+    * quantile-aware optimizer or a feature-bucketizer wants. Bucket
+    * membership is EXACTLY `ntile(10) OVER (ORDER BY price, orderkey)` —
+    * the unique orderkey makes it deterministic, and the DuckDB oracle
+    * hashes that form — but the plan never funnels the table through a
+    * single-partition window: `globalRank` supplies the global row number
+    * from a range repartition plus narrow per-partition arithmetic, and
+    * the ntile bucket is closed-form in (rank, n): the first n%k buckets
+    * take ceil(n/k) rows, the rest floor(n/k). */
   private def equidepthHistQ(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
+    val k = 10
+    globalRank(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        col("o_totalprice"), col("o_orderkey"))
+      .withColumn("bucket", expr(
+        s"""CASE WHEN __rank <= (__n % $k) * (__n DIV $k + 1)
+           |  THEN (__rank - 1) DIV (__n DIV $k + 1)
+           |  ELSE (__n % $k) + (__rank - 1 - (__n % $k) * (__n DIV $k + 1)) DIV (__n DIV $k)
+           |END + 1""".stripMargin))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
         max(col("o_totalprice")).as("hi"),

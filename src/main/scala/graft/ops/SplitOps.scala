@@ -66,7 +66,11 @@ object SplitOps {
     * thumb); swap in real token counts (`text_token_count`) unchanged. */
   private def mixQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quota = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+    // try_cast on BOTH engines (TRY_CAST in the oracle): a malformed
+    // source suffix degrades identically to NULL → the 500 default quota,
+    // instead of Spark nulling while the oracle raises a conversion error
+    val quota = when(
+      expr("try_cast(substring(source, 4, 10) AS int)") % 2 === 0,
       1500L).otherwise(500L)
     val priority = md5(concat(lit("mix:"), col("doc_id").cast("string")))
     val w = Window.partitionBy(col("source"))
@@ -157,7 +161,7 @@ object SplitOps {
         |  FROM documents
         |)
         |SELECT source, doc_id, tok, cum_tokens FROM ranked
-        |WHERE cum_tokens <= CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+        |WHERE cum_tokens <= CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0
         |                         THEN 1500 ELSE 500 END
         |ORDER BY source, cum_tokens""".stripMargin,
   )

@@ -387,19 +387,24 @@ object StreamOps {
     val neighborhood = array(
       (for (dx <- -1 to 1; dy <- -1 to 1)
         yield struct((col("cx") + dx).as("x"), (col("cy") + dy).as("y"))): _*)
+    // Threshold-sized cells (cellSize = PROX_T), matching the batch
+    // operator: the 3x3 neighborhood stays complete while candidate pairs
+    // shrink ~K^4 vs K-times-threshold cells — and in the streaming case
+    // smaller cells also shrink the JOIN STATE each side keeps per key.
+    val cell = lit(GeoOps.PROX_T)
     val left = pts()
       .select(col("event_id").as("e1"), col("ts").as("ts1"),
         col("lat").as("lat1"), col("lon").as("lon1"),
-        floor(col("lat")).cast("long").as("cx"),
-        floor(col("lon")).cast("long").as("cy"))
+        floor(col("lat") / cell).cast("long").as("cx"),
+        floor(col("lon") / cell).cast("long").as("cy"))
       .withColumn("nc", explode(neighborhood))
       .drop("cx", "cy")
       .withWatermark("ts1", "1 day")
     val right = pts()
       .select(col("event_id").as("e2"), col("ts").as("ts2"),
         col("lat").as("lat2"), col("lon").as("lon2"),
-        floor(col("lat")).cast("long").as("hx"),
-        floor(col("lon")).cast("long").as("hy"))
+        floor(col("lat") / cell).cast("long").as("hx"),
+        floor(col("lon") / cell).cast("long").as("hy"))
       .withWatermark("ts2", "1 day")
     val d2 = (col("lat1") - col("lat2")) * (col("lat1") - col("lat2")) +
       (col("lon1") - col("lon2")) * (col("lon1") - col("lon2"))

@@ -29,6 +29,19 @@ class GeoOpsSpec extends SparkSpec {
     assert(grid == brute)
   }
 
+  test("threshold-sized cells admit far fewer candidates than 1-degree cells") {
+    val pts = GeoOps.derivePoints(graft.Tables(spark, sf, "events"))
+      .filter(col("event_type") === "purchase")
+    def candidates(cellSize: Double): Long =
+      GeoOps.proximityCandidates(pts, col("event_id"), col("lat"),
+        col("lon"), thresh = 0.05, cellSize = cellSize).count()
+    val coarse = candidates(1.0)
+    val tight = candidates(0.05)
+    assert(tight > 0, "tight cells must still admit the qualifying pairs")
+    assert(tight * 20 < coarse,
+      s"expected >=20x candidate reduction, got coarse=$coarse tight=$tight")
+  }
+
   test("proximity plan is a hash equi-join on the cell key, not a cross product") {
     val plan = GeoOps.queries("geo_proximity_pairs")(spark, sf)
       .queryExecution.executedPlan.toString

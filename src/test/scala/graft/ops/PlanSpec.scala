@@ -32,6 +32,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "fact table should not shuffle-join a dim")
   }
 
+  test("equi-depth histogram has no single-partition exchange and no window") {
+    // ntile-over-everything funnels the whole table through one task; the
+    // globalRank formulation must keep the plan free of BOTH the
+    // SinglePartition exchange and any Window operator — the only
+    // full-data exchange is the range repartition.
+    val p = plan(Relational2.queries("rel_equidepth_hist")(spark, sf))
+    assert(!p.contains("SinglePartition"), s"single-partition exchange:\n$p")
+    assert(!p.contains("Window"), s"window survived in plan:\n$p")
+    assert(p.contains("rangepartitioning"), "expected a range repartition")
+  }
+
   test("window top-k prunes before the shuffle (WindowGroupLimit)") {
     val p = plan(Relational.queries("rel_window_topk")(spark, sf))
     assert(p.contains("WindowGroupLimit"), "top-k filter not pushed into window")

@@ -35,11 +35,17 @@ class StreamObserveSpec extends SparkSpec {
       val q = gated.writeStream.format("noop")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // listener delivery is async; wait for the metrics to land
-      val deadline = System.currentTimeMillis() + 30000
-      while (totals.isEmpty && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
       val ev = graft.Tables(spark, sf, "events")
+      val nRows = ev.count()
+      // listener delivery is async, and an AvailableNow run may split into
+      // several micro-batches each with its own progress event — waiting
+      // for "non-empty" would race a multi-batch run and read partial
+      // sums. Wait until the summed n_rows reaches the full input count
+      // (it can never overshoot: each row is observed exactly once).
+      val deadline = System.currentTimeMillis() + 30000
+      while (totals.getOrElse("n_rows", 0L) < nRows &&
+             System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
       val expect = ev.agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("value") < 1.0, 1L).otherwise(0L)).as("low_value"),
