@@ -316,31 +316,56 @@ object Relational2 {
     * collect the PER-PARTITION row counts (<= numShufflePartitions rows —
     * a metadata-sized driver read, same class as FormatOps' file-path
     * listing, never row data), and add each partition's cumulative offset
-    * to the row's partition-local ordinal. The ordinal comes from
-    * `monotonically_increasing_id()` (= pid << 33 | ordinal-in-partition,
-    * assigned in the partition's physical row order, which the local sort
-    * has just made the key order; the optimizer never reorders it across
-    * the Sort because it is marked nondeterministic). The only full-data
-    * exchange is the range repartition; everything downstream is narrow.
-    * The counts job and the final job recompute the same range bounds:
-    * RangePartitioner's reservoir sampling is seeded by partition index,
-    * so identical input splits yield identical bounds. Ties must be broken
-    * by the caller (include a unique key). Output adds `__rank` (long,
-    * 1-based) and `__n` (long, total rows). */
-  private[graft] def globalRank(df: DataFrame, keys: Column*): DataFrame = {
+    * to the row's partition-local ordinal.
+    *
+    * Determinism: the ranged plan is materialized to ONE physical RDD
+    * (`ranged.rdd`) and BOTH jobs below run over that same object. This is
+    * load-bearing — two separate DataFrame actions each build their own
+    * physical plan, and RangePartitioner re-samples its bounds per plan
+    * (its seed incorporates the RDD id), so the offsets collected by job 1
+    * would describe different partitions than job 2 ranks (the round-4
+    * regression: 14,520/15,000 ranks wrong). Sharing the RDD pins one
+    * ShuffleDependency: bounds are sampled once, job 1 materializes the
+    * shuffle map outputs, and job 2 reuses them — deterministic AND
+    * single-scan. The reduce-side local sort re-runs in job 2, but it is
+    * deterministic because the caller must make the key a total order
+    * (include a unique tiebreak key). The only full-data exchange is the
+    * range repartition; the rank attachment is narrow per-partition
+    * arithmetic off a broadcast of <= numShufflePartitions offsets.
+    * Output adds `__rank` (long, 1-based) and `__n` (long, total rows). */
+  /** The exchange stage under [[globalRank]]: range-repartition on the
+    * keys + partition-local sort. Exposed so PlanSpec can assert the only
+    * full-data exchange is the range repartition (the final globalRank
+    * frame is a Scan ExistingRDD — its exchange lives here, below `.rdd`,
+    * where EliminateSorts cannot touch the ordering). */
+  private[graft] def rangedByKeys(df: DataFrame, keys: Column*): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, keys: _*)
-      .sortWithinPartitions(keys: _*)
-    val counts = ranged.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val total = counts.map(_._2).sum
-    val offsets = counts.map(_._1)
-      .zip(counts.scanLeft(0L)(_ + _._2))       // exclusive prefix sums
-    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
-    ranged.withColumn("__rank",
-        element_at(offMap, spark_partition_id()) +
-          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + 1L)
-      .withColumn("__n", lit(total))
+    df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
+  }
+
+  private[graft] def globalRank(df: DataFrame, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = rangedByKeys(df, keys: _*)
+      .rdd                                      // ONE plan, ONE shuffle dep
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator(pid -> it.size.toLong),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)         // job 1: counts only
+    val total = counts.sum
+    val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>  // job 2: reuses
+      var rank = offsets.value(pid)                         // job 1's shuffle
+      it.map { row =>
+        rank += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rank :+ total)
+      }
+    }
+    spark.createDataFrame(ranked, org.apache.spark.sql.types.StructType(
+      df.schema.fields
+        :+ org.apache.spark.sql.types.StructField("__rank",
+            org.apache.spark.sql.types.LongType, nullable = false)
+        :+ org.apache.spark.sql.types.StructField("__n",
+            org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
   /** Equi-DEPTH histogram (the fixed-width one is rel_histogram):

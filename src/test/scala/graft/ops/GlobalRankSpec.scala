@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Value-level pin for Relational2.globalRank: every rank must equal
+  * `row_number() OVER (ORDER BY key, tiebreak)` — rank-for-rank, on a real
+  * table. This is the check the round-4 regression lacked: the plan-shape
+  * test stayed green while RangePartitioner re-sampled different bounds in
+  * the counts job vs the ranking job and 14,520/15,000 ranks came out
+  * wrong. globalRank now pins one RDD lineage (one shuffle, one set of
+  * bounds), and this spec fails the build if that determinism ever slips. */
+class GlobalRankSpec extends SparkSpec {
+
+  test("globalRank ≡ row_number() over (order by totalprice, orderkey) on orders") {
+    val df = graft.Tables(spark, "/root/testdata/sf0.01", "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ranked = Relational2.globalRank(df,
+      col("o_totalprice"), col("o_orderkey"))
+    val truth = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+        .cast("long"))
+    val n = df.count()
+    val joined = ranked.join(truth, Seq("o_orderkey", "o_totalprice")).cache()
+    try {
+      assert(joined.count() == n, "rank join lost rows")
+      val mismatched = joined.filter(col("__rank") =!= col("rn")).count()
+      assert(mismatched == 0, s"$mismatched/$n ranks differ from row_number()")
+      val badN = joined.filter(col("__n") =!= lit(n)).count()
+      assert(badN == 0, "__n must equal the total row count on every row")
+    } finally joined.unpersist()
+  }
+
+  test("globalRank is dense, 1-based, and stable across repeated evaluation") {
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val ranked = Relational2.globalRank(df,
+      col("o_totalprice"), col("o_orderkey")).cache()
+    try {
+      val n = ranked.count()
+      val agg = ranked.agg(min("__rank"), max("__rank"),
+        countDistinct("__rank")).collect()(0)
+      assert(agg.getLong(0) == 1L && agg.getLong(1) == n &&
+        agg.getLong(2) == n, s"ranks not a dense 1..$n permutation: $agg")
+    } finally ranked.unpersist()
+  }
+}

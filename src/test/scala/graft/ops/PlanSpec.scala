@@ -35,12 +35,18 @@ class PlanSpec extends SparkSpec {
   test("equi-depth histogram has no single-partition exchange and no window") {
     // ntile-over-everything funnels the whole table through one task; the
     // globalRank formulation must keep the plan free of BOTH the
-    // SinglePartition exchange and any Window operator — the only
-    // full-data exchange is the range repartition.
+    // SinglePartition exchange and any Window operator. The range
+    // repartition itself sits in globalRank's internal stage (below .rdd),
+    // so it is asserted on rangedByKeys directly.
     val p = plan(Relational2.queries("rel_equidepth_hist")(spark, sf))
     assert(!p.contains("SinglePartition"), s"single-partition exchange:\n$p")
     assert(!p.contains("Window"), s"window survived in plan:\n$p")
-    assert(p.contains("rangepartitioning"), "expected a range repartition")
+    import org.apache.spark.sql.functions.col
+    val staged = plan(Relational2.rangedByKeys(
+      graft.Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+      col("o_totalprice"), col("o_orderkey")))
+    assert(staged.contains("rangepartitioning"), "expected a range repartition")
+    assert(!staged.contains("SinglePartition"), s"single-partition exchange:\n$staged")
   }
 
   test("window top-k prunes before the shuffle (WindowGroupLimit)") {
