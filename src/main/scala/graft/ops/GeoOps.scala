@@ -90,7 +90,17 @@ object GeoOps {
   /** Candidate pairs from the 3x3 neighborhood equi-join, BEFORE the exact
     * distance predicate. Exposed so specs can measure the candidate volume
     * a given cell size admits. Requires cellSize >= thresh for the
-    * pigeonhole completeness argument. */
+    * pigeonhole completeness argument.
+    *
+    * Floating-point caveat (the pigeonhole proof is exact-arithmetic):
+    * cell ids come from floor(coord / cellSize), and the fp quotient
+    * carries <= 0.5 ulp error, so two points with |Δ| < thresh can compute
+    * cell ids 2 apart ONLY when their exact quotient difference is within
+    * ~1 ulp of 1.0 — i.e. |Δ| within ~1e-13 of thresh itself, where the
+    * strict `dist2 < thresh²` predicate is equally rounding-ambiguous, so
+    * no pair that is robustly inside the threshold can be missed. The
+    * boundary-ulp sweep in GeoOpsSpec pins this empirically with
+    * coordinates at multiples of cellSize perturbed by ±1 ulp. */
   private[graft] def proximityCandidates(pts: DataFrame, id: Column,
       lat: Column, lon: Column, thresh: Double, cellSize: Double): DataFrame = {
     require(cellSize >= thresh, "completeness needs cellSize >= thresh")

@@ -42,6 +42,40 @@ class GeoOpsSpec extends SparkSpec {
       s"expected >=20x candidate reduction, got coarse=$coarse tight=$tight")
   }
 
+  test("cell-boundary ulp sweep: grid matches brute force at ±1-ulp coordinates") {
+    // Adversarial fixture for the floor(coord/cellSize) binning: points sit
+    // exactly ON multiples of the 0.05 cell size and at ±1-ulp
+    // perturbations of them, so every quotient lands within an ulp of an
+    // integer — the one regime where fp binning could disagree with the
+    // exact-arithmetic pigeonhole proof. The grid join must still produce
+    // exactly the brute-force pair set.
+    import spark.implicits._
+    val t = 0.05
+    val coords = (for {
+      k <- -3 to 3
+      base = k * t
+      v <- Seq(Math.nextDown(base), base, Math.nextUp(base),
+        base + t / 2, base - t + 1e-9, base + t - 1e-9)
+    } yield v).distinct
+    val pts = coords.zipWithIndex.flatMap { case (la, i) =>
+      coords.zipWithIndex.collect { case (lo, j) if (i + j) % 7 == 0 =>
+        ((i.toLong * 1000 + j), la, lo)
+      }
+    }.toDF("event_id", "lat", "lon")
+    val grid = GeoOps.proximityPairs(pts, col("event_id"), col("lat"),
+        col("lon"), thresh = t)
+      .select("e1", "e2").as[(Long, Long)].collect().toSet
+    val a = pts.select(col("event_id").as("e1"), col("lat").as("la"), col("lon").as("lo"))
+    val b = pts.select(col("event_id").as("e2"), col("lat").as("lb"), col("lon").as("lb2"))
+    val brute = a.crossJoin(b).filter(col("e1") < col("e2"))
+      .filter((col("la") - col("lb")) * (col("la") - col("lb")) +
+        (col("lo") - col("lb2")) * (col("lo") - col("lb2")) < t * t)
+      .select("e1", "e2").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "sweep fixture must produce close pairs")
+    assert(grid == brute,
+      s"grid missed ${(brute -- grid).size}, extra ${(grid -- brute).size}")
+  }
+
   test("proximity plan is a hash equi-join on the cell key, not a cross product") {
     val plan = GeoOps.queries("geo_proximity_pairs")(spark, sf)
       .queryExecution.executedPlan.toString
