@@ -92,6 +92,60 @@ object Fixtures {
     includes.toDF()
   }
 
+  /** The quirk-matrix aircraft split into three scheduled-poll pages — the
+    * reference receives one envelope per scheduled invocation
+    * (task.ts:98,124-129); three pages make the snapshot-log/offset
+    * machinery do real work while keeping the SAME total row set, so the
+    * cross-snapshot seq encoding (arrival_idx * 2^32 + array position)
+    * preserves the fixture's relative order and D1 picks the same winners
+    * as the single-batch fixture — which is what lets `cot_stream_poll`
+    * share `cot_includes_join`'s oracle. */
+  val pollPages: Seq[Seq[Ac]] =
+    Seq(aircraft.slice(0, 4), aircraft.slice(4, 8), aircraft.slice(8, 11))
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** One reference-shaped REST envelope (task.ts:131-134) serializing these
+    * aircraft as the response body text. Optional fields are omitted when
+    * None (TypeBox `Type.Optional`), and `alt_baro` keeps the API's
+    * number|string union — numeric values are emitted as JSON NUMBERS,
+    * "ground" as a string — so V2's union seam is exercised through real
+    * JSON parsing, not just createDataFrame. The fixture `seq` is NOT
+    * serialized: arrival order is re-derived downstream from (snapshot
+    * arrival_idx, array position), exactly as the reference's Map-insert
+    * order. */
+  def envelopeJson(acs: Seq[Ac]): String = {
+    def s(n: String, v: Option[String]) = v.map(x => s""""$n":${jsonStr(x)}""")
+    def d(n: String, v: Option[Double]) = v.map(x => s""""$n":$x""")
+    val objs = acs.map { a =>
+      val altBaro = a.alt_baro.map { v =>
+        if (v == "ground") s""""alt_baro":${jsonStr(v)}"""
+        else s""""alt_baro":$v""" // numeric union arm, as the API sends it
+      }
+      Seq(
+        Some(s""""hex":${jsonStr(a.hex)}"""),
+        Some(s""""type":${jsonStr(a.`type`)}"""),
+        s("group", a.group), s("flight", a.flight), s("r", a.r), s("t", a.t),
+        d("dbFlags", a.dbFlags), altBaro, d("alt_geom", a.alt_geom),
+        d("gs", a.gs), d("track", a.track), d("baro_rate", a.baro_rate),
+        s("squawk", a.squawk), s("emergency", a.emergency),
+        s("category", a.category), d("nav_qnh", a.nav_qnh),
+        d("nav_altitude_mcp", a.nav_altitude_mcp),
+        d("nav_heading", a.nav_heading),
+        Some(s""""lat":${a.lat}"""), Some(s""""lon":${a.lon}"""),
+        Some(s""""seen_pos":${a.seen_pos}"""), Some(s""""seen":${a.seen}"""),
+        d("dst", a.dst)
+      ).flatten.mkString("{", ",", "}")
+    }
+    s"""{"msg":"ok","ac":[${objs.mkString(",")}]}"""
+  }
+
   // ---- DuckDB-side rendering ------------------------------------------
 
   private def sqlStr(v: Option[String]): String =

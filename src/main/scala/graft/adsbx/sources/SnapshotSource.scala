@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -142,7 +142,8 @@ private case class SnapshotOffset(watermark: String) extends Offset {
   override def json(): String = watermark
 }
 
-private class SnapshotMicroBatchStream(dir: String) extends MicroBatchStream {
+private class SnapshotMicroBatchStream(dir: String) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
   // one listing per trigger: latestOffset snapshots it, planInputPartitions
   // reuses it (falls back to a fresh listing after recovery, when
   // planInputPartitions can run without a prior latestOffset call)
@@ -172,6 +173,22 @@ private class SnapshotMicroBatchStream(dir: String) extends MicroBatchStream {
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // Trigger.AvailableNow (the reference's one-shot scheduled invocation,
+  // task.ts:98): freeze the target watermark at query start; files landing
+  // after prepare are left for the next scheduled run instead of extending
+  // this one indefinitely.
+  @volatile private var availableNowCap: String = null
+  override def prepareForTriggerAvailableNow(): Unit = {
+    latestOffset()
+    availableNowCap = maxSeen
+  }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val live = latestOffset().asInstanceOf[SnapshotOffset]
+    if (availableNowCap == null) live
+    else SnapshotOffset(
+      if (live.watermark < availableNowCap) live.watermark else availableNowCap)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SnapshotOffset].watermark

@@ -85,11 +85,68 @@ object CotQueries {
       .orderBy(col("id"))
   }
 
+  /** E2E scheduled-poll fidelity — the reference's entire production loop
+    * (task.ts:115-257) as ONE query: a fixture transport answers the EXACT
+    * request the reference builds (URL template + apiKey/cacheBuster +
+    * both auth headers, gated by require), `SnapshotFetcher.fetchToLog`
+    * lands each envelope in a snapshot-log dir, the DSv2
+    * `SnapshotSource` serves them as micro-batch offsets, and the full CoT
+    * pipeline (V1 FAILFAST parse → P1-P17 → D1 → J2 broadcast join → D2)
+    * runs under Structured Streaming via foreachBatch. AvailableNow over
+    * this source is ONE micro-batch covering every snapshot (latestOffset
+    * is read once at start), so D1's last-wins spans snapshots through the
+    * `arrival_idx * 2^32 + pos` seq encoding — the same winners as the
+    * single-envelope fixture, which is why the oracle is `includesSql`
+    * verbatim. The driver-side buffer is fixture-sized (the includes join
+    * keeps 3 rows); production uses `FeatureSink`, never a collect. */
+  private def streamPollQ(s: SparkSession): DataFrame = {
+    import graft.adsbx.sources.{FetchRequest, SnapshotFetcher, SnapshotSource}
+    import org.apache.spark.sql.streaming.Trigger
+    val cfg = AdsbxConfig(includesFiltering = true, emergencyHostile = false,
+      token = "fixture-token")
+    val log = java.nio.file.Files.createTempDirectory("graft_poll_log_").toString
+    val served = new java.util.concurrent.atomic.AtomicInteger()
+    val http: FetchRequest => String = { req =>
+      // transport-level fidelity gate: fail the whole query if the request
+      // is not the reference's shape (task.ts:118-128)
+      require(req.url.startsWith(
+        s"${cfg.api}/v2/lat/40.14401/lon/-119.81204/dist/2650/?apiKey="),
+        s"unexpected poll URL: ${req.url}")
+      require(req.url.contains("&cacheBuster="), "missing cacheBuster param")
+      require(req.headers.get("x-rapidapi-key").contains(cfg.token) &&
+        req.headers.get("api-auth").contains(cfg.token), "missing auth headers")
+      Fixtures.envelopeJson(Fixtures.pollPages(served.getAndIncrement()))
+    }
+    Fixtures.pollPages.indices.foreach { i =>
+      SnapshotFetcher.fetchToLog(cfg, http, () => 1700000000000L + i, log, i)
+    }
+    val lines = s.readStream.format(SnapshotSource.NAME).load(log)
+      .withColumnRenamed("body", "value")
+    val aircraft = Pipeline.fromEnvelopeJson(s, lines)
+    val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+    val q = aircraft.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = Pipeline.run(batch, Fixtures.includesDf(batch.sparkSession), cfg)
+          .withColumn("group_out", col("metadata.group"))
+          .select((flatCols :+ "group_out").map(col): _*)
+        val rows = out.collect()
+        buf.synchronized { buf ++= rows; outSchema = out.schema }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(outSchema != null, "stream produced no micro-batch")
+    s.createDataFrame(s.sparkContext.parallelize(buf.toSeq, 1), outSchema)
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cot_transform_dedup" -> ((s, _) => pipeline(s, filtering = false, emergencyHostile = false)),
     "cot_transform_hostile" -> ((s, _) => pipeline(s, filtering = false, emergencyHostile = true)),
     "cot_includes_join" -> ((s, _) => pipeline(s, filtering = true, emergencyHostile = false)),
     "cot_pipeline_corpus" -> corpusPipeline,
+    "cot_stream_poll" -> ((s, _) => streamPollQ(s)),
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -219,5 +276,10 @@ object CotQueries {
     "cot_transform_hostile" -> passthroughSql(hostile = true),
     "cot_includes_join" -> includesSql,
     "cot_pipeline_corpus" -> corpusSql,
+    // the poll loop re-delivers the SAME quirk-matrix rows through
+    // fetch → snapshot-log → DSv2 → pipeline, with the page split chosen
+    // so cross-snapshot seq preserves fixture order — so the oracle is the
+    // includes-join SQL unchanged (see streamPollQ's scaladoc)
+    "cot_stream_poll" -> includesSql,
   )
 }
