@@ -1,0 +1,105 @@
+package graft.ops
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Optimistic-concurrency commit log for the versioned-table queries
+  * (src_time_travel / src_gdpr_delete) — the isolation contract a real
+  * table format (Delta/Iceberg) gives its writers, reduced to its core:
+  * an append-only log of numbered commit entries, advanced by atomic
+  * put-if-absent.
+  *
+  * Protocol (one round of Delta's OCC loop):
+  *   1. writer snapshots `latest` (version V it will build on);
+  *   2. writer lands its data files in a UNIQUELY-NAMED directory —
+  *      never referenced until committed, so concurrent readers cannot
+  *      see a partial write;
+  *   3. writer publishes by creating log entry V+1 with put-if-absent.
+  *      Exactly one of N racing writers wins; the losers get
+  *      [[CommitConflictException]] and must REBASE (re-read latest,
+  *      re-validate/re-apply their change, try V+2) — their orphaned data
+  *      dir is garbage-collected by retention, never read.
+  *
+  * The put-if-absent primitive is `Files.createLink` (POSIX link(2)):
+  * atomic, exclusive, and the entry appears with its content fully
+  * written — no reader-visible window where the pointer file exists but
+  * is empty (a plain create-then-write would have one; a check-then-move
+  * is racy because Java emulates NOFOLLOW rename exclusivity with a
+  * non-atomic existence check). On an object store the same slot is a
+  * conditional PUT (if-none-match) on the log key.
+  *
+  * Readers resolve a version to its data directory through the log only,
+  * so any committed version stays byte-stable (time travel) and `latest`
+  * moves atomically from one complete version to the next.
+  */
+object CommitLog {
+
+  final case class Commit(version: Long, dataDir: String)
+
+  final class CommitConflictException(tablePath: String, version: Long,
+      cause: Throwable) extends RuntimeException(
+    s"commit v$version of $tablePath lost the race: another writer published it first",
+    cause)
+
+  private def logDir(tablePath: String): Path = Paths.get(tablePath, "_commits")
+  private def entryName(v: Long): String = f"$v%020d.commit"
+
+  /** Remove every log entry (fixture-table reset between query runs; a
+    * production table never does this — retention trims old versions
+    * instead). */
+  def reset(tablePath: String): Unit = {
+    val d = logDir(tablePath)
+    if (Files.isDirectory(d)) {
+      val s = Files.list(d)
+      try s.iterator().asScala.toSeq.foreach(Files.deleteIfExists)
+      finally s.close()
+    }
+  }
+
+  /** All committed versions in order. Pending temp files are invisible —
+    * only `.commit` entries are part of the table. */
+  def entries(tablePath: String): Seq[Commit] = {
+    val d = logDir(tablePath)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".commit"))
+        .map { p =>
+          Commit(p.getFileName.toString.stripSuffix(".commit").toLong,
+            Files.readString(p).trim)
+        }.sortBy(_.version)
+      finally s.close()
+    }
+  }
+
+  def latest(tablePath: String): Option[Commit] = entries(tablePath).lastOption
+
+  /** CAS pointer advance: publish `dataDir` as version `expectedVersion+1`.
+    * Throws [[CommitConflictException]] iff another writer committed that
+    * version first — the caller's snapshot is stale and it must rebase. */
+  def commit(tablePath: String, expectedVersion: Long, dataDir: String): Commit = {
+    Files.createDirectories(logDir(tablePath))
+    val next = expectedVersion + 1
+    val target = logDir(tablePath).resolve(entryName(next))
+    val tmp = Files.createTempFile(logDir(tablePath), ".pending_", ".tmp")
+    try {
+      Files.writeString(tmp, dataDir)
+      Files.createLink(target, tmp)
+      Commit(next, dataDir)
+    } catch {
+      case e: FileAlreadyExistsException =>
+        throw new CommitConflictException(tablePath, next, e)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Resolve and read a pinned version (time travel) through the log. */
+  def read(s: SparkSession, tablePath: String, version: Long): DataFrame = {
+    val c = entries(tablePath).find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tablePath has no committed version $version"))
+    s.read.parquet(c.dataDir)
+  }
+}

@@ -295,15 +295,17 @@ object FormatOps {
     * proves version isolation (v1 must NOT see rows added in v2). */
   private def timeTravel(s: SparkSession, dir: String): DataFrame = {
     val path = tmpDir(s, "ttravel")
+    CommitLog.reset(path) // fixture table: rebuilt from scratch each run
     val orders = graft.Tables(s, dir, "orders")
+    // each version's data lands in its own dir, then a CAS pointer advance
+    // publishes it (CommitLog: two racing writers -> exactly one wins)
     orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .write.mode("overwrite").parquet(s"$path/v1")
-    orders.write.mode("overwrite").parquet(s"$path/v2")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/_latest"), "2")
-    def readVersion(v: Int): DataFrame = s.read.parquet(s"$path/v$v")
-    val latest = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(s"$path/_latest")).trim.toInt
+      .write.mode("overwrite").parquet(s"$path/data_v1")
+    CommitLog.commit(path, 0, s"$path/data_v1")
+    orders.write.mode("overwrite").parquet(s"$path/data_v2")
+    CommitLog.commit(path, 1, s"$path/data_v2")
+    def readVersion(v: Int): DataFrame = CommitLog.read(s, path, v)
+    val latest = CommitLog.latest(path).get.version.toInt
     def agg(df: DataFrame, version: Int): DataFrame =
       df.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))

@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, CyclicBarrier, Executors, TimeUnit}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Concurrent-writer semantics of the versioned-table commit log: the
+  * isolation guarantee a real table format makes — of two writers racing
+  * to publish the same version, exactly one wins; the loser must rebase
+  * and its data is never visible to readers. */
+class CommitLogSpec extends SparkSpec {
+
+  private def freshTable(tag: String): String =
+    Files.createTempDirectory(s"graft_commitlog_$tag").toString
+
+  test("two racing writers: exactly one commits, the other conflicts") {
+    val table = freshTable("race")
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      // both writers snapshot the same base version (empty table, V=0) and
+      // race the v1 slot across many rounds to actually exercise the race
+      for (round <- 1 to 20) {
+        val base = CommitLog.latest(table).map(_.version).getOrElse(0L)
+        val barrier = new CyclicBarrier(2)
+        val results = (0 until 2).map { w =>
+          pool.submit { () =>
+            barrier.await(5, TimeUnit.SECONDS)
+            try Right(CommitLog.commit(table, base, s"$table/data_r${round}_w$w"))
+            catch { case e: CommitLog.CommitConflictException => Left(e) }
+          }
+        }.map(_.get(10, TimeUnit.SECONDS))
+        assert(results.count(_.isRight) == 1,
+          s"round $round: expected exactly one winner, got $results")
+        assert(results.count(_.isLeft) == 1,
+          s"round $round: expected exactly one conflict, got $results")
+        // the log advanced by exactly one version, pointing at the winner
+        val latest = CommitLog.latest(table).get
+        assert(latest.version == base + 1)
+        val winnerDir = results.collectFirst { case Right(c) => c.dataDir }.get
+        assert(latest.dataDir == winnerDir,
+          "reader must resolve to the winning writer's data")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("loser rebases onto the winner's version and then succeeds") {
+    val table = freshTable("rebase")
+    CommitLog.commit(table, 0, s"$table/data_a")
+    // a second writer that snapshotted V=0 is now stale
+    intercept[CommitLog.CommitConflictException] {
+      CommitLog.commit(table, 0, s"$table/data_b_stale")
+    }
+    // rebase: re-read latest, re-apply on top, commit the next slot
+    val rebasedBase = CommitLog.latest(table).get.version
+    val c = CommitLog.commit(table, rebasedBase, s"$table/data_b_rebased")
+    assert(c.version == 2)
+    assert(CommitLog.entries(table).map(_.dataDir) ==
+      Seq(s"$table/data_a", s"$table/data_b_rebased"),
+      "the stale attempt's data dir must never enter the log")
+  }
+
+  test("committed versions stay byte-stable while latest advances") {
+    val table = freshTable("isolation")
+    val v1 = spark.range(5).select(col("id"))
+    v1.write.parquet(s"$table/data_v1")
+    CommitLog.commit(table, 0, s"$table/data_v1")
+    val before = CommitLog.read(spark, table, 1).collect().map(_.getLong(0)).sorted
+    // a new version lands and publishes; the pinned v1 read is unchanged
+    spark.range(100).select(col("id")).write.parquet(s"$table/data_v2")
+    CommitLog.commit(table, 1, s"$table/data_v2")
+    val after = CommitLog.read(spark, table, 1).collect().map(_.getLong(0)).sorted
+    assert(before.sameElements(after), "pinned version drifted")
+    assert(CommitLog.read(spark, table, 2).count() == 100)
+    assert(CommitLog.latest(table).get.version == 2)
+  }
+
+  test("uncommitted data is invisible: no log entry, no read") {
+    val table = freshTable("invisible")
+    spark.range(3).write.parquet(s"$table/data_orphan")
+    assert(CommitLog.latest(table).isEmpty)
+    intercept[IllegalArgumentException] {
+      CommitLog.read(spark, table, 1)
+    }
+  }
+}
