@@ -148,9 +148,40 @@ object MultimodalOps {
       .withColumn("cross_source", col("n_sources") > 1)
       .orderBy(col("fp"))
 
+  final case class ImageMeta(doc_id: Long, format: String,
+      width: Option[Int], height: Option[Int], n_bytes: Long)
+
+  /** Mixed-container corpus with REAL headers: each document's text bytes
+    * are wrapped as a spec-valid PNG (doc_id%3=0) or JPEG with a COM
+    * segment before the SOF frame header (doc_id%3=1), or left raw
+    * (doc_id%3=2). Dimensions baked into the headers follow the same
+    * doc_id formula the stub uses — so the oracle recomputes them from
+    * the formula while Spark must PARSE them back out of the actual
+    * bytes; a wrong parser (endianness, offset, skipped-segment length)
+    * hash-mismatches. Construction and parse both run in the narrow
+    * per-partition kernel; no payload bytes shuffle. */
+  private def imageMetaQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = mediaTable(s, dir).mapPartitions { it =>
+      it.map { rec =>
+        val w = (64 + (rec.doc_id % 64) * 16).toInt
+        val h = (64 + ((rec.doc_id * 7) % 64) * 16).toInt
+        val payload = (rec.doc_id % 3) match {
+          case 0 => ImageHeaders.pngBytes(w, h, rec.media)
+          case 1 => ImageHeaders.jpegBytes(w, h, rec.media)
+          case _ => rec.media
+        }
+        val p = ImageHeaders.parse(payload)
+        ImageMeta(rec.doc_id, p.format, p.width, p.height, payload.length.toLong)
+      }
+    }
+    parsed.toDF().orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup" -> mmDedupQ,
     "mm_decode_meta" -> decodeMetaQ,
+    "mm_image_meta" -> imageMetaQ,
     "mm_frame_sample" -> frameSampleQ,
     "mm_resize" -> resizeQ,
     "mm_features" -> featuresQ,
@@ -172,6 +203,19 @@ object MultimodalOps {
          |  CAST(64 + (doc_id % 64) * 16 AS INTEGER) AS width,
          |  CAST(64 + ((doc_id * 7) % 64) * 16 AS INTEGER) AS height,
          |  CAST(octet_length(encode(text)) // $FRAME_BYTES + 1 AS BIGINT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Spark PARSES the dimensions out of real header bytes; the oracle
+    // recomputes them from the doc_id formula they were encoded with —
+    // agreement proves the parse (see imageMetaQ)
+    "mm_image_meta" ->
+      s"""SELECT doc_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'raw' END AS format,
+         |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(64 + (doc_id % 64) * 16 AS INTEGER) END AS width,
+         |  CASE WHEN doc_id % 3 IN (0, 1) THEN CAST(64 + ((doc_id * 7) % 64) * 16 AS INTEGER) END AS height,
+         |  CAST(octet_length(encode(text)) +
+         |    CASE doc_id % 3 WHEN 0 THEN ${ImageHeaders.PNG_HEADER_BYTES}
+         |                    WHEN 1 THEN ${ImageHeaders.JPEG_HEADER_BYTES}
+         |                    ELSE 0 END AS BIGINT) AS n_bytes
          |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, frame_idx, frame_idx * $FRAME_BYTES AS byte_offset FROM (

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level pins for the image header parser, against hand-assembled
+  * spec-valid headers (PNG spec / ITU-T T.81) — independent of the
+  * fixture encoders where possible. */
+class ImageHeadersSpec extends AnyFunSuite {
+
+  test("PNG: signature + IHDR dimensions (big-endian u32)") {
+    // hand-assembled, not via pngBytes: signature, IHDR len 13, 800x601
+    val b = Array[Int](
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x03, 0x20, // width 800
+      0x00, 0x00, 0x02, 0x59, // height 601
+      0x08, 0x02, 0x00, 0x00, 0x00,
+      0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(ImageHeaders.parse(b) ==
+      ImageHeaders.Parsed("png", Some(800), Some(601)))
+  }
+
+  test("JPEG: dimensions from SOF0 after skipping APP0 + EXIF APP1 + COM") {
+    // the realistic shape: SOI, JFIF APP0, EXIF APP1, a comment, SOF2
+    // (progressive) — the parser must skip every segment by declared
+    // length and read height/width big-endian from the SOF payload
+    val out = new java.io.ByteArrayOutputStream()
+    def w(vs: Int*): Unit = vs.foreach(out.write)
+    w(0xff, 0xd8)                         // SOI
+    w(0xff, 0xe0, 0x00, 0x10)             // APP0 len 16
+    w('J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 0, 1, 0, 1, 0)
+    w(0xff, 0xe1, 0x00, 0x0a)             // APP1 (EXIF) len 10
+    w('E', 'x', 'i', 'f', 0, 0, 'I', 'I')
+    w(0xff, 0xfe, 0x00, 0x05, 'h', 'i', '!') // COM len 5
+    w(0xff, 0xc2, 0x00, 0x11)             // SOF2 len 17
+    w(0x08)                               // precision
+    w(0x04, 0x38)                         // height 1080
+    w(0x07, 0x80)                         // width 1920
+    w(0x03, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    assert(ImageHeaders.parse(out.toByteArray) ==
+      ImageHeaders.Parsed("jpeg", Some(1920), Some(1080)))
+  }
+
+  test("fixture encoders round-trip through the parser") {
+    val body = "entropy".getBytes("UTF-8")
+    val png = ImageHeaders.pngBytes(1088, 80, body)
+    assert(png.length == ImageHeaders.PNG_HEADER_BYTES + body.length)
+    assert(ImageHeaders.parse(png) ==
+      ImageHeaders.Parsed("png", Some(1088), Some(80)))
+    val jpg = ImageHeaders.jpegBytes(64, 1072, body)
+    assert(jpg.length == ImageHeaders.JPEG_HEADER_BYTES + body.length)
+    assert(ImageHeaders.parse(jpg) ==
+      ImageHeaders.Parsed("jpeg", Some(64), Some(1072)))
+  }
+
+  test("non-image, truncated, and dimension-less payloads degrade to raw/None") {
+    assert(ImageHeaders.parse("plain text".getBytes("UTF-8")).format == "raw")
+    assert(ImageHeaders.parse(Array.empty[Byte]).format == "raw")
+    assert(ImageHeaders.parse(null).format == "raw")
+    // PNG magic but truncated before IHDR dims
+    val trunc = ImageHeaders.pngBytes(10, 10, Array.empty).take(14)
+    assert(ImageHeaders.parse(trunc) == ImageHeaders.Parsed("png", None, None))
+    // JPEG that reaches SOS without any SOF
+    val sos = Array[Int](0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
+    assert(ImageHeaders.parse(sos) == ImageHeaders.Parsed("jpeg", None, None))
+  }
+}
