@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Value pins for the BPE kernel plus the plan shape of the count query. */
+class BpeOpsSpec extends SparkSpec {
+
+  private val rank =
+    BpeOps.merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+
+  test("known tokenizations under the fixture merge table") {
+    // hand-derived: each step merges the lowest-rank pair, leftmost first
+    // "another": th(1) -> an(3) -> er(4) => [an, o, th, er]
+    assert(BpeOps.tokenCount("another", rank) == 4)
+    // "the": th(1) -> the(7) => [the]
+    assert(BpeOps.tokenCount("the", rank) == 1)
+    // "thing": th(1) -> in(2) -> ing(15) => [th, ing]
+    assert(BpeOps.tokenCount("thing", rank) == 2)
+    // "and": an(3) -> and(14) => [and]
+    assert(BpeOps.tokenCount("and", rank) == 1)
+    // "interesting": in, er, es, st, ing merges => [in, t, er, e, st, ing]
+    assert(BpeOps.tokenCount("interesting", rank) == 6)
+    assert(BpeOps.tokenCount("x", rank) == 1)
+    assert(BpeOps.tokenCount("", rank) == 0)
+    // no applicable merges: stays character-split
+    assert(BpeOps.tokenCount("zzz", rank) == 3)
+  }
+
+  test("leftmost-first tie break: repeated pairs merge non-overlapping") {
+    // "ananan": an(3) applies leftmost repeatedly -> [an, an, an]; then
+    // no (an,an) merge exists -> 3 tokens
+    assert(BpeOps.tokenCount("ananan", rank) == 3)
+  }
+
+  test("count query: vocab-sized kernel, broadcast join back, no cartesian") {
+    val df = BpeOps.queries("text_bpe_count")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token table must broadcast-join the corpus words:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.length == 20 && rows.forall(_.getLong(2) > 0))
+  }
+}
