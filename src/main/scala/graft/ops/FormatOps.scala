@@ -327,15 +327,18 @@ object FormatOps {
     * requested row survived and no other row was lost. */
   private def gdprDelete(s: SparkSession, dir: String): DataFrame = {
     val path = tmpDir(s, "gdpr")
+    CommitLog.reset(path) // fixture table: rebuilt from scratch each run
     val orders = graft.Tables(s, dir, "orders")
-    orders.write.mode("overwrite").parquet(s"$path/v1")
+    orders.write.mode("overwrite").parquet(s"$path/data_v1")
+    CommitLog.commit(path, 0, s"$path/data_v1")
     val requests = graft.Tables(s, dir, "customer")
       .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
-    s.read.parquet(s"$path/v1")
+    CommitLog.read(s, path, 1)
       .join(broadcast(requests), col("o_custkey") === col("c_custkey"),
         "left_anti")
-      .write.mode("overwrite").parquet(s"$path/v2")
-    s.read.parquet(s"$path/v2")
+      .write.mode("overwrite").parquet(s"$path/data_v2")
+    CommitLog.commit(path, 1, s"$path/data_v2")
+    s.read.parquet(CommitLog.latest(path).get.dataDir)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"),
         countDistinct(col("o_custkey")).as("n_cust"))

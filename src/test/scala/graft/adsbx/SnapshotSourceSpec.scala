@@ -95,6 +95,28 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow drains to its start watermark; later files go to the next run") {
+    // SupportsTriggerAvailableNow contract (the reference's one-shot
+    // scheduled invocation): the target offset is pinned at query start
+    // (prepareForTriggerAvailableNow), and each subsequent scheduled run
+    // picks up exactly what arrived since.
+    val dir = mkDir("availnow")
+    write(dir, "s1.json", envelope("a1"))
+    write(dir, "s2.json", envelope("a2"))
+    def drain(tag: String): Long = {
+      val q = spark.readStream.format(SnapshotSource.NAME).load(dir)
+        .writeStream.format("memory").queryName(tag)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(tag).count()
+    }
+    assert(drain("avail_run1") == 2)
+    // run 2 with a fresh checkpoint sees all three, proving s3 was
+    // readable the whole time and only the frozen watermark excluded it
+    write(dir, "s3.json", envelope("a3"))
+    assert(drain("avail_run2") == 3)
+  }
+
   test("a missing directory fails loudly instead of returning zero rows") {
     intercept[Exception] {
       spark.read.format(SnapshotSource.NAME).load("/no/such/dir_graft").collect()
