@@ -506,7 +506,50 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** Versioned streaming sink — the streaming half of the lakehouse OCC
+    * story (`graft.ops.CommitLog`): each micro-batch publishes the
+    * complete aggregate state as a NEW immutable version via the atomic
+    * CAS pointer advance, so readers always see a whole snapshot (never a
+    * half-written batch) and any historical version stays pinnable. This
+    * is the foreachBatch + transactional-commit pattern every
+    * streaming-into-a-table-format deployment runs; exactly-once comes
+    * from the version arithmetic being derived from the LOG (not the
+    * batch id), so a replayed batch republishes the same content rather
+    * than double-applying. The driver-facing result reads the final
+    * version through the log. `VersionedSinkSpec` drives the multi-batch
+    * advance with a MemoryStream. */
+  def runVersionedSink(agg: DataFrame, table: String): Unit = {
+    val spark = agg.sparkSession
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val base = graft.ops.CommitLog.latest(table).map(_.version).getOrElse(0L)
+        val data = s"$table/data_v${base + 1}"
+        batch.write.mode("overwrite").parquet(data)
+        graft.ops.CommitLog.commit(table, base, data)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def versionedSinkQ(s: SparkSession, dir: String): DataFrame = {
+    val table = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_vsink_" +
+      s.sparkContext.applicationId
+    graft.ops.CommitLog.reset(table)
+    val agg = eventsStream(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.Exact.sumD(col("value")).as("sum_value"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try runVersionedSink(agg, table)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(graft.ops.CommitLog.latest(table).get.dataDir)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_versioned_sink" -> versionedSinkQ,
     "stream_incremental_merge" -> incrementalMergeQ,
     "stream_hourly_window" -> hourlyWindowQ,
     "stream_dedup_lastwins" -> dedupLastWinsQ,
@@ -561,6 +604,11 @@ object StreamOps {
     "stream_running_counts" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the published snapshot version == the batch aggregate over all input
+    "stream_versioned_sink" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  ${graft.ops.Exact.sumSql("value")} AS sum_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // surviving key set of first-seen dedup == DISTINCT keys
     "stream_watermark_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
