@@ -253,6 +253,45 @@ object FormatOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The composed read path of the mini table format — commit log →
+    * pinned version → per-version manifest → stats-pruned file subset —
+    * i.e. what an Iceberg/Delta reader actually does for `VERSION AS OF n
+    * WHERE range-predicate`. Two versions are published through the CAS
+    * commit log (v2 appends 1998+ orders that must NOT leak into the
+    * pinned read); the query pins v1, builds v1's manifest, prunes to the
+    * files overlapping the predicate window, and aggregates. Everything
+    * driver-side is metadata-sized (the log's pointer file + the pruned
+    * file-path list); the oracle reproduces the result by v1's defining
+    * predicate, proving version isolation AND lossless pruning in one
+    * hash. */
+  private def versionedPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "vprune")
+    CommitLog.reset(path)
+    val orders = graft.Tables(s, dir, "orders")
+    // v1 cuts at 1997-07-01; the query window reaches past the cut, so a
+    // reader that leaked v2's appended rows would change the hash
+    val cut = lit("1997-07-01").cast("timestamp")
+    orders.filter(col("o_orderdate") < cut)
+      .repartitionByRange(16, col("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$path/data_v1")
+    CommitLog.commit(path, 0, s"$path/data_v1")
+    orders.repartitionByRange(16, col("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$path/data_v2")
+    CommitLog.commit(path, 1, s"$path/data_v2")
+    // reader: pin v1 while latest is v2, then manifest-prune v1's files
+    val pinned = CommitLog.entries(path).find(_.version == 1L).get.dataDir
+    val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val (files, total) = manifestPrune(s, pinned, lo, hi)
+    require(files.size < total,
+      s"stats pruning must drop files (kept ${files.size}/$total)")
+    readPruned(s, pinned, files)
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Small-file compaction — the maintenance op that keeps a streamed-into
     * table readable: many small files (here 64, the shape a per-trigger
     * streaming sink leaves behind) are rewritten into size-targeted large
@@ -348,6 +387,7 @@ object FormatOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_gdpr_delete" -> gdprDelete,
     "src_time_travel" -> timeTravel,
+    "src_versioned_prune" -> versionedPrune,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
     "src_text_roundtrip" -> textRoundtrip,
@@ -383,6 +423,16 @@ object FormatOps {
          |  ${sumSql("o_totalprice")} AS sum_price
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY version, o_orderstatus""".stripMargin,
+    // the composed VERSION AS OF + range-predicate read: the oracle is
+    // the intersection of v1's defining predicate (< 1997-07-01) and the
+    // query window — a v2 leak or an over-pruned file both break the hash
+    "src_versioned_prune" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the oracle is the plain filter on the ORIGINAL table — matching
     // proves manifest pruning lost no qualifying row
     "src_manifest_pruned" ->

@@ -32,6 +32,35 @@ class BpeOpsSpec extends SparkSpec {
     assert(BpeOps.tokenCount("ananan", rank) == 3)
   }
 
+  test("kernel equals the exhaustive-by-rank-order formulation on random words") {
+    // Independent formulation: apply each merge IN RANK ORDER, exhausting
+    // all its occurrences before moving on. Equivalent to the
+    // lowest-pair-first loop because a merge only creates pairs involving
+    // its NEW symbol, whose earliest possible rank is higher — so once a
+    // rank is exhausted it can never reappear. Random words cross-check
+    // the kernel against this formulation (the claim its scaladoc makes).
+    def byRankOrder(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      for ((l, r) <- BpeOps.merges) {
+        var i = 0
+        while (i < syms.length - 1) {
+          if (syms(i) == l && syms(i + 1) == r)
+            syms = syms.patch(i, Vector(l + r), 2) // stay at i: no overlap re-use
+          else i += 1
+        }
+      }
+      syms.length
+    }
+    val rnd = new scala.util.Random(42)
+    val alpha = "aeiotnrsdghc" // alphabet rich in merge-table letters
+    for (_ <- 1 to 2000) {
+      val w = (0 until (1 + rnd.nextInt(12)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      assert(BpeOps.tokenCount(w, rank) == byRankOrder(w),
+        s"divergence on '$w'")
+    }
+  }
+
   test("count query: vocab-sized kernel, broadcast join back, no cartesian") {
     val df = BpeOps.queries("text_bpe_count")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
