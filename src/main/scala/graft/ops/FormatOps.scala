@@ -292,6 +292,52 @@ object FormatOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Change data feed between two committed versions — the
+    * snapshot-diff reconstruction of CDC: a full outer join of v1 and v2
+    * on the primary key classifies every row as insert (absent from v1),
+    * delete (absent from v2), or update (payload differs); unchanged rows
+    * drop out. A production table format records the feed at WRITE time
+    * (per-commit delta files) and only falls back to this snapshot diff
+    * for pre-CDF history — the reconstruction is one key-partitioned
+    * shuffle join, linear in table size. The version pair comes from the
+    * commit log, so the feed is between two immutable published
+    * snapshots, never a half-written state. The v2 mutation recipe
+    * (drop key%13, bump price for key%7) is deterministic, so the oracle
+    * rebuilds both versions by predicate and diffs them in SQL. */
+  private def changeFeed(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "cdf")
+    CommitLog.reset(path)
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+    val cut = lit("1997-07-01").cast("timestamp")
+    orders.filter(col("o_orderdate") < cut).drop("o_orderdate")
+      .write.mode("overwrite").parquet(s"$path/data_v1")
+    CommitLog.commit(path, 0, s"$path/data_v1")
+    orders.filter(col("o_orderkey") % 13 =!= 0).drop("o_orderdate")
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")))
+      .write.mode("overwrite").parquet(s"$path/data_v2")
+    CommitLog.commit(path, 1, s"$path/data_v2")
+    val v1 = CommitLog.read(s, path, 1).select(col("o_orderkey").as("k1"),
+      col("o_orderstatus").as("st1"), col("o_totalprice").as("p1"))
+    val v2 = CommitLog.read(s, path, 2).select(col("o_orderkey").as("k2"),
+      col("o_orderstatus").as("st2"), col("o_totalprice").as("p2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .withColumn("change_type",
+        when(col("k1").isNull, lit("insert"))
+          .when(col("k2").isNull, lit("delete"))
+          .when(col("p1") =!= col("p2") || col("st1") =!= col("st2"),
+            lit("update")))
+      .filter(col("change_type").isNotNull)
+      .groupBy(col("change_type"),
+        coalesce(col("st2"), col("st1")).as("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sumD(coalesce(col("p2"), col("p1"))).as("sum_price"))
+      .orderBy(col("change_type"), col("o_orderstatus"))
+  }
+
   /** Small-file compaction — the maintenance op that keeps a streamed-into
     * table readable: many small files (here 64, the shape a per-trigger
     * streaming sink leaves behind) are rewritten into size-targeted large
@@ -388,6 +434,7 @@ object FormatOps {
     "src_gdpr_delete" -> gdprDelete,
     "src_time_travel" -> timeTravel,
     "src_versioned_prune" -> versionedPrune,
+    "src_change_feed" -> changeFeed,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
     "src_text_roundtrip" -> textRoundtrip,
@@ -433,6 +480,29 @@ object FormatOps {
          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-07-01'
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the oracle rebuilds both versions by their defining predicates and
+    // diffs them with the same full outer join — classification AND
+    // payload sums must match row-for-row
+    "src_change_feed" ->
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey AS k1, o_orderstatus AS st1, o_totalprice AS p1
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+         |), v2 AS (
+         |  SELECT o_orderkey AS k2, o_orderstatus AS st2,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+         |         ELSE o_totalprice END AS p2
+         |  FROM orders WHERE o_orderkey % 13 <> 0
+         |), feed AS (
+         |  SELECT k1, k2, st1, st2, p1, p2,
+         |    CASE WHEN k1 IS NULL THEN 'insert'
+         |         WHEN k2 IS NULL THEN 'delete'
+         |         WHEN p1 <> p2 OR st1 <> st2 THEN 'update' END AS change_type
+         |  FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+         |)
+         |SELECT change_type, coalesce(st2, st1) AS o_orderstatus,
+         |  COUNT(*) AS n, ${sumSql("coalesce(p2, p1)")} AS sum_price
+         |FROM feed WHERE change_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY change_type, o_orderstatus""".stripMargin,
     // the oracle is the plain filter on the ORIGINAL table — matching
     // proves manifest pruning lost no qualifying row
     "src_manifest_pruned" ->
