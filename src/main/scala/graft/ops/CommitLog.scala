@@ -95,6 +95,56 @@ object CommitLog {
     } finally Files.deleteIfExists(tmp)
   }
 
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq.foreach(deleteRecursively)
+        finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+
+  /** Retention: drop every version except the newest `keep`, deleting both
+    * the log entries and their data directories. Time travel to a dropped
+    * version then fails loudly (the Delta/Iceberg VACUUM contract: history
+    * is bounded by retention, never silently wrong). Deletion order is
+    * data first, log entry last, so a reader racing the vacuum either
+    * resolves a vanished file (loud error) or misses the entry entirely —
+    * it can never read a partial row set presented as complete. */
+  def vacuum(tablePath: String, keep: Int): Seq[Commit] = {
+    require(keep >= 1, "vacuum must keep at least the latest version")
+    val drop = entries(tablePath).dropRight(keep)
+    drop.foreach { c =>
+      deleteRecursively(Paths.get(c.dataDir))
+      Files.deleteIfExists(logDir(tablePath).resolve(entryName(c.version)))
+    }
+    drop
+  }
+
+  /** Remove data directories never referenced by any committed version —
+    * the debris of conflict losers (their uniquely-named dirs were written
+    * before the CAS they lost) and of crashed writers. Only immediate
+    * subdirectories of the table path are candidates; the log dir and
+    * every committed dir are kept. */
+  def sweepOrphans(tablePath: String): Seq[String] = {
+    val referenced = entries(tablePath)
+      .map(c => Paths.get(c.dataDir).toAbsolutePath.normalize).toSet
+    val root = Paths.get(tablePath)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      val orphans =
+        try s.iterator().asScala.toSeq.filter { p =>
+          Files.isDirectory(p) && p.getFileName.toString != "_commits" &&
+            !referenced.contains(p.toAbsolutePath.normalize)
+        }
+        finally s.close()
+      orphans.foreach(deleteRecursively)
+      orphans.map(_.toString)
+    }
+  }
+
   /** Resolve and read a pinned version (time travel) through the log. */
   def read(s: SparkSession, tablePath: String, version: Long): DataFrame = {
     val c = entries(tablePath).find(_.version == version).getOrElse(

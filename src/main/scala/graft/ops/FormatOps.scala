@@ -292,6 +292,44 @@ object FormatOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Retention lifecycle of the versioned table: publish three versions,
+    * leave one conflict-loser orphan dir, then VACUUM to the newest two
+    * and sweep orphans. In-query guards pin the lifecycle facts (dropped
+    * version unreadable, orphan gone, survivors intact); the returned
+    * aggregate reads the LATEST version after vacuum, which the oracle
+    * rebuilds by its defining predicate — so a vacuum that touched live
+    * data breaks the hash. */
+  private def vacuumQ(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "vacuum")
+    CommitLog.reset(path)
+    val orders = graft.Tables(s, dir, "orders")
+    def cut(d: String) = lit(d).cast("timestamp")
+    orders.filter(col("o_orderdate") < cut("1997-01-01"))
+      .write.mode("overwrite").parquet(s"$path/data_v1")
+    CommitLog.commit(path, 0, s"$path/data_v1")
+    orders.filter(col("o_orderdate") < cut("1997-07-01"))
+      .write.mode("overwrite").parquet(s"$path/data_v2")
+    CommitLog.commit(path, 1, s"$path/data_v2")
+    orders.write.mode("overwrite").parquet(s"$path/data_v3")
+    CommitLog.commit(path, 2, s"$path/data_v3")
+    // a conflict loser's never-committed debris
+    orders.limit(10).write.mode("overwrite").parquet(s"$path/data_loser")
+    val dropped = CommitLog.vacuum(path, keep = 2)
+    val orphans = CommitLog.sweepOrphans(path)
+    require(dropped.map(_.version) == Seq(1L), s"expected v1 dropped: $dropped")
+    require(orphans.exists(_.endsWith("data_loser")), s"orphan kept: $orphans")
+    require(CommitLog.entries(path).map(_.version) == Seq(2L, 3L))
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/data_v1")))
+    require(
+      try { CommitLog.read(s, path, 1); false }
+      catch { case _: IllegalArgumentException => true },
+      "reading a vacuumed version must fail loudly")
+    s.read.parquet(CommitLog.latest(path).get.dataDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Change data feed between two committed versions — the
     * snapshot-diff reconstruction of CDC: a full outer join of v1 and v2
     * on the primary key classifies every row as insert (absent from v1),
@@ -435,6 +473,7 @@ object FormatOps {
     "src_time_travel" -> timeTravel,
     "src_versioned_prune" -> versionedPrune,
     "src_change_feed" -> changeFeed,
+    "src_vacuum" -> vacuumQ,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
     "src_text_roundtrip" -> textRoundtrip,
@@ -480,6 +519,12 @@ object FormatOps {
          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-07-01'
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the post-vacuum latest is the unfiltered table; lifecycle facts
+    // (dropped version, orphan sweep) are pinned by in-query requires
+    "src_vacuum" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the oracle rebuilds both versions by their defining predicates and
     // diffs them with the same full outer join — classification AND
     // payload sums must match row-for-row

@@ -76,6 +76,34 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.latest(table).get.version == 2)
   }
 
+  test("vacuum bounds history: old versions drop, survivors stay readable") {
+    val table = freshTable("vacuum")
+    for (v <- 1 to 4) {
+      spark.range(v * 10).write.parquet(s"$table/data_v$v")
+      CommitLog.commit(table, v - 1, s"$table/data_v$v")
+    }
+    val dropped = CommitLog.vacuum(table, keep = 2)
+    assert(dropped.map(_.version) == Seq(1L, 2L))
+    assert(CommitLog.entries(table).map(_.version) == Seq(3L, 4L))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$table/data_v1")))
+    intercept[IllegalArgumentException] { CommitLog.read(spark, table, 2) }
+    assert(CommitLog.read(spark, table, 3).count() == 30)
+    assert(CommitLog.read(spark, table, 4).count() == 40)
+  }
+
+  test("orphan sweep removes only unreferenced data dirs") {
+    val table = freshTable("orphans")
+    spark.range(5).write.parquet(s"$table/data_live")
+    CommitLog.commit(table, 0, s"$table/data_live")
+    spark.range(7).write.parquet(s"$table/data_conflict_loser")
+    val swept = CommitLog.sweepOrphans(table)
+    assert(swept.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+      Seq("data_conflict_loser"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$table/data_live")))
+    assert(Files.isDirectory(java.nio.file.Paths.get(s"$table/_commits")))
+    assert(CommitLog.read(spark, table, 1).count() == 5)
+  }
+
   test("uncommitted data is invisible: no log entry, no read") {
     val table = freshTable("invisible")
     spark.range(3).write.parquet(s"$table/data_orphan")
