@@ -62,12 +62,55 @@ object ProfileOps {
       .orderBy(col("event_type"))
   }
 
+  /** Heavy hitters via the custom Count-Min sketch aggregate
+    * (graft.functions.SketchFunctions): ONE constant-size (64 KiB)
+    * sketch pass over the key column replaces the full-cardinality
+    * groupBy a naive heavy-hitter count needs — the exchange carries
+    * D×W counters per partial, never per-key rows. The exact counts of
+    * the top keys ride along (test scale; at 100 TB only candidate keys
+    * get the exact second pass), the CMS estimate for each is computed
+    * from the returned sketch with plain Column arithmetic (xxhash64
+    * chain, no UDF), and two deterministic booleans pin the sketch
+    * guarantees through the hash gate: one-sided error
+    * (estimate >= exact, always) and the e/W bound at this data/hash
+    * combination. The oracle expects them literally TRUE — a broken
+    * hash chain or merge would flip one and hash-mismatch. */
+  private def heavyHittersQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions
+    SketchFunctions.register(s)
+    val keys = graft.Tables(s, dir, "orders").select(col("o_custkey"))
+    val sketchAndTotal = keys.agg(
+      SketchFunctions.cmsSketch(col("o_custkey")).as("sk"),
+      count(lit(1)).as("total"))
+    val exactTop = keys.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("o_custkey").asc)
+      .limit(15)
+    val est = SketchFunctions.cmsEstimate(col("sk"), col("o_custkey"))
+    exactTop.crossJoin(broadcast(sketchAndTotal))
+      .select(col("o_custkey"), col("n_exact"),
+        (est >= col("n_exact")).as("est_ge_exact"),
+        ((est - col("n_exact")).cast("double") <=
+          lit(math.E) * col("total").cast("double") /
+            lit(SketchFunctions.CMS_W.toDouble)).as("within_bound"))
+      .orderBy(col("n_exact").desc, col("o_custkey").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_profile" -> profileOrdersQ,
     "rel_outliers_mad" -> outliersMadQ,
+    "rel_heavy_hitters" -> heavyHittersQ,
   )
 
   val oracles: Map[String, String] = Map(
+    // exact counts are the hashed content; the sketch-property booleans
+    // are deterministic for this data + hash constants and must be TRUE
+    "rel_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT o_custkey, COUNT(*) AS n_exact FROM orders GROUP BY 1
+        |)
+        |SELECT o_custkey, n_exact, TRUE AS est_ge_exact, TRUE AS within_bound
+        |FROM c ORDER BY n_exact DESC, o_custkey LIMIT 15""".stripMargin,
     "rel_profile" -> {
       val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
       val selects = cols.map(c =>
