@@ -548,7 +548,36 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** The custom Count-Min aggregate under Structured Streaming: the
+    * sketch's constant-size buffer is exactly what a streaming stateful
+    * aggregate wants (64 KiB of state TOTAL for unbounded key
+    * cardinality — vs per-key state for an exact streaming count). The
+    * final sketch must equal the batch sketch over the same rows, so the
+    * estimates for the exact top keys match the batch query's and the
+    * same oracle applies. */
+  private def heavyHittersStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions
+    SketchFunctions.register(s)
+    val streamed = eventsStream(s, dir)
+      .agg(SketchFunctions.cmsSketch(col("user_id")).as("sk"),
+        count(lit(1)).as("total"))
+    val sk = runToMemory(streamed, "complete")
+    val exactTop = graft.Tables(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+      .limit(15)
+    val est = SketchFunctions.cmsEstimate(col("sk"), col("user_id"))
+    exactTop.crossJoin(broadcast(sk))
+      .select(col("user_id"), col("n_exact"),
+        (est >= col("n_exact")).as("est_ge_exact"),
+        ((est - col("n_exact")).cast("double") <=
+          lit(math.E) * col("total").cast("double") /
+            lit(SketchFunctions.CMS_W.toDouble)).as("within_bound"))
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_heavy_hitters" -> heavyHittersStreamQ,
     "stream_versioned_sink" -> versionedSinkQ,
     "stream_incremental_merge" -> incrementalMergeQ,
     "stream_hourly_window" -> hourlyWindowQ,
@@ -604,6 +633,14 @@ object StreamOps {
     "stream_running_counts" ->
       """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // streaming sketch == batch sketch over the same rows; exact top keys
+    // are the hashed content, sketch-guarantee booleans must be TRUE
+    "stream_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1
+        |)
+        |SELECT user_id, n_exact, TRUE AS est_ge_exact, TRUE AS within_bound
+        |FROM c ORDER BY n_exact DESC, user_id LIMIT 15""".stripMargin,
     // the published snapshot version == the batch aggregate over all input
     "stream_versioned_sink" ->
       s"""SELECT user_id, COUNT(*) AS n_events,

@@ -37,7 +37,10 @@ class PlanAuditSpec extends SparkSpec {
     "graph_pagerank", "graph_triangles",
     // rel_expectations: referential branch cross-joins a BROADCAST 1-row
     // total (n_checked) into the report
-    "rel_expectations")
+    "rel_expectations",
+    // heavy hitters cross-join the BROADCAST 1-row (sketch, total)
+    // aggregate onto the 15 candidate keys — 64 KiB × 15 rows by design
+    "rel_heavy_hitters", "stream_heavy_hitters")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
