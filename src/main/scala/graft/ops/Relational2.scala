@@ -395,6 +395,28 @@ object Relational2 {
       .orderBy(col("bucket"))
   }
 
+  /** Exact GLOBAL quantiles without a global sort: `globalRank` assigns
+    * every row its rank in one range-exchange + narrow arithmetic, and the
+    * quantile at q is the row with rank ceil(q·n) — so the exact p50/p90/
+    * p99 of a 100 TB column costs one range shuffle plus a filter, where
+    * the naive `percentile()` over a single global group funnels the table
+    * through one task (and rel_percentile's per-group exact sort stops
+    * scaling once groups are few and fat). Tie-break keys make the order
+    * total, matching the oracle's row_number formulation rank-for-rank. */
+  private def rankQuantilesQ(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ranked = globalRank(
+      t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    qs.map { q =>
+        ranked.filter(col("__rank") === ceil(lit(q) * col("__n")))
+          .select(lit(q).as("q"), col("l_extendedprice").as("v"))
+      }
+      .reduce(_.unionByName(_))
+      .orderBy(col("q"))
+  }
+
   /** Conditional-aggregate battery: count_if / any / every / sum-distinct
     * shapes (the FILTER-clause family). */
   private def condAgg(s: SparkSession, dir: String): DataFrame =
@@ -647,6 +669,7 @@ object Relational2 {
     "rel_approx_percentile" -> approxPercentileQ,
     "rel_histogram" -> histogramQ,
     "rel_equidepth_hist" -> equidepthHistQ,
+    "rel_rank_quantiles" -> rankQuantilesQ,
     "rel_cond_agg" -> condAgg,
     "rel_upsert" -> upsertQ,
     "rel_topk_agg" -> topkAgg,
@@ -799,6 +822,22 @@ object Relational2 {
          |  COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price,
          |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // same rank semantics as globalRank: row_number over the total order,
+    // quantile q = the row at rank ceil(q*n) (IEEE multiply in both engines)
+    "rel_rank_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM lineitem
+        |)
+        |SELECT q, v FROM (
+        |  SELECT CAST(0.5 AS DOUBLE) AS q, v FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(0.9 AS DOUBLE) AS q, v FROM r WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(0.99 AS DOUBLE) AS q, v FROM r WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)
+        |) ORDER BY q""".stripMargin,
     "rel_equidepth_hist" ->
       s"""WITH b AS (
          |  SELECT o_totalprice,
