@@ -32,6 +32,27 @@ class GlobalRankSpec extends SparkSpec {
     } finally joined.unpersist()
   }
 
+  test("rank ≡ row_number holds at every shuffle-partition count") {
+    // the round-4 bug was partition-boundary arithmetic; sweep partition
+    // counts (1 = degenerate single range, 7 = uneven split) to pin the
+    // offset math under different boundary placements
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val truth = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_totalprice"), col("o_orderkey")))
+        .cast("long"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try for (parts <- Seq("1", "7", "32")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val ranked = Relational2.globalRank(df,
+        col("o_totalprice"), col("o_orderkey"))
+      val bad = ranked.join(truth, Seq("o_orderkey", "o_totalprice"))
+        .filter(col("__rank") =!= col("rn")).count()
+      assert(bad == 0, s"$bad wrong ranks at shuffle.partitions=$parts")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("globalRank is dense, 1-based, and stable across repeated evaluation") {
     val df = graft.Tables(spark, "/root/testdata/sf0.001", "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
