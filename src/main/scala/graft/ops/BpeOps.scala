@@ -81,8 +81,54 @@ object BpeOps {
       .orderBy(col("source"))
   }
 
+  /** Per-document BPE token totals — the per-distinct-word kernel and
+    * broadcast join of [[bpeCountQ]], then a per-doc rollup; documents
+    * with no alphabetic words keep an explicit 0. */
+  private[graft] def perDocTokenCounts(s: SparkSession, docsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val words = docsDf.select(col("doc_id"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    val vocab = words.select(col("w")).distinct().as[String]
+    val rankB = s.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap)
+    val tokPerWord = vocab.mapPartitions { it =>
+      val rk = rankB.value
+      it.map(w => (w, tokenCount(w, rk).toLong))
+    }.toDF("w", "n_tok_w")
+    docsDf.select(col("doc_id"))
+      .join(words.join(broadcast(tokPerWord), "w")
+          .groupBy(col("doc_id")).agg(sum(col("n_tok_w")).as("n_tok")),
+        Seq("doc_id"), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+  }
+
+  /** Sequence packing denominated in TOKENIZER tokens (the composition
+    * the counts exist for): greedy cumulative-sum binning per language at
+    * a 2048-token context budget, identical shape to text_pack_bins but
+    * with BPE counts instead of whitespace counts — a single keyed window
+    * over the vocabulary-joined totals. */
+  private val PACK_CAP = 2048L
+
+  private def bpePackQ(s: SparkSession, dir: String): DataFrame = {
+    val docsDf = graft.Tables(s, dir, "documents")
+    val counts = docsDf.select(col("doc_id"), col("lang"))
+      .join(perDocTokenCounts(s, docsDf), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", ((col("cum") - col("n_tok")) / PACK_CAP).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_count" -> bpeCountQ,
+    "text_bpe_pack" -> bpePackQ,
   )
 
   private def mergesListSql: String =
@@ -92,37 +138,59 @@ object BpeOps {
   // the lowest-rank adjacent pair (nullif guards list_position's 0-for-
   // absent) and merges its leftmost occurrence; a word's count is the
   // minimum symbol-list length it ever reaches (lengths strictly decrease).
+  private def bpeCtes: String =
+    s"""mlist AS (
+       |  SELECT $mergesListSql AS ms
+       |),
+       |words AS (
+       |  SELECT doc_id, source,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents
+       |),
+       |uw AS (SELECT DISTINCT w FROM words),
+       |bpe AS (
+       |  SELECT w, string_split(w, '') AS syms FROM uw
+       |  UNION ALL
+       |  SELECT w, list_concat(list_concat(
+       |      syms[1:pos-1], [syms[pos] || syms[pos+1]]), syms[pos+2:]) AS syms
+       |  FROM (
+       |    SELECT w, syms, list_position(rks, list_aggregate(rks, 'min')) AS pos
+       |    FROM (
+       |      SELECT w, syms,
+       |        list_transform(generate_series(1, len(syms)-1),
+       |          i -> nullif(list_position(ms, syms[i] || ' ' || syms[i+1]), 0)) AS rks
+       |      FROM bpe, mlist
+       |    )
+       |  ) WHERE pos IS NOT NULL
+       |),
+       |ntok AS (SELECT w, min(len(syms)) AS n_tok FROM bpe GROUP BY w)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_bpe_count" ->
-      s"""WITH RECURSIVE mlist AS (
-         |  SELECT $mergesListSql AS ms
-         |),
-         |words AS (
-         |  SELECT doc_id, source,
-         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-         |  FROM documents
-         |),
-         |uw AS (SELECT DISTINCT w FROM words),
-         |bpe AS (
-         |  SELECT w, string_split(w, '') AS syms FROM uw
-         |  UNION ALL
-         |  SELECT w, list_concat(list_concat(
-         |      syms[1:pos-1], [syms[pos] || syms[pos+1]]), syms[pos+2:]) AS syms
-         |  FROM (
-         |    SELECT w, syms, list_position(rks, list_aggregate(rks, 'min')) AS pos
-         |    FROM (
-         |      SELECT w, syms,
-         |        list_transform(generate_series(1, len(syms)-1),
-         |          i -> nullif(list_position(ms, syms[i] || ' ' || syms[i+1]), 0)) AS rks
-         |      FROM bpe, mlist
-         |    )
-         |  ) WHERE pos IS NOT NULL
-         |),
-         |ntok AS (SELECT w, min(len(syms)) AS n_tok FROM bpe GROUP BY w)
+      s"""WITH RECURSIVE $bpeCtes
          |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
          |  CAST(COUNT(*) AS BIGINT) AS n_words
          |FROM words JOIN ntok USING (w)
          |GROUP BY source ORDER BY source""".stripMargin,
+    "text_bpe_pack" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |perdoc AS (
+         |  SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tok
+         |  FROM words JOIN ntok USING (w) GROUP BY doc_id
+         |),
+         |counts AS (
+         |  SELECT d.doc_id, d.lang, coalesce(p.n_tok, 0) AS n_tok
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |),
+         |c AS (
+         |  SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM counts
+         |)
+         |SELECT lang, CAST((cum - n_tok) // $PACK_CAP AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
   )
 }
