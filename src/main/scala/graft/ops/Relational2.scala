@@ -409,11 +409,15 @@ object Relational2 {
       t(s, dir, "lineitem")
         .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
       col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    qs.map { q =>
-        ranked.filter(col("__rank") === ceil(lit(q) * col("__n")))
-          .select(lit(q).as("q"), col("l_extendedprice").as("v"))
-      }
-      .reduce(_.unionByName(_))
+    // ONE narrow pass over the ranked data: explode the (q, target-rank)
+    // list per row and keep hits — a per-q filter union would re-read the
+    // shuffle output once per quantile
+    val targets = array(qs.map(q =>
+      struct(lit(q).as("q"), ceil(lit(q) * col("__n")).as("target"))): _*)
+    ranked.select(col("__rank"), col("l_extendedprice"),
+        explode(targets).as("qt"))
+      .filter(col("__rank") === col("qt.target"))
+      .select(col("qt.q").as("q"), col("l_extendedprice").as("v"))
       .orderBy(col("q"))
   }
 
