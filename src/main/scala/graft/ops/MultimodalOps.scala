@@ -178,10 +178,38 @@ object MultimodalOps {
     parsed.toDF().orderBy(col("doc_id"))
   }
 
+  final case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
+      bits: Int, n_bytes: Long, n_samples: Long)
+
+  /** Real RIFF/WAVE headers over the corpus: each document's bytes become
+    * the PCM payload of a spec-valid WAV whose format fields follow a
+    * doc_id formula; every third doc also carries a LIST chunk before
+    * "data" so the chunk walk is exercised on real input, not just in the
+    * unit spec. Spark PARSES the header back; the oracle recomputes the
+    * formula — field offsets, little-endian reads, and chunk skipping all
+    * sit under the hash. */
+  private def audioMetaQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = mediaTable(s, dir).mapPartitions { it =>
+      it.map { rec =>
+        val channels = 1 + (rec.doc_id % 2).toInt
+        val rate = 8000 * (1 + (rec.doc_id % 5).toInt)
+        val wav = AudioHeaders.wavBytes(channels, rate, 16, rec.media,
+          extraChunk = rec.doc_id % 3 == 0)
+        val m = AudioHeaders.parseWav(wav).getOrElse(
+          throw new IllegalStateException(s"unparseable fixture wav for ${rec.doc_id}"))
+        AudioMeta(rec.doc_id, m.channels, m.sampleRate, m.bitsPerSample,
+          m.dataBytes, m.nSamples)
+      }
+    }
+    parsed.toDF().orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup" -> mmDedupQ,
     "mm_decode_meta" -> decodeMetaQ,
     "mm_image_meta" -> imageMetaQ,
+    "mm_audio_meta" -> audioMetaQ,
     "mm_frame_sample" -> frameSampleQ,
     "mm_resize" -> resizeQ,
     "mm_features" -> featuresQ,
@@ -217,6 +245,16 @@ object MultimodalOps {
          |                    WHEN 1 THEN ${ImageHeaders.JPEG_HEADER_BYTES}
          |                    ELSE 0 END AS BIGINT) AS n_bytes
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // format fields recomputed from the doc_id formula they were encoded
+    // with; n_samples = payload bytes / block align (integer division)
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS sample_rate,
+        |  CAST(16 AS INTEGER) AS bits,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) // ((1 + doc_id % 2) * 2) AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, frame_idx, frame_idx * $FRAME_BYTES AS byte_offset FROM (
          |  SELECT doc_id,

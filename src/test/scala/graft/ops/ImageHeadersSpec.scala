@@ -53,6 +53,23 @@ class ImageHeadersSpec extends AnyFunSuite {
       ImageHeaders.Parsed("jpeg", Some(64), Some(1072)))
   }
 
+  test("WAV: PCM format fields via the chunk walk, LIST chunk skipped") {
+    val data = Array.fill[Byte](1000)(7)
+    val plain = AudioHeaders.wavBytes(2, 44100, 16, data)
+    assert(plain.length == AudioHeaders.WAV_HEADER_BYTES + data.length)
+    val m = AudioHeaders.parseWav(plain).get
+    assert(m.channels == 2 && m.sampleRate == 44100 && m.bitsPerSample == 16)
+    assert(m.dataBytes == 1000 && m.nSamples == 250) // 1000 / (2ch * 2B)
+    // a LIST/INFO chunk between fmt and data must be skipped by size
+    val withList = AudioHeaders.wavBytes(1, 8000, 16, data, extraChunk = true)
+    assert(AudioHeaders.parseWav(withList).get ==
+      AudioHeaders.WavMeta(1, 8000, 16, 1000))
+    // non-WAV and truncated input degrade to None, never throw
+    assert(AudioHeaders.parseWav("RIFFxxxx".getBytes("US-ASCII")).isEmpty)
+    assert(AudioHeaders.parseWav(plain.take(20)).isEmpty)
+    assert(AudioHeaders.parseWav(null).isEmpty)
+  }
+
   test("non-image, truncated, and dimension-less payloads degrade to raw/None") {
     assert(ImageHeaders.parse("plain text".getBytes("UTF-8")).format == "raw")
     assert(ImageHeaders.parse(Array.empty[Byte]).format == "raw")
