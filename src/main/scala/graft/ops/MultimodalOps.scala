@@ -205,11 +205,37 @@ object MultimodalOps {
     parsed.toDF().orderBy(col("doc_id"))
   }
 
+  final case class VideoMeta(doc_id: Long, timescale: Long, duration: Long,
+      mdat_bytes: Long, duration_ms: Long)
+
+  /** Real ISO-BMFF headers: each document's bytes become the mdat payload
+    * of a spec-valid MP4 (ftyp + a free box the walk must skip + moov/mvhd
+    * + mdat) with timescale/duration from a doc_id formula; Spark walks
+    * the boxes back out, the oracle recomputes the formula. duration_ms
+    * is integer arithmetic (duration * 1000 / timescale) so both engines
+    * agree exactly. */
+  private def videoMetaQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parsed = mediaTable(s, dir).mapPartitions { it =>
+      it.map { rec =>
+        val timescale = 1000L * (1 + rec.doc_id % 3)
+        val duration = 1000L + rec.doc_id % 9000
+        val mp4 = VideoHeaders.mp4Bytes(timescale, duration, rec.media)
+        val m = VideoHeaders.parseMp4(mp4).getOrElse(
+          throw new IllegalStateException(s"unparseable fixture mp4 for ${rec.doc_id}"))
+        VideoMeta(rec.doc_id, m.timescale, m.duration, m.mdatBytes,
+          m.duration * 1000L / m.timescale)
+      }
+    }
+    parsed.toDF().orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup" -> mmDedupQ,
     "mm_decode_meta" -> decodeMetaQ,
     "mm_image_meta" -> imageMetaQ,
     "mm_audio_meta" -> audioMetaQ,
+    "mm_video_meta" -> videoMetaQ,
     "mm_frame_sample" -> frameSampleQ,
     "mm_resize" -> resizeQ,
     "mm_features" -> featuresQ,
@@ -245,6 +271,15 @@ object MultimodalOps {
          |                    WHEN 1 THEN ${ImageHeaders.JPEG_HEADER_BYTES}
          |                    ELSE 0 END AS BIGINT) AS n_bytes
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // timescale/duration recomputed from the encoding formula; duration_ms
+    // is exact integer arithmetic in both engines
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+        |  CAST(1000 + doc_id % 9000 AS BIGINT) AS duration,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS mdat_bytes,
+        |  CAST((1000 + doc_id % 9000) * 1000 // (1000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // format fields recomputed from the doc_id formula they were encoded
     // with; n_samples = payload bytes / block align (integer division)
     "mm_audio_meta" ->

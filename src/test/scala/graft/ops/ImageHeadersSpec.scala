@@ -70,6 +70,19 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(AudioHeaders.parseWav(null).isEmpty)
   }
 
+  test("MP4: mvhd timescale/duration via the box walk, free box skipped") {
+    val payload = Array.fill[Byte](500)(3)
+    val mp4 = VideoHeaders.mp4Bytes(30000L, 90000L, payload)
+    assert(mp4.length == VideoHeaders.MP4_HEADER_BYTES + payload.length)
+    val m = VideoHeaders.parseMp4(mp4).get
+    assert(m.timescale == 30000L && m.duration == 90000L)
+    assert(m.mdatBytes == 500L)
+    // non-BMFF, truncated, and malformed-box inputs degrade to None
+    assert(VideoHeaders.parseMp4("not a video".getBytes("US-ASCII")).isEmpty)
+    assert(VideoHeaders.parseMp4(mp4.take(40)).isEmpty)
+    assert(VideoHeaders.parseMp4(null).isEmpty)
+  }
+
   test("non-image, truncated, and dimension-less payloads degrade to raw/None") {
     assert(ImageHeaders.parse("plain text".getBytes("UTF-8")).format == "raw")
     assert(ImageHeaders.parse(Array.empty[Byte]).format == "raw")
