@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CotQueries.queries ++ Relational.queries ++ Relational2.queries ++
       Bucketing.queries ++ FormatOps.queries ++ DedupOps.queries ++
-      TextOps.queries ++ BpeOps.queries ++ CleanOps.queries ++ Similarity.queries ++
+      TextOps.queries ++ BpeOps.queries ++ CleanOps.queries ++ SpanOps.queries ++
+      Similarity.queries ++
       MultimodalOps.queries ++ SkewOps.queries ++ ProfileOps.queries ++
       SplitOps.queries ++ GeoOps.queries ++ HistoryOps.queries ++
       GraphOps.queries ++ ContractOps.queries ++
@@ -32,7 +33,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CotQueries.oracles ++ Relational.oracles ++ Relational2.oracles ++
       Bucketing.oracles ++ FormatOps.oracles ++ DedupOps.oracles ++
-      TextOps.oracles ++ BpeOps.oracles ++ CleanOps.oracles ++ Similarity.oracles ++
+      TextOps.oracles ++ BpeOps.oracles ++ CleanOps.oracles ++ SpanOps.oracles ++
+      Similarity.oracles ++
       MultimodalOps.oracles ++ SkewOps.oracles ++ ProfileOps.oracles ++
       SplitOps.oracles ++ GeoOps.oracles ++ HistoryOps.oracles ++
       GraphOps.oracles ++ ContractOps.oracles ++
