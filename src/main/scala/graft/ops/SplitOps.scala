@@ -125,10 +125,41 @@ object SplitOps {
         sum(expr("n_chars div 4")).as("n_tokens"))
       .orderBy(col("split"))
 
+  /** Stratified EXACT-quota sampling: every stratum contributes exactly
+    * ceil(n/5) rows (20%), chosen by ranking the stratum's rows on a
+    * deterministic md5 priority — the complement of the Bernoulli designs
+    * above (`splitLabel` / `weightedSampleQ` hit the rate only in
+    * expectation; class-balanced eval sets need the quota hit exactly).
+    * Quota arithmetic is all-integer ((n+4) div 5) so neither engine does
+    * a float multiply.
+    *
+    * Scale: the rank is a per-stratum keyed window (shuffle on the
+    * stratum key, sort within); quotas are a stratum-count-sized table,
+    * broadcast back. Fine whenever strata are plentiful relative to
+    * executors; for a FEW GIANT strata the per-stratum sort concentrates
+    * — there, either accept Bernoulli (hash-threshold, no sort) or run
+    * `Relational2.globalRank` per stratum. */
+  private def stratifiedQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables(s, dir, "documents")
+    val quotas = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("quota", expr("(n_stratum + 4) div 5"))
+    val priority = md5(concat(lit("strat:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(priority, col("doc_id"))
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), "lang")
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("n_stratum"), col("quota"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_split_assign" -> splitQ,
     "text_mix_budget" -> mixQ,
     "rel_weighted_sample" -> weightedSampleQ,
+    "rel_stratified_sample" -> stratifiedQ,
     "text_corpus_build" -> corpusBuildQ,
   )
 
@@ -152,6 +183,20 @@ object SplitOps {
          |WHERE (CAST('0x' || substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)), 1, 4) AS UBIGINT) % 10000)
          |      < CAST(floor(o_totalprice / 50.0) AS BIGINT)
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rel_stratified_sample" ->
+      """WITH q AS (
+        |  SELECT lang, COUNT(*) AS n_stratum, (COUNT(*) + 4) // 5 AS quota
+        |  FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT r.lang, CAST(r.rk AS BIGINT) AS rk, r.doc_id,
+        |  q.n_stratum, q.quota
+        |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+        |ORDER BY lang, rk""".stripMargin,
     "text_mix_budget" ->
       """WITH ranked AS (
         |  SELECT source, doc_id, n_chars // 4 AS tok,
