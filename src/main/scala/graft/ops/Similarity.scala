@@ -373,7 +373,47 @@ object Similarity {
         max(col("nrm_r")).as("max_norm"))
       .orderBy(col("label"))
 
+  /** Covariance matrix of the embedding corpus — the substrate every
+    * PCA / whitening / Mahalanobis step needs. ONE pass, ONE aggregation:
+    * each row map-side expands to its upper-triangle outer product (two
+    * chained posexplodes, no self-join), and the (i,j) hash aggregate
+    * carries the product sum AND both marginal sums — s_i is just
+    * sum(vi) within the (i,j) group — so means need no second scan and
+    * no join-back. Decimal sums make every cell partitioning-independent.
+    *
+    * Scale: per-row CPU is the inherent O(d²) of covariance; the shuffle
+    * is d(d+1)/2 partial-aggregate keys per map partition (d=64 → 2080
+    * rows), independent of corpus size. This is the DataFrame rendering
+    * of MLlib RowMatrix.computeCovariance's treeAggregate.
+    *
+    * PUBLIC: returns upper-triangle cells (i, j, n, cov). */
+  def covariance(d: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(32, 12)
+    d.select(col(vecCol).as("v"))
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(
+        sum((col("vi") * col("vj")).cast(dec)).cast("double").as("sp"),
+        sum(col("vi").cast(dec)).cast("double").as("si"),
+        sum(col("vj").cast(dec)).cast("double").as("sj"),
+        count(lit(1)).as("n"))
+      // final 9 dp round absorbs the one place the engines may disagree
+      // by an ulp: DuckDB casts a wide decimal to double via int128 /
+      // 10^scale (two roundings), Spark via correctly-rounded BigDecimal
+      .withColumn("cov",
+        round(col("sp") / col("n") -
+          (col("si") / col("n")) * (col("sj") / col("n")), 9))
+      .select(col("i"), col("j"), col("n"), col("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private def covarianceQ(s: SparkSession, dir: String): DataFrame =
+    covariance(emb(s, dir), "v")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_covariance" -> covarianceQ,
     "sim_cosine_topk" -> cosineTopK,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
@@ -534,6 +574,19 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_covariance" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings
+        |)
+        |SELECT a.dim AS i, b.dim AS j, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(a.val * b.val AS DECIMAL(32,12))) AS DOUBLE) / COUNT(*)
+        |  - (CAST(SUM(CAST(a.val AS DECIMAL(32,12))) AS DOUBLE) / COUNT(*))
+        |    * (CAST(SUM(CAST(b.val AS DECIMAL(32,12))) AS DOUBLE) / COUNT(*)), 9) AS cov
+        |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
     "sim_cosine_topk" -> cosineTopkSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
