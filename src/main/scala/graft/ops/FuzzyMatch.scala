@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance fuzzy entity matching (record linkage) — dirty strings
+  * matched to a canonical catalog within Levenshtein distance 1, WITHOUT
+  * all-pairs comparison, via the PassJoin segment pigeonhole (Li, Deng,
+  * Feng: "PASS-JOIN: a partition-based method for similarity joins",
+  * VLDB 2012): split each catalog name into 2 segments; one edit can
+  * destroy at most one segment, so every true match shares the OTHER
+  * segment exactly — as a prefix (if the edit hit the back half) or as a
+  * suffix (if it hit the front half). Candidates are therefore two
+  * EQUI-joins on (target-length, segment-index, segment-text); exact
+  * levenshtein verifies the survivors.
+  *
+  * Scale: the dirty side emits 6 constant probe rows per record (3
+  * candidate lengths x 2 segments), the catalog side 2 per name — no
+  * quadratic block anywhere; candidate volume is bounded by segment-key
+  * collisions. A skewed popular segment salts like any hot join key, or
+  * generalizes to d+1 segments for distance d (finer keys, rarer
+  * collisions). The all-pairs formulation is the ORACLE (test-scale
+  * only), which is what proves the pigeonhole complete.
+  */
+object FuzzyMatch {
+
+  /** Deterministic corruption of p_name keyed by p_partkey — the "dirty
+    * scrape" side of a catalog-matching task. mode = key % 4: unchanged /
+    * delete / substitute 'x' / insert 'z', at interior position
+    * key % (len-2) + 2. Expressed as a SQL string evaluated identically
+    * by both engines. */
+  private[graft] val dirtySql: String =
+    """CASE p_partkey % 4
+      | WHEN 0 THEN p_name
+      | WHEN 1 THEN substr(p_name, 1, (p_partkey % (length(p_name) - 2) + 2) - 1)
+      |          || substr(p_name, (p_partkey % (length(p_name) - 2) + 2) + 1)
+      | WHEN 2 THEN substr(p_name, 1, (p_partkey % (length(p_name) - 2) + 2) - 1)
+      |          || 'x' || substr(p_name, (p_partkey % (length(p_name) - 2) + 2) + 1)
+      | ELSE substr(p_name, 1, (p_partkey % (length(p_name) - 2) + 2) - 1)
+      |          || 'z' || substr(p_name, (p_partkey % (length(p_name) - 2) + 2))
+      |END""".stripMargin.replace("\n", " ")
+
+  /** PUBLIC: match each dirty string to every catalog name within
+    * Levenshtein distance 1. `dirtyDf` needs (idCol, strCol); `catalog`
+    * is one column of distinct names. Returns (idCol, strCol, name, dist). */
+  def matchEd1(dirtyDf: DataFrame, idCol: String, strCol: String,
+      catalog: DataFrame, nameCol: String): DataFrame = {
+    val name = col(nameCol)
+    val len = length(name)
+    val l1 = floor(len / 2).cast("int")
+    // catalog side: (target length, segment index, segment text, name)
+    val catSeg = catalog.select(
+        name.as("name"), len.as("L"), l1.as("l1"))
+      .select(col("name"), col("L"),
+        explode(array(
+          struct(lit(1).as("seg"),
+            col("name").substr(lit(1), col("l1")).as("key")),
+          struct(lit(2).as("seg"),
+            col("name").substr(col("l1") + 1, col("L")).as("key"))))
+          .as("sg"))
+      .select(col("name"), col("L"), col("sg.seg").as("seg"),
+        col("sg.key").as("key"))
+    // dirty side: for each candidate target length L' in {n-1, n, n+1},
+    // probe the aligned prefix (seg 1) and suffix (seg 2) windows
+    val s = col(strCol)
+    val n = length(s)
+    val probes = dirtyDf.select(col(idCol), s.as("s"))
+      .select(col(idCol), col("s"),
+        explode(flatten(transform(sequence(lit(-1), lit(1)), dL => {
+          val lp = length(col("s")) + dL // target length L'
+          val l1p = floor(lp / 2).cast("int")
+          val l2p = lp - l1p
+          array(
+            struct(lp.as("L"), lit(1).as("seg"),
+              col("s").substr(lit(1), l1p).as("key")),
+            struct(lp.as("L"), lit(2).as("seg"),
+              col("s").substr(length(col("s")) - l2p + 1, l2p).as("key")))
+        }))).as("pb"))
+      .select(col(idCol), col("s"), col("pb.L").as("L"),
+        col("pb.seg").as("seg"), col("pb.key").as("key"))
+    probes.join(catSeg, Seq("L", "seg", "key"))
+      .select(col(idCol), col("s"), col("name"))
+      .distinct()
+      .filter(levenshtein(col("s"), col("name")) <= 1)
+      .withColumn("dist", levenshtein(col("s"), col("name")).cast("long"))
+  }
+
+  private def fuzzyQ(s: SparkSession, dir: String): DataFrame = {
+    val part = graft.Tables(s, dir, "part")
+    val dirtyDf = part.select(col("p_partkey").as("dirty_id"),
+      expr(dirtySql).as("s"))
+    val catalog = part.select(col("p_name")).distinct()
+    matchEd1(dirtyDf, "dirty_id", "s", catalog, "p_name")
+      .orderBy(col("dirty_id"), col("name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_fuzzy_match_ed1" -> fuzzyQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // brute-force all-pairs levenshtein (test-scale only) — matching the
+    // segment-join output proves the pigeonhole candidate set complete
+    "rel_fuzzy_match_ed1" ->
+      s"""WITH dirty AS (SELECT p_partkey AS dirty_id, $dirtySql AS s FROM part),
+         |cat AS (SELECT DISTINCT p_name AS name FROM part)
+         |SELECT d.dirty_id, d.s, c.name,
+         |  CAST(levenshtein(d.s, c.name) AS BIGINT) AS dist
+         |FROM dirty d JOIN cat c ON levenshtein(d.s, c.name) <= 1
+         |ORDER BY dirty_id, name""".stripMargin,
+  )
+}
