@@ -113,9 +113,47 @@ object GraphOps {
       .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
   }
 
+  private val BFS_SOURCE = 0L
+  private val BFS_HOPS = 4
+
+  /** PUBLIC: BFS shortest-path layers from `source`, bounded at `hops` —
+    * the frontier-expansion traversal (single-source shortest path on an
+    * unweighted graph). Proper BFS, not path enumeration: each round the
+    * CURRENT frontier joins the edge list once and an anti-join against
+    * the visited set keeps only newly discovered nodes, so per-round work
+    * is O(frontier-adjacent edges) and total work is O(E) across rounds
+    * regardless of path multiplicity. localCheckpoint after each round
+    * cuts the growing lineage (same discipline as the components loop).
+    *
+    * Scale: two hash joins per round on the node key; staging `e` means
+    * the edge table is scanned once. The round count bounds the plan —
+    * the oracle's recursive CTE enumerates PATHS (exponential in the
+    * worst case) and is exactly the formulation this operator avoids. */
+  def bfsLayers(e: DataFrame, source: Long, hops: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var visited = Seq((source, 0L)).toDF("node", "dist")
+    var frontier = visited
+    for (i <- 1 to hops) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), lit(i.toLong).as("dist"))
+        .distinct()
+        .join(visited.select(col("node").as("vn")),
+          col("node") === col("vn"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
+
+  private def bfsQ(s: SparkSession, dir: String): DataFrame =
+    bfsLayers(edges(s, dir), BFS_SOURCE, BFS_HOPS).orderBy(col("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerankQ,
     "graph_triangles" -> trianglesQ,
+    "graph_bfs_layers" -> bfsQ,
   )
 
   private val pagerankSql: String = {
@@ -147,6 +185,16 @@ object GraphOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_bfs_layers" ->
+      s"""WITH RECURSIVE $edgesSql,
+         |bfs AS (
+         |  SELECT CAST($BFS_SOURCE AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+         |  UNION ALL
+         |  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node
+         |  WHERE b.dist < $BFS_HOPS
+         |)
+         |SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
+         |ORDER BY node""".stripMargin,
     "graph_pagerank" -> pagerankSql,
     "graph_triangles" ->
       s"""WITH $edgesSql,

@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Value pins for the BFS frontier traversal on a hand-built graph. */
+class GraphOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bfsLayers: shortest distance wins, hop bound respected, unreachable excluded") {
+    //    0 -> 1 -> 2 -> 3 -> 4 -> 5      (chain)
+    //    0 -> 2                          (shortcut: dist(2) = 1, dist(3) = 2)
+    //    9 -> 0                          (upstream of source: unreachable)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 2L), (9L, 0L)).toDF("src", "dst")
+    val got = GraphOps.bfsLayers(e, 0L, hops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the shortcut must beat the chain path for 2 and 3; 4 is reached at
+    // exactly the hop bound via the shortcut; 5 is beyond it; 9 never
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsLayers: cycles terminate and keep first-discovery distance") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val got = GraphOps.bfsLayers(e, 0L, hops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("bfsLayers: source with no out-edges yields just the source") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphOps.bfsLayers(e, 0L, hops = 3).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 0L)))
+  }
+}
