@@ -322,7 +322,36 @@ object TextOps {
       .orderBy(col("rank"))
   }
 
+  /** Inverted-index build — the search-engine-shaped output of a text
+    * pipeline: per term, its document frequency, collection frequency,
+    * and the head of its tf-ranked posting list. ONE (term, doc) hash
+    * aggregate; df/cf ride the per-term window that also ranks postings,
+    * so no second aggregate and no join-back. The rank filter is a
+    * LITERAL (rk <= 3) so Spark's WindowGroupLimit prunes each
+    * partition's postings map-side before the window shuffle.
+    *
+    * Scale: shuffle keys are (term, doc) then term — vocabulary-sized,
+    * ≪ corpus. A full posting-list materialization would instead
+    * sort-within-partitions by (term, doc) and write term-bucketed files;
+    * the head-of-list query shape here is the index-STATS pass. */
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val byTf = win.orderBy(col("tf").desc, col("doc_id").asc)
+    graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(win))
+      .withColumn("cf", sum(col("tf")).over(win))
+      .withColumn("rk", row_number().over(byTf).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("term"), col("df"), col("cf"), col("rk"),
+        col("doc_id"), col("tf"))
+      .orderBy(col("term"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> invertedIndex,
     "text_lang_id_ngram" -> langIdNgram,
     "text_repetition" -> repetition,
     "text_zipf" -> zipfTerms,
@@ -341,6 +370,22 @@ object TextOps {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2
+        |), st AS (
+        |  SELECT term, doc_id, tf,
+        |    CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+        |    CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS cf,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+        |  FROM tf
+        |)
+        |SELECT term, df, cf, CAST(rk AS BIGINT) AS rk, doc_id, tf
+        |FROM st WHERE rk <= 3
+        |ORDER BY term, rk""".stripMargin,
     "text_lang_id_ngram" ->
       s"""WITH g3 AS (
         |  SELECT doc_id, lang,

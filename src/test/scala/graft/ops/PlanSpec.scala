@@ -54,6 +54,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "top-k filter not pushed into window")
   }
 
+  test("inverted index: posting-head rank prunes map-side; one aggregate") {
+    val p = plan(TextOps.queries("text_inverted_index")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rk <= 3 not pushed into the posting window:\n$p")
+    // df/cf ride windows over the same (term,doc) aggregate — there must
+    // be exactly one HashAggregate pair (partial+final) and no join
+    assert(!p.toLowerCase.contains("join"), s"unexpected join:\n$p")
+  }
+
   test("CoT pipeline: broadcast includes join, single dedup shuffle") {
     val df = graft.adsbx.Pipeline.run(
       graft.adsbx.Fixtures.aircraftDf(spark),
