@@ -13,7 +13,9 @@ object BenchSf1 {
     "stream_stream_join", "stream_running_counts", "stream_watermark_dedup",
     "stream_hourly_window", "dedup_containment", "dedup_clusters",
     "sim_knn_components", "rel_equidepth_hist", "text_lm_score",
-    "text_lang_id_ngram", "cot_pipeline_corpus")
+    "text_lang_id_ngram", "cot_pipeline_corpus",
+    "dedup_substring_spans", "rel_fuzzy_match_ed1", "sim_covariance",
+    "text_inverted_index", "text_chunk_overlap", "graph_bfs_layers")
   private val PASSES = 3
 
   def main(args: Array[String]): Unit = {
