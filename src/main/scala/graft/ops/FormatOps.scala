@@ -468,7 +468,56 @@ object FormatOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Bloom-index file skipping — the pruning model min/max stats CANNOT
+    * provide: the table is laid out by `o_orderdate` (the natural sort
+    * key), so every file's `o_orderkey` range spans nearly the whole
+    * domain and a point lookup on it overlaps ALL the min/max ranges.
+    * A per-file bloom bitmap (4 KiB, built by `graft_bloom` under
+    * `groupBy(input_file_name)` in ONE stats scan) answers "might this
+    * file contain key k?" with no false negatives — the planner opens
+    * only bitmap-positive files. This is the Delta/Iceberg bloom-filter
+    * index: at 100 TB ≈ 100k files the index is ~400 MB of metadata
+    * (maintained incrementally at commit, consulted without touching
+    * data), and a point lookup reads 1–2 files instead of all of them.
+    *
+    * The probe keys are derived by a metadata-sized aggregate (min/max +
+    * two modulus-class extremes — a real lookup arrives with literal
+    * keys); the driver-side bitmap probe mirrors the kernel's XXH64
+    * chain. The in-query guard pins the pruning claim; the oracle (plain
+    * IN-lookup on the original table) proves no-false-negative planning:
+    * an over-pruned file would lose a row and break the hash. */
+  private def bloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    val path = tmpDir(s, "bloomidx")
+    graft.Tables(s, dir, "orders")
+      .repartitionByRange(16, col("o_orderdate"))
+      .write.mode("overwrite").parquet(path)
+    val k = s.read.parquet(path).agg(
+      min(col("o_orderkey")), max(col("o_orderkey")),
+      min(when(col("o_orderkey") % 7 === 0, col("o_orderkey"))),
+      max(when(col("o_orderkey") % 7 === 3, col("o_orderkey")))).head()
+    val probes = (0 until 4)
+      .flatMap(i => if (k.isNullAt(i)) None else Some(k.getLong(i)))
+      .distinct.sorted
+    val index = s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(graft.functions.BloomFunctions.bloomSketch(col("o_orderkey")).as("bloom"))
+      .collect()
+    val kept = index.filter { r =>
+      val words = r.getSeq[Long](1).toArray
+      probes.exists(graft.functions.BloomFunctions.mightContain(words, _))
+    }.map(_.getString(0)).toSeq
+    require(kept.size < index.length,
+      s"bloom index must skip files (kept ${kept.size}/${index.length})")
+    readPruned(s, path, kept)
+      .filter(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_bloom_skipping" -> bloomSkipping,
     "src_gdpr_delete" -> gdprDelete,
     "src_time_travel" -> timeTravel,
     "src_versioned_prune" -> versionedPrune,
@@ -487,6 +536,17 @@ object FormatOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // plain IN-lookup on the original table: a file the bloom index
+    // wrongly skipped would lose its row here and break the hash
+    "src_bloom_skipping" ->
+      """WITH probes AS (
+        |  SELECT min(o_orderkey) AS k FROM orders
+        |  UNION SELECT max(o_orderkey) FROM orders
+        |  UNION SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 7 = 3)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey IN (SELECT k FROM probes)
+        |ORDER BY o_orderkey""".stripMargin,
     // survivor set reconstructed by predicate: no requested row survives,
     // no other row lost
     "src_gdpr_delete" ->

@@ -661,7 +661,38 @@ object Relational2 {
       .orderBy(col("conv_id"))
   }
 
+  /** Bloom-prefiltered semi-join reduction — Spark's runtime bloom-filter
+    * optimization made explicit as a plan. The build side (high-balance
+    * BUILDING customers) folds to ONE 4 KiB bitmap row via `graft_bloom`
+    * regardless of its cardinality; broadcasting the bitmap and probing
+    * it in pure Column arithmetic discards non-matching orders BEFORE
+    * the exact join's shuffle. At 100 TB this is the move when the build
+    * key set is too large to broadcast as a hash relation (no BHJ
+    * possible) but its bitmap is constant-size: the probe side's shuffle
+    * shrinks from all rows to matches + fpp·rows. The trailing exact
+    * semi join removes bloom false positives, so the result is exactly
+    * the plain semi join — which is what the oracle computes. */
+  private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    val build = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+      .select(col("c_custkey"))
+    val sketch = build.agg(
+      graft.functions.BloomFunctions.bloomSketch(col("c_custkey")).as("bloom"))
+    val pre = t(s, dir, "orders")
+      .crossJoin(broadcast(sketch))
+      .filter(graft.functions.BloomFunctions
+        .bloomMightContain(col("bloom"), col("o_custkey")))
+      .drop("bloom")
+    pre.join(build, pre("o_custkey") === build("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_bloom_prefilter" -> bloomPrefilter,
     "rel_attribution" -> attribution,
     "rel_funnel" -> funnel,
     "rel_cohort_retention" -> cohortRetention,
@@ -702,6 +733,16 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the plain semi join — the bloom prefilter must be invisible in the
+    // result (false positives removed by the exact join, no negatives)
+    "rel_bloom_prefilter" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_custkey IN (SELECT c_custkey FROM customer
+         |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     // the window row_number formulation — deliberately NOT mirroring the
     // aggregate plan; same semantics, ties broken by (ts, id) both ways
     "rel_attribution" ->

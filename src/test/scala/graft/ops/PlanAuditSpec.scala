@@ -40,7 +40,10 @@ class PlanAuditSpec extends SparkSpec {
     "rel_expectations",
     // heavy hitters cross-join the BROADCAST 1-row (sketch, total)
     // aggregate onto the 15 candidate keys — 64 KiB × 15 rows by design
-    "rel_heavy_hitters", "stream_heavy_hitters")
+    "rel_heavy_hitters", "stream_heavy_hitters",
+    // bloom prefilter cross-joins the BROADCAST 1-row 4 KiB bitmap onto
+    // the probe side — that broadcast IS the semi-join reduction
+    "rel_bloom_prefilter")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
