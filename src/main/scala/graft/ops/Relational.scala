@@ -266,6 +266,36 @@ object Relational {
           col("exact_users").cast("double") <= 0.05).as("within_bounds"))
       .orderBy(col("event_type"))
 
+  /** Re-aggregatable cardinality — the property `approx_count_distinct`
+    * LACKS at 100 TB: its estimate is final, so every new rollup grain
+    * rescans raw data. DataSketches HLL (`hll_sketch_agg`) emits a
+    * MERGEABLE binary sketch instead: build one sketch per
+    * (event_type, day) — the nightly-partition grain, each a few KiB of
+    * metadata — then any coarser rollup (per type here; weekly, all-time,
+    * cross-type in general) is `hll_union_agg` over stored sketches,
+    * never a rescan of events. The union is exact over sketches (no
+    * compounding), so the rolled estimate equals a direct sketch of the
+    * group. Twin pattern as rel_approx_distinct: the oracle verifies the
+    * exact columns; `within_bounds` (lgK=12 → rsd 1.6%, 5% ≈ 3σ) must
+    * come out TRUE, so a drifting union fails the hash check. */
+  private def hllReaggQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    val rolled = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_users"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(rolled, "event_type")
+      .select(col("event_type"), col("exact_users"), col("n_days"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= 0.05).as("within_bounds"))
+      .orderBy(col("event_type"))
+  }
+
   /** Exact interpolated percentiles (Spark `percentile` == DuckDB
     * `quantile_cont`). At 100 TB you would reach for approx_percentile
     * (t-digest-style sketch) — kept exact here so the oracle hash-matches;
@@ -367,6 +397,7 @@ object Relational {
     "rel_hourly_window" -> hourlyWindow,
     "rel_count_distinct" -> countDistinctQ,
     "rel_approx_distinct" -> approxDistinctQ,
+    "rel_hll_reagg" -> hllReaggQ,
     "rel_percentile" -> percentileQ,
     "rel_topn" -> topN,
     "rel_pivot" -> pivotQ,
@@ -509,6 +540,20 @@ object Relational {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |  COUNT(*) AS n, TRUE AS within_bounds
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // union-of-daily-sketches is checked in-query (within_bounds TRUE);
+    // the oracle verifies the exact twin and the day-grain row count
+    "rel_hll_reagg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1
+        |), ex AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT ex.event_type, ex.exact_users, nd.n_days,
+        |  TRUE AS within_bounds
+        |FROM ex JOIN nd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "rel_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
