@@ -691,7 +691,40 @@ object Relational2 {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bitmap-index predicate algebra — the OLAP bitmap-index model (as in
+    * Druid / Pinot / Kylin, Roaring-style but with raw 64-bit words):
+    * ONE scan of the fact table builds a bitmap per predicate, keyed by
+    * row-id word (`o_orderkey / 64`), each word the `bit_or` of
+    * `1 << (rid mod 64)` over qualifying rows — three bitmaps built
+    * simultaneously as three conditional aggregates of the same
+    * hash-aggregate pass. Every boolean combination afterwards (AND, OR,
+    * triple-AND) is word-aligned bit arithmetic + `bit_count` over the
+    * INDEX — keyspace/64 rows of metadata — never a rescan of the fact
+    * table. At 100 TB the index is ~0.2% of a dense fact's row count in
+    * words, and ad-hoc predicate combinations become index-only queries.
+    * The oracle computes the same counts as filtered aggregates over the
+    * raw table, so a single misplaced bit breaks the hash. */
+  private def bitmapIntersect(s: SparkSession, dir: String): DataFrame = {
+    val mask = expr("shiftleft(1L, cast(o_orderkey % 64 AS INT))")
+    def bm(pred: Column) = bit_or(when(pred, mask).otherwise(lit(0L)))
+    val idx = t(s, dir, "orders")
+      .groupBy(floor(col("o_orderkey") / 64).as("w"))
+      .agg(
+        bm(col("o_orderstatus") === "F").as("ba"),
+        bm(col("o_orderpriority") === "1-URGENT").as("bb"),
+        bm(col("o_totalprice") > 150000).as("bc"))
+    idx.agg(
+        sum(bit_count(col("ba"))).as("n_a"),
+        sum(bit_count(col("bb"))).as("n_b"),
+        sum(bit_count(col("bc"))).as("n_c"),
+        sum(bit_count(col("ba").bitwiseAND(col("bb")))).as("n_a_and_b"),
+        sum(bit_count(col("ba").bitwiseAND(col("bb")).bitwiseAND(col("bc"))))
+          .as("n_a_and_b_and_c"),
+        sum(bit_count(col("ba").bitwiseOR(col("bc")))).as("n_a_or_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_bitmap_intersect" -> bitmapIntersect,
     "rel_bloom_prefilter" -> bloomPrefilter,
     "rel_attribution" -> attribution,
     "rel_funnel" -> funnel,
@@ -733,6 +766,21 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // filtered aggregates over the raw table — one misplaced bit in the
+    // index words and a count diverges
+    "rel_bitmap_intersect" ->
+      """SELECT
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_a,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_b,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_c,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F'
+        |    AND o_orderpriority = '1-URGENT') AS n_a_and_b,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F'
+        |    AND o_orderpriority = '1-URGENT'
+        |    AND o_totalprice > 150000) AS n_a_and_b_and_c,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F'
+        |    OR o_totalprice > 150000) AS n_a_or_c
+        |FROM orders""".stripMargin,
     // the plain semi join — the bloom prefilter must be invisible in the
     // result (false positives removed by the exact join, no negatives)
     "rel_bloom_prefilter" ->
