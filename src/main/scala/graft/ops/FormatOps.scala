@@ -516,7 +516,47 @@ object FormatOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Dynamic partition pruning — the mechanism that makes star joins
+    * viable on a date/month-partitioned 100 TB fact: the fact's
+    * partition filter is not known at plan time (it depends on which dim
+    * rows survive `quarter = '1995-Q2'`), so Catalyst injects a
+    * `dynamicpruningexpression(o_month IN subquery)` into the fact scan
+    * that reuses the dim's broadcast result — the fact reads 3 of 84
+    * month partitions instead of all of them, decided at RUNTIME. The
+    * `require` pins the mechanism: the executed plan must carry the
+    * dynamic-pruning partition filter (static pruning is
+    * src_partitioned_pruned's territory). Oracle = the same quarter
+    * filter spelled statically over the raw table. */
+  private def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = tmpDir(s, "dppfact")
+    graft.Tables(s, dir, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(path)
+    val fact = s.read.parquet(path)
+    // the calendar dim must be a real (file-backed) table: an in-memory
+    // dim constant-folds to a bare LocalRelation, leaving no selective
+    // Filter for the PartitionPruning rule to derive benefit from
+    val dimPath = tmpDir(s, "dppdim")
+    (1992 to 1998).flatMap(y => (1 to 12).map(m =>
+        (f"$y-$m%02d", s"$y-Q${(m - 1) / 3 + 1}")))
+      .toDF("month", "quarter")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    val joined = fact
+      .join(broadcast(dim.filter(col("quarter") === "1995-Q2")),
+        col("o_month") === col("month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.ops.Exact.sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_month"))
+    require(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "fact scan must carry a runtime dynamic-partition-pruning filter")
+    joined
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_dpp_join" -> dppJoin,
     "src_bloom_skipping" -> bloomSkipping,
     "src_gdpr_delete" -> gdprDelete,
     "src_time_travel" -> timeTravel,
@@ -536,6 +576,16 @@ object FormatOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the quarter filter spelled statically over the raw table — the
+    // runtime-pruned join must read exactly these three months
+    "src_dpp_join" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+         |  COUNT(*) AS n_orders,
+         |  ${graft.ops.Exact.sumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE strftime(o_orderdate, '%Y-%m') IN
+         |  ('1995-04', '1995-05', '1995-06')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // plain IN-lookup on the original table: a file the bloom index
     // wrongly skipped would lose its row here and break the hash
     "src_bloom_skipping" ->
