@@ -84,6 +84,36 @@ object SplitOps {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  /** Temperature-weighted mixture recipe — the multilingual pre-training
+    * rule (mT5 / XLM-R style): a group's sampling weight is n_i^α with
+    * α < 1, upsampling low-resource languages relative to their raw token
+    * share. Emits the recipe table: per-lang raw docs/tokens, temperature
+    * weight, and the integer token quota out of a 100k budget.
+    *
+    * α is fixed at 0.5 ON PURPOSE: IEEE-754 requires `sqrt` to be exactly
+    * rounded, so Spark and DuckDB agree bit-for-bit, whereas `pow(x,0.3)`
+    * carries no such guarantee and a 1-ulp disagreement could flip the
+    * floor at a quota boundary. Weights are floored to integers so the
+    * total and the quota division stay in exact integer arithmetic.
+    * Swapping in α=0.3 is a one-line change where exactness isn't gated.
+    *
+    * Scale: one hash aggregate over the corpus → a lang-count-sized
+    * recipe table; the 1-row weight total is a BROADCAST cross join
+    * (metadata, same pattern as graph_*). Selection against the quota is
+    * text_mix_budget's territory — unchanged by where the quota comes
+    * from. */
+  private def mixTemperatureQ(s: SparkSession, dir: String): DataFrame = {
+    val per = graft.Tables(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(expr("n_chars div 4")).as("tok"))
+      .withColumn("w", floor(sqrt(col("tok").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("w")).as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("tok"), col("w"),
+        expr("(100000 * w) div tw").as("quota_toks"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic WEIGHTED Bernoulli sampling: each row accepted with
     * probability proportional to its weight (here o_totalprice, capped at
     * 1), decided by comparing an md5 bucket against an integer threshold
@@ -158,6 +188,7 @@ object SplitOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_split_assign" -> splitQ,
     "text_mix_budget" -> mixQ,
+    "text_mix_temperature" -> mixTemperatureQ,
     "rel_weighted_sample" -> weightedSampleQ,
     "rel_stratified_sample" -> stratifiedQ,
     "text_corpus_build" -> corpusBuildQ,
@@ -209,5 +240,19 @@ object SplitOps {
         |WHERE cum_tokens <= CASE WHEN TRY_CAST(substr(source, 4) AS INTEGER) % 2 = 0
         |                         THEN 1500 ELSE 500 END
         |ORDER BY source, cum_tokens""".stripMargin,
+    // exact integer arithmetic end-to-end (sqrt is IEEE-exactly-rounded,
+    // weights floored to BIGINT) so the recipe hash-matches bitwise
+    "text_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars // 4) AS BIGINT) AS tok
+        |  FROM documents GROUP BY lang
+        |), w AS (
+        |  SELECT lang, n_docs, tok,
+        |    CAST(floor(sqrt(CAST(tok AS DOUBLE))) AS BIGINT) AS w
+        |  FROM per
+        |), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w)
+        |SELECT lang, n_docs, tok, w, (100000 * w) // tw AS quota_toks
+        |FROM w CROSS JOIN tot ORDER BY lang""".stripMargin,
   )
 }

@@ -43,7 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     "rel_heavy_hitters", "stream_heavy_hitters",
     // bloom prefilter cross-joins the BROADCAST 1-row 4 KiB bitmap onto
     // the probe side — that broadcast IS the semi-join reduction
-    "rel_bloom_prefilter")
+    "rel_bloom_prefilter",
+    // the 1-row weight total broadcast onto the lang-sized recipe table
+    "text_mix_temperature")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
