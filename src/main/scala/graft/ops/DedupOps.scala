@@ -215,6 +215,60 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Cross-SOURCE overlap matrix — corpus governance, not per-doc dedup:
+    * how much does each pair of ingest sources share (mirrored crawls,
+    * re-syndicated content, benchmark leakage between corpora)? Exact
+    * answer per pair = Jaccard of the sources' word-3-shingle sets.
+    *
+    * Two paths, both emitted per pair:
+    *   - `jaccard` — the exact twin: distinct (source, shingle) explode,
+    *     self-join on shingle. Costs a shuffle of the full vocabulary —
+    *     affordable at verification SF, the thing you CANNOT do per
+    *     ad-hoc question at 100 TB.
+    *   - `est_minhash` — the product path: a per-SOURCE MinHash signature
+    *     (component-wise min over the source's shingles; min is
+    *     mergeable, so source sigs fold map-side, metadata-sized), matrix
+    *     = |S|² signature compares. New-source-vs-all screening touches
+    *     only stored sigs. Both engines derive the same md5-chunk mins,
+    *     so the estimate is bit-identical, not tolerance-checked; with
+    *     N_MINHASH=8 it is coarse (se≈0.17) — a screen, which the exact
+    *     column here calibrates.
+    * The 20-row size/sig tables pair via a broadcast `<` self-join (by
+    * design; in allowNestedLoop). */
+  private def sourceOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    // tok feeds three consumers (sizes, intersection, signatures)
+    val tok = staged(s, dir, "srctok")(
+      docs(s, dir)
+        .select(col("source"), explode(Tokens.shingles(col("text"), SHINGLE_K)).as("w"))
+        .distinct())
+    val sz = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = tok.as("a")
+      .join(tok.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sigCols = (0 until N_MINHASH).map(j =>
+      min(substring(md5(col("w").cast("binary")), 1 + 4 * j, 4)).as(s"mh$j"))
+    val sig = tok.groupBy(col("source")).agg(sigCols.head, sigCols.tail: _*)
+    val matches = (0 until N_MINHASH)
+      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    sz.as("x").join(broadcast(sz.as("y")), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(broadcast(sig.as("sa")), col("src_a") === col("sa.source"))
+      .join(broadcast(sig.as("sb")), col("src_b") === col("sb.source"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        (matches.cast("double") / 8.0).as("est_minhash"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** PUBLIC generic near-dup pipeline over any (doc_id: long, text: string)
     * DataFrame: word-3-shingle MinHash → 4×r=2 LSH bands → bucket-join
     * candidates → exact shingle-Jaccard ≥ `threshold` verification.
@@ -585,6 +639,7 @@ object DedupOps {
     "dedup_minhash_accuracy" -> minhashAccuracy,
     "dedup_clusters" -> nearDupClusters,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
+    "dedup_source_overlap" -> sourceOverlapQ,
     "dedup_containment" -> containmentQuery,
     "dedup_simhash" -> simhashQuery,
     "dedup_simhash_pairs" -> simhashPairs,
@@ -645,6 +700,33 @@ object DedupOps {
     "dedup_minhash_sig" ->
       s"""WITH $tok3Cte, $sigCte
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+    // exact twin fully recomputed; the minhash estimate is the SAME
+    // md5-chunk mins in both engines, so even est_minhash is bit-exact
+    "dedup_source_overlap" -> {
+      val sigCols = (0 until N_MINHASH)
+        .map(j => s"min(substr(md5(w), ${1 + 4 * j}, 4)) AS mh$j").mkString(", ")
+      val estExpr = (0 until N_MINHASH)
+        .map(j => s"CAST(sa.mh$j = sb.mh$j AS INT)").mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT source,
+         |    unnest(${shinglesSql("text", SHINGLE_K)}) AS w FROM documents),
+         |sz AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY 1),
+         |srcsig AS (SELECT source, $sigCols FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT x.source AS src_a, y.source AS src_b,
+         |  x.n AS n_a, y.n AS n_b,
+         |  COALESCE(i.n_common, 0) AS n_common,
+         |  CAST(COALESCE(i.n_common, 0) AS DOUBLE) /
+         |    CAST(x.n + y.n - COALESCE(i.n_common, 0) AS DOUBLE) AS jaccard,
+         |  ($estExpr) / 8.0 AS est_minhash
+         |FROM sz x JOIN sz y ON x.source < y.source
+         |LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source
+         |JOIN srcsig sa ON sa.source = x.source
+         |JOIN srcsig sb ON sb.source = y.source
+         |ORDER BY src_a, src_b""".stripMargin
+    },
     "dedup_lsh_buckets" ->
       s"""WITH $tok3Cte, $sigCte, $bandsCte
          |SELECT band, bucket, COUNT(*) AS n_docs,

@@ -45,7 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     // the probe side — that broadcast IS the semi-join reduction
     "rel_bloom_prefilter",
     // the 1-row weight total broadcast onto the lang-sized recipe table
-    "text_mix_temperature")
+    "text_mix_temperature",
+    // source-count-sized (≈20-row) size/sig tables pair via a broadcast
+    // `<` self-join — the matrix is |sources|², metadata-scale
+    "dedup_source_overlap")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
