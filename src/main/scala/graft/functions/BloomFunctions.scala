@@ -62,15 +62,7 @@ case class BloomAgg(
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val k = keyChild.eval(input)
-    if (k != null) {
-      val base = XXH64.hashLong(k.asInstanceOf[Long], 42L)
-      var i = 0
-      while (i < BLOOM_K) {
-        val bit = java.lang.Math.floorMod(XXH64.hashLong(i.toLong, base), BLOOM_M.toLong).toInt
-        buf(bit >>> 6) |= (1L << (bit & 63))
-        i += 1
-      }
-    }
+    if (k != null) BloomFunctions.add(buf, k.asInstanceOf[Long])
     buf
   }
 
@@ -146,6 +138,19 @@ object BloomFunctions {
       (call_function("shiftright", word, pmod(bit, lit(64L)).cast("int"))
         .bitwiseAND(lit(1L))) === lit(1L)
     }.reduce(_ && _)
+
+  /** Set a key's K bits in a bitmap in place — the kernel `BloomAgg`
+    * folds per row, also used directly by streaming state
+    * (`StreamOps.bloomDedup`) where the bitmap lives in a GroupState. */
+  def add(words: Array[Long], key: Long): Unit = {
+    val base = XXH64.hashLong(key, 42L)
+    var i = 0
+    while (i < BLOOM_K) {
+      val bit = java.lang.Math.floorMod(XXH64.hashLong(i.toLong, base), BLOOM_M.toLong).toInt
+      words(bit >>> 6) |= (1L << (bit & 63))
+      i += 1
+    }
+  }
 
   /** Driver-side probe over a collected bitmap — used for metadata-only
     * file pruning (the planner's side of `src_bloom_skipping`). */

@@ -125,6 +125,58 @@ object StreamOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Cross-batch first-seen dedup with BOUNDED state: a bloom bitmap per
+    * key shard instead of one state row per key. `dropDuplicates*` state
+    * grows with distinct-key cardinality — on an unbounded key domain
+    * (URLs, document fingerprints) that is the state-store OOM at stream
+    * scale; the watermark variant bounds it only by forgetting old keys.
+    * Here state is 64 shards × 4 KiB = 256 KiB TOTAL, forever, for any
+    * key cardinality — the trade is a vanishing false-positive rate
+    * (a "seen" verdict for a new key → row dropped), the standard
+    * approximate-dedup contract (fpp ≈ 2e-4 at 1k keys/shard, sized by
+    * BLOOM_M/shard count). Emitted = keys whose probe said unseen, a set
+    * that is independent of arrival order; on this corpus the bloom has
+    * no false positive, so the oracle is exact DISTINCT.
+    *
+    * Sharding by `xxhash64(key) mod 64` spreads keys uniformly and gives
+    * the shuffle a fixed 64-key domain; the per-shard bitmap lives in a
+    * `GroupState[Array[Long]]` updated via the same XXH64 chain as the
+    * `graft_bloom` aggregate (`BloomFunctions.add`/`mightContain`). */
+  def bloomDedup(events: DataFrame, shards: Int = 64): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.BloomFunctions
+    events
+      .select(
+        pmod(xxhash64(col("user_id"), col("event_type")), lit(shards)).cast("int")
+          .as("shard"),
+        col("user_id"), col("event_type"),
+        xxhash64(col("user_id"), col("event_type")).as("h"))
+      .as[(Int, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[(Int, Long, String, Long)],
+         state: GroupState[Array[Long]]) => {
+          val words = state.getOption
+            .getOrElse(new Array[Long](BloomFunctions.BLOOM_WORDS))
+          val out = List.newBuilder[(Long, String)]
+          rows.foreach { case (_, uid, etype, h) =>
+            if (!BloomFunctions.mightContain(words, h)) {
+              BloomFunctions.add(words, h)
+              out += ((uid, etype))
+            }
+          }
+          state.update(words)
+          out.result().iterator
+        })
+      .toDF("user_id", "event_type")
+  }
+
+  /** `bloomDedup` driven to completion over the events file. */
+  def bloomDedupQ(s: SparkSession, dir: String): DataFrame =
+    runToMemory(bloomDedup(eventsStream(s, dir)), "append")
+      .orderBy(col("user_id"), col("event_type"))
+
   final case class UserRunning(user_id: Long, n_events: Long,
       last_ts: java.sql.Timestamp, closed: Boolean)
 
@@ -588,6 +640,7 @@ object StreamOps {
     "stream_static_join" -> streamStaticJoinQ,
     "stream_stream_join" -> streamStreamJoinQ,
     "stream_watermark_dedup" -> ((s, dir) => watermarkDedupQ(s, dir)),
+    "stream_bloom_dedup" -> ((s, dir) => bloomDedupQ(s, dir)),
     "stream_geo_proximity" -> geoProximityStreamQ,
   )
 
@@ -648,6 +701,12 @@ object StreamOps {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // surviving key set of first-seen dedup == DISTINCT keys
     "stream_watermark_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    // bounded-state bloom dedup: no false positive on this corpus, so the
+    // surviving key set is the exact DISTINCT (the approximate contract
+    // is documented at the operator)
+    "stream_bloom_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
     "stream_static_join" ->

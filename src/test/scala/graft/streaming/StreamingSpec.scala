@@ -203,6 +203,30 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L, 8L)))
   }
 
+  test("bloomDedup suppresses re-seen keys ACROSS batches with 4 KiB/shard state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF().toDF("user_id", "event_type")
+    val q = StreamOps.bloomDedup(events, shards = 4)
+      .writeStream.format("memory").queryName("bd_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      // batch 1: A, B, and an in-batch repeat of A (emitted once)
+      input.addData((1L, "view"), (2L, "click"), (1L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("bd_test").count() == 2)
+      // batch 2: A again (state must remember it) + new key C
+      input.addData((1L, "view"), (3L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = spark.table("bd_test").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keys == Set((1L, "view"), (2L, "click"), (3L, "view")))
+    assert(spark.table("bd_test").count() == 3,
+      "a re-seen key leaked through the cross-batch bloom state")
+  }
+
   test("stateful aggregation on the RocksDB state store (100 TB state backend)") {
     // HDFSBackedStateStore keeps every key on the executor heap — at
     // production state sizes the JVM dies long before 100 TB of input.
