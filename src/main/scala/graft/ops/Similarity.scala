@@ -197,6 +197,48 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** The IVF index LIFECYCLE: sim_ann_ivf builds and queries in one
+    * session; production builds ONCE and serves many query batches. The
+    * inverted file is written to parquet PARTITIONED BY CELL — so serving
+    * is (1) rank cells per query against the broadcast quantizer, (2)
+    * read back ONLY the probed cells via static partition pruning (the
+    * `require` pins the partition filter in the scan), (3) exact rerank
+    * within them. At 100 TB the index is the only thing the serve path
+    * touches, and it reads nprobe/n_cells of it per batch; index refresh
+    * is an incremental append of new vectors to their cell partitions.
+    * Probed-cell ids are collected driver-side to form the pruning
+    * predicate — cell-count-sized metadata, same class as a partition
+    * listing. Results are identical to sim_ann_ivf (same quantizer, same
+    * NPROBE), so the oracle is the same SQL. */
+  private def annIndexServe(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_annidx_" +
+      s.sparkContext.applicationId
+    val ranked = ivfRanked(s, dir)
+    ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
+      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("cell_label").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val index = s.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val planStr = index.queryExecution.executedPlan.toString
+    require(planStr.contains("PartitionFilters") &&
+      planStr.substring(planStr.indexOf("PartitionFilters")).take(200).contains(" IN "),
+      "serve path must reach the index through a partition-pruned scan")
+    val scored = index.join(broadcast(probes), "cell")
+      .withColumn("sim",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("cell"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Multi-probe sign-LSH ANN: each query probes its own bucket PLUS the
     * 4 buckets at Hamming distance 1 (one plane-sign flipped) — the
     * standard recall/cost dial: candidates grow ~5×/16 of the corpus
@@ -417,6 +459,7 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopK,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
+    "sim_ann_index_serve" -> annIndexServe,
     "sim_ann_recall" -> annRecall,
     "sim_ann_multiprobe" -> annMultiprobe,
     "sim_quantize_i8" -> quantizeI8,
@@ -590,6 +633,9 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopkSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
+    // the persisted-index serve path answers exactly what the in-session
+    // IVF answers (same quantizer, same NPROBE) — same oracle
+    "sim_ann_index_serve" -> annIvfSql,
     "sim_ann_multiprobe" -> annMultiprobeSql,
     "sim_quantize_i8" -> {
       val sq = "(v[i] - round(v[i]/scale, 0)*scale) * (v[i] - round(v[i]/scale, 0)*scale)"
