@@ -65,9 +65,36 @@ object SkewOps {
       .orderBy(col("k_attr"))
   }
 
+  /** The audit that DECIDES when to salt: per-key row counts reduced to
+    * the numbers a planner needs — heaviest keys with their share (basis
+    * points), key count, and a table-wide skew factor (max/avg rows per
+    * key, per-mille). Two hash aggregates (per-key counts partial-combine
+    * map-side; the 1-row stats roll-up is metadata-sized and broadcast
+    * back), then TakeOrderedAndProject for the top keys — no global sort,
+    * no collect. All derived ratios are INTEGER arithmetic so both
+    * engines agree bitwise. At 100 TB this is the cheap pre-flight that
+    * tells you `rel_salted_join`'s nSalts before the expensive job runs. */
+  private def skewAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val perKey = graft.Tables(s, dir, "events")
+      .withColumn("key",
+        when(col("user_id") % 10 < 9, 0L).otherwise(col("user_id")))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
+    val stats = perKey.agg(count(lit(1)).as("n_keys"),
+      sum(col("n_rows")).cast("long").as("total_rows"),
+      max(col("n_rows")).as("max_rows"))
+    perKey.crossJoin(broadcast(stats))
+      .withColumn("share_bp", expr("n_rows * 10000 DIV total_rows"))
+      .withColumn("skew_pm", expr("max_rows * n_keys * 1000 DIV total_rows"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(5)
+      .select(col("key"), col("n_rows"), col("share_bp"), col("n_keys"),
+        col("total_rows"), col("max_rows"), col("skew_pm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_salted_agg" -> saltedAggQ,
     "rel_salted_join" -> saltedJoinQ,
+    "rel_skew_audit" -> skewAuditQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,5 +114,21 @@ object SkewOps {
          |SELECT k_attr, COUNT(*) AS n, ${sumSql("value")} AS sum_value
          |FROM ev JOIN dim ON k = dk
          |GROUP BY k_attr ORDER BY k_attr""".stripMargin,
+    "rel_skew_audit" ->
+      """WITH pk AS (
+        |  SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS key,
+        |         COUNT(*) AS n_rows
+        |  FROM events GROUP BY 1
+        |), st AS (
+        |  SELECT COUNT(*) AS n_keys,
+        |         CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |         MAX(n_rows) AS max_rows
+        |  FROM pk
+        |)
+        |SELECT key, n_rows, n_rows * 10000 // total_rows AS share_bp,
+        |       n_keys, total_rows, max_rows,
+        |       max_rows * n_keys * 1000 // total_rows AS skew_pm
+        |FROM pk, st
+        |ORDER BY n_rows DESC, key LIMIT 5""".stripMargin,
   )
 }

@@ -48,7 +48,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_mix_temperature",
     // source-count-sized (≈20-row) size/sig tables pair via a broadcast
     // `<` self-join — the matrix is |sources|², metadata-scale
-    "dedup_source_overlap")
+    "dedup_source_overlap",
+    // the BROADCAST 1-row table-stats aggregate joins onto the per-key
+    // counts — the audit's whole output is top-5 rows
+    "rel_skew_audit")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
