@@ -26,6 +26,7 @@ object SparkEntry {
       TextOps.queries ++ BpeOps.queries ++ CleanOps.queries ++ SpanOps.queries ++
       Similarity.queries ++
       MultimodalOps.queries ++ SkewOps.queries ++ ProfileOps.queries ++
+      KmvOps.queries ++
       SplitOps.queries ++ FuzzyMatch.queries ++ GeoOps.queries ++ HistoryOps.queries ++
       GraphOps.queries ++ ContractOps.queries ++
       graft.streaming.StreamOps.queries
@@ -36,6 +37,7 @@ object SparkEntry {
       TextOps.oracles ++ BpeOps.oracles ++ CleanOps.oracles ++ SpanOps.oracles ++
       Similarity.oracles ++
       MultimodalOps.oracles ++ SkewOps.oracles ++ ProfileOps.oracles ++
+      KmvOps.oracles ++
       SplitOps.oracles ++ FuzzyMatch.oracles ++ GeoOps.oracles ++ HistoryOps.oracles ++
       GraphOps.oracles ++ ContractOps.oracles ++
       graft.streaming.StreamOps.oracles

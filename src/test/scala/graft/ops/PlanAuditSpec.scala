@@ -51,7 +51,10 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_source_overlap",
     // the BROADCAST 1-row table-stats aggregate joins onto the per-key
     // counts — the audit's whole output is top-5 rows
-    "rel_skew_audit")
+    "rel_skew_audit",
+    // three 1-row sides (two sketches + exact twin) pair via broadcast
+    // cross joins — the sketch algebra runs on k-long arrays
+    "rel_kmv_setops")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
