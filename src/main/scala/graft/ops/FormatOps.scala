@@ -376,6 +376,69 @@ object FormatOps {
       .orderBy(col("change_type"), col("o_orderstatus"))
   }
 
+  /** Incremental view maintenance from a WRITE-TIME change feed — the op
+    * that keeps a 100 TB table's aggregates fresh without rescanning it:
+    * the v2 committer knows exactly what it changed, so alongside the new
+    * snapshot it publishes a per-commit DELTA file (insert/update/delete
+    * rows with their count and decimal-exact sum contributions). The
+    * materialized view then refreshes by joining ITSELF with the
+    * delta-file roll-up — cost proportional to the CHANGE, not the table.
+    * An in-query guard pins the claim: the refresh plan's scans touch only
+    * `mv_v1` and `delta_v2`, never `data_v2`. Decimal arithmetic makes
+    * the identity exact — maintained sums equal the oracle's direct
+    * aggregate over predicate-rebuilt v2 bit-for-bit; the final cast to
+    * double happens only at output. Mutation recipe matches
+    * `src_change_feed` (drop key%13, bump price 1.1x for key%7, append
+    * past the v1 date cut). */
+  private def ivmApply(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "ivm")
+    CommitLog.reset(path)
+    val o = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("p"), col("o_orderdate").as("d"))
+    val cut = lit("1997-07-01").cast("timestamp")
+    val bumped = when(col("k") % 7 === 0, col("p") * 1.1).otherwise(col("p"))
+    // v1 snapshot + its materialized view (sum kept DECIMAL in the MV)
+    o.filter(col("d") < cut).drop("d")
+      .write.mode("overwrite").parquet(s"$path/data_v1")
+    CommitLog.commit(path, 0, s"$path/data_v1")
+    s.read.parquet(s"$path/data_v1")
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("p").cast(dec)).as("sp"))
+      .write.mode("overwrite").parquet(s"$path/mv_v1")
+    // v2 snapshot, with the writer RECORDING its delta as it commits
+    o.filter(col("k") % 13 =!= 0).drop("d").withColumn("p", bumped)
+      .write.mode("overwrite").parquet(s"$path/data_v2")
+    val deletes = o.filter(col("d") < cut && col("k") % 13 === 0)
+      .select(col("st"), lit(-1L).as("dn"), (-col("p").cast(dec)).as("dp"))
+    val updates = o.filter(col("d") < cut && col("k") % 13 =!= 0 && col("k") % 7 === 0)
+      .select(col("st"), lit(0L).as("dn"),
+        (bumped.cast(dec) - col("p").cast(dec)).as("dp"))
+    val inserts = o.filter(col("d") >= cut && col("k") % 13 =!= 0)
+      .select(col("st"), lit(1L).as("dn"), bumped.cast(dec).as("dp"))
+    deletes.union(updates).union(inserts)
+      .write.mode("overwrite").parquet(s"$path/delta_v2")
+    CommitLog.commit(path, 1, s"$path/data_v2")
+    // refresh: MV + delta roll-up only — the v2 data files stay closed
+    val deltaAgg = s.read.parquet(s"$path/delta_v2")
+      .groupBy(col("st"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dp")).as("dp"))
+    val refreshed = s.read.parquet(s"$path/mv_v1")
+      .join(deltaAgg, Seq("st"), "full_outer")
+      .select(col("st"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sp"), lit(0).cast(dec)) +
+          coalesce(col("dp"), lit(0).cast(dec))).cast("double").as("sum_price"))
+      .filter(col("n") > 0)
+      .withColumnRenamed("st", "o_orderstatus")
+      .orderBy(col("o_orderstatus"))
+    val scans = refreshed.queryExecution.executedPlan.toString
+    require(!scans.contains("data_v2") && scans.contains("mv_v1") &&
+      scans.contains("delta_v2"),
+      "IVM refresh must read only the MV and the delta, never the v2 data")
+    refreshed
+  }
+
   /** Small-file compaction — the maintenance op that keeps a streamed-into
     * table readable: many small files (here 64, the shape a per-trigger
     * streaming sink leaves behind) are rewritten into size-targeted large
@@ -562,6 +625,7 @@ object FormatOps {
     "src_time_travel" -> timeTravel,
     "src_versioned_prune" -> versionedPrune,
     "src_change_feed" -> changeFeed,
+    "src_ivm_apply" -> ivmApply,
     "src_vacuum" -> vacuumQ,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
@@ -658,6 +722,13 @@ object FormatOps {
          |  COUNT(*) AS n, ${sumSql("coalesce(p2, p1)")} AS sum_price
          |FROM feed WHERE change_type IS NOT NULL
          |GROUP BY 1, 2 ORDER BY change_type, o_orderstatus""".stripMargin,
+    // the oracle aggregates DIRECTLY over predicate-rebuilt v2 — the
+    // maintained view must equal the full recomputation bit-for-bit
+    "src_ivm_apply" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sumSql("CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END")} AS sum_price
+         |FROM orders WHERE o_orderkey % 13 <> 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the oracle is the plain filter on the ORIGINAL table — matching
     // proves manifest pruning lost no qualifying row
     "src_manifest_pruned" ->

@@ -66,6 +66,7 @@ class PlanAuditSpec extends SparkSpec {
     "src_schema_evolution", "src_text_roundtrip",
     "src_manifest_pruned", "src_compaction", "src_time_travel",
     "src_gdpr_delete", "src_versioned_prune", "src_change_feed", "src_vacuum",
+    "src_ivm_apply",
     "src_bloom_skipping", "src_dpp_join", "sim_ann_index_serve",
     "stream_geo_proximity",
     // executes DROP TABLE + two bucketed writes at plan build; the
