@@ -421,6 +421,78 @@ object StreamOps {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** Stream-stream LEFT OUTER join — the semantics inner joins can't give:
+    * clicks with NO view within ±10 minutes must still emit, with nulls.
+    * Outer rows can only be declared unmatched once the watermark passes
+    * their join window, so null emission is driven entirely by watermark
+    * progress — state for a click evicts (and its null row emits) when
+    * both watermarks clear `click_ts + 10 min`. Because the file source
+    * would otherwise deliver everything in one AvailableNow batch (final
+    * watermark never advances past the data, unmatched rows still in
+    * state at shutdown), the fixture stages the corpus as batch 1 and a
+    * far-future SENTINEL file as batch 2 (`maxFilesPerTrigger=1` splits
+    * them; an explicit mtime bump pins source file order): the sentinel
+    * advances both watermarks decades past the data and the trailing
+    * no-data batch flushes every unmatched click. The sentinels
+    * (negative ids, disjoint timestamps so they can't join each other)
+    * are removed on the SINK side, after the stream — a stream-side
+    * `click_id >= 0` is pushed by Catalyst BELOW the left branch's
+    * event-time watermark node, silently hiding the click sentinel from
+    * the watermark accumulator so the flush never fires (the view
+    * sentinel is safe only because a right-column filter can't push
+    * through a left-outer join). Oracle = the batch LEFT JOIN. */
+  def streamOuterJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_oj_" +
+      s.sparkContext.applicationId
+    val ev = graft.Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinels = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(-1L,
+        new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000), -1L, "click"),
+      org.apache.spark.sql.Row(-2L,
+        new java.sql.Timestamp(maxTs.getTime + 40L * 86400 * 1000), -2L, "view")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType))))
+    sentinels.coalesce(1).write.mode("append").parquet(stage)
+    // pin source order: data files strictly older than the sentinel file
+    val stDir = new java.io.File(stage)
+    val parts = stDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.lastModified())
+    val base = System.currentTimeMillis()
+    parts.dropRight(1).foreach(_.setLastModified(base - 60000))
+    parts.last.setLastModified(base)
+    def staged() = s.readStream
+      .schema(sentinels.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    val clicks = staged().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val views = staged().filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("view_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    runToMemory(joined, "append")
+      .filter(col("click_id") >= 0)
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   /** Streaming spatial proximity detection — the reference's domain made
     * streaming (aircraft positions arriving continuously, emit an alert
     * when two tracks come close in space AND time). The batch grid-join
@@ -639,6 +711,7 @@ object StreamOps {
     "stream_lsh_neardup" -> nearDupStreamQ,
     "stream_static_join" -> streamStaticJoinQ,
     "stream_stream_join" -> streamStreamJoinQ,
+    "stream_outer_join" -> streamOuterJoinQ,
     "stream_watermark_dedup" -> ((s, dir) => watermarkDedupQ(s, dir)),
     "stream_bloom_dedup" -> ((s, dir) => bloomDedupQ(s, dir)),
     "stream_geo_proximity" -> geoProximityStreamQ,
@@ -719,6 +792,17 @@ object StreamOps {
         |  CAST(epoch_us(v.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts - INTERVAL 10 MINUTE
+        | AND v.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
+    // the oracle is the batch LEFT join — unmatched clicks must appear
+    // exactly once with null view columns (watermark-driven null emission)
+    "stream_outer_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+        |  CAST(epoch_us(v.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id
         | AND v.ts >= c.ts - INTERVAL 10 MINUTE
         | AND v.ts <= c.ts + INTERVAL 10 MINUTE
