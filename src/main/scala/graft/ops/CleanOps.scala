@@ -87,6 +87,42 @@ object CleanOps {
         col("redacted"), col("has_pii"))
       .orderBy(col("doc_id"))
 
+  /** PII PSEUDONYMIZATION — the governance op redaction can't replace:
+    * `[EMAIL]` destroys the value, but a deterministic surrogate
+    * (`[EMAIL:1a2b3c4d]`, first 8 md5 hex chars of the match) lets
+    * downstream analytics still JOIN and COUNT DISTINCT on the entity
+    * while the raw identifier never leaves the scan. Same value → same
+    * token corpus-wide, with no lookup table to secure (hash, not vault).
+    * Pure per-row work: one combined regex pass finds matches, kind is
+    * classified from the match shape, and the replacements fold over the
+    * text with `aggregate` — map-side only, zero shuffles, codegen
+    * end-to-end. Surrogates cannot re-match any PII pattern (no '@', no
+    * leading '+', no dotted digits), so the fold order is immaterial;
+    * it is pinned sorted anyway for determinism. */
+  private val combinedPiiRe = s"(?:$emailRe)|(?:$phoneRe)|(?:$ipRe)"
+
+  private def piiTokenize(s: SparkSession, dir: String): DataFrame = {
+    val sep = "" // cannot occur in any PII match
+    val kind = (m: Column) =>
+      when(m.contains("@"), lit("EMAIL"))
+        .when(m.startsWith("+"), lit("PHONE"))
+        .otherwise(lit("IP"))
+    docs(s, dir).select(col("doc_id"), piiText.as("txt"))
+      .withColumn("ms", array_sort(array_distinct(
+        regexp_extract_all(col("txt"), lit(combinedPiiRe), lit(0)))))
+      .withColumn("n_pii",
+        size(regexp_extract_all(col("txt"), lit(combinedPiiRe), lit(0)))
+          .cast("long"))
+      .withColumn("pairs", transform(col("ms"), m =>
+        concat(m, lit(sep), lit("["), kind(m), lit(":"),
+          substring(md5(m.cast("binary")), 1, 8), lit("]"))))
+      .withColumn("tokenized", aggregate(col("pairs"), col("txt"),
+        (acc, x) => org.apache.spark.sql.functions.replace(acc,
+          substring_index(x, sep, 1), substring_index(x, sep, -1))))
+      .select(col("doc_id"), col("tokenized"), col("n_pii"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Hashed-feature quality classifier ---------------------------------
 
   /** Feature buckets = first 4 md5 hex digits mod N (same cross-engine-
@@ -181,6 +217,7 @@ object CleanOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_redact" -> piiRedact,
+    "text_pii_tokenize" -> piiTokenize,
     "text_quality_classifier" -> qualityClassifier,
     "text_line_dedup" -> lineDedup,
   )
@@ -199,6 +236,25 @@ object CleanOps {
          |   + len(regexp_extract_all(txt, '$phoneRe'))
          |   + len(regexp_extract_all(txt, '$ipRe'))) > 0 AS has_pii
          |FROM p ORDER BY doc_id""".stripMargin,
+    // the oracle derives the IDENTICAL surrogates (same md5 prefix), so
+    // tokenized text must match byte-for-byte
+    "text_pii_tokenize" ->
+      s"""WITH p AS (SELECT doc_id, $piiTextSql AS txt FROM documents),
+         |m AS (SELECT doc_id, txt,
+         |  list_sort(list_distinct(regexp_extract_all(txt, '$combinedPiiRe'))) AS ms,
+         |  CAST(len(regexp_extract_all(txt, '$combinedPiiRe')) AS BIGINT) AS n_pii
+         |  FROM p)
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(txt, list_transform(ms, x -> x || chr(1) || '[' ||
+         |      (CASE WHEN contains(x, '@') THEN 'EMAIL'
+         |            WHEN starts_with(x, '+') THEN 'PHONE'
+         |            ELSE 'IP' END) ||
+         |      ':' || substr(md5(x), 1, 8) || ']')),
+         |    (acc, x) -> replace(acc, split_part(x, chr(1), 1),
+         |                        split_part(x, chr(1), 2))) AS tokenized,
+         |  n_pii
+         |FROM m ORDER BY doc_id""".stripMargin,
     "text_quality_classifier" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |tb AS (SELECT doc_id,

@@ -239,6 +239,65 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** The index REFRESH path that `sim_ann_index_serve`'s lifecycle story
+    * promises: new vectors arrive AFTER the index is built, and the
+    * maintenance job appends their postings to the cell partitions they
+    * quantize into — it never rewrites existing files (pinned below by a
+    * file-listing guard: every base file survives byte-identical by name,
+    * and new files appear only under the touched cells). The quantizer
+    * stays FROZEN across the refresh — exactly how production IVF works
+    * (retraining centroids would move every posting) — so serving the
+    * refreshed index answers identically to an index built from scratch
+    * over base+late, which is why the oracle is the same SQL as
+    * `sim_ann_ivf`. At 100 TB the refresh cost is |new vectors| postings
+    * appended, independent of index size. */
+  private def annRefresh(s: SparkSession, dir: String): DataFrame = {
+    // static partition-overwrite on the root truncates the whole table,
+    // so a rerun in the same session starts from a clean base index
+    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_annref_" +
+      s.sparkContext.applicationId
+    val ranked = ivfRanked(s, dir)
+    val postings = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
+      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
+    // base index: the corpus as of the initial build (vec_id < SPLIT)
+    val split = 400
+    postings.filter(col("vec_id") < split)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(path)).map(_.getPath).toSet
+    }
+    val baseFiles = dataFiles()
+    // refresh: late arrivals append postings into their frozen-quantizer
+    // cells — no existing file is rewritten
+    postings.filter(col("vec_id") >= split)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    val afterFiles = dataFiles()
+    require(baseFiles.subsetOf(afterFiles),
+      "refresh must append postings, never rewrite base index files")
+    require(afterFiles.size > baseFiles.size,
+      "refresh must add posting files for the late vectors")
+    // serve the refreshed index, same probe path as sim_ann_index_serve
+    val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("cell_label").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val index = s.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val scored = index.join(broadcast(probes), "cell")
+      .withColumn("sim",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("cell"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Multi-probe sign-LSH ANN: each query probes its own bucket PLUS the
     * 4 buckets at Hamming distance 1 (one plane-sign flipped) — the
     * standard recall/cost dial: candidates grow ~5×/16 of the corpus
@@ -460,6 +519,7 @@ object Similarity {
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_index_serve" -> annIndexServe,
+    "sim_ann_refresh" -> annRefresh,
     "sim_ann_recall" -> annRecall,
     "sim_ann_multiprobe" -> annMultiprobe,
     "sim_quantize_i8" -> quantizeI8,
@@ -634,8 +694,10 @@ object Similarity {
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     // the persisted-index serve path answers exactly what the in-session
-    // IVF answers (same quantizer, same NPROBE) — same oracle
+    // IVF answers (same quantizer, same NPROBE) — same oracle; the
+    // refreshed index must also answer identically (frozen quantizer)
     "sim_ann_index_serve" -> annIvfSql,
+    "sim_ann_refresh" -> annIvfSql,
     "sim_ann_multiprobe" -> annMultiprobeSql,
     "sim_quantize_i8" -> {
       val sq = "(v[i] - round(v[i]/scale, 0)*scale) * (v[i] - round(v[i]/scale, 0)*scale)"

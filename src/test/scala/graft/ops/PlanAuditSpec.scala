@@ -69,6 +69,7 @@ class PlanAuditSpec extends SparkSpec {
     "src_gdpr_delete", "src_versioned_prune", "src_change_feed", "src_vacuum",
     "src_ivm_apply",
     "src_bloom_skipping", "src_dpp_join", "sim_ann_index_serve",
+    "sim_ann_refresh",
     "stream_geo_proximity",
     // executes DROP TABLE + two bucketed writes at plan build; the
     // zero-exchange join form is pinned by PlanSpec instead
