@@ -152,4 +152,42 @@ object CommitLog {
         s"$tablePath has no committed version $version"))
     s.read.parquet(c.dataDir)
   }
+
+  // ---- Multi-table transactions -------------------------------------------
+  //
+  // The entry payload is opaque to the CAS, so one atomic link(2) can
+  // publish a MANIFEST of tables ("name=dir" lines) instead of a single
+  // directory: either every table of the transaction becomes visible at
+  // version V+1 or none does, and a reader resolving version V always
+  // gets a mutually-consistent set of directories — the cross-table
+  // atomicity Delta-style single-table logs cannot give (their multi-table
+  // "transactions" are N independent commits with a visible window).
+
+  /** Atomically publish a consistent snapshot of several named tables as
+    * one transaction version. Same OCC contract as [[commit]]. */
+  def commitTables(txnPath: String, expectedVersion: Long,
+      tables: Seq[(String, String)]): Commit =
+    commit(txnPath, expectedVersion,
+      tables.sortBy(_._1).map { case (n, d) => s"$n=$d" }.mkString("\n"))
+
+  /** The table-name → data-dir manifest of a pinned transaction version. */
+  def tableDirs(txnPath: String, version: Long): Map[String, String] = {
+    val c = entries(txnPath).find(_.version == version).getOrElse(
+      throw new IllegalArgumentException(
+        s"$txnPath has no committed version $version"))
+    c.dataDir.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"malformed manifest line: $line")
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+  }
+
+  /** Read one named table of a pinned transaction version. */
+  def readTable(s: SparkSession, txnPath: String, version: Long,
+      name: String): DataFrame = {
+    val dirs = tableDirs(txnPath, version)
+    s.read.parquet(dirs.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"transaction v$version of $txnPath has no table '$name'")))
+  }
 }

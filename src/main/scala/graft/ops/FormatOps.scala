@@ -376,6 +376,51 @@ object FormatOps {
       .orderBy(col("change_type"), col("o_orderstatus"))
   }
 
+  /** Atomic MULTI-TABLE transaction — the isolation a fact table and its
+    * derived summary need to never disagree: both directories are
+    * published by ONE commit-log entry (a "name=dir" manifest behind the
+    * same put-if-absent CAS), so a reader pinning any transaction version
+    * sees facts and summary from the SAME write, never a mixed pair —
+    * the window single-table logs leave between two separate commits.
+    * The query reads both tables of both pinned versions through the
+    * manifest, recounts the facts, and compares against the stored
+    * summary — `consistent` would flip FALSE if a reader could ever
+    * resolve facts of one version with the summary of another. The
+    * oracle rebuilds both versions by their defining predicates. */
+  private def txnTables(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "txn")
+    CommitLog.reset(path)
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+    val cut = lit("1997-07-01").cast("timestamp")
+    def publish(version: Long, facts: DataFrame): Unit = {
+      val f = s"$path/facts_v${version + 1}"
+      val m = s"$path/summary_v${version + 1}"
+      facts.drop("o_orderdate").write.mode("overwrite").parquet(f)
+      s.read.parquet(f).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("mv_n"), sum(col("o_totalprice").cast(dec)).as("mv_sp"))
+        .write.mode("overwrite").parquet(m)
+      CommitLog.commitTables(path, version, Seq("facts" -> f, "summary" -> m))
+    }
+    publish(0, orders.filter(col("o_orderdate") < cut))
+    publish(1, orders)
+    val perVersion = Seq(1L, 2L).map { v =>
+      val facts = CommitLog.readTable(s, path, v, "facts")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("fact_n"), sumD(col("o_totalprice")).as("sum_price"))
+      val mv = CommitLog.readTable(s, path, v, "summary")
+      facts.join(mv, Seq("o_orderstatus"))
+        .select(lit(v).as("version"), col("o_orderstatus"),
+          col("fact_n"), col("mv_n"),
+          col("sum_price"),
+          (col("fact_n") === col("mv_n") &&
+            col("sum_price") === col("mv_sp").cast("double")).as("consistent"))
+    }
+    perVersion.reduce(_.unionAll(_))
+      .orderBy(col("version"), col("o_orderstatus"))
+  }
+
   /** Incremental view maintenance from a WRITE-TIME change feed — the op
     * that keeps a 100 TB table's aggregates fresh without rescanning it:
     * the v2 committer knows exactly what it changed, so alongside the new
@@ -626,6 +671,7 @@ object FormatOps {
     "src_versioned_prune" -> versionedPrune,
     "src_change_feed" -> changeFeed,
     "src_ivm_apply" -> ivmApply,
+    "src_txn_tables" -> txnTables,
     "src_vacuum" -> vacuumQ,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
@@ -722,6 +768,20 @@ object FormatOps {
          |  COUNT(*) AS n, ${sumSql("coalesce(p2, p1)")} AS sum_price
          |FROM feed WHERE change_type IS NOT NULL
          |GROUP BY 1, 2 ORDER BY change_type, o_orderstatus""".stripMargin,
+    // both versions rebuilt by predicate; summary ≡ fact recount and
+    // consistent ≡ TRUE by atomic-publication construction
+    "src_txn_tables" ->
+      s"""SELECT 1 AS version, o_orderstatus, COUNT(*) AS fact_n,
+         |  COUNT(*) AS mv_n, ${sumSql("o_totalprice")} AS sum_price,
+         |  TRUE AS consistent
+         |FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 2 AS version, o_orderstatus, COUNT(*) AS fact_n,
+         |  COUNT(*) AS mv_n, ${sumSql("o_totalprice")} AS sum_price,
+         |  TRUE AS consistent
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY version, o_orderstatus""".stripMargin,
     // the oracle aggregates DIRECTLY over predicate-rebuilt v2 — the
     // maintained view must equal the full recomputation bit-for-bit
     "src_ivm_apply" ->

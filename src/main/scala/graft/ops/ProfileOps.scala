@@ -96,15 +96,60 @@ object ProfileOps {
       .orderBy(col("n_exact").desc, col("o_custkey").asc)
   }
 
+  /** JOIN-SIZE ESTIMATION from sketches — the planner pre-flight that
+    * decides shuffle sizing / strategy BEFORE paying for a 100 TB join:
+    * |A ⋈ B| on key k equals Σ_k f_A(k)·f_B(k), and the CMS inner
+    * product (AMS-style) estimates exactly that from two 64 KiB sketches
+    * built in one pass per side — est_d = Σ_w cms_A[d][w]·cms_B[d][w],
+    * answer = min over the D rows. Collisions only ADD mass, so the
+    * estimate is one-sided (est ≥ exact, always), within e·N_A·N_B/W
+    * with high probability; both properties are deterministic for this
+    * data + hash chain and ride through the hash gate as literal TRUEs
+    * (the oracle cannot rebuild the XXH64 chain, same contract as
+    * `rel_heavy_hitters`). The exact join count is the calibration twin. */
+  private def joinSizeEstQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions
+    SketchFunctions.register(s)
+    val W = SketchFunctions.CMS_W
+    val D = SketchFunctions.CMS_D
+    val left = graft.Tables(s, dir, "events").select(col("user_id"))
+    val right = graft.Tables(s, dir, "orders").select(col("o_custkey"))
+    val skL = left.agg(SketchFunctions.cmsSketch(col("user_id")).as("skl"),
+      count(lit(1)).as("n_left"))
+    val skR = right.agg(SketchFunctions.cmsSketch(col("o_custkey")).as("skr"),
+      count(lit(1)).as("n_right"))
+    val exact = left.join(right, col("user_id") === col("o_custkey"))
+      .agg(count(lit(1)).as("exact_join_rows"))
+    val rowEst = (d: Int) => aggregate(
+      slice(col("prod"), d * W + 1, W), lit(0L), (acc, x) => acc + x)
+    skL.crossJoin(broadcast(skR)).crossJoin(broadcast(exact))
+      .withColumn("prod", zip_with(col("skl"), col("skr"), (x, y) => x * y))
+      .withColumn("est", least((0 until D).map(rowEst): _*))
+      .select(col("n_left"), col("n_right"), col("exact_join_rows"),
+        (col("est") >= col("exact_join_rows")).as("est_ge_exact"),
+        ((col("est") - col("exact_join_rows")).cast("double") <=
+          lit(math.E) * col("n_left").cast("double") *
+            col("n_right").cast("double") / lit(W.toDouble)).as("within_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_profile" -> profileOrdersQ,
     "rel_outliers_mad" -> outliersMadQ,
     "rel_heavy_hitters" -> heavyHittersQ,
+    "rel_join_size_est" -> joinSizeEstQ,
   )
 
   val oracles: Map[String, String] = Map(
     // exact counts are the hashed content; the sketch-property booleans
     // are deterministic for this data + hash constants and must be TRUE
+    // exact twin is the hashed content; the sketch-property booleans are
+    // deterministic for this data + hash chain and must be TRUE
+    "rel_join_size_est" ->
+      """SELECT (SELECT COUNT(*) FROM events) AS n_left,
+        |       (SELECT COUNT(*) FROM orders) AS n_right,
+        |       (SELECT COUNT(*) FROM events e JOIN orders o
+        |          ON e.user_id = o.o_custkey) AS exact_join_rows,
+        |       TRUE AS est_ge_exact, TRUE AS within_bound""".stripMargin,
     "rel_heavy_hitters" ->
       """WITH c AS (
         |  SELECT o_custkey, COUNT(*) AS n_exact FROM orders GROUP BY 1

@@ -112,4 +112,43 @@ class CommitLogSpec extends SparkSpec {
       CommitLog.read(spark, table, 1)
     }
   }
+
+  test("multi-table transaction: racing writers publish all-or-nothing") {
+    val txn = freshTable("txn")
+    // seed v1 so both racers rebase from a real snapshot
+    spark.range(10).write.parquet(s"$txn/facts_v1")
+    spark.range(1).write.parquet(s"$txn/summary_v1")
+    CommitLog.commitTables(txn, 0,
+      Seq("facts" -> s"$txn/facts_v1", "summary" -> s"$txn/summary_v1"))
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val barrier = new CyclicBarrier(2)
+      val results = (0 until 2).map { w =>
+        spark.range(20 + w).write.parquet(s"$txn/facts_w$w")
+        spark.range(1).write.parquet(s"$txn/summary_w$w")
+        pool.submit { () =>
+          barrier.await(5, TimeUnit.SECONDS)
+          try Right(CommitLog.commitTables(txn, 1,
+            Seq("facts" -> s"$txn/facts_w$w", "summary" -> s"$txn/summary_w$w")))
+          catch { case e: CommitLog.CommitConflictException => Left(e) }
+        }
+      }.map(_.get(10, TimeUnit.SECONDS))
+      assert(results.count(_.isRight) == 1 && results.count(_.isLeft) == 1,
+        s"expected exactly one winner: $results")
+      // the manifest of v2 names BOTH of the winner's dirs — never a mix
+      val dirs = CommitLog.tableDirs(txn, 2)
+      val winner = results.collectFirst { case Right(c) => c }.get
+      val w = if (winner.dataDir.contains("facts_w0")) 0 else 1
+      assert(dirs == Map(
+        "facts" -> s"$txn/facts_w$w", "summary" -> s"$txn/summary_w$w"))
+      // pinned v1 still resolves the ORIGINAL consistent pair
+      assert(CommitLog.tableDirs(txn, 1) == Map(
+        "facts" -> s"$txn/facts_v1", "summary" -> s"$txn/summary_v1"))
+      assert(CommitLog.readTable(spark, txn, 2, "facts").count() == 20 + w)
+      // the loser's never-published dirs are sweepable orphans
+      val orphans = CommitLog.sweepOrphans(txn)
+      assert(orphans.exists(_.contains(s"facts_w${1 - w}")) &&
+        orphans.exists(_.contains(s"summary_w${1 - w}")))
+    } finally pool.shutdownNow()
+  }
 }

@@ -41,6 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     // heavy hitters cross-join the BROADCAST 1-row (sketch, total)
     // aggregate onto the 15 candidate keys — 64 KiB × 15 rows by design
     "rel_heavy_hitters", "stream_heavy_hitters",
+    // three BROADCAST 1-row sides (two sketches + exact twin) pair up —
+    // the estimate is computed on two 64 KiB arrays
+    "rel_join_size_est",
     // bloom prefilter cross-joins the BROADCAST 1-row 4 KiB bitmap onto
     // the probe side — that broadcast IS the semi-join reduction
     "rel_bloom_prefilter",
@@ -67,7 +70,7 @@ class PlanAuditSpec extends SparkSpec {
     "src_schema_evolution", "src_text_roundtrip",
     "src_manifest_pruned", "src_compaction", "src_time_travel",
     "src_gdpr_delete", "src_versioned_prune", "src_change_feed", "src_vacuum",
-    "src_ivm_apply",
+    "src_ivm_apply", "src_txn_tables",
     "src_bloom_skipping", "src_dpp_join", "sim_ann_index_serve",
     "sim_ann_refresh",
     "stream_geo_proximity",
