@@ -350,7 +350,56 @@ object TextOps {
       .orderBy(col("term"), col("rk"))
   }
 
+  /** BM25 ranked retrieval — the SERVING half of the inverted-index
+    * story: given query terms, score only the documents that contain
+    * them, touching query-term postings (tf), the doc-length table, and
+    * three collection constants (N, df, avgdl) — never the corpus text.
+    * Query terms are picked deterministically (df ranks 10/20/30 of the
+    * vocabulary) so the query works at any SF. Per-doc summation folds
+    * contributions in term order (sorted fold both engines) because a
+    * parallel double sum is order-sensitive; every float constant is the
+    * same LITERAL on both sides (1.2+1 computed in Scala and 2.2 parsed
+    * by DuckDB are different doubles — ties round differently). At
+    * 100 TB: tf/dl/df are index-build outputs; serving reads 3 posting
+    * lists and broadcasts 3 numbers. */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val tok = Staging.staged(s, dir, "bm25_tok") {
+      graft.Tables.balanced(s, dir, "documents", "doc_id")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    }
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("w").asc)
+    val qterms = df.orderBy(col("df").desc, col("w").asc).limit(30)
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk").isin(10, 20, 30))
+      .select(col("w"), col("df"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(qterms), Seq("w"))
+    val contrib =
+      log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+      .groupBy(col("doc_id"))
+      .agg(round(aggregate(
+          transform(array_sort(collect_list(struct(col("w"), col("contrib")))),
+            x => x.getField("contrib")),
+          lit(0.0), (a, x) => a + x), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> bm25TopK,
     "text_inverted_index" -> invertedIndex,
     "text_lang_id_ngram" -> langIdNgram,
     "text_repetition" -> repetition,
@@ -370,6 +419,38 @@ object TextOps {
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // identical expression TREE (same literals, same association) so the
+    // doubles agree bitwise; per-doc sum folds in term order
+    "text_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        |  FROM dl
+        |), dfr AS (
+        |  SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        |), q AS (
+        |  SELECT w, df FROM (
+        |    SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM dfr)
+        |  WHERE rk IN (10, 20, 30)
+        |), tf AS (
+        |  SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS contrib
+        |  FROM tf JOIN q USING (w) JOIN dl USING (doc_id), st
+        |)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  round(list_reduce(list_prepend(0.0, list(contrib ORDER BY w)),
+        |    (a, x) -> a + x), 6) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "text_inverted_index" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -44,6 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     // three BROADCAST 1-row sides (two sketches + exact twin) pair up —
     // the estimate is computed on two 64 KiB arrays
     "rel_join_size_est",
+    // the BROADCAST 1-row (n_docs, avgdl) collection stats join onto the
+    // query-term postings
+    "text_bm25_topk",
     // bloom prefilter cross-joins the BROADCAST 1-row 4 KiB bitmap onto
     // the probe side — that broadcast IS the semi-join reduction
     "rel_bloom_prefilter",
