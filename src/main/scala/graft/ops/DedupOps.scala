@@ -363,6 +363,31 @@ object DedupOps {
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     clusterPairs(verifiedPairs(s, dir))
 
+  /** Quality-aware KEEPER SELECTION — the curation rule after clustering:
+    * dropping all-but-min-doc_id discards information; real pipelines keep
+    * the BEST member of each near-dup cluster. Here quality = token count
+    * (the C4-style keep-the-longer-doc rule; any per-doc score column
+    * composes the same way), keeper = argmax(n_toks, tie → min doc_id)
+    * via a per-cluster window (clusters are near-dup families — tiny —
+    * so the window partitions are bounded regardless of corpus size). */
+  private def keeperQuality(s: SparkSession, dir: String): DataFrame = {
+    val clusters = clusterPairs(verifiedPairs(s, dir))
+    val lens = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_toks").desc, col("doc_id").asc)
+    clusters.join(lens, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("keeper_id"),
+        max(when(col("rk") === 1, col("n_toks"))).as("keeper_toks"),
+        count(lit(1)).as("n_members"))
+      .withColumn("n_dropped", col("n_members") - 1)
+      .orderBy(col("cluster_id"))
+  }
+
   /** PUBLIC generic connected components over a (d1, d2) pair DataFrame:
     * returns (doc_id, cluster_id) where cluster_id = min reachable id. */
   def clusterPairs(pairs0: DataFrame): DataFrame = {
@@ -638,6 +663,7 @@ object DedupOps {
     "dedup_lsh_neardup" -> lshNearDupPairs,
     "dedup_minhash_accuracy" -> minhashAccuracy,
     "dedup_clusters" -> nearDupClusters,
+    "dedup_keeper_quality" -> keeperQuality,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
     "dedup_source_overlap" -> sourceOverlapQ,
     "dedup_containment" -> containmentQuery,
@@ -815,6 +841,46 @@ object DedupOps {
          |)
          |SELECT u AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // same closure as dedup_clusters, then argmax(n_toks, min doc_id)
+    // keeper per component
+    "dedup_keeper_quality" ->
+      s"""WITH RECURSIVE $tok3Cte, $sigCte, $bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY 1),
+         |inter AS (
+         |  SELECT p.d1, p.d2, COUNT(*) AS i
+         |  FROM pairs p
+         |  JOIN tok3 t1 ON t1.doc_id = p.d1
+         |  JOIN tok3 t2 ON t2.doc_id = p.d2 AND t2.w = t1.w
+         |  GROUP BY 1, 2
+         |), vp AS (
+         |  SELECT d1, d2 FROM inter
+         |  JOIN cnt c1 ON d1 = c1.doc_id
+         |  JOIN cnt c2 ON d2 = c2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.8
+         |), edges AS (
+         |  SELECT d1 AS u, d2 AS v FROM vp UNION SELECT d2, d1 FROM vp
+         |), reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+         |), comp AS (
+         |  SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+         |), rked AS (
+         |  SELECT c.cluster_id, c.doc_id,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY len(string_split(d.text, ' ')) DESC, c.doc_id) AS rk
+         |  FROM comp c JOIN documents d USING (doc_id)
+         |)
+         |SELECT cluster_id,
+         |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+         |  MAX(CASE WHEN rk = 1 THEN n_toks END) AS keeper_toks,
+         |  COUNT(*) AS n_members, COUNT(*) - 1 AS n_dropped
+         |FROM rked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     // brute force over every shingle-sharing pair (test-scale only):
     // matching the prefix-filtered Spark output proves filter completeness
     "dedup_containment" ->

@@ -376,6 +376,54 @@ object FormatOps {
       .orderBy(col("change_type"), col("o_orderstatus"))
   }
 
+  /** SHALLOW CLONE — the zero-copy fork every experiment workflow wants:
+    * the clone's first commit simply REFERENCES the source's current data
+    * directory (metadata-only, no bytes move — pinned by a `require` that
+    * the clone table contains no data of its own after cloning), and
+    * divergence is copy-on-write: the clone's next commit writes ITS OWN
+    * new version dir while the source stays untouched (second `require`:
+    * the source's latest pointer and data are unchanged after the clone
+    * diverges). At 100 TB cloning is one log write regardless of table
+    * size — the Delta/Iceberg shallow-clone contract. The query reads
+    * source, pinned clone v1, and diverged clone v2 side by side; the
+    * oracle rebuilds each from its defining predicate. */
+  private def shallowClone(s: SparkSession, dir: String): DataFrame = {
+    val src = tmpDir(s, "clone_src")
+    val cln = tmpDir(s, "clone_dst")
+    CommitLog.reset(src); CommitLog.reset(cln)
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.write.mode("overwrite").parquet(s"$src/data_v1")
+    CommitLog.commit(src, 0, s"$src/data_v1")
+    // clone: one metadata write, REFERENCING the source's committed dir
+    val srcHead = CommitLog.latest(src).get
+    CommitLog.commit(cln, 0, srcHead.dataDir)
+    def ownDataFiles(table: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(table))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    }
+    require(ownDataFiles(cln).isEmpty,
+      "shallow clone must copy zero data bytes — metadata only")
+    // diverge: copy-on-write — the clone deletes one status into ITS OWN
+    // new version; the source must remain bit-stable
+    CommitLog.read(s, cln, 1).filter(col("o_orderstatus") =!= "O")
+      .write.mode("overwrite").parquet(s"$cln/data_v2")
+    CommitLog.commit(cln, 1, s"$cln/data_v2")
+    require(CommitLog.latest(src).get == srcHead,
+      "clone divergence must not advance the source's log")
+    def agg(d: DataFrame, tag: String) =
+      d.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+        .select(lit(tag).as("tbl"), col("o_orderstatus"), col("n"),
+          col("sum_price"))
+    agg(CommitLog.read(s, src, 1), "source")
+      .unionAll(agg(CommitLog.read(s, cln, 1), "clone_v1"))
+      .unionAll(agg(CommitLog.read(s, cln, 2), "clone_v2"))
+      .orderBy(col("tbl"), col("o_orderstatus"))
+  }
+
   /** Atomic MULTI-TABLE transaction — the isolation a fact table and its
     * derived summary need to never disagree: both directories are
     * published by ONE commit-log entry (a "name=dir" manifest behind the
@@ -672,6 +720,7 @@ object FormatOps {
     "src_change_feed" -> changeFeed,
     "src_ivm_apply" -> ivmApply,
     "src_txn_tables" -> txnTables,
+    "src_shallow_clone" -> shallowClone,
     "src_vacuum" -> vacuumQ,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
@@ -768,6 +817,24 @@ object FormatOps {
          |  COUNT(*) AS n, ${sumSql("coalesce(p2, p1)")} AS sum_price
          |FROM feed WHERE change_type IS NOT NULL
          |GROUP BY 1, 2 ORDER BY change_type, o_orderstatus""".stripMargin,
+    // clone_v1 must equal source (zero-copy reference); clone_v2 is the
+    // diverged subset; source row rebuilt from the plain table
+    "src_shallow_clone" ->
+      s"""WITH a AS (
+         |  SELECT 'source' AS tbl, o_orderstatus, COUNT(*) AS n,
+         |    ${sumSql("o_totalprice")} AS sum_price
+         |  FROM orders GROUP BY o_orderstatus
+         |), b AS (
+         |  SELECT 'clone_v1' AS tbl, o_orderstatus, COUNT(*) AS n,
+         |    ${sumSql("o_totalprice")} AS sum_price
+         |  FROM orders GROUP BY o_orderstatus
+         |), c AS (
+         |  SELECT 'clone_v2' AS tbl, o_orderstatus, COUNT(*) AS n,
+         |    ${sumSql("o_totalprice")} AS sum_price
+         |  FROM orders WHERE o_orderstatus <> 'O' GROUP BY o_orderstatus
+         |)
+         |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+         |ORDER BY tbl, o_orderstatus""".stripMargin,
     // both versions rebuilt by predicate; summary ≡ fact recount and
     // consistent ≡ TRUE by atomic-publication construction
     "src_txn_tables" ->

@@ -73,7 +73,7 @@ class PlanAuditSpec extends SparkSpec {
     "src_schema_evolution", "src_text_roundtrip",
     "src_manifest_pruned", "src_compaction", "src_time_travel",
     "src_gdpr_delete", "src_versioned_prune", "src_change_feed", "src_vacuum",
-    "src_ivm_apply", "src_txn_tables",
+    "src_ivm_apply", "src_txn_tables", "src_shallow_clone",
     "src_bloom_skipping", "src_dpp_join", "sim_ann_index_serve",
     "sim_ann_refresh",
     "stream_geo_proximity",
