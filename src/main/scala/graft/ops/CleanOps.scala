@@ -123,6 +123,56 @@ object CleanOps {
       .orderBy(col("doc_id"))
   }
 
+  /** URL CANONICALIZATION — the web-corpus dedup key: the same page
+    * arrives as casing variants, default-port forms, `www.` prefixes,
+    * tracking-parameter decorations, shuffled query orders, and fragment
+    * suffixes; deduplicating raw URLs misses all of them. `canonicalUrl`
+    * lowercases scheme+host, strips `:80`, `www.`, fragments and `utm_*`
+    * params, and sorts the surviving query params — pure string/array
+    * Column work, map-side, codegen. The query derives 4 deterministic
+    * raw variants per page from the row (same trick as `piiText`), so
+    * ~4-5 raw forms collapse per canonical page and the oracle rebuilds
+    * the identical derivation + canonicalization. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val host = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?]+", 0)
+    val host2 = regexp_replace(
+      regexp_replace(lower(host), ":80$", ""),
+      "^(https?://)www\\.", "$1")
+    val rest = noFrag.substr(length(host) + 1, lit(1 << 20))
+    val path = substring_index(rest, "?", 1)
+    val query = when(instr(rest, "?") > 0,
+      rest.substr(length(path) + 2, lit(1 << 20))).otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= lit(""))
+    val qs = array_join(array_sort(params), "&")
+    concat(host2, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  private def urlCanonicalQ(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val page = (d % 100).cast("string")
+    val a = ((d % 100) % 7).cast("string")
+    val b = ((d % 100) % 3).cast("string")
+    val raw =
+      when(d % 4 === 0, concat(lit("http://example.com/p/"), page,
+        lit("?a="), a, lit("&b="), b))
+      .when(d % 4 === 1, concat(lit("HTTP://EXAMPLE.COM:80/p/"), page,
+        lit("?b="), b, lit("&a="), a))
+      .when(d % 4 === 2, concat(lit("http://example.com/p/"), page,
+        lit("?utm_campaign=z&a="), a, lit("&b="), b, lit("#frag")))
+      .otherwise(concat(lit("http://www.example.com/p/"), page,
+        lit("?b="), b, lit("&a="), a, lit("&utm_source=x")))
+    docs(s, dir).select(d.as("doc_id"), raw.as("url"))
+      .withColumn("canonical", canonicalUrl(col("url")))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        min(col("doc_id")).as("keeper_doc"))
+      .orderBy(col("canonical"))
+  }
+
   // ---- Hashed-feature quality classifier ---------------------------------
 
   /** Feature buckets = first 4 md5 hex digits mod N (same cross-engine-
@@ -218,6 +268,7 @@ object CleanOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_redact" -> piiRedact,
     "text_pii_tokenize" -> piiTokenize,
+    "dedup_url_canonical" -> urlCanonicalQ,
     "text_quality_classifier" -> qualityClassifier,
     "text_line_dedup" -> lineDedup,
   )
@@ -236,6 +287,51 @@ object CleanOps {
          |   + len(regexp_extract_all(txt, '$phoneRe'))
          |   + len(regexp_extract_all(txt, '$ipRe'))) > 0 AS has_pii
          |FROM p ORDER BY doc_id""".stripMargin,
+    // identical raw-variant derivation + canonicalization steps in SQL
+    "dedup_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'http://example.com/p/' || (doc_id % 100) ||
+        |        '?a=' || ((doc_id % 100) % 7) || '&b=' || ((doc_id % 100) % 3)
+        |      WHEN 1 THEN 'HTTP://EXAMPLE.COM:80/p/' || (doc_id % 100) ||
+        |        '?b=' || ((doc_id % 100) % 3) || '&a=' || ((doc_id % 100) % 7)
+        |      WHEN 2 THEN 'http://example.com/p/' || (doc_id % 100) ||
+        |        '?utm_campaign=z&a=' || ((doc_id % 100) % 7) ||
+        |        '&b=' || ((doc_id % 100) % 3) || '#frag'
+        |      ELSE 'http://www.example.com/p/' || (doc_id % 100) ||
+        |        '?b=' || ((doc_id % 100) % 3) || '&a=' || ((doc_id % 100) % 7) ||
+        |        '&utm_source=x'
+        |    END AS url
+        |  FROM documents
+        |), canon AS (
+        |  SELECT doc_id, url, h2 || path ||
+        |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical
+        |  FROM (
+        |    SELECT doc_id, url, h2, path,
+        |      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |        p -> NOT starts_with(p, 'utm_') AND p <> '')), '&') AS qs
+        |    FROM (
+        |      SELECT doc_id, url,
+        |        regexp_replace(regexp_replace(lower(h), ':80$', ''),
+        |          '^(https?://)www\.', '\1') AS h2,
+        |        split_part(rest, '?', 1) AS path,
+        |        CASE WHEN instr(rest, '?') > 0
+        |          THEN substr(rest, length(split_part(rest, '?', 1)) + 2)
+        |          ELSE '' END AS q
+        |      FROM (
+        |        SELECT doc_id, url,
+        |          regexp_extract(u1, '^[a-zA-Z]+://[^/?]+') AS h,
+        |          substr(u1, length(regexp_extract(u1, '^[a-zA-Z]+://[^/?]+')) + 1) AS rest
+        |        FROM (SELECT doc_id, url,
+        |                regexp_replace(url, '#.*$', '') AS u1 FROM raw)
+        |      )
+        |    )
+        |  )
+        |)
+        |SELECT canonical, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT url) AS n_raw_forms, MIN(doc_id) AS keeper_doc
+        |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin,
     // the oracle derives the IDENTICAL surrogates (same md5 prefix), so
     // tokenized text must match byte-for-byte
     "text_pii_tokenize" ->

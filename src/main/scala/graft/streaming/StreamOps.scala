@@ -672,6 +672,86 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming MULTI-TABLE transaction sink — the end-state of the
+    * lakehouse streaming story: each micro-batch publishes its fact
+    * chunk AND the incrementally-maintained cumulative aggregate through
+    * ONE `CommitLog.commitTables` manifest, so a reader at any version
+    * sees facts and summary from the same batch, never a half-applied
+    * pair. Exactly-once comes from batch-id-derived versions (batch b
+    * commits v=b+1 after overwriting its own dirs): a replayed batch
+    * rebuilds identical content and its commit CAS fails benignly on the
+    * already-published entry. The MV refresh reads only the previous
+    * summary + the batch delta (cost ∝ batch, the streaming
+    * `src_ivm_apply`). The result recounts the union of all committed
+    * fact chunks against the final summary — `consistent` pins the
+    * cross-table contract through the hash gate. */
+  private def txnSinkQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val txn = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_txnsink_" +
+      s.sparkContext.applicationId
+    CommitLog.reset(txn)
+    val stage = s"$txn/stage"
+    graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .repartition(4).write.mode("overwrite").parquet(stage)
+    val schema = s.read.parquet(stage).schema
+    val emptyMv = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sp", graft.ops.Exact.dec))))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!batch.isEmpty) {
+            val f = s"$txn/facts_b$id"
+            val m = s"$txn/mv_b$id"
+            batch.write.mode("overwrite").parquet(f)
+            val delta = batch.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("dn"),
+                sum(col("value").cast(graft.ops.Exact.dec)).as("dsp"))
+            val prev = if (id == 0) emptyMv
+              else CommitLog.readTable(s, txn, id, "summary")
+            prev.join(delta, Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+                (coalesce(col("sp"), lit(0).cast(graft.ops.Exact.dec)) +
+                  coalesce(col("dsp"), lit(0).cast(graft.ops.Exact.dec)))
+                  .cast(graft.ops.Exact.dec).as("sp"))
+              .write.mode("overwrite").parquet(m)
+            try CommitLog.commitTables(txn, id, Seq("facts" -> f, "summary" -> m))
+            catch { case _: CommitLog.CommitConflictException => () } // replay
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val versions = CommitLog.entries(txn)
+    require(versions.size >= 2,
+      s"the txn sink must publish per-batch transactions, got ${versions.size}")
+    val latest = versions.last.version
+    val factDirs = versions.map(c => CommitLog.tableDirs(txn, c.version)("facts"))
+    val recount = s.read.parquet(factDirs: _*)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("rn"),
+        sum(col("value").cast(graft.ops.Exact.dec)).as("rsp"))
+    CommitLog.readTable(s, txn, latest, "summary")
+      .join(recount, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("sp").cast("double").as("sum_value"),
+        (col("n") === col("rn") &&
+          col("sp").cast("double") === col("rsp").cast("double")).as("consistent"))
+      .orderBy(col("event_type"))
+  }
+
   /** The custom Count-Min aggregate under Structured Streaming: the
     * sketch's constant-size buffer is exactly what a streaming stateful
     * aggregate wants (64 KiB of state TOTAL for unbounded key
@@ -703,6 +783,7 @@ object StreamOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_heavy_hitters" -> heavyHittersStreamQ,
     "stream_versioned_sink" -> versionedSinkQ,
+    "stream_txn_sink" -> txnSinkQ,
     "stream_incremental_merge" -> incrementalMergeQ,
     "stream_hourly_window" -> hourlyWindowQ,
     "stream_dedup_lastwins" -> dedupLastWinsQ,
@@ -767,6 +848,13 @@ object StreamOps {
         |)
         |SELECT user_id, n_exact, TRUE AS est_ge_exact, TRUE AS within_bound
         |FROM c ORDER BY n_exact DESC, user_id LIMIT 15""".stripMargin,
+    // cumulative MV after all batch-atomic transactions == batch
+    // aggregate; consistent ≡ TRUE (facts recount equals the summary)
+    "stream_txn_sink" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${graft.ops.Exact.sumSql("value")} AS sum_value,
+         |  TRUE AS consistent
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the published snapshot version == the batch aggregate over all input
     "stream_versioned_sink" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
