@@ -186,9 +186,35 @@ object GeoOps {
       .limit(10)
   }
 
+  /** Spatial kNN-within-radius — the spatial-index lookup shape ("3
+    * nearest sensors to each alert, within range"): the SAME neighbor-cell
+    * candidates as `geo_proximity_pairs` (never all-pairs), directed by
+    * mirroring each undirected pair, then a per-point window keeps the k
+    * closest. Squares make the mirrored distance bit-identical, so both
+    * directions rank identically; ties break on neighbor id. Bounding the
+    * search radius is what keeps kNN scalable — unbounded kNN needs ring
+    * expansion, but every production proximity query has a radius. */
+  private def knnRadiusQ(s: SparkSession, dir: String): DataFrame = {
+    val K = 3
+    val und = proximityCandidates(
+      points(s, dir).filter(col("event_type") === "purchase"),
+      col("event_id"), col("lat"), col("lon"), PROX_T, cellSize = PROX_T)
+      .filter(col("dist2") < lit(PROX_T * PROX_T))
+    val directed = und.select(col("e1").as("p"), col("e2").as("q"), col("dist2"))
+      .unionAll(und.select(col("e2").as("p"), col("e1").as("q"), col("dist2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p")).orderBy(col("dist2").asc, col("q").asc)
+    directed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+      .select(col("p").as("event_id"), col("rk"),
+        col("q").as("neighbor_id"), col("dist2"))
+      .orderBy(col("event_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid_cells" -> gridCellsQ,
     "geo_proximity_pairs" -> proximityQ,
+    "geo_knn_radius" -> knnRadiusQ,
     "geo_track_distance" -> trackDistanceQ,
     "geo_heatmap_topk" -> heatmapQ,
   )
@@ -217,6 +243,23 @@ object GeoOps {
          |WHERE (a.lat - b.lat) * (a.lat - b.lat) +
          |      (a.lon - b.lon) * (a.lon - b.lon) < ${PROX_T * PROX_T}
          |ORDER BY e1, e2""".stripMargin,
+    // brute-force directed pairs + window — matching proves the grid
+    // candidates lose no neighbor and the ranking is identical
+    "geo_knn_radius" ->
+      s"""WITH $pointsSql, p AS (
+         |  SELECT event_id, lat, lon FROM pts WHERE event_type = 'purchase'
+         |), d AS (
+         |  SELECT a.event_id AS p, b.event_id AS q,
+         |    (a.lat - b.lat) * (a.lat - b.lat) +
+         |    (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+         |  FROM p a JOIN p b ON a.event_id <> b.event_id
+         |), r AS (
+         |  SELECT p, q, dist2,
+         |    row_number() OVER (PARTITION BY p ORDER BY dist2, q) AS rk
+         |  FROM d WHERE dist2 < ${PROX_T * PROX_T}
+         |)
+         |SELECT p AS event_id, rk, q AS neighbor_id, dist2
+         |FROM r WHERE rk <= 3 ORDER BY event_id, rk""".stripMargin,
     "geo_heatmap_topk" ->
       s"""WITH $pointsSql, cells AS (
          |  SELECT CAST(floor(lat) AS BIGINT) AS cy, CAST(floor(lon) AS BIGINT) AS cx,
