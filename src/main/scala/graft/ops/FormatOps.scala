@@ -376,6 +376,54 @@ object FormatOps {
       .orderBy(col("change_type"), col("o_orderstatus"))
   }
 
+  /** PARTITION EVOLUTION — changing a table's partition layout WITHOUT
+    * rewriting history (the Iceberg contract; Hive-style tables must
+    * rewrite everything): the old segment stays month-partitioned, new
+    * data lands day-partitioned, and the manifest (one multi-table commit
+    * entry) records which directory carries which layout. A reader plans
+    * each segment with ITS OWN partition predicate — months for the old
+    * layout, day range for the new — and both scans must prune (pinned by
+    * plan-string requires), so a 100 TB table evolves layouts with one
+    * metadata write and queries keep skipping at full precision on both
+    * sides of the cut. The exact predicate re-applies after the union;
+    * the oracle is the plain filtered aggregate. */
+  private def partitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "pevo")
+    CommitLog.reset(path)
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+    val cut = lit("1997-07-01").cast("timestamp")
+    orders.filter(col("o_orderdate") < cut)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(s"$path/seg_month")
+    orders.filter(col("o_orderdate") >= cut)
+      .withColumn("o_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("o_day").parquet(s"$path/seg_day")
+    CommitLog.commitTables(path, 0,
+      Seq("seg_month" -> s"$path/seg_month", "seg_day" -> s"$path/seg_day"))
+    // query window spans the layout cut: [1997-05-01, 1997-09-01)
+    val lo = lit("1997-05-01").cast("timestamp")
+    val hi = lit("1997-09-01").cast("timestamp")
+    val dirs = CommitLog.tableDirs(path, 1)
+    val oldSeg = s.read.parquet(dirs("seg_month"))
+      .filter(col("o_month").isin("1997-05", "1997-06"))
+    val newSeg = s.read.parquet(dirs("seg_day"))
+      .filter(col("o_day") >= "1997-07-01" && col("o_day") < "1997-09-01")
+    def pruned(d: DataFrame): Boolean = {
+      val p = d.queryExecution.executedPlan.toString
+      val i = p.indexOf("PartitionFilters: [")
+      i >= 0 && !p.substring(i).take(120).contains("PartitionFilters: []")
+    }
+    require(pruned(oldSeg) && pruned(newSeg),
+      "both layout segments must plan partition-pruned scans")
+    oldSeg.drop("o_month").unionAll(newSeg.drop("o_day"))
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** SHALLOW CLONE — the zero-copy fork every experiment workflow wants:
     * the clone's first commit simply REFERENCES the source's current data
     * directory (metadata-only, no bytes move — pinned by a `require` that
@@ -721,6 +769,7 @@ object FormatOps {
     "src_ivm_apply" -> ivmApply,
     "src_txn_tables" -> txnTables,
     "src_shallow_clone" -> shallowClone,
+    "src_partition_evolution" -> partitionEvolution,
     "src_vacuum" -> vacuumQ,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
@@ -817,6 +866,15 @@ object FormatOps {
          |  COUNT(*) AS n, ${sumSql("coalesce(p2, p1)")} AS sum_price
          |FROM feed WHERE change_type IS NOT NULL
          |GROUP BY 1, 2 ORDER BY change_type, o_orderstatus""".stripMargin,
+    // the oracle is the plain filtered aggregate — matching proves the
+    // two-layout read lost no row and double-counted none
+    "src_partition_evolution" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-05-01'
+         |  AND o_orderdate < TIMESTAMP '1997-09-01'
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // clone_v1 must equal source (zero-copy reference); clone_v2 is the
     // diverged subset; source row rebuilt from the plain table
     "src_shallow_clone" ->

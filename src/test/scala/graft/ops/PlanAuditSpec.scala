@@ -74,6 +74,7 @@ class PlanAuditSpec extends SparkSpec {
     "src_manifest_pruned", "src_compaction", "src_time_travel",
     "src_gdpr_delete", "src_versioned_prune", "src_change_feed", "src_vacuum",
     "src_ivm_apply", "src_txn_tables", "src_shallow_clone",
+    "src_partition_evolution",
     "src_bloom_skipping", "src_dpp_join", "sim_ann_index_serve",
     "sim_ann_refresh",
     "stream_geo_proximity",
