@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.util.concurrent.atomic.AtomicInteger
@@ -672,6 +672,64 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** CDC SUBSCRIPTION — the read side of the write-time change feed
+    * (`src_ivm_apply` is one-shot; this is the standing subscriber): every
+    * commit records its insert/update/delete rows under the table's
+    * `_changes/` tree, and a Structured Streaming reader over that tree
+    * folds the deltas into current state — new commits would stream in as
+    * they land, no snapshot rescan ever. The fold is pure signed
+    * arithmetic (insert +new, delete −old, update new−old) in exact
+    * decimals, so arrival order across change files cannot matter and the
+    * folded state equals the oracle's direct final-state aggregate
+    * bit-for-bit — including keys inserted, updated, then deleted, whose
+    * contributions cancel exactly. */
+  private def changeFeedStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_cdcsub_" +
+      s.sparkContext.applicationId
+    CommitLog.reset(path)
+    val dec = graft.ops.Exact.dec
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("p"), col("o_orderdate").as("d"))
+    val cut1 = lit("1997-07-01").cast("timestamp")
+    val cut2 = lit("1998-01-01").cast("timestamp")
+    val bumped = when(col("k") % 7 === 0, col("p") * 1.1).otherwise(col("p"))
+    def change(ct: String, rows: DataFrame, pOld: Column, pNew: Column) =
+      rows.select(lit(ct).as("change_type"), col("k"), col("st"),
+        pOld.cast(dec).as("p_old"), pNew.cast(dec).as("p_new"))
+    val feed = Seq(
+      // v1: initial load; v2: late-1997 append; v3: price bump; v4: GDPR
+      change("insert", orders.filter(col("d") < cut1),
+        lit(null), col("p")),
+      change("insert", orders.filter(col("d") >= cut1 && col("d") < cut2),
+        lit(null), col("p")),
+      change("update", orders.filter(col("d") < cut2 && col("k") % 7 === 0),
+        col("p"), col("p") * 1.1),
+      change("delete", orders.filter(col("d") < cut2 && col("k") % 13 === 0),
+        bumped, lit(null)))
+    feed.zipWithIndex.foreach { case (delta, i) =>
+      val cdir = s"$path/_changes/v${i + 1}"
+      delta.write.mode("overwrite").parquet(cdir)
+      CommitLog.commit(path, i.toLong, cdir)
+    }
+    val folded = s.readStream
+      .schema(feed.head.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$path/_changes")
+      .groupBy(col("st"))
+      .agg(sum(when(col("change_type") === "insert", 1L)
+          .when(col("change_type") === "delete", -1L).otherwise(0L)).as("n"),
+        sum(when(col("change_type") === "insert", col("p_new"))
+          .when(col("change_type") === "delete", -col("p_old"))
+          .otherwise(col("p_new") - col("p_old"))).as("sp"))
+    runToMemory(folded, "complete")
+      .filter(col("n") > 0)
+      .select(col("st").as("o_orderstatus"), col("n"),
+        col("sp").cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Streaming MULTI-TABLE transaction sink — the end-state of the
     * lakehouse streaming story: each micro-batch publishes its fact
     * chunk AND the incrementally-maintained cumulative aggregate through
@@ -784,6 +842,7 @@ object StreamOps {
     "stream_heavy_hitters" -> heavyHittersStreamQ,
     "stream_versioned_sink" -> versionedSinkQ,
     "stream_txn_sink" -> txnSinkQ,
+    "stream_change_feed" -> changeFeedStreamQ,
     "stream_incremental_merge" -> incrementalMergeQ,
     "stream_hourly_window" -> hourlyWindowQ,
     "stream_dedup_lastwins" -> dedupLastWinsQ,
@@ -848,6 +907,15 @@ object StreamOps {
         |)
         |SELECT user_id, n_exact, TRUE AS est_ge_exact, TRUE AS within_bound
         |FROM c ORDER BY n_exact DESC, user_id LIMIT 15""".stripMargin,
+    // folding the full change feed == the final table state rebuilt by
+    // its defining predicates (insert<cut2, minus %13 deletes, %7 bumped)
+    "stream_change_feed" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${graft.ops.Exact.sumSql(
+             "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END")} AS sum_price
+         |FROM orders
+         |WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 13 <> 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // cumulative MV after all batch-atomic transactions == batch
     // aggregate; consistent ≡ TRUE (facts recount equals the summary)
     "stream_txn_sink" ->

@@ -65,7 +65,7 @@ class PlanAuditSpec extends SparkSpec {
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
     "stream_static_join", "stream_stream_join", "stream_outer_join",
-    "stream_txn_sink", "stream_running_counts",
+    "stream_txn_sink", "stream_change_feed", "stream_running_counts",
     "stream_lsh_neardup", "stream_watermark_dedup", "stream_bloom_dedup",
     // write-then-read roundtrips execute a write action at plan build
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
