@@ -178,6 +178,41 @@ object MultimodalOps {
     parsed.toDF().orderBy(col("doc_id"))
   }
 
+  final case class StripResult(doc_id: Long, format: String,
+      n_stripped: Long, fp: String)
+
+  /** METADATA STRIP — the governance pass run before images enter a
+    * training set (EXIF location tags, serial numbers and timestamps all
+    * live in the header): re-emit only the pixel payload. The md5 of the
+    * stripped bytes must equal the oracle's md5 of the ORIGINAL payload
+    * text — proving the strip removed exactly the header, no more, no
+    * less. Per-row kernel work in the same mapPartitions codec family as
+    * the other mm_* ops; map-side, nothing shuffles but 16-byte digests. */
+  private def stripMetaQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = mediaTable(s, dir).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { rec =>
+        val w = (64 + (rec.doc_id % 64) * 16).toInt
+        val h = (64 + ((rec.doc_id * 7) % 64) * 16).toInt
+        val (format, payload) = (rec.doc_id % 3) match {
+          case 0 => ("png", ImageHeaders.pngBytes(w, h, rec.media))
+          case 1 => ("jpeg", ImageHeaders.jpegBytes(w, h, rec.media))
+          case _ => ("raw", rec.media)
+        }
+        val stripped = format match {
+          case "png" => payload.drop(ImageHeaders.PNG_HEADER_BYTES)
+          case "jpeg" => payload.drop(ImageHeaders.JPEG_HEADER_BYTES)
+          case _ => payload
+        }
+        md.reset()
+        val fp = md.digest(stripped).map("%02x".format(_)).mkString
+        StripResult(rec.doc_id, format, stripped.length.toLong, fp)
+      }
+    }
+    out.toDF().orderBy(col("doc_id"))
+  }
+
   final case class AudioMeta(doc_id: Long, channels: Int, sample_rate: Int,
       bits: Int, n_bytes: Long, n_samples: Long)
 
@@ -234,6 +269,7 @@ object MultimodalOps {
     "mm_dedup" -> mmDedupQ,
     "mm_decode_meta" -> decodeMetaQ,
     "mm_image_meta" -> imageMetaQ,
+    "mm_strip_meta" -> stripMetaQ,
     "mm_audio_meta" -> audioMetaQ,
     "mm_video_meta" -> videoMetaQ,
     "mm_frame_sample" -> frameSampleQ,
@@ -258,6 +294,14 @@ object MultimodalOps {
          |  CAST(64 + ((doc_id * 7) % 64) * 16 AS INTEGER) AS height,
          |  CAST(octet_length(encode(text)) // $FRAME_BYTES + 1 AS BIGINT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // stripped payload == original text bytes, so the oracle's md5(text)
+    // must equal the Spark-side digest of the post-strip bytes exactly
+    "mm_strip_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'raw' END AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_stripped,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Spark PARSES the dimensions out of real header bytes; the oracle
     // recomputes them from the doc_id formula they were encoded with —
     // agreement proves the parse (see imageMetaQ)
