@@ -393,23 +393,33 @@ object FormatOps {
     val orders = graft.Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"))
-    val cut = lit("1997-07-01").cast("timestamp")
+    // the cut sits near the head of the table (the realistic shape: the
+    // layout evolved recently, so the day-grained segment covers the last
+    // ~2 months, not years — a years-deep day segment would mean thousands
+    // of partition directories whose listing cost dwarfs the data)
+    val cut = lit("2001-06-01").cast("timestamp")
+    // repartition by the partition column before partitionBy: without it
+    // every input task opens a writer in every partition directory
+    // (tasks × dirs small files — the classic partitioned-write flood);
+    // with it each directory is written by exactly one task.
     orders.filter(col("o_orderdate") < cut)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("o_month"))
       .write.mode("overwrite").partitionBy("o_month").parquet(s"$path/seg_month")
     orders.filter(col("o_orderdate") >= cut)
       .withColumn("o_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .repartition(col("o_day"))
       .write.mode("overwrite").partitionBy("o_day").parquet(s"$path/seg_day")
     CommitLog.commitTables(path, 0,
       Seq("seg_month" -> s"$path/seg_month", "seg_day" -> s"$path/seg_day"))
-    // query window spans the layout cut: [1997-05-01, 1997-09-01)
-    val lo = lit("1997-05-01").cast("timestamp")
-    val hi = lit("1997-09-01").cast("timestamp")
+    // query window spans the layout cut: [2001-04-01, 2001-08-02)
+    val lo = lit("2001-04-01").cast("timestamp")
+    val hi = lit("2001-08-02").cast("timestamp")
     val dirs = CommitLog.tableDirs(path, 1)
     val oldSeg = s.read.parquet(dirs("seg_month"))
-      .filter(col("o_month").isin("1997-05", "1997-06"))
+      .filter(col("o_month").isin("2001-04", "2001-05"))
     val newSeg = s.read.parquet(dirs("seg_day"))
-      .filter(col("o_day") >= "1997-07-01" && col("o_day") < "1997-09-01")
+      .filter(col("o_day") >= "2001-06-01" && col("o_day") < "2001-08-02")
     def pruned(d: DataFrame): Boolean = {
       val p = d.queryExecution.executedPlan.toString
       val i = p.indexOf("PartitionFilters: [")
@@ -438,6 +448,18 @@ object FormatOps {
   private def shallowClone(s: SparkSession, dir: String): DataFrame = {
     val src = tmpDir(s, "clone_src")
     val cln = tmpDir(s, "clone_dst")
+    // full wipe, not just the commit log: the zero-copy `require` below
+    // counts data files under the clone root, so a data_v2 left by a
+    // previous run of this query (bench warmup + timed passes share one
+    // session) would fail it spuriously.
+    def wipe(root: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+    wipe(src); wipe(cln)
     CommitLog.reset(src); CommitLog.reset(cln)
     val orders = graft.Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -872,8 +894,8 @@ object FormatOps {
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |  ${sumSql("o_totalprice")} AS sum_price
          |FROM orders
-         |WHERE o_orderdate >= TIMESTAMP '1997-05-01'
-         |  AND o_orderdate < TIMESTAMP '1997-09-01'
+         |WHERE o_orderdate >= TIMESTAMP '2001-04-01'
+         |  AND o_orderdate < TIMESTAMP '2001-08-02'
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // clone_v1 must equal source (zero-copy reference); clone_v2 is the
     // diverged subset; source row rebuilt from the plain table
