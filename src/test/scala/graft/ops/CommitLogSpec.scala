@@ -145,10 +145,94 @@ class CommitLogSpec extends SparkSpec {
       assert(CommitLog.tableDirs(txn, 1) == Map(
         "facts" -> s"$txn/facts_v1", "summary" -> s"$txn/summary_v1"))
       assert(CommitLog.readTable(spark, txn, 2, "facts").count() == 20 + w)
-      // the loser's never-published dirs are sweepable orphans
+      // the loser's never-published dirs are sweepable orphans — and the
+      // sweep must see through the multi-line manifest: every dir the
+      // WINNER's commit references (and v1's) survives, still readable
       val orphans = CommitLog.sweepOrphans(txn)
       assert(orphans.exists(_.contains(s"facts_w${1 - w}")) &&
         orphans.exists(_.contains(s"summary_w${1 - w}")))
+      for (d <- Seq(s"facts_w$w", s"summary_w$w", "facts_v1", "summary_v1"))
+        assert(Files.isDirectory(java.nio.file.Paths.get(s"$txn/$d")),
+          s"sweep destroyed live committed dir $d")
+      assert(CommitLog.readTable(spark, txn, 2, "facts").count() == 20 + w)
+      assert(CommitLog.readTable(spark, txn, 1, "summary").count() == 1)
     } finally pool.shutdownNow()
+  }
+
+  test("multi-table vacuum deletes every dir of dropped manifests, keeps survivors") {
+    val txn = freshTable("txnvacuum")
+    for (v <- 1 to 3) {
+      spark.range(v * 10).write.parquet(s"$txn/facts_v$v")
+      spark.range(v).write.parquet(s"$txn/summary_v$v")
+      CommitLog.commitTables(txn, v - 1,
+        Seq("facts" -> s"$txn/facts_v$v", "summary" -> s"$txn/summary_v$v"))
+    }
+    val dropped = CommitLog.vacuum(txn, keep = 2)
+    assert(dropped.map(_.version) == Seq(1L))
+    // BOTH dirs of the dropped manifest are gone — vacuum must not leak
+    // data dirs by treating the manifest as one opaque path
+    assert(!Files.exists(java.nio.file.Paths.get(s"$txn/facts_v1")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$txn/summary_v1")))
+    // survivors stay fully readable through the log
+    assert(CommitLog.readTable(spark, txn, 2, "facts").count() == 20)
+    assert(CommitLog.readTable(spark, txn, 3, "summary").count() == 3)
+    // and a subsequent sweep finds nothing to delete
+    assert(CommitLog.sweepOrphans(txn).isEmpty)
+  }
+
+  test("checkpointed log: a read after 100 commits touches checkpoint + tail only") {
+    val table = freshTable("ckpt")
+    for (v <- 1 to 100) CommitLog.commit(table, v - 1, s"$table/data_v$v")
+    val before = CommitLog.fileReadCount
+    val es = CommitLog.entries(table)
+    val reads = CommitLog.fileReadCount - before
+    // 1 hint + 1 checkpoint + tail (0 here: 100 is a checkpoint version);
+    // the pre-checkpoint path would have read 100 files
+    assert(reads <= 2 + CommitLog.checkpointInterval,
+      s"entries() read $reads log files — O(n_versions), not checkpoint+tail")
+    assert(es.map(_.version) == (1L to 100L) &&
+      es.last.dataDir == s"$table/data_v100")
+  }
+
+  test("commits past the checkpoint are visible via the probed tail") {
+    val table = freshTable("ckpttail")
+    for (v <- 1 to 23) CommitLog.commit(table, v - 1, s"$table/data_v$v")
+    val before = CommitLog.fileReadCount
+    val es = CommitLog.entries(table)
+    val reads = CommitLog.fileReadCount - before
+    // checkpoint at 20 → 1 hint + 1 checkpoint + 3 tail commits
+    assert(reads == 5, s"expected 5 log-file reads, got $reads")
+    assert(es.map(_.version) == (1L to 23L))
+    assert(CommitLog.latest(table).get.dataDir == s"$table/data_v23")
+  }
+
+  test("vacuum replaces checkpoints so no dropped version resurfaces") {
+    val table = freshTable("ckptvacuum")
+    for (v <- 1 to 25) {
+      spark.range(v.toLong).write.parquet(s"$table/data_v$v")
+      CommitLog.commit(table, v - 1, s"$table/data_v$v")
+    }
+    CommitLog.vacuum(table, keep = 2)
+    // the checkpoint written at v20 covered dropped versions — the read
+    // path must not resolve them (their data dirs are gone)
+    assert(CommitLog.entries(table).map(_.version) == Seq(24L, 25L))
+    assert(CommitLog.read(spark, table, 25).count() == 25)
+    intercept[IllegalArgumentException] { CommitLog.read(spark, table, 20) }
+    // the rewritten checkpoint keeps the read path O(tail)
+    val before = CommitLog.fileReadCount
+    CommitLog.entries(table)
+    assert(CommitLog.fileReadCount - before <= 2 + CommitLog.checkpointInterval)
+  }
+
+  test("multi-line manifest payloads round-trip through a checkpoint") {
+    val txn = freshTable("ckptmanifest")
+    for (v <- 1 to 10)
+      CommitLog.commitTables(txn, v - 1,
+        Seq("facts" -> s"$txn/facts_v$v", "summary" -> s"$txn/summary_v$v"))
+    // v10 is a checkpoint version; tableDirs(3) resolves THROUGH it
+    val before = CommitLog.fileReadCount
+    assert(CommitLog.tableDirs(txn, 3) == Map(
+      "facts" -> s"$txn/facts_v3", "summary" -> s"$txn/summary_v3"))
+    assert(CommitLog.fileReadCount - before <= 2 + CommitLog.checkpointInterval)
   }
 }
