@@ -43,7 +43,13 @@ object AudioHeaders {
       } else if (chunk == "data") {
         dataBytes = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+      // Long arithmetic: a corrupt size >= 2^31 would truncate negative in
+      // Int and walk i BACKWARDS forever. An advance past the buffer (huge
+      // or truncated chunk) ends the walk instead — same guard class as
+      // VideoHeaders.parseMp4.
+      val adv = 8L + size + (size & 1L) // chunks pad to even offsets
+      if (i + adv > b.length) i = b.length
+      else i += adv.toInt
     }
     if (channels < 0 || dataBytes < 0) None
     else Some(WavMeta(channels, sampleRate, bits, dataBytes))

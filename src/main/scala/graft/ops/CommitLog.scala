@@ -221,7 +221,7 @@ object CommitLog {
     * delete every live committed dir as "unreferenced". A manifest line is
     * recognized by a '='-separated name containing no path separator, so a
     * plain directory payload is never mis-split. */
-  private[ops] def payloadDirs(payload: String): Seq[String] =
+  private[graft] def payloadDirs(payload: String): Seq[String] =
     payload.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
       val i = line.indexOf('=')
       if (i > 0 && !line.substring(0, i).contains('/')) line.substring(i + 1)

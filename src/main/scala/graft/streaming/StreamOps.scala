@@ -463,14 +463,21 @@ object StreamOps {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("event_type",
           org.apache.spark.sql.types.StringType))))
-    sentinels.coalesce(1).write.mode("append").parquet(stage)
-    // pin source order: data files strictly older than the sentinel file
+    // Identify the sentinel file by LISTING DIFFERENCE around its append —
+    // the data part and sentinel are written milliseconds apart, so sorting
+    // on lastModified can tie at ms granularity and nondeterministically
+    // pin the SENTINEL older: it would then form batch 1, advance both
+    // watermarks decades ahead, and every real row would drop as late.
     val stDir = new java.io.File(stage)
-    val parts = stDir.listFiles().filter(_.getName.endsWith(".parquet"))
-      .sortBy(_.lastModified())
+    def listParts() = stDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val dataParts = listParts()
+    sentinels.coalesce(1).write.mode("append").parquet(stage)
+    val dataNames = dataParts.map(_.getName).toSet
+    val sentinelParts = listParts().filterNot(p => dataNames(p.getName))
+    // pin source order: data files strictly older than the sentinel file
     val base = System.currentTimeMillis()
-    parts.dropRight(1).foreach(_.setLastModified(base - 60000))
-    parts.last.setLastModified(base)
+    dataParts.foreach(_.setLastModified(base - 60000))
+    sentinelParts.foreach(_.setLastModified(base))
     def staged() = s.readStream
       .schema(sentinels.schema).option("maxFilesPerTrigger", 1).parquet(stage)
     val clicks = staged().filter(col("event_type") === "click")
@@ -735,10 +742,13 @@ object StreamOps {
     * chunk AND the incrementally-maintained cumulative aggregate through
     * ONE `CommitLog.commitTables` manifest, so a reader at any version
     * sees facts and summary from the same batch, never a half-applied
-    * pair. Exactly-once comes from batch-id-derived versions (batch b
-    * commits v=b+1 after overwriting its own dirs): a replayed batch
-    * rebuilds identical content and its commit CAS fails benignly on the
-    * already-published entry. The MV refresh reads only the previous
+    * pair. Exactly-once comes from asking the log itself: a batch's dirs
+    * are deterministic (facts_b&lt;id&gt;), so a replayed batch finds its
+    * manifest already committed and skips; new batches rebase on
+    * `CommitLog.latest` (robust to empty batches drifting versions away
+    * from batch ids), and a lost commit CAS is swallowed only after
+    * verifying the winner IS this batch's own earlier publish. The MV
+    * refresh reads only the previous
     * summary + the batch delta (cost ∝ batch, the streaming
     * `src_ivm_apply`). The result recounts the union of all committed
     * fact chunks against the final summary — `consistent` pins the
@@ -769,15 +779,24 @@ object StreamOps {
         .parquet(stage)
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          if (!batch.isEmpty) {
-            val f = s"$txn/facts_b$id"
-            val m = s"$txn/mv_b$id"
+          // Exactly-once WITHOUT assuming batch id ≡ version id (an empty
+          // batch commits nothing, so versions and batch ids may drift):
+          // replay detection asks the log itself — this batch's dirs are
+          // deterministic (facts_b<id>), so if any committed manifest
+          // already references them, the batch landed before a crash and
+          // is skipped whole. New batches build on CommitLog.latest.
+          val f = s"$txn/facts_b$id"
+          val m = s"$txn/mv_b$id"
+          val replayed = CommitLog.entries(txn)
+            .exists(c => CommitLog.payloadDirs(c.dataDir).contains(f))
+          if (!batch.isEmpty && !replayed) {
             batch.write.mode("overwrite").parquet(f)
             val delta = batch.groupBy(col("event_type"))
               .agg(count(lit(1)).as("dn"),
                 sum(col("value").cast(graft.ops.Exact.dec)).as("dsp"))
-            val prev = if (id == 0) emptyMv
-              else CommitLog.readTable(s, txn, id, "summary")
+            val base = CommitLog.latest(txn).map(_.version).getOrElse(0L)
+            val prev = if (base == 0L) emptyMv
+              else CommitLog.readTable(s, txn, base, "summary")
             prev.join(delta, Seq("event_type"), "full_outer")
               .select(col("event_type"),
                 (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
@@ -785,8 +804,15 @@ object StreamOps {
                   coalesce(col("dsp"), lit(0).cast(graft.ops.Exact.dec)))
                   .cast(graft.ops.Exact.dec).as("sp"))
               .write.mode("overwrite").parquet(m)
-            try CommitLog.commitTables(txn, id, Seq("facts" -> f, "summary" -> m))
-            catch { case _: CommitLog.CommitConflictException => () } // replay
+            try CommitLog.commitTables(txn, base, Seq("facts" -> f, "summary" -> m))
+            catch {
+              case e: CommitLog.CommitConflictException =>
+                // a lost CAS is benign ONLY if the winner is this batch's
+                // own earlier publish; a foreign writer's commit must not
+                // be silently treated as ours
+                if (CommitLog.tableDirs(txn, base + 1) !=
+                  Map("facts" -> f, "summary" -> m)) throw e
+            }
           }
           ()
         }

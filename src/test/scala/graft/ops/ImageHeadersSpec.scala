@@ -68,6 +68,17 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(AudioHeaders.parseWav("RIFFxxxx".getBytes("US-ASCII")).isEmpty)
     assert(AudioHeaders.parseWav(plain.take(20)).isEmpty)
     assert(AudioHeaders.parseWav(null).isEmpty)
+    // a corrupt chunk size >= 2^31 must not truncate negative in Int and
+    // walk the cursor backwards forever — the walk terminates with None
+    val corrupt = plain.clone()
+    for (k <- 0 until 4) corrupt(12 + 4 + k) = 0xff.toByte // fmt size = 0xFFFFFFFF
+    assert(AudioHeaders.parseWav(corrupt).isEmpty)
+    // size overshooting the buffer by 1 also ends the walk cleanly
+    val overshoot = plain.clone()
+    val ds = 1001L // data chunk claims one byte more than present
+    for (k <- 0 until 4)
+      overshoot(AudioHeaders.WAV_HEADER_BYTES - 4 + k) = ((ds >> (8 * k)) & 0xff).toByte
+    assert(AudioHeaders.parseWav(overshoot).get.dataBytes == 1001L)
   }
 
   test("MP4: mvhd timescale/duration via the box walk, free box skipped") {
