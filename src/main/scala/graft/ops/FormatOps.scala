@@ -781,7 +781,57 @@ object FormatOps {
     joined
   }
 
+  /** Transactional MERGE INTO through the commit log (MergeOps): two
+    * mergers build on the SAME snapshot v1 — merger A (price updates for
+    * key%7 + shifted-key inserts for key%13) publishes v2 first, so merger
+    * B's (deletes of key%11) CAS at v2 genuinely LOSES and must rebase:
+    * re-read A's result, re-apply the deletes, land v3. Clause-aware
+    * merge semantics make the batches commute (a delete racing an update
+    * of the same %77 key converges to deleted in either order), so the
+    * final state is deterministic and plain SQL can be the oracle — the
+    * same composed change set as `rel_upsert`, now applied as two ISOLATED
+    * transactions instead of one dataframe expression. The conflict, the
+    * rebase, and the version arithmetic are pinned by in-query requires;
+    * the final read resolves ONLY through the log. */
+  private def mergeIntoQ(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "merge")
+    CommitLog.reset(path) // fixture table: rebuilt from scratch each run
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.write.mode("overwrite").parquet(s"$path/data_v1")
+    CommitLog.commit(path, 0, s"$path/data_v1")
+    val upserts = orders.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        (col("o_totalprice") * 1.1).as("new_price"))
+      .union(orders.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("I").as("op"), col("o_totalprice").as("new_price")))
+    val deletes = orders.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("double").as("new_price"))
+    // merger B snapshots v1 BEFORE A publishes — a genuinely stale base
+    val staleBase = CommitLog.latest(path).get
+    val vA = MergeOps.mergeInto(s, path, upserts, "A") // lands v2
+    // B's first attempt applies against stale v1 and must LOSE its CAS
+    val bStale = s"$path/merge_B_stale"
+    MergeOps.applyMerge(s.read.parquet(staleBase.dataDir), deletes)
+      .write.mode("overwrite").parquet(bStale)
+    val conflicted =
+      try { CommitLog.commit(path, staleBase.version, bStale); false }
+      catch { case _: CommitLog.CommitConflictException => true }
+    require(conflicted, "a merge built on a stale snapshot must conflict")
+    val vB = MergeOps.mergeInto(s, path, deletes, "B") // rebases onto v2
+    require(vA.version == 2L && vB.version == 3L &&
+      CommitLog.latest(path).get.version == 3L,
+      s"merges must serialize as v2,v3; got v${vA.version},v${vB.version}")
+    s.read.parquet(CommitLog.latest(path).get.dataDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_merge_into" -> mergeIntoQ,
     "src_dpp_join" -> dppJoin,
     "src_bloom_skipping" -> bloomSkipping,
     "src_gdpr_delete" -> gdprDelete,
@@ -829,6 +879,22 @@ object FormatOps {
         |ORDER BY o_orderkey""".stripMargin,
     // survivor set reconstructed by predicate: no requested row survives,
     // no other row lost
+    // serial application of both merge batches in either order (they
+    // commute): %7 updated unless %11 deleted it, %13 inserted shifted —
+    // the same composed change set as rel_upsert, reached through two
+    // isolated OCC transactions with a real rebase in between
+    "src_merge_into" ->
+      s"""WITH merged AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 11 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, 'NEW', o_totalprice
+         |  FROM orders WHERE o_orderkey % 13 = 0
+         |)
+         |SELECT o_orderstatus, COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price
+         |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "src_gdpr_delete" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |  ${sumSql("o_totalprice")} AS sum_price,

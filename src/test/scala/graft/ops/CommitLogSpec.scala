@@ -224,6 +224,79 @@ class CommitLogSpec extends SparkSpec {
     assert(CommitLog.fileReadCount - before <= 2 + CommitLog.checkpointInterval)
   }
 
+  test("racing mergers: both change batches survive, serialized through rebase") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    val chSch = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("op", StringType), StructField("new_price", DoubleType)))
+    def df(rows: Seq[Row], s2: StructType) =
+      spark.createDataFrame(rows.asJava, s2)
+    val table = freshTable("mergerace")
+    df(Seq(Row(1L, "O", 10.0), Row(2L, "F", 20.0)), sch)
+      .write.parquet(s"$table/base")
+    CommitLog.commit(table, 0, s"$table/base")
+    // merger A updates key 1; merger B inserts key 3 — commuting batches
+    val chA = df(Seq(Row(1L, "U", 11.0)), chSch)
+    val chB = df(Seq(Row(3L, "I", 30.0)), chSch)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val barrier = new CyclicBarrier(2)
+      val fs = Seq(("A", chA), ("B", chB)).map { case (tag, ch) =>
+        pool.submit { () =>
+          barrier.await(5, TimeUnit.SECONDS)
+          MergeOps.mergeInto(spark, table, ch, tag)
+        }
+      }
+      val versions = fs.map(_.get(60, TimeUnit.SECONDS).version).sorted
+      // both landed, serialized: one took v2, the (possibly rebased) other v3
+      assert(versions == Seq(2L, 3L))
+      val fin = spark.read.parquet(CommitLog.latest(table).get.dataDir)
+        .orderBy(col("o_orderkey")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      // BOTH rows survive: A's update AND B's insert, whatever the race order
+      assert(fin == Seq((1L, "O", 11.0), (2L, "F", 20.0), (3L, "NEW", 30.0)),
+        s"merge effects lost under concurrency: $fin")
+    } finally pool.shutdownNow()
+  }
+
+  test("merge rebase is forced and convergent on a guaranteed-stale snapshot") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    val chSch = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("op", StringType), StructField("new_price", DoubleType)))
+    val table = freshTable("mergestale")
+    spark.createDataFrame(
+      Seq(Row(1L, "O", 10.0), Row(7L, "O", 70.0)).asJava, sch)
+      .write.parquet(s"$table/base")
+    CommitLog.commit(table, 0, s"$table/base")
+    // A deletes key 7 and wins v2; B's stale attempt (built on v1) loses,
+    // rebases, and its clause-aware U on the now-deleted key 7 must be a
+    // NO-OP, not a resurrection — delete/update converge in either order
+    val delA = spark.createDataFrame(Seq(Row(7L, "D", null)).asJava, chSch)
+    val updB = spark.createDataFrame(
+      Seq(Row(7L, "U", 77.0), Row(1L, "U", 1.5)).asJava, chSch)
+    val stale = CommitLog.latest(table).get
+    assert(MergeOps.mergeInto(spark, table, delA, "A").version == 2L)
+    MergeOps.applyMerge(spark.read.parquet(stale.dataDir), updB)
+      .write.mode("overwrite").parquet(s"$table/b_stale")
+    intercept[CommitLog.CommitConflictException] {
+      CommitLog.commit(table, stale.version, s"$table/b_stale")
+    }
+    assert(MergeOps.mergeInto(spark, table, updB, "B").version == 3L)
+    val fin = spark.read.parquet(CommitLog.latest(table).get.dataDir)
+      .orderBy(col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(fin == Seq((1L, 1.5)), s"rebase must not resurrect deleted keys: $fin")
+  }
+
   test("multi-line manifest payloads round-trip through a checkpoint") {
     val txn = freshTable("ckptmanifest")
     for (v <- 1 to 10)
