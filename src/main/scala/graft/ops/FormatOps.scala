@@ -830,7 +830,65 @@ object FormatOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Merge-on-read delete via DELETION VECTORS — the production contract
+    * `src_gdpr_delete` (copy-on-write) deliberately doesn't give: a delete
+    * writes O(deleted)/64 words of bitmap and ZERO rewritten data files
+    * (pinned by a before/after file-state require), and readers apply the
+    * bitmap as an anti-mask at scan time. Row identity is the parquet
+    * physical address Spark already exposes — `_metadata.file_path` +
+    * `_metadata.row_index` — so the DV is a (file, rowid/64 word, bit_or
+    * mask) table: the `rel_bitmap_intersect` word-wise bitmap keyed by
+    * file, which is Delta's DV / Iceberg's positional-delete model. The
+    * DV commits as a manifest entry referencing the UNCHANGED v1 data dir
+    * plus the tiny dv dir (metadata-only commit). At 100 TB the DV is
+    * ~rows_deleted/64 longs, always broadcastable, and the masked scan
+    * stays one BroadcastHashJoin away from the raw scan — deletes cost
+    * ∝ deleted rows, not ∝ table size. Oracle = src_gdpr_delete's
+    * survivor SQL: both delete paths must agree bit-for-bit. */
+  private def deleteVectorsQ(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "dv")
+    CommitLog.reset(path) // fixture table: rebuilt from scratch each run
+    graft.Tables(s, dir, "orders").repartition(4)
+      .write.mode("overwrite").parquet(s"$path/data_v1")
+    CommitLog.commitTables(path, 0, Seq("data" -> s"$path/data_v1"))
+    def fileState() = new java.io.File(s"$path/data_v1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val before = fileState()
+    require(before.size >= 2, "the DV fixture must span multiple data files")
+    val requests = graft.Tables(s, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val bit = expr("shiftleft(1L, cast(rid % 64 AS INT))")
+    // DV build: ONE scan finds doomed row positions, folds them to
+    // word-wise bitmaps — the only thing written is the bitmap
+    s.read.parquet(s"$path/data_v1")
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("rid"), col("o_custkey"))
+      .join(broadcast(requests), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .groupBy(col("f"), floor(col("rid") / 64).as("w"))
+      .agg(bit_or(bit).as("dmask"))
+      .write.mode("overwrite").parquet(s"$path/dv_v2")
+    CommitLog.commitTables(path, 1,
+      Seq("data" -> s"$path/data_v1", "dv" -> s"$path/dv_v2"))
+    require(fileState() == before,
+      "merge-on-read delete must not rewrite, append, or touch data files")
+    // read path: broadcast the DV and anti-mask doomed positions at scan
+    val t2 = CommitLog.tableDirs(path, 2)
+    s.read.parquet(t2("data"))
+      .select(col("*"), col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("rid"))
+      .withColumn("w", floor(col("rid") / 64))
+      .join(broadcast(s.read.parquet(t2("dv"))), Seq("f", "w"), "left_outer")
+      .filter(coalesce(bit.bitwiseAND(col("dmask")), lit(0L)) === 0L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_delete_vectors" -> deleteVectorsQ,
     "src_merge_into" -> mergeIntoQ,
     "src_dpp_join" -> dppJoin,
     "src_bloom_skipping" -> bloomSkipping,
@@ -879,6 +937,16 @@ object FormatOps {
         |ORDER BY o_orderkey""".stripMargin,
     // survivor set reconstructed by predicate: no requested row survives,
     // no other row lost
+    // same survivor set as the copy-on-write delete — the two delete
+    // paths (rewrite vs deletion vector) must agree bit-for-bit
+    "src_delete_vectors" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_custkey) AS n_cust
+         |FROM orders
+         |WHERE o_custkey NOT IN (
+         |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // serial application of both merge batches in either order (they
     // commute): %7 updated unless %11 deleted it, %13 inserted shifted —
     // the same composed change set as rel_upsert, reached through two
