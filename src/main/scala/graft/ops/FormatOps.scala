@@ -887,7 +887,99 @@ object FormatOps {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Read a log version whose manifest carries the table SCHEMA as a
+    * first-class committed artifact: `schema` names a dir holding the
+    * StructType JSON, `data_*` entries name the accumulated file groups.
+    * Old files are projected THROUGH the committed schema (`s.read
+    * .schema(...)`), so columns added later NULL-fill — the reader never
+    * infers or merges footers (at 100 TB a mergeSchema pass over every
+    * footer is a full metadata scan; here schema resolution is ONE tiny
+    * driver-side read, the Delta/Iceberg model). */
+  private def readWithLoggedSchema(s: SparkSession, path: String,
+      version: Long): DataFrame = {
+    val t = CommitLog.tableDirs(path, version)
+    val sch = org.apache.spark.sql.types.DataType.fromJson(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(t("schema"), "schema.json")))
+      .asInstanceOf[StructType]
+    val dataDirs = t.toSeq.collect {
+      case (name, d) if name.startsWith("data_") => (name, d)
+    }.sortBy(_._1).map(_._2)
+    s.read.schema(sch).parquet(dataDirs: _*)
+  }
+
+  /** Schema evolution THROUGH the log (vs `src_schema_evolution`'s
+    * footer-merging): v1 commits data + its 3-column schema; v2 is a
+    * METADATA-ONLY commit — same data files, a 4-column schema adding
+    * `o_orderpriority`; v3 appends a file group written with the new
+    * column. Requires pin that time travel to v1 yields the v1 schema
+    * (the added column is absent, not null), that v2 references byte-same
+    * data dirs as v1, and the result reads each version through its own
+    * committed schema — v2's added column NULL-fills across v1 files
+    * (the filter counts on it), v3 groups by the mixed real/NULL column. */
+  private def schemaLogQ(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val path = tmpDir(s, "schlog")
+    CommitLog.reset(path) // fixture table: rebuilt from scratch each run
+    val o = graft.Tables(s, dir, "orders")
+    val d1 = s"$path/data_00001"
+    val d2 = s"$path/data_00002"
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(d1)
+    val schemaV1 = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    val schemaV2 = schemaV1.add(StructField("o_orderpriority", StringType))
+    def putSchema(tag: String, sch: StructType): String = {
+      val sd = s"$path/schema_$tag"
+      JFiles.createDirectories(JPaths.get(sd))
+      JFiles.writeString(JPaths.get(sd, "schema.json"), sch.json)
+      sd
+    }
+    val s1 = putSchema("v1", schemaV1)
+    val s2 = putSchema("v2", schemaV2)
+    CommitLog.commitTables(path, 0, Seq("data_00001" -> d1, "schema" -> s1))
+    // v2: the schema change is METADATA-ONLY — no data touched
+    CommitLog.commitTables(path, 1, Seq("data_00001" -> d1, "schema" -> s2))
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(d2)
+    CommitLog.commitTables(path, 2,
+      Seq("data_00001" -> d1, "data_00002" -> d2, "schema" -> s2))
+    // time travel returns each version's OWN schema
+    val r1 = readWithLoggedSchema(s, path, 1)
+    require(!r1.columns.contains("o_orderpriority"),
+      "v1 must present the v1 schema: the later column is absent, not null")
+    require(CommitLog.tableDirs(path, 2).filter(_._1.startsWith("data_")) ==
+      CommitLog.tableDirs(path, 1).filter(_._1.startsWith("data_")),
+      "the schema-change commit must be metadata-only")
+    val r2 = readWithLoggedSchema(s, path, 2)
+    require(r2.columns.contains("o_orderpriority"),
+      "v2 must present the evolved schema over the old files")
+    val agg1 = r1.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .select(lit(1L).as("version"), col("o_orderstatus"),
+        lit("ALL").as("o_orderpriority"), col("n"), col("sum_price"))
+    // every v1 row NULL-fills the added column — the filter IS the proof
+    val agg2 = r2.filter(col("o_orderpriority").isNull)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .select(lit(2L).as("version"), col("o_orderstatus"),
+        lit("ALL").as("o_orderpriority"), col("n"), col("sum_price"))
+    val agg3 = readWithLoggedSchema(s, path, 3)
+      .groupBy(col("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("NONE")).as("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .select(lit(3L).as("version"), col("o_orderstatus"),
+        col("o_orderpriority"), col("n"), col("sum_price"))
+    agg1.unionAll(agg2).unionAll(agg3)
+      .orderBy(col("version"), col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_schema_log" -> schemaLogQ,
     "src_delete_vectors" -> deleteVectorsQ,
     "src_merge_into" -> mergeIntoQ,
     "src_dpp_join" -> dppJoin,
@@ -937,6 +1029,24 @@ object FormatOps {
         |ORDER BY o_orderkey""".stripMargin,
     // survivor set reconstructed by predicate: no requested row survives,
     // no other row lost
+    // each version reconstructed by its defining predicate: v1/v2 = even
+    // keys (v2 counts rows whose ADDED column null-filled — all of them),
+    // v3 = all keys with the old files' priority surfacing as 'NONE'
+    "src_schema_log" ->
+      s"""SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+         |  'ALL' AS o_orderpriority, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), o_orderstatus, 'ALL', COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), o_orderstatus,
+         |  CASE WHEN o_orderkey % 2 = 0 THEN 'NONE' ELSE o_orderpriority END,
+         |  COUNT(*) AS n, ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1, 2, 3
+         |ORDER BY version, o_orderstatus, o_orderpriority""".stripMargin,
     // same survivor set as the copy-on-write delete — the two delete
     // paths (rewrite vs deletion vector) must agree bit-for-bit
     "src_delete_vectors" ->
