@@ -312,13 +312,18 @@ object TextOps {
     // denominator from the vocabulary-sized aggregate (broadcast single
     // row) — NOT a second tokenize pass over the corpus
     val total = counts.agg(sum(col("cf")).cast("double").as("total"))
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cf").desc, col("w").asc)
+    // rank WITHOUT a WindowExec: the top-25 fold to ONE array row, sorted
+    // by the (-cf, w) struct key, and posexplode yields the rank — no
+    // unpartitioned window (and no single-partition warning) anywhere
     counts.orderBy(col("cf").desc, col("w").asc).limit(25)
+      .agg(array_sort(collect_list(
+        struct((-col("cf")).as("k"), col("w").as("w"), col("cf").as("cf"))))
+        .as("xs"))
       .crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(win).cast("long"))
-      .withColumn("share", round(col("cf").cast("double") / col("total"), 9))
-      .select(col("rank"), col("w"), col("cf"), col("share"))
+      .select(col("total"), posexplode(col("xs")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.w").as("w"), col("col.cf").as("cf"),
+        round(col("col.cf").cast("double") / col("total"), 9).as("share"))
       .orderBy(col("rank"))
   }
 
@@ -371,12 +376,15 @@ object TextOps {
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy(col("df").desc, col("w").asc)
+    // rank the 30 candidate terms via one sorted array + posexplode (same
+    // values as a row_number window, minus the unpartitioned WindowExec)
     val qterms = df.orderBy(col("df").desc, col("w").asc).limit(30)
-      .withColumn("rk", row_number().over(win))
-      .filter(col("rk").isin(10, 20, 30))
-      .select(col("w"), col("df"))
+      .agg(array_sort(collect_list(
+        struct((-col("df")).as("k"), col("w").as("w"), col("df").as("df"))))
+        .as("xs"))
+      .select(posexplode(col("xs")))
+      .filter((col("pos") + 1).isin(10, 20, 30))
+      .select(col("col.w").as("w"), col("col.df").as("df"))
     val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       .join(broadcast(qterms), Seq("w"))
     val contrib =
