@@ -690,11 +690,14 @@ object StreamOps {
     * folded state equals the oracle's direct final-state aggregate
     * bit-for-bit — including keys inserted, updated, then deleted, whose
     * contributions cancel exactly. */
-  private def changeFeedStreamQ(s: SparkSession, dir: String): DataFrame = {
+  /** Stage the 4-commit write-time change feed under `path/_changes/v1..4`
+    * (insert initial load, insert late-1997 append, update price bump,
+    * delete GDPR), one committed dir per change set, and return the change
+    * schema. Shared corpus of the CDC subscriber (`stream_change_feed`)
+    * and the streaming MV maintainer (`stream_ivm`). */
+  private def stageCdcFeed(s: SparkSession, dir: String,
+      path: String): org.apache.spark.sql.types.StructType = {
     import graft.ops.CommitLog
-    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_cdcsub_" +
-      s.sparkContext.applicationId
-    CommitLog.reset(path)
     val dec = graft.ops.Exact.dec
     val orders = graft.Tables(s, dir, "orders")
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
@@ -717,11 +720,20 @@ object StreamOps {
         bumped, lit(null)))
     feed.zipWithIndex.foreach { case (delta, i) =>
       val cdir = s"$path/_changes/v${i + 1}"
-      delta.write.mode("overwrite").parquet(cdir)
+      delta.coalesce(1).write.mode("overwrite").parquet(cdir)
       CommitLog.commit(path, i.toLong, cdir)
     }
+    feed.head.schema
+  }
+
+  private def changeFeedStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_cdcsub_" +
+      s.sparkContext.applicationId
+    CommitLog.reset(path)
+    val changeSchema = stageCdcFeed(s, dir, path)
     val folded = s.readStream
-      .schema(feed.head.schema)
+      .schema(changeSchema)
       .option("recursiveFileLookup", "true")
       .parquet(s"$path/_changes")
       .groupBy(col("st"))
@@ -731,6 +743,98 @@ object StreamOps {
           .when(col("change_type") === "delete", -col("p_old"))
           .otherwise(col("p_new") - col("p_old"))).as("sp"))
     runToMemory(folded, "complete")
+      .filter(col("n") > 0)
+      .select(col("st").as("o_orderstatus"), col("n"),
+        col("sp").cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** STREAMING MV MAINTENANCE — `stream_change_feed` composed with
+    * `src_ivm_apply`: a standing subscriber over the write-time change
+    * feed keeps a materialized aggregate current by folding each delta
+    * batch into a VERSIONED MV through the commit log. Each micro-batch
+    * (one change file, `maxFilesPerTrigger=1`) aggregates ITS OWN delta,
+    * full-outer joins it with the previous committed MV, and publishes
+    * the refreshed MV as the next log version — exactly-once via the
+    * txnSinkQ pattern (deterministic dirs asked of the log for replay;
+    * lost CAS swallowed only for our own earlier publish). The refresh
+    * plan is pinned per batch: it may scan at most ONE `_changes` file
+    * (its own batch) and, after batch 0, must read the previous `mv_b`
+    * dir — never the whole feed, never any base-table snapshot. Refresh
+    * cost is ∝ delta + MV size, independent of table history: the IVM
+    * contract at unbounded stream length. Signed-decimal arithmetic makes
+    * the fold order-independent, so the final MV equals the oracle's
+    * direct final-state aggregate bit-for-bit. */
+  private def ivmStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val dec = graft.ops.Exact.dec
+    val feedPath = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_sivm_feed_" +
+      s.sparkContext.applicationId
+    val mv = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_sivm_mv_" +
+      s.sparkContext.applicationId
+    CommitLog.reset(feedPath)
+    CommitLog.reset(mv)
+    val changeSchema = stageCdcFeed(s, dir, feedPath)
+    val emptyMv = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("st",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sp", dec))))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(changeSchema)
+        .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", 1)
+        .parquet(s"$feedPath/_changes")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val mvDir = s"$mv/mv_b$id"
+          val replayed = CommitLog.entries(mv)
+            .exists(c => CommitLog.payloadDirs(c.dataDir).contains(mvDir))
+          if (!batch.isEmpty && !replayed) {
+            val delta = batch.groupBy(col("st"))
+              .agg(sum(when(col("change_type") === "insert", 1L)
+                  .when(col("change_type") === "delete", -1L).otherwise(0L)).as("dn"),
+                sum(when(col("change_type") === "insert", col("p_new"))
+                  .when(col("change_type") === "delete", -col("p_old"))
+                  .otherwise(col("p_new") - col("p_old"))).as("dsp"))
+            val base = CommitLog.latest(mv).map(_.version).getOrElse(0L)
+            val prev = if (base == 0L) emptyMv
+              else s.read.parquet(CommitLog.latest(mv).get.dataDir)
+            val refreshed = prev.join(delta, Seq("st"), "full_outer")
+              .select(col("st"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+                (coalesce(col("sp"), lit(0).cast(dec)) +
+                  coalesce(col("dsp"), lit(0).cast(dec))).cast(dec).as("sp"))
+            // the IVM contract, pinned per batch: the refresh scans its
+            // own delta (≤ 1 change file) + the previous MV — never the
+            // accumulated feed, never a base-table snapshot
+            val scans = refreshed.queryExecution.executedPlan.toString
+            val changeRefs = "_changes/v(\\d+)".r
+              .findAllMatchIn(scans).map(_.group(1)).toSet
+            require(changeRefs.size <= 1,
+              s"MV refresh must not rescan the feed; it scans $changeRefs")
+            require(base == 0L || scans.contains(s"mv_b"),
+              "MV refresh after batch 0 must read the previous MV")
+            refreshed.write.mode("overwrite").parquet(mvDir)
+            try CommitLog.commit(mv, base, mvDir)
+            catch {
+              case e: CommitLog.CommitConflictException =>
+                if (CommitLog.latest(mv).get.dataDir != mvDir) throw e
+            }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val versions = CommitLog.entries(mv)
+    require(versions.size == 4,
+      s"4 change commits must yield 4 MV versions, got ${versions.size}")
+    s.read.parquet(versions.last.dataDir)
       .filter(col("n") > 0)
       .select(col("st").as("o_orderstatus"), col("n"),
         col("sp").cast("double").as("sum_price"))
@@ -869,6 +973,7 @@ object StreamOps {
     "stream_versioned_sink" -> versionedSinkQ,
     "stream_txn_sink" -> txnSinkQ,
     "stream_change_feed" -> changeFeedStreamQ,
+    "stream_ivm" -> ivmStreamQ,
     "stream_incremental_merge" -> incrementalMergeQ,
     "stream_hourly_window" -> hourlyWindowQ,
     "stream_dedup_lastwins" -> dedupLastWinsQ,
@@ -936,6 +1041,16 @@ object StreamOps {
     // folding the full change feed == the final table state rebuilt by
     // its defining predicates (insert<cut2, minus %13 deletes, %7 bumped)
     "stream_change_feed" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${graft.ops.Exact.sumSql(
+             "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END")} AS sum_price
+         |FROM orders
+         |WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 13 <> 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the incrementally-maintained MV must equal the direct final-state
+    // aggregate — same oracle as the CDC fold, reached through versioned
+    // per-batch MV refreshes instead of one stateful aggregate
+    "stream_ivm" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |  ${graft.ops.Exact.sumSql(
              "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END")} AS sum_price
