@@ -5,11 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Corpus loaders for /root/testdata/sf*.
   *
-  * `events.parquet` carries INT64 TIMESTAMP(NANOS) timestamps, which Spark's
-  * parquet reader rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos
-  * as long (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a proper
-  * TimestampType via integer division — NOT double division, which would
-  * lose precision above 2^53 (epoch-nanos in 2024 ≈ 1.7e18).
+  * `events.ts` has shipped with different physical types across driver
+  * corpus generations — INT64 TIMESTAMP(NANOS) (which Spark's parquet
+  * reader rejects by default, PARQUET_TYPE_ILLEGAL) and native
+  * TIMESTAMP(MICROS) without timezone (TIMESTAMP_NTZ). Both are
+  * normalized here to one canonical TimestampType so every consumer
+  * (batch windows, `unix_micros`, streaming watermarks — which reject
+  * NTZ outright) sees a single type regardless of corpus vintage:
+  * nanos are read as long (`spark.sql.legacy.parquet.nanosAsLong`) and
+  * converted via integer division — NOT double division, which would
+  * lose precision above 2^53 (epoch-nanos in 2024 ≈ 1.7e18) — and NTZ
+  * is cast, value-preserving under the pinned UTC session timezone.
   */
 object Tables {
 
@@ -43,8 +49,21 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType, col("ts")))
+  }
+
+  /** ts-column normalization shared by the batch loader and the streaming
+    * file source (StreamOps.eventsStream): any corpus vintage → TIMESTAMP.
+    * Operates on the column literally named `ts` (the nanos branch needs
+    * SQL integer `div` — Column `/` is double division and loses epoch-nano
+    * precision above 2^53). */
+  def normalizeTs(physical: org.apache.spark.sql.types.DataType,
+                  ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    physical match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case TimestampType => ts
+      case _ => ts.cast(TimestampType)
+    }
   }
 }

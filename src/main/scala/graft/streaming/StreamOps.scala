@@ -24,21 +24,31 @@ object StreamOps {
   private val nameCounter = new AtomicInteger()
 
   /** events as a stream: file-source over the parquet with an explicit
-    * schema (ts arrives as INT64 nanos → proper timestamp, same as
-    * graft.Tables.events). */
+    * schema, normalized to proper TimestampType exactly like
+    * graft.Tables.events. The corpus has shipped `ts` both as INT64
+    * TIMESTAMP(NANOS) and as native TIMESTAMP(MICROS); a file-source
+    * schema is caller-declared (never inferred), so the physical type is
+    * probed from the parquet footer first — hard-coding either variant
+    * silently rescales every event time by 1000× when the corpus flips
+    * (the round-6 regression across all six time-sensitive stream
+    * queries). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file source only accepts directories — scan the sf dir, filtered
     // down to the events file
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // normalize to TIMESTAMP (with local tz): watermarks reject
+    // TIMESTAMP_NTZ, and the session tz is pinned UTC so the cast is
+    // value-preserving
+    raw.withColumn("ts", graft.Tables.normalizeTs(tsType, col("ts")))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and return
@@ -248,17 +258,19 @@ object StreamOps {
     import org.apache.spark.sql.types._
     val flushDir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_flush_" +
       s.sparkContext.applicationId
+    // the flush file is OURS, so it is written with native TimestampType —
+    // no scale guessing; the union runs after eventsStream has normalized
+    // the corpus side to the same type
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val flushNanos = 4102444800L * 1000000000L // 2100-01-01, as INT64 nanos
+    val flushTs = new java.sql.Timestamp(4102444800L * 1000L) // 2100-01-01 UTC
     s.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(
-        -1L, flushNanos, -1L, "__flush", 0.0, null)), schema)
+        -1L, flushTs, -1L, "__flush", 0.0, null)), schema)
       .coalesce(1).write.mode("overwrite").parquet(flushDir)
     val flushStream = s.readStream.schema(schema).parquet(flushDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     eventsStream(s, dir).unionByName(flushStream)
   }
 
