@@ -952,6 +952,62 @@ object StreamOps {
       .orderBy(col("event_type"))
   }
 
+  /** SUBSCRIBE TO A VERSIONED TABLE — `graft.sources.LogSource` drives
+    * the commit log as a streaming source: offsets ARE commit versions,
+    * so each micro-batch is exactly one published commit's payload
+    * (`maxVersionsPerTrigger=1`), the read-side symmetric of the
+    * versioned sinks. The fixture publishes four append-only JSONL
+    * chunks of `orders` through OCC commits; the subscriber drains them
+    * under AvailableNow, applies schema downstream (`from_json` — the
+    * source is transport, like the snapshot source), and maintains a
+    * complete-mode aggregate whose final state must equal the batch
+    * aggregate over the whole table. In-query requires pin the streaming
+    * contract: exactly four non-empty micro-batches (one per commit —
+    * bounded backlog admission, not one bulk batch), and `last_version`
+    * = 4 proves every version flowed through the offset range. */
+  private def logSourceQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    import graft.sources.LogSource
+    val table = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_logsrc_" +
+      s.sparkContext.applicationId
+    CommitLog.reset(table)
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    for (i <- 0 until 4) {
+      val chunk = s"$table/chunk_v${i + 1}"
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+        .toJSON.coalesce(1).write.mode("overwrite").text(chunk)
+      CommitLog.commit(table, i.toLong, chunk)
+    }
+    val payload = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    val agg = s.readStream.format(LogSource.NAME)
+      .option("maxVersionsPerTrigger", 1).load(table)
+      .select(col("version"), from_json(col("line"), payload).as("r"))
+      .groupBy(col("r.o_orderstatus").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Exact.sumD(col("r.o_totalprice")).as("sum_price"),
+        max(col("version")).as("last_version"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val fedBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(fedBatches == 4,
+      s"4 commits at maxVersionsPerTrigger=1 must arrive as 4 micro-batches, got $fedBatches")
+    s.table(name).orderBy(col("o_orderstatus"))
+  }
+
   /** The custom Count-Min aggregate under Structured Streaming: the
     * sketch's constant-size buffer is exactly what a streaming stateful
     * aggregate wants (64 KiB of state TOTAL for unbounded key
@@ -986,6 +1042,7 @@ object StreamOps {
     "stream_txn_sink" -> txnSinkQ,
     "stream_change_feed" -> changeFeedStreamQ,
     "stream_ivm" -> ivmStreamQ,
+    "stream_log_source" -> logSourceQ,
     "stream_incremental_merge" -> incrementalMergeQ,
     "stream_hourly_window" -> hourlyWindowQ,
     "stream_dedup_lastwins" -> dedupLastWinsQ,
@@ -1013,6 +1070,13 @@ object StreamOps {
         |  arg_max(value, event_id) AS value,
         |  arg_max(props, event_id) AS props
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // a subscriber that drained every commit holds the batch aggregate of
+    // the whole table; last_version pins that all 4 versions flowed
+    "stream_log_source" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${graft.ops.Exact.sumSql("o_totalprice")} AS sum_price,
+         |  CAST(4 AS BIGINT) AS last_version
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // final merged state == the batch aggregate over all input
     "stream_incremental_merge" ->
       s"""SELECT user_id, COUNT(*) AS n, ${graft.ops.Exact.sumSql("value")} AS sum_value
