@@ -169,6 +169,62 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
   }
 
+  private val KM_ITERS = 2
+
+  /** Squared L2 in dimension order (sequential left fold both engines),
+    * rounded 6 dp as the cross-engine comparison contract. */
+  private def sqdist(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x), 6)
+
+  /** K-MEANS QUANTIZER TRAINING — Lloyd's algorithm as iterative Spark
+    * dataflow: the step the IVF family assumes (its cells "stand in for
+    * k-means cells"); this is how those cells are trained when no label
+    * column exists. Init = the per-label centroids (deterministic and
+    * well-spread, so the oracle reproduces them); each iteration assigns
+    * every vector to its nearest centroid (BROADCAST centroid table,
+    * K×d doubles — the corpus never shuffles for assignment) and
+    * recomputes centroids as per-dim exact decimal means, so the trained
+    * quantizer is bit-stable under any partitioning. Distances fold in
+    * dimension order and round 6 dp; ties break on ascending cell id —
+    * every step is engine-reproducible, which is what lets a DuckDB
+    * recursive replay hash-match a distributed training run.
+    *
+    * Scale posture: one corpus pass per iteration (assignment is
+    * map-side; the update shuffles K×d keys regardless of corpus size);
+    * at 100 TB you persist each iteration's assignment instead of
+    * re-deriving the lineage, and train on a hash-sample — the plan
+    * shape is unchanged. Output: per trained cell, member count, inertia
+    * (exact sum of rounded sqdists — THE k-means objective, monotone
+    * over iterations), and centroid norm. */
+  private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d").asc, col("cid").asc)
+      e.join(broadcast(cent))
+        .withColumn("d", sqdist(col("v"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("v"), col("d"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("val").cast(Exact.dec)).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+    var cent = centroidVectors(s, dir)
+      .select(col("label").as("cid"), col("cv"))
+    for (_ <- 1 to KM_ITERS) cent = update(assign(cent))
+    assign(cent)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sumD(col("d")).as("inertia"))
+      .join(cent.select(col("cid"), round(norm(col("cv")), 6).as("cnorm")), "cid")
+      .orderBy(col("cid"))
+  }
+
   /** IVF ANN — the inverted-file scale path: a coarse quantizer (per-label
     * centroids standing in for k-means cells, so the oracle reproduces
     * them) assigns every candidate to its nearest cell ONCE; each query
@@ -529,6 +585,7 @@ object Similarity {
     "sim_knn_graph" -> knnGraph,
     "sim_knn_components" -> knnComponents,
     "sim_centroid_cohesion" -> centroidCohesion,
+    "sim_kmeans_train" -> kmeansTrain,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -833,5 +890,41 @@ object Similarity {
          |SELECT label, COUNT(*) AS n, ${avgSql("cos")} AS avg_cos,
          |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
          |FROM cosv GROUP BY label ORDER BY label""".stripMargin,
+    // Lloyd replay: the same init (label centroids), the same two
+    // assign/update rounds, the same rounded fold-order distances
+    "sim_kmeans_train" -> {
+      def sq(v: String, c: String) =
+        s"round(list_reduce(list_transform(generate_series(1, len($v)), " +
+          s"i -> ($v[i]-$c[i])*($v[i]-$c[i])), (a,x) -> a+x), 6)"
+      def assignCte(a: String, cents: String) =
+        s"""$a AS (
+           |  SELECT vec_id, cid, v, d FROM (
+           |    SELECT e.vec_id, c.cid, e.v, ${sq("e.v", "c.cv")} AS d,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sq("e.v", "c.cv")} ASC, c.cid ASC) AS rk
+           |    FROM e CROSS JOIN $cents c) WHERE rk = 1
+           |)""".stripMargin
+      def updateCte(c: String, from: String) =
+        s"""$c AS (
+           |  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+           |    SELECT cid, i AS dim,
+           |      CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+           |    FROM $from, unnest(generate_series(1, len(v))) AS t(i)
+           |    GROUP BY 1, 2) GROUP BY cid
+           |)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${updateCte("c0", "(SELECT label AS cid, embedding::DOUBLE[] AS v FROM embeddings)")},
+         |${assignCte("a1", "c0")},
+         |${updateCte("c1", "a1")},
+         |${assignCte("a2", "c1")},
+         |${updateCte("c2", "a2")},
+         |${assignCte("a3", "c2")}
+         |SELECT a.cid, COUNT(*) AS n,
+         |  ${Exact.sumSql("a.d")} AS inertia,
+         |  round(sqrt(list_reduce(list_transform(ANY_VALUE(c2.cv), x -> x*x),
+         |    (acc,x) -> acc+x)), 6) AS cnorm
+         |FROM a3 a JOIN c2 USING (cid)
+         |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+    },
   )
 }
