@@ -633,6 +633,73 @@ object FormatOps {
       sumD(col("value")).as("sum_value"))
   }
 
+  /** OPTIMIZE — compaction + Z-ORDER reclustering as ONE commit-log
+    * transaction, the maintenance write every production lakehouse runs:
+    * v1 is the table as ingest left it (many small, unclustered files);
+    * OPTIMIZE rewrites that data into few z-ordered files and publishes
+    * the result as v2 through the OCC log. The operation is logically
+    * idempotent — same rows, new layout — so the query's aggregate over
+    * the optimized version hash-matches the plain-table oracle, while
+    * in-query requires pin the physical contract: row count preserved
+    * AND v1 still time-travelable (the rewrite publishes, never
+    * mutates), file count strictly reduced, and a 2-D box predicate
+    * selects a strictly smaller file fraction from v2's stats manifest
+    * than from v1's (the clustering payoff data skipping exists for).
+    * At 100 TB, OPTIMIZE is the difference between ingest-shaped and
+    * query-shaped layout: the rewrite is one shuffle of the optimized
+    * partitions' data, readers before/after the commit each see a
+    * consistent version, and the old files vacuum later. */
+  private def optimizeQ(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "optimize")
+    CommitLog.reset(path)
+    // v1: ingest-shaped — 32 small files, rows scattered by hash, every
+    // file spanning nearly the full custkey/date range
+    graft.Tables(s, dir, "orders")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$path/data_v1")
+    CommitLog.commit(path, 0L, s"$path/data_v1")
+    // OPTIMIZE: read the committed version, recluster on the z-curve,
+    // publish as the next version (CAS — a concurrent writer would lose
+    // exactly one of the two commits, as CommitLogSpec pins elsewhere)
+    val days = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+    CommitLog.read(s, path, 1L)
+      .withColumn("zv", zvalue(col("o_custkey"), days.cast("long")))
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(s"$path/data_v2")
+    CommitLog.commit(path, 1L, s"$path/data_v2")
+    def stats(v: Long) = CommitLog.read(s, path, v)
+      .withColumn("dus", unix_micros(col("o_orderdate").cast("timestamp")))
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_custkey")).as("clo"), max(col("o_custkey")).as("chi"),
+        min(col("dus")).as("dlo"), max(col("dus")).as("dhi"))
+      .collect()
+    val (usLo, usHi) = (788918400000000L, 820454400000000L) // 1995 / 1996-01-01 UTC
+    def selected(st: Array[org.apache.spark.sql.Row]) = st.filter { r =>
+      r.getLong(2) >= 100 && r.getLong(1) < 200 &&
+        r.getLong(4) >= usLo && r.getLong(3) < usHi
+    }
+    val (st1, st2) = (stats(1L), stats(2L))
+    require(st2.length < st1.length,
+      s"OPTIMIZE must compact: ${st1.length} files -> ${st2.length}")
+    val (sel1, sel2) = (selected(st1), selected(st2))
+    require(sel2.length < st2.length &&
+      sel2.length.toDouble / st2.length < sel1.length.toDouble / st1.length,
+      s"z-order must improve box pruning: v1 ${sel1.length}/${st1.length}, " +
+        s"v2 ${sel2.length}/${st2.length}")
+    require(CommitLog.read(s, path, 1L).count() == CommitLog.read(s, path, 2L).count(),
+      "OPTIMIZE must preserve rows and leave v1 time-travelable")
+    readPruned(s, s"$path/data_v2", sel2.map(_.getString(0)).toSeq)
+      .filter(col("o_custkey") >= 100 && col("o_custkey") < 200 &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Snapshot time travel — immutable version directories plus a one-line
     * commit pointer (the minimal form of a table format's metadata log):
     * writers publish a NEW version dir then atomically advance the
@@ -995,6 +1062,7 @@ object FormatOps {
     "src_vacuum" -> vacuumQ,
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
+    "src_optimize" -> optimizeQ,
     "src_text_roundtrip" -> textRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -1245,6 +1313,17 @@ object FormatOps {
          |  ${sumSql("o_totalprice")} AS sum_price
          |FROM unioned GROUP BY 1, 2
          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // OPTIMIZE is logically idempotent: the optimized version answers
+    // exactly what the plain table answers (layout is physical only)
+    "src_optimize" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_custkey) AS n_cust
+         |FROM orders
+         |WHERE o_custkey >= 100 AND o_custkey < 200
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "src_zorder_skipping" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |  ${sumSql("o_totalprice")} AS sum_price,
