@@ -15,10 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * This is the standard integration seam for third-party engines
-  * (injectFunction / injectOptimizerRule / injectPlannerStrategy); the
-  * library needs only function injection — every operator semantics is
-  * expressible as Catalyst plans, so there is deliberately no custom
-  * planner rule to inject (SURVEY §4.2). */
+  * (injectFunction / injectOptimizerRule / injectPlannerStrategy).
+  * Function injection covers the scalar/aggregate kernels; the one
+  * optimizer rule injected is the spatial-join rewrite — the single
+  * place a custom rule carries a concrete performance claim (cartesian →
+  * cell equi-join; every other operator semantics is already expressible
+  * as optimizer-friendly Catalyst plans, SURVEY §4.2). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -30,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKBy].getName, "graft_topk"),
       TopKFunctions.topkBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_geo_within"),
+      new ExpressionInfo(classOf[graft.plans.GeoWithin].getName, "graft_geo_within"),
+      graft.plans.GeoWithin.builder))
+    ext.injectOptimizerRule(_ => graft.plans.GeoJoinRewrite)
   }
 }

@@ -211,9 +211,54 @@ object GeoOps {
       .orderBy(col("event_id"), col("rk"))
   }
 
+  /** The OPTIMIZER-REWRITTEN proximity join: the query is written as the
+    * NAIVE join — two point sets linked only by the `graft_geo_within`
+    * predicate, the plan every user writes first and the one that
+    * cartesians at scale — and `graft.plans.GeoJoinRewrite` (installed
+    * via `experimental.extraOptimizations`, the per-session twin of the
+    * GraftExtensions injection) rewrites it into the 3×3 grid-cell
+    * equi-join automatically. The in-query require pins the claim: the
+    * executed plan contains a real equi-join and NO cartesian /
+    * nested-loop node. The oracle is the brute-force all-pairs SQL —
+    * matching proves the rewrite loses no pair (same pigeonhole + fp
+    * boundary argument as geo_proximity_pairs, which it must equal). */
+  private def geoJoinRuleQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.{GeoJoinRewrite, GeoWithin}
+    val pts = points(s, dir)
+    val a = pts.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("e1"), col("lat").as("lat1"),
+        col("lon").as("lon1"))
+    val b = pts.filter(col("event_type") === "click")
+      .select(col("event_id").as("e2"), col("lat").as("lat2"),
+        col("lon").as("lon2"))
+    val prev = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations = prev :+ GeoJoinRewrite
+    try {
+      GeoWithin.register(s)
+      val within = GeoWithin.within(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2"), lit(PROX_T))
+      val d2 = (col("lat1") - col("lat2")) * (col("lat1") - col("lat2")) +
+        (col("lon1") - col("lon2")) * (col("lon1") - col("lon2"))
+      val out = a.join(b, within)
+        .select(col("e1"), col("e2"), d2.as("dist2"))
+        .orderBy(col("e1"), col("e2"))
+      // toString renders THROUGH the AdaptiveSparkPlan wrapper (node
+      // traversal does not), same convention as PlanAuditSpec
+      val phys = out.queryExecution.executedPlan.toString
+      require(!phys.contains("CartesianProduct") &&
+        !phys.contains("BroadcastNestedLoopJoin"),
+        "GeoJoinRewrite must eliminate the cartesian/nested-loop join")
+      require(phys.contains("BroadcastHashJoin") ||
+        phys.contains("ShuffledHashJoin") || phys.contains("SortMergeJoin"),
+        "GeoJoinRewrite must produce an equi-join on the cell key")
+      out
+    } finally s.experimental.extraOptimizations = prev
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid_cells" -> gridCellsQ,
     "geo_proximity_pairs" -> proximityQ,
+    "geo_join_rule" -> geoJoinRuleQ,
     "geo_knn_radius" -> knnRadiusQ,
     "geo_track_distance" -> trackDistanceQ,
     "geo_heatmap_topk" -> heatmapQ,
@@ -232,6 +277,21 @@ object GeoOps {
     // Spark side compares against (0.05*0.05 != the literal 0.0025 in
     // the last bit — a boundary row must fall the same way in both
     // engines).
+    // all-pairs purchase x click within the threshold — the rewritten
+    // plan must lose no pair vs this brute force
+    "geo_join_rule" ->
+      s"""WITH $pointsSql, pa AS (
+         |  SELECT event_id, lat, lon FROM pts WHERE event_type = 'purchase'
+         |), pb AS (
+         |  SELECT event_id, lat, lon FROM pts WHERE event_type = 'click'
+         |)
+         |SELECT a.event_id AS e1, b.event_id AS e2,
+         |  (a.lat - b.lat) * (a.lat - b.lat) +
+         |  (a.lon - b.lon) * (a.lon - b.lon) AS dist2
+         |FROM pa a JOIN pb b ON
+         |  (a.lat - b.lat) * (a.lat - b.lat) +
+         |  (a.lon - b.lon) * (a.lon - b.lon) < ${PROX_T * PROX_T}
+         |ORDER BY e1, e2""".stripMargin,
     "geo_proximity_pairs" ->
       s"""WITH $pointsSql, p AS (
          |  SELECT event_id, lat, lon FROM pts WHERE event_type = 'purchase'

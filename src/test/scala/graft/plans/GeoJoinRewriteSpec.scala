@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** GeoJoinRewrite: the naive proximity join and its rewritten form must be
+  * row-identical, and the rewrite must change the JOIN STRATEGY, not the
+  * answer. */
+class GeoJoinRewriteSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  // small deterministic point cloud with clustered + isolated points,
+  // including pairs straddling cell boundaries
+  private def pts(idBase: Long): DataFrame = {
+    import spark.implicits._
+    (0 until 60).map { i =>
+      val lat = (i % 10) * 0.05 + (i % 7) * 0.011
+      val lon = (i % 12) * 0.05 + (i % 5) * 0.013
+      (idBase + i, lat, lon)
+    }.toDF("id", "lat", "lon")
+  }
+
+  private def naive(): DataFrame = {
+    val a = pts(0).select(col("id").as("e1"), col("lat").as("lat1"), col("lon").as("lon1"))
+    val b = pts(1000).select(col("id").as("e2"), col("lat").as("lat2"), col("lon").as("lon2"))
+    GeoWithin.register(spark)
+    a.join(b, GeoWithin.within(col("lat1"), col("lon1"),
+      col("lat2"), col("lon2"), lit(0.05)))
+      .select(col("e1"), col("e2"))
+  }
+
+  private def collectPairs(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("the rewrite preserves the naive join's rows exactly") {
+    val prev = spark.experimental.extraOptimizations
+    val without = collectPairs(naive())
+    spark.experimental.extraOptimizations = prev :+ GeoJoinRewrite
+    try {
+      val withRule = naive()
+      val plan = withRule.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rule must remove the nested-loop join:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+      assert(collectPairs(withRule) == without)
+      assert(without.nonEmpty, "fixture must produce qualifying pairs")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("without the rule the same plan nested-loops (the claim's baseline)") {
+    val plan = naive().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+  }
+
+  test("duplicate-free: each qualifying pair matches on exactly one cell key") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ GeoJoinRewrite
+    try {
+      val rows = naive().collect()
+      assert(rows.length == rows.distinct.length,
+        "the 9-key explode must not duplicate result rows")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("GraftExtensions installs the function and the rule at session build") {
+    // fresh session over the SAME SparkContext (GraftExtensionsSpec's
+    // pattern — .stop() would kill the shared context)
+    val fresh = try org.apache.spark.sql.SparkSession.builder()
+      .master(spark.sparkContext.master)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .create()
+    finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+    fresh.range(3).createOrReplaceTempView("l")
+    fresh.range(3).createOrReplaceTempView("r")
+    val out = fresh.sql(
+      """SELECT l.id AS a, r.id AS b FROM l JOIN r
+        |ON graft_geo_within(CAST(l.id AS DOUBLE), 0.0d,
+        |                    CAST(r.id AS DOUBLE), 0.0d, 1.5d)""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"injected rule must rewrite the SQL join:\n$plan")
+    // |id_l - id_r| < 1.5 → neighbors and self
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (i <- 0L until 3L; j <- 0L until 3L if math.abs(i - j) < 1.5)
+      yield (i, j)).toSet
+    assert(got == want)
+  }
+}
