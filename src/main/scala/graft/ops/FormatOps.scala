@@ -782,8 +782,16 @@ object FormatOps {
   private def bloomSkipping(s: SparkSession, dir: String): DataFrame = {
     graft.functions.BloomFunctions.register(s)
     val path = tmpDir(s, "bloomidx")
+    // size FILES to the index's key capacity, exactly how parquet bloom
+    // filters size bits to NDV: the 4 KiB bitmap holds ~5k keys under 4%
+    // fpp, so keys-per-file must stay bounded as the table grows or the
+    // saturated bitmaps answer "maybe" for everything and pruning dies
+    // (caught by the sf1 full-suite rehearsal: 94k keys/file = kept 16/16)
+    val keysPerFile = 5000L
+    val nFiles = math.max(16L,
+      (graft.Tables(s, dir, "orders").count() + keysPerFile - 1) / keysPerFile).toInt
     graft.Tables(s, dir, "orders")
-      .repartitionByRange(16, col("o_orderdate"))
+      .repartitionByRange(nFiles, col("o_orderdate"))
       .write.mode("overwrite").parquet(path)
     val k = s.read.parquet(path).agg(
       min(col("o_orderkey")), max(col("o_orderkey")),

@@ -231,28 +231,34 @@ object GeoOps {
     val b = pts.filter(col("event_type") === "click")
       .select(col("event_id").as("e2"), col("lat").as("lat2"),
         col("lon").as("lon2"))
-    val prev = s.experimental.extraOptimizations
-    s.experimental.extraOptimizations = prev :+ GeoJoinRewrite
-    try {
-      GeoWithin.register(s)
-      val within = GeoWithin.within(col("lat1"), col("lon1"),
-        col("lat2"), col("lon2"), lit(PROX_T))
-      val d2 = (col("lat1") - col("lat2")) * (col("lat1") - col("lat2")) +
-        (col("lon1") - col("lon2")) * (col("lon1") - col("lon2"))
-      val out = a.join(b, within)
-        .select(col("e1"), col("e2"), d2.as("dist2"))
-        .orderBy(col("e1"), col("e2"))
-      // toString renders THROUGH the AdaptiveSparkPlan wrapper (node
-      // traversal does not), same convention as PlanAuditSpec
-      val phys = out.queryExecution.executedPlan.toString
-      require(!phys.contains("CartesianProduct") &&
-        !phys.contains("BroadcastNestedLoopJoin"),
-        "GeoJoinRewrite must eliminate the cartesian/nested-loop join")
-      require(phys.contains("BroadcastHashJoin") ||
-        phys.contains("ShuffledHashJoin") || phys.contains("SortMergeJoin"),
-        "GeoJoinRewrite must produce an equi-join on the cell key")
-      out
-    } finally s.experimental.extraOptimizations = prev
+    // install SESSION-WIDE and idempotently, like the GraftExtensions
+    // injection it mirrors — NOT install-then-restore: every downstream
+    // action (.count(), .write) builds a NEW QueryExecution from the
+    // logical plan, so a rule removed after plan inspection would be
+    // absent from the plan that actually EXECUTES, silently reverting to
+    // the nested-loop join (caught at the 10x rehearsal: 250 s of naive
+    // all-pairs behind a require that had inspected the rewritten plan)
+    if (!s.experimental.extraOptimizations.contains(GeoJoinRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ GeoJoinRewrite
+    GeoWithin.register(s)
+    val within = GeoWithin.within(col("lat1"), col("lon1"),
+      col("lat2"), col("lon2"), lit(PROX_T))
+    val d2 = (col("lat1") - col("lat2")) * (col("lat1") - col("lat2")) +
+      (col("lon1") - col("lon2")) * (col("lon1") - col("lon2"))
+    val out = a.join(b, within)
+      .select(col("e1"), col("e2"), d2.as("dist2"))
+      .orderBy(col("e1"), col("e2"))
+    // toString renders THROUGH the AdaptiveSparkPlan wrapper (node
+    // traversal does not), same convention as PlanAuditSpec
+    val phys = out.queryExecution.executedPlan.toString
+    require(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      "GeoJoinRewrite must eliminate the cartesian/nested-loop join")
+    require(phys.contains("BroadcastHashJoin") ||
+      phys.contains("ShuffledHashJoin") || phys.contains("SortMergeJoin"),
+      "GeoJoinRewrite must produce an equi-join on the cell key")
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -158,8 +158,17 @@ object GeoJoinRewrite extends Rule[LogicalPlan] {
                 generatorOutput = Seq(cellAttr), child = left)
               val rKey = Alias(key(rlat, rlon, t, 0L, 0L), "graft_cell_r")()
               val projRight = Project(right.output :+ rKey, right)
+              // never broadcast the EXPLODED branch: Generate keeps its
+              // child's size estimate, so the planner under-counts it 9x
+              // and happily builds a broadcast hash relation from the fat
+              // side (observed at the 10x rehearsal: a 1.35M-row
+              // broadcast). The home-cell side stays broadcastable, so
+              // small dims still get a broadcast join.
+              val noBcastLeft = JoinHint(
+                Some(HintInfo(strategy = Some(NO_BROADCAST_HASH))),
+                hint.rightHint)
               val rewritten = Join(exploded, projRight, Inner,
-                Some(And(EqualTo(cellAttr, rKey.toAttribute), cond)), hint)
+                Some(And(EqualTo(cellAttr, rKey.toAttribute), cond)), noBcastLeft)
               Project(j.output, rewritten)
             case None => j
           }

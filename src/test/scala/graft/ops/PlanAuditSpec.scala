@@ -32,6 +32,10 @@ class PlanAuditSpec extends SparkSpec {
     // dedup_semantic / sim_knn_graph score vectors against the BROADCAST
     // quantizer-cell table (bounded by design, same as sim_ann_ivf)
     "dedup_semantic", "sim_knn_graph", "sim_knn_components", "rel_funnel",
+    // k-means assignment scores the corpus against the BROADCAST K-row
+    // centroid table each iteration — bounded by design (K ≪ corpus),
+    // the same shape as sim_ann_ivf's quantizer scoring
+    "sim_kmeans_train",
     // graph_* cross-join a BROADCAST 1-row aggregate (node/edge count)
     // into the pipeline — the in-pipeline alternative to a driver count()
     "graph_pagerank", "graph_triangles",

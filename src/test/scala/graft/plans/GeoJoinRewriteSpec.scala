@@ -49,8 +49,15 @@ class GeoJoinRewriteSpec extends SparkSpec {
   }
 
   test("without the rule the same plan nested-loops (the claim's baseline)") {
-    val plan = naive().queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+    // geo_join_rule installs the rule SESSION-WIDE (by design — a
+    // restored-away rule would miss every downstream re-optimization), so
+    // the baseline measurement explicitly removes it for the check
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev.filterNot(_ == GeoJoinRewrite)
+    try {
+      val plan = naive().queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+    } finally spark.experimental.extraOptimizations = prev
   }
 
   test("duplicate-free: each qualifying pair matches on exactly one cell key") {
