@@ -225,6 +225,80 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  private val PQ_SUBSPACES = 2 // 64 dims → 2 × 32-dim sub-quantizers
+  private val PQ_SUBDIM = 32
+  private val PQ_K = 4 // codebook size per subspace
+  private val PQ_ITERS = 1
+
+  /** PRODUCT QUANTIZATION + ADC — the ANN memory-compression path
+    * (Jégou et al., IVF-PQ): each vector is split into PQ_SUBSPACES
+    * sub-vectors, each sub-vector is quantized to its nearest codebook
+    * centroid (codebooks trained per subspace with the same Lloyd step
+    * as sim_kmeans_train), and a vector is stored as PQ_SUBSPACES small
+    * codes — here 2×2 bits instead of 64 doubles, the 4×→64× memory
+    * lever that lets a billion-vector index fit in RAM. Queries score
+    * candidates by Asymmetric Distance Computation: per query, a
+    * LOOKUP TABLE of (subspace, code) → exact sub-distance is built
+    * against the codebooks (PQ_K × PQ_SUBSPACES entries — broadcast,
+    * tiny), and a candidate's approximate distance is the SUM of table
+    * entries selected by its codes — the scan touches only codes and a
+    * lookup table, never the original vectors.
+    *
+    * Everything is engine-reproducible (deterministic init = the first
+    * PQ_K vectors' sub-slices; dimension-order folds; rounded 6 dp;
+    * ascending tie-breaks), so the DuckDB oracle replays training,
+    * encoding, and the ADC scan and must hash-match. Scale posture: the
+    * encode pass is a broadcast-codebook map-side join; the ADC scan
+    * shuffles only (q_id, vec_id, partial) into a PQ_SUBSPACES-way sum —
+    * per-candidate work is O(PQ_SUBSPACES), independent of dimension. */
+  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).drop("label")
+    // long form: one row per (vector, subspace) sub-vector
+    val sub = (0 until PQ_SUBSPACES).map(sp =>
+      e.select(col("vec_id"), lit(sp).as("sp"),
+        slice(col("v"), sp * PQ_SUBDIM + 1, PQ_SUBDIM).as("sv")))
+      .reduce(_ unionByName _)
+    // deterministic init: sub-slices of the first PQ_K vectors
+    var cents = sub.filter(col("vec_id") < PQ_K)
+      .select(col("sp"), col("vec_id").as("cid"), col("sv").as("cv"))
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("sp"), col("vec_id"))
+        .orderBy(col("d").asc, col("cid").asc)
+      sub.join(broadcast(c), "sp")
+        .withColumn("d", sqdist(col("sv"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("sp"), col("vec_id"), col("cid"), col("sv"), col("d"))
+    }
+    for (_ <- 1 to PQ_ITERS)
+      cents = assign(cents)
+        .select(col("sp"), col("cid"), posexplode(col("sv")).as(Seq("dim", "val")))
+        .groupBy(col("sp"), col("cid"), col("dim"))
+        .agg((sum(col("val").cast(Exact.dec)).cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("sp"), col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+    // encode: every CANDIDATE vector → its per-subspace nearest code
+    val codes = assign(cents).filter(col("vec_id") >= N_QUERIES)
+      .select(col("sp"), col("vec_id"), col("cid"))
+    // per-query ADC lookup table: exact sub-distance to every codebook
+    // entry (PQ_SUBSPACES × PQ_K rows per query — broadcast)
+    val lut = sub.filter(col("vec_id") < N_QUERIES)
+      .select(col("sp"), col("vec_id").as("q_id"), col("sv").as("qv"))
+      .join(broadcast(cents), "sp")
+      .select(col("sp"), col("q_id"), col("cid"),
+        sqdist(col("qv"), col("cv")).as("d"))
+    val adc = codes.join(broadcast(lut), Seq("sp", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d").cast(Exact.dec)).cast("double").as("adc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** IVF ANN — the inverted-file scale path: a coarse quantizer (per-label
     * centroids standing in for k-means cells, so the oracle reproduces
     * them) assigns every candidate to its nearest cell ONCE; each query
@@ -586,6 +660,7 @@ object Similarity {
     "sim_knn_components" -> knnComponents,
     "sim_centroid_cohesion" -> centroidCohesion,
     "sim_kmeans_train" -> kmeansTrain,
+    "sim_pq_adc" -> pqAdc,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -925,6 +1000,55 @@ object Similarity {
          |    (acc,x) -> acc+x)), 6) AS cnorm
          |FROM a3 a JOIN c2 USING (cid)
          |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+    },
+    // PQ replay: same sub-slicing, same deterministic init, one Lloyd
+    // round per subspace, same codes and ADC lookup-table sums
+    "sim_pq_adc" -> {
+      def sq(a: String, b: String) =
+        s"round(list_reduce(list_transform(generate_series(1, len($a)), " +
+          s"i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc,x) -> acc+x), 6)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, 0 AS sp, v[1:${PQ_SUBDIM}] AS sv FROM e
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS sp, v[${PQ_SUBDIM + 1}:${2 * PQ_SUBDIM}] AS sv FROM e
+         |),
+         |c0 AS (SELECT sp, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PQ_K),
+         |a1 AS (
+         |  SELECT sp, vec_id, cid, sv FROM (
+         |    SELECT s.sp, s.vec_id, c.cid, s.sv,
+         |      row_number() OVER (PARTITION BY s.sp, s.vec_id
+         |        ORDER BY ${sq("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
+         |    FROM sub s JOIN c0 c ON s.sp = c.sp) WHERE rk = 1
+         |),
+         |c1 AS (
+         |  SELECT sp, cid, list(m ORDER BY dim) AS cv FROM (
+         |    SELECT sp, cid, i AS dim,
+         |      CAST(SUM(CAST(sv[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM a1, unnest(generate_series(1, len(sv))) AS t(i)
+         |    GROUP BY 1, 2, 3) GROUP BY sp, cid
+         |),
+         |codes AS (
+         |  SELECT sp, vec_id, cid FROM (
+         |    SELECT s.sp, s.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY s.sp, s.vec_id
+         |        ORDER BY ${sq("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
+         |    FROM sub s JOIN c1 c ON s.sp = c.sp) WHERE rk = 1 AND vec_id >= $N_QUERIES
+         |),
+         |lut AS (
+         |  SELECT q.sp, q.vec_id AS q_id, c.cid, ${sq("q.sv", "c.cv")} AS d
+         |  FROM sub q JOIN c1 c ON q.sp = c.sp WHERE q.vec_id < $N_QUERIES
+         |),
+         |adc AS (
+         |  SELECT l.q_id, k.vec_id,
+         |    CAST(SUM(CAST(l.d AS DECIMAL(30,6))) AS DOUBLE) AS adc
+         |  FROM codes k JOIN lut l ON k.sp = l.sp AND k.cid = l.cid
+         |  GROUP BY 1, 2
+         |)
+         |SELECT q_id, rk, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc ASC, vec_id ASC) AS rk FROM adc
+         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
     },
   )
 }
