@@ -633,6 +633,64 @@ object FormatOps {
       sumD(col("value")).as("sum_value"))
   }
 
+  /** HIDDEN PARTITIONING — the Iceberg model: the table is physically
+    * laid out by a TRANSFORM of a data column (`months(o_orderdate)`),
+    * the transform is TABLE METADATA (committed alongside the layout,
+    * here a `_transform` entry), and queries never mention the partition
+    * column — they filter the RAW column, and the planner derives which
+    * partition values can satisfy the predicate FROM the transform.
+    * This is what plain path-partitioned tables can't do: Spark prunes
+    * `p_month = ...` only when the query references `p_month`
+    * (src_partitioned_pruned's territory); a raw-column range predicate
+    * reads everything. Here `o_orderdate ∈ [1995-07, 1995-10)` maps
+    * through `months()` to exactly three partition values — metadata-only
+    * planning, zero data reads to decide. The require pins a strict
+    * subset of partitions read AND that every scanned file lives under a
+    * derived partition; the oracle (plain range filter on the original
+    * table) proves the derivation loses no row. At 100 TB: users write
+    * natural predicates, partition math stays in the table format, and
+    * mis-partitioned full scans — the #1 silent cost on date-partitioned
+    * lakes — stop being possible. */
+  private def hiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "hiddenpart")
+    graft.Tables(s, dir, "orders")
+      .withColumn("p_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.partitionBy("p_month").mode("overwrite").parquet(path)
+    // the transform is table METADATA, not query text
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_transform"), "months(o_orderdate)")
+    val (lo, hi) = ("1995-07-01", "1995-10-01")
+    // planner: read the committed transform, derive the partition values
+    // the raw-column predicate can touch (month overlap with [lo, hi))
+    val transform = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_transform")).trim
+    require(transform == "months(o_orderdate)", s"unknown transform $transform")
+    def ym(d: String) = java.time.YearMonth.from(java.time.LocalDate.parse(d))
+    val last = // an exclusive bound on a month edge excludes that month
+      if (ym(hi).atDay(1).isEqual(java.time.LocalDate.parse(hi))) ym(hi).minusMonths(1)
+      else ym(hi)
+    val months = Iterator.iterate(ym(lo))(_.plusMonths(1))
+      .takeWhile(!_.isAfter(last)).map(_.toString).toSeq
+    val all = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("p_month=")).map(_.getName).sorted
+    val wanted = months.map(m => s"p_month=$m").filter(all.contains)
+    require(wanted.nonEmpty && wanted.size < all.length,
+      s"hidden partitioning must prune: ${wanted.size}/${all.length}")
+    val pruned = s.read.option("basePath", path)
+      .parquet(wanted.map(w => s"$path/$w"): _*)
+    // every scanned file must live under a derived partition — the scan
+    // can never silently widen past the transform's answer
+    require(pruned.inputFiles.forall(f => wanted.exists(w => f.contains(s"/$w/"))),
+      "scan escaped the derived partitions")
+    pruned
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** OPTIMIZE — compaction + Z-ORDER reclustering as ONE commit-log
     * transaction, the maintenance write every production lakehouse runs:
     * v1 is the table as ingest left it (many small, unclustered files);
@@ -1071,6 +1129,7 @@ object FormatOps {
     "src_manifest_pruned" -> manifestPruned,
     "src_compaction" -> compaction,
     "src_optimize" -> optimizeQ,
+    "src_hidden_partitioning" -> hiddenPartitioning,
     "src_text_roundtrip" -> textRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -1321,6 +1380,16 @@ object FormatOps {
          |  ${sumSql("o_totalprice")} AS sum_price
          |FROM unioned GROUP BY 1, 2
          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // partition derivation is metadata-only; the result must equal the
+    // plain range filter (the derivation loses no row)
+    "src_hidden_partitioning" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price,
+         |  COUNT(DISTINCT o_custkey) AS n_cust
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+         |  AND o_orderdate < TIMESTAMP '1995-10-01'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // OPTIMIZE is logically idempotent: the optimized version answers
     // exactly what the plain table answers (layout is physical only)
     "src_optimize" ->
