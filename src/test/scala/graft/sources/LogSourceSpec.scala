@@ -10,6 +10,14 @@ class LogSourceSpec extends SparkSpec {
 
   private def freshTable(tag: String): String = {
     val t = s"/tmp/graft_logsrc_spec_$tag"
+    // wipe the WHOLE table dir: CommitLog.reset clears only the log, and a
+    // stale streaming checkpoint ($t/_cp) from a previous JVM run would
+    // make the "resumed subscriber" correctly read nothing
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(t))
     CommitLog.reset(t)
     t
   }
