@@ -404,6 +404,41 @@ object StreamOps {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** TEMPORAL TABLE JOIN (Flink's "join the dimension AS OF event time"):
+    * each streaming event is enriched with the dimension VERSION that was
+    * valid at the event's effective time — not the current version, which
+    * is what a plain stream-static join gives and what silently rewrites
+    * history when late events meet an updated dim. The dimension is the
+    * SCD2 history (HistoryOps.scd2 over per-customer order versions);
+    * the join condition is key equality + `valid_from <= eff < valid_to`,
+    * broadcast map-side per micro-batch, STATELESS (append mode) — at
+    * 100 TB the dim history is broadcast/bucketed and the stream never
+    * accumulates join state. Events carry a deterministic effective date
+    * inside the dim's validity range (event_id-derived, engine-identical)
+    * so every SCD2 version can win matches, not just the open tail. */
+  def temporalJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.ops.HistoryOps.scd2(
+      graft.Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").as("valid_from")),
+      "o_custkey", "valid_from", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("valid_from"), col("valid_to"))
+    val eff = date_add(lit("1992-01-01").cast("date"),
+      pmod(col("event_id"), lit(2400)).cast("int")).cast("timestamp")
+    val joined = eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), eff.as("eff_ts"))
+      .join(broadcast(dim),
+        col("user_id") === col("o_custkey") &&
+          col("eff_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("eff_ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("eff_ts"),
+        col("o_orderkey").as("version_key"),
+        col("o_totalprice").as("version_price"))
+    runToMemory(joined, "append")
+      .orderBy(col("event_id"))
+  }
+
   /** Stream-stream inner join with watermarks and a time-range condition:
     * each click joined to the same user's views within ±10 minutes. The
     * range bound + watermark make join state evictable — the only shape a
@@ -1050,6 +1085,7 @@ object StreamOps {
     "stream_running_counts" -> runningCountsQ,
     "stream_lsh_neardup" -> nearDupStreamQ,
     "stream_static_join" -> streamStaticJoinQ,
+    "stream_temporal_join" -> temporalJoinQ,
     "stream_stream_join" -> streamStreamJoinQ,
     "stream_outer_join" -> streamOuterJoinQ,
     "stream_watermark_dedup" -> ((s, dir) => watermarkDedupQ(s, dir)),
@@ -1070,6 +1106,26 @@ object StreamOps {
         |  arg_max(value, event_id) AS value,
         |  arg_max(props, event_id) AS props
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the batch formulation of the as-of-event-time enrichment: SCD2
+    // versions from lead() windows, inner range join on validity
+    "stream_temporal_join" ->
+      """WITH dim AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders
+        |), ev AS (
+        |  SELECT event_id, user_id,
+        |    TIMESTAMP '1992-01-01' + INTERVAL (CAST(event_id % 2400 AS INT)) DAY AS eff_ts
+        |  FROM events
+        |)
+        |SELECT e.event_id, e.user_id, e.eff_ts,
+        |  d.o_orderkey AS version_key, d.o_totalprice AS version_price
+        |FROM ev e JOIN dim d ON e.user_id = d.o_custkey
+        |  AND e.eff_ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR e.eff_ts < d.valid_to)
+        |ORDER BY event_id""".stripMargin,
     // a subscriber that drained every commit holds the batch aggregate of
     // the whole table; last_version pins that all 4 versions flowed
     "stream_log_source" ->
