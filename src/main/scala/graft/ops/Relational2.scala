@@ -723,7 +723,39 @@ object Relational2 {
         sum(bit_count(col("ba").bitwiseOR(col("bc")))).as("n_a_or_c"))
   }
 
+  /** Sweep-line interval concurrency — "how many intervals are open at
+    * once, and when does the peak start": each order is a 30-day open
+    * interval, unpivoted to (+1 at start, −1 at end) deltas, running-sum
+    * ordered by (time, delta) so closes process before opens at the same
+    * instant (half-open intervals never overlap at the boundary). The
+    * peak count is deterministic under tied timestamps: equal-delta peers
+    * commute, so the running values form the same multiset regardless of
+    * peer order. One keyed window + one tiny broadcast-back of the
+    * per-key max — the classic capacity/concurrency question (sessions
+    * open, rooms booked, connections held) with no self-join, no
+    * interval×interval pairing; a 100 TB interval table shuffles once on
+    * the key. */
+  private def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders").select(col("o_orderpriority").as("p"),
+      col("o_orderdate").cast("timestamp").as("st"),
+      (col("o_orderdate").cast("timestamp") + expr("INTERVAL 30 DAYS")).as("en"))
+    val deltas = iv.select(col("p"), col("st").as("t"), lit(1L).as("d"))
+      .unionAll(iv.select(col("p"), col("en").as("t"), lit(-1L).as("d")))
+    val w = Window.partitionBy(col("p")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val running = deltas.withColumn("c", sum(col("d")).over(w))
+    val mc = running.groupBy(col("p")).agg(max(col("c")).as("max_concurrent"))
+    running.join(broadcast(mc), "p")
+      .filter(col("c") === col("max_concurrent"))
+      .groupBy(col("p"), col("max_concurrent"))
+      .agg(min(col("t")).as("peak_ts"))
+      .select(col("p").as("o_orderpriority"), col("max_concurrent"),
+        col("peak_ts"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_interval_overlap" -> intervalOverlap,
     "rel_bitmap_intersect" -> bitmapIntersect,
     "rel_bloom_prefilter" -> bloomPrefilter,
     "rel_attribution" -> attribution,
@@ -766,6 +798,28 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same sweep line in SQL: deltas, keyed running sum with closes
+    // before opens on ties, arg-min of the peak
+    "rel_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT o_orderpriority AS p, o_orderdate AS st,
+        |    o_orderdate + INTERVAL 30 DAY AS en
+        |  FROM orders
+        |), deltas AS (
+        |  SELECT p, st AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL
+        |  SELECT p, en AS t, CAST(-1 AS BIGINT) AS d FROM iv
+        |), running AS (
+        |  SELECT p, t, SUM(d) OVER (PARTITION BY p ORDER BY t, d
+        |    ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM deltas
+        |), mc AS (
+        |  SELECT p, MAX(c) AS max_concurrent FROM running GROUP BY p
+        |)
+        |SELECT r.p AS o_orderpriority, m.max_concurrent,
+        |  MIN(r.t) AS peak_ts
+        |FROM running r JOIN mc m ON r.p = m.p AND r.c = m.max_concurrent
+        |GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin,
     // filtered aggregates over the raw table — one misplaced bit in the
     // index words and a count diverges
     "rel_bitmap_intersect" ->
