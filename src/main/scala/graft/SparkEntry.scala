@@ -28,7 +28,7 @@ object SparkEntry {
       MultimodalOps.queries ++ SkewOps.queries ++ ProfileOps.queries ++
       KmvOps.queries ++
       SplitOps.queries ++ FuzzyMatch.queries ++ GeoOps.queries ++ HistoryOps.queries ++
-      GraphOps.queries ++ ContractOps.queries ++
+      GraphOps.queries ++ ContractOps.queries ++ TimeSeriesOps.queries ++
       graft.streaming.StreamOps.queries
 
   def oracleSql: Map[String, String] =
@@ -39,6 +39,6 @@ object SparkEntry {
       MultimodalOps.oracles ++ SkewOps.oracles ++ ProfileOps.oracles ++
       KmvOps.oracles ++
       SplitOps.oracles ++ FuzzyMatch.oracles ++ GeoOps.oracles ++ HistoryOps.oracles ++
-      GraphOps.oracles ++ ContractOps.oracles ++
+      GraphOps.oracles ++ ContractOps.oracles ++ TimeSeriesOps.oracles ++
       graft.streaming.StreamOps.oracles
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series similarity search (the EDBT'19 streaming-subsequence-match
+  * family): find the corpus subsequences most similar to a query pattern
+  * under z-normalized euclidean distance — the primitive behind motif
+  * discovery, anomaly matching, and "find me days that looked like this
+  * one".
+  *
+  * Shape: per-key trailing windows materialize candidate subsequences
+  * with ONE keyed window function (no self-join, no explosion into
+  * (subsequence × subsequence) pairs); the query pattern is a broadcast
+  * 1-row array; z-normalization and the distance fold run map-side in
+  * sequence order, so both engines accumulate bit-identically. At 100 TB
+  * the plan is one shuffle on the series key; the production refinements
+  * (early-abandon thresholds, piecewise-aggregate prefilter before exact
+  * distance) keep the same plan shape — candidates stream through a
+  * map-side kernel, never pairwise.
+  */
+object TimeSeriesOps {
+
+  private val M = 8 // subsequence length
+  private val TOPK = 10
+
+  private def fold(a: Column): Column =
+    aggregate(a, lit(0.0d), (acc, x) => acc + x)
+
+  /** z-normalize an array<double> in-place: (x - mean) / std; windows
+    * with ~zero variance are the caller's job to filter. */
+  private def znorm(v: Column): Column = {
+    val mean = fold(v) / lit(M.toDouble)
+    val sq = fold(transform(v, x => x * x)) / lit(M.toDouble)
+    val std = sqrt(sq - mean * mean)
+    transform(v, x => (x - mean) / std)
+  }
+
+  private def tsSubseqTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // the query pattern: user 1's first M values in event order —
+    // derived in-plan (1-row broadcast), reproducible in the oracle
+    val pattern = ev.filter(col("user_id") === 1)
+      .select(col("ts"), col("event_id"), col("value"))
+      .groupBy()
+      .agg(slice(transform(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))),
+        x => x.getField("value")), 1, M).as("pv"))
+      .select(znorm(col("pv")).as("pz"))
+    // candidate subsequences: trailing M-row window per user series
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(M - 1), Window.currentRow)
+    val subs = ev
+      .withColumn("win", collect_list(col("value")).over(w))
+      .filter(size(col("win")) === M)
+      // constant windows have no z-form; drop them (both engines)
+      .withColumn("std2",
+        fold(transform(col("win"), x => x * x)) / M -
+          (fold(col("win")) / M) * (fold(col("win")) / M))
+      .filter(col("std2") > 1e-12)
+      .select(col("user_id"), col("event_id").as("end_event_id"),
+        znorm(col("win")).as("wz"))
+    val dist = subs.crossJoin(broadcast(pattern))
+      .select(col("user_id"), col("end_event_id"),
+        round(fold(zip_with(col("wz"), col("pz"),
+          (a, b) => (a - b) * (a - b))), 6).as("dist"))
+    dist.orderBy(col("dist").asc, col("user_id").asc, col("end_event_id").asc)
+      .limit(TOPK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_subseq_topk" -> tsSubseqTopk,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the same trailing windows, z-norm, and in-order folds in SQL
+    "ts_subseq_topk" -> {
+      def foldSql(l: String) = s"list_reduce($l, (acc,x) -> acc+x)"
+      def znormSql(v: String) =
+        s"list_transform($v, x -> (x - ${foldSql(v)}/$M.0) / " +
+          s"sqrt(${foldSql(s"list_transform($v, x -> x*x)")}/$M.0 - " +
+          s"(${foldSql(v)}/$M.0)*(${foldSql(v)}/$M.0)))"
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, ts, "value" AS v FROM events
+         |), pat AS (
+         |  SELECT (list(v ORDER BY ts, event_id))[1:$M] AS pv
+         |  FROM ev WHERE user_id = 1
+         |), patz AS (SELECT ${znormSql("pv")} AS pz FROM pat),
+         |subs AS (
+         |  SELECT user_id, event_id AS end_event_id,
+         |    list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN ${M - 1} PRECEDING AND CURRENT ROW) AS win
+         |  FROM ev
+         |), full_subs AS (
+         |  SELECT user_id, end_event_id, win FROM subs WHERE len(win) = $M
+         |), varf AS (
+         |  SELECT user_id, end_event_id, win FROM full_subs
+         |  WHERE ${foldSql("list_transform(win, x -> x*x)")}/$M.0 -
+         |    (${foldSql("win")}/$M.0)*(${foldSql("win")}/$M.0) > 1e-12
+         |), scored AS (
+         |  SELECT user_id, end_event_id,
+         |    round(${foldSql(
+              s"list_transform(generate_series(1, $M), i -> " +
+                s"(wz[i]-pz[i])*(wz[i]-pz[i]))")}, 6) AS dist
+         |  FROM (SELECT user_id, end_event_id, ${znormSql("win")} AS wz
+         |        FROM varf) CROSS JOIN patz
+         |)
+         |SELECT user_id, end_event_id, dist FROM scored
+         |ORDER BY dist ASC, user_id ASC, end_event_id ASC LIMIT $TOPK""".stripMargin
+    },
+  )
+}

@@ -64,7 +64,10 @@ class PlanAuditSpec extends SparkSpec {
     "rel_skew_audit",
     // three 1-row sides (two sketches + exact twin) pair via broadcast
     // cross joins — the sketch algebra runs on k-long arrays
-    "rel_kmv_setops")
+    "rel_kmv_setops",
+    // the z-normalized query pattern is a BROADCAST 1-row array; candidate
+    // subsequences stream map-side against it
+    "ts_subseq_topk")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
