@@ -261,5 +261,37 @@ package object api {
         .filter(col("rk") <= k)
         .select(col("q_id"), col("rk").cast("long").as("rk"), col("id"), col("sim"))
     }
+
+    /** Temporal (as-of-validity) enrichment: each left row joins the
+      * `dim` version valid at its `at` instant — key equality plus
+      * `validFrom <= at < validTo` (NULL `validTo` = open tail). The dim
+      * history broadcasts; the join is stateless and works identically
+      * under batch and foreachBatch/stream-static execution
+      * (stream_temporal_join is this operator on the events stream). */
+    def temporalJoin(dim: DataFrame, key: String, at: String,
+        validFrom: String = "valid_from",
+        validTo: String = "valid_to"): DataFrame =
+      df.join(broadcast(dim),
+        df(key) === dim(key) && df(at) >= dim(validFrom) &&
+          (dim(validTo).isNull || df(at) < dim(validTo)))
+        .drop(dim(key))
+
+    /** Sweep-line interval concurrency: peak number of simultaneously
+      * open `[start, end)` intervals per `key`, with the instant the peak
+      * is first reached. One keyed window — no interval×interval
+      * self-join (rel_interval_overlap is this operator on orders). */
+    def maxConcurrent(key: Column, start: Column, end: Column): DataFrame = {
+      val iv = df.select(key.as("k"), start.as("st"), end.as("en"))
+      val deltas = iv.select(col("k"), col("st").as("t"), lit(1L).as("d"))
+        .unionAll(iv.select(col("k"), col("en").as("t"), lit(-1L).as("d")))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val running = deltas.withColumn("c", sum(col("d")).over(w))
+      val mc = running.groupBy(col("k")).agg(max(col("c")).as("max_concurrent"))
+      running.join(broadcast(mc), "k")
+        .filter(col("c") === col("max_concurrent"))
+        .groupBy(col("k"), col("max_concurrent"))
+        .agg(min(col("t")).as("peak_ts"))
+    }
   }
 }

@@ -167,4 +167,30 @@ class ApiSpec extends SparkSpec {
     assert(prof.count() == 2 &&
       prof.filter(col("column") === "doc_id").head().getAs[Long]("n_distinct") == d.count())
   }
+
+  test("temporalJoin matches a per-row as-of lookup") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "v1", 10L, Some(20L)), (1L, "v2", 20L, None),
+      (2L, "w1", 5L, Some(15L)))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val facts = Seq((1L, 9L), (1L, 10L), (1L, 19L), (1L, 20L), (1L, 99L),
+      (2L, 5L), (2L, 15L)).toDF("k", "at")
+    val got = facts.temporalJoin(dim, "k", "at")
+      .select(col("k"), col("at"), col("attr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "v1"), (1L, 19L, "v1"), (1L, 20L, "v2"),
+      (1L, 99L, "v2"), (2L, 5L, "w1")))
+  }
+
+  test("maxConcurrent matches a brute-force sweep") {
+    import spark.implicits._
+    // k=a: [0,10) [5,15) [9,12) -> 3 concurrent first at t=9
+    // k=b: [0,5) [5,10) -> half-open endpoints never overlap -> 1 at t=0
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 15L), ("a", 9L, 12L),
+      ("b", 0L, 5L), ("b", 5L, 10L)).toDF("k", "st", "en")
+    val got = iv.maxConcurrent(col("k"), col("st"), col("en"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 3L, 9L), ("b", 1L, 0L)))
+  }
 }
