@@ -74,41 +74,47 @@ object TimeSeriesOps {
     "ts_subseq_topk" -> tsSubseqTopk,
   )
 
+  /** Shared oracle substrate: every trailing M-window scored against the
+    * z-normalized pattern (same folds, same order) — the batch top-k and
+    * the streaming threshold-match oracles both SELECT from `scored`. */
+  private[graft] val scoredSql: String = {
+    def foldSql(l: String) = s"list_reduce($l, (acc,x) -> acc+x)"
+    def znormSql(v: String) =
+      s"list_transform($v, x -> (x - ${foldSql(v)}/$M.0) / " +
+        s"sqrt(${foldSql(s"list_transform($v, x -> x*x)")}/$M.0 - " +
+        s"(${foldSql(v)}/$M.0)*(${foldSql(v)}/$M.0)))"
+    s"""ev AS (
+       |  SELECT event_id, user_id, ts, "value" AS v FROM events
+       |), pat AS (
+       |  SELECT (list(v ORDER BY ts, event_id))[1:$M] AS pv
+       |  FROM ev WHERE user_id = 1
+       |), patz AS (SELECT ${znormSql("pv")} AS pz FROM pat),
+       |subs AS (
+       |  SELECT user_id, event_id AS end_event_id,
+       |    list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN ${M - 1} PRECEDING AND CURRENT ROW) AS win
+       |  FROM ev
+       |), full_subs AS (
+       |  SELECT user_id, end_event_id, win FROM subs WHERE len(win) = $M
+       |), varf AS (
+       |  SELECT user_id, end_event_id, win FROM full_subs
+       |  WHERE ${foldSql("list_transform(win, x -> x*x)")}/$M.0 -
+       |    (${foldSql("win")}/$M.0)*(${foldSql("win")}/$M.0) > 1e-12
+       |), scored AS (
+       |  SELECT user_id, end_event_id,
+       |    round(${foldSql(
+            s"list_transform(generate_series(1, $M), i -> " +
+              s"(wz[i]-pz[i])*(wz[i]-pz[i]))")}, 6) AS dist
+       |  FROM (SELECT user_id, end_event_id, ${znormSql("win")} AS wz
+       |        FROM varf) CROSS JOIN patz
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the same trailing windows, z-norm, and in-order folds in SQL
-    "ts_subseq_topk" -> {
-      def foldSql(l: String) = s"list_reduce($l, (acc,x) -> acc+x)"
-      def znormSql(v: String) =
-        s"list_transform($v, x -> (x - ${foldSql(v)}/$M.0) / " +
-          s"sqrt(${foldSql(s"list_transform($v, x -> x*x)")}/$M.0 - " +
-          s"(${foldSql(v)}/$M.0)*(${foldSql(v)}/$M.0)))"
-      s"""WITH ev AS (
-         |  SELECT event_id, user_id, ts, "value" AS v FROM events
-         |), pat AS (
-         |  SELECT (list(v ORDER BY ts, event_id))[1:$M] AS pv
-         |  FROM ev WHERE user_id = 1
-         |), patz AS (SELECT ${znormSql("pv")} AS pz FROM pat),
-         |subs AS (
-         |  SELECT user_id, event_id AS end_event_id,
-         |    list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN ${M - 1} PRECEDING AND CURRENT ROW) AS win
-         |  FROM ev
-         |), full_subs AS (
-         |  SELECT user_id, end_event_id, win FROM subs WHERE len(win) = $M
-         |), varf AS (
-         |  SELECT user_id, end_event_id, win FROM full_subs
-         |  WHERE ${foldSql("list_transform(win, x -> x*x)")}/$M.0 -
-         |    (${foldSql("win")}/$M.0)*(${foldSql("win")}/$M.0) > 1e-12
-         |), scored AS (
-         |  SELECT user_id, end_event_id,
-         |    round(${foldSql(
-              s"list_transform(generate_series(1, $M), i -> " +
-                s"(wz[i]-pz[i])*(wz[i]-pz[i]))")}, 6) AS dist
-         |  FROM (SELECT user_id, end_event_id, ${znormSql("win")} AS wz
-         |        FROM varf) CROSS JOIN patz
-         |)
+    "ts_subseq_topk" ->
+      s"""WITH $scoredSql
          |SELECT user_id, end_event_id, dist FROM scored
-         |ORDER BY dist ASC, user_id ASC, end_event_id ASC LIMIT $TOPK""".stripMargin
-    },
+         |ORDER BY dist ASC, user_id ASC, end_event_id ASC LIMIT $TOPK""".stripMargin,
   )
 }

@@ -404,6 +404,71 @@ object StreamOps {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** STREAMING SUBSEQUENCE MATCH (the EDBT'19 time-series-similarity
+    * setting: the series arrive continuously): per series key, a
+    * flatMapGroupsWithState kernel keeps only the last M−1 points as
+    * state (constant per key — an unbounded stream cannot grow it) and,
+    * as each point arrives, completes the trailing M-window, z-normalizes
+    * it, and emits the window when its distance to the broadcast query
+    * pattern beats the threshold. Batch-order determinism is the
+    * streamingNearDup convention: rows sort by (ts, event_id) inside the
+    * group, so emitted matches equal the batch operator's. The pattern is
+    * collected once driver-side (M values — metadata-class, the "query"
+    * a matching service is configured with). Oracle: the batch trailing
+    * windows with the same threshold. */
+  def tsMatchStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val M = 8
+    val TAU = 1.0
+    // the configured query pattern: user 1's first M values, z-normalized
+    val patRaw = graft.Tables(s, dir, "events")
+      .filter(col("user_id") === 1)
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("value")).limit(M)
+      .collect().map(_.getDouble(0))
+    val (pm, psq) = (patRaw.sum / M, patRaw.map(x => x * x).sum / M)
+    val pstd = math.sqrt(psq - pm * pm)
+    val pz = patRaw.map(x => (x - pm) / pstd)
+    val matches = eventsStream(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[List[Double]]) => {
+          var tail = state.getOption.getOrElse(Nil) // last ≤ M-1 values, oldest first
+          val out = List.newBuilder[(Long, Long, Double)]
+          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, _, eid, v) =>
+            val win = tail :+ v
+            if (win.size == M) {
+              val mean = win.sum / M
+              val sq = win.map(x => x * x).sum / M
+              val std2 = sq - mean * mean
+              if (std2 > 1e-12) {
+                val std = math.sqrt(std2)
+                var d = 0.0
+                var i = 0
+                win.foreach { x =>
+                  val z = (x - mean) / std
+                  val diff = z - pz(i); d += diff * diff; i += 1
+                }
+                // Spark's round(): BigDecimal HALF_UP — match it exactly
+                val dr = BigDecimal(d).setScale(6,
+                  BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (dr < TAU) out += ((user, eid, dr))
+              }
+            }
+            tail = (if (win.size == M) win.tail else win)
+          }
+          state.update(tail)
+          out.result().iterator
+        })
+      .toDF("user_id", "end_event_id", "dist")
+    runToMemory(matches, "append")
+      .orderBy(col("user_id"), col("end_event_id"))
+  }
+
   /** TEMPORAL TABLE JOIN (Flink's "join the dimension AS OF event time"):
     * each streaming event is enriched with the dimension VERSION that was
     * valid at the event's effective time — not the current version, which
@@ -1086,6 +1151,7 @@ object StreamOps {
     "stream_lsh_neardup" -> nearDupStreamQ,
     "stream_static_join" -> streamStaticJoinQ,
     "stream_temporal_join" -> temporalJoinQ,
+    "stream_ts_match" -> tsMatchStreamQ,
     "stream_stream_join" -> streamStreamJoinQ,
     "stream_outer_join" -> streamOuterJoinQ,
     "stream_watermark_dedup" -> ((s, dir) => watermarkDedupQ(s, dir)),
@@ -1106,6 +1172,12 @@ object StreamOps {
         |  arg_max(value, event_id) AS value,
         |  arg_max(props, event_id) AS props
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // every trailing window under the threshold — the stream must emit
+    // exactly the batch operator's matches
+    "stream_ts_match" ->
+      s"""WITH ${graft.ops.TimeSeriesOps.scoredSql}
+         |SELECT user_id, end_event_id, dist FROM scored
+         |WHERE dist < 1.0 ORDER BY user_id, end_event_id""".stripMargin,
     // the batch formulation of the as-of-event-time enrichment: SCD2
     // versions from lead() windows, inner range join on validity
     "stream_temporal_join" ->
