@@ -633,6 +633,70 @@ object FormatOps {
       sumD(col("value")).as("sum_value"))
   }
 
+  /** WRITE-TIME CONSTRAINT ENFORCEMENT — the CHECK / NOT NULL contract
+    * real table formats attach to the table, not the pipeline: the
+    * constraints are table METADATA (committed as a `_constraints`
+    * entry), and EVERY writer is gated by them — a violating batch fails
+    * loudly with per-rule counts (one conditional-aggregate pass, the
+    * rel_expectations kernel) and commits NOTHING, so a reader can rely
+    * on the invariants without re-validating. The query proves both
+    * sides: a deterministically-corrupted batch must throw and leave the
+    * log at version 0; the clean batch commits, and the read-back
+    * aggregate hash-matches the predicate-defined oracle. At 100 TB the
+    * check is one map-side pass over the batch being written (never the
+    * table), and the failed write costs no rewrite — nothing was
+    * published. */
+  private def checkedWriteQ(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "checked")
+    CommitLog.reset(path)
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_constraints"),
+      "o_totalprice > 0; o_custkey IS NOT NULL")
+    val rules = Seq(
+      "o_totalprice > 0" -> (col("o_totalprice") > 0),
+      "o_custkey IS NOT NULL" -> col("o_custkey").isNotNull)
+    def checkedCommit(df: DataFrame, expected: Long, dataDir: String): Unit = {
+      val breachCols = rules.map { case (name, rule) =>
+        sum(when(!coalesce(rule, lit(false)), 1L).otherwise(0L)).as(name)
+      }
+      val breach = df.agg(breachCols.head, breachCols.tail: _*).head()
+      val broken = rules.indices.map(i => rules(i)._1 -> breach.getLong(i))
+        .filter(_._2 > 0)
+      require(broken.isEmpty,
+        s"constraint violations, nothing committed: ${broken.mkString(", ")}")
+      df.write.mode("overwrite").parquet(dataDir)
+      CommitLog.commit(path, expected, dataDir)
+      ()
+    }
+    val orders = graft.Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    // a corrupted batch: every 97th key gets a negative price, every
+    // 101st a NULL custkey
+    val corrupted = orders
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 101 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")))
+    val rejected =
+      try { checkedCommit(corrupted, 0L, s"$path/data_bad"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(rejected, "the violating batch must be rejected")
+    require(CommitLog.latest(path).isEmpty,
+      "a rejected write must publish nothing")
+    // the clean batch: exactly the rows satisfying the constraints
+    val clean = corrupted
+      .filter(col("o_totalprice") > 0 && col("o_custkey").isNotNull)
+    checkedCommit(clean, 0L, s"$path/data_v1")
+    s.read.parquet(CommitLog.latest(path).get.dataDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** HIDDEN PARTITIONING — the Iceberg model: the table is physically
     * laid out by a TRANSFORM of a data column (`months(o_orderdate)`),
     * the transform is TABLE METADATA (committed alongside the layout,
@@ -1130,6 +1194,7 @@ object FormatOps {
     "src_compaction" -> compaction,
     "src_optimize" -> optimizeQ,
     "src_hidden_partitioning" -> hiddenPartitioning,
+    "src_checked_write" -> checkedWriteQ,
     "src_text_roundtrip" -> textRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -1380,6 +1445,14 @@ object FormatOps {
          |  ${sumSql("o_totalprice")} AS sum_price
          |FROM unioned GROUP BY 1, 2
          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // only the constraint-satisfying rows are ever published: the
+    // corrupted keys (negated price / nulled custkey) must be absent
+    "src_checked_write" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${sumSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // partition derivation is metadata-only; the result must equal the
     // plain range filter (the derivation loses no row)
     "src_hidden_partitioning" ->
