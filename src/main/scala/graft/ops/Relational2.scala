@@ -754,7 +754,32 @@ object Relational2 {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Group-median null imputation — the standard data-repair op: missing
+    * values (synthesized deterministically: every 97th key) fill with the
+    * EXACT interpolated median of their group's non-null values. Two hash
+    * aggregates + a group-cardinality broadcast-back; the median is the
+    * same `percentile` kernel rel_percentile pins bit-equal to DuckDB's
+    * `quantile_cont`, so the imputed sum is engine-exact. At scale the
+    * exact median swaps for `approx_percentile` with the same plan
+    * (documented trade, as rel_outliers_mad). */
+  private def imputeMedian(s: SparkSession, dir: String): DataFrame = {
+    val t0 = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
+      when(col("o_orderkey") % 97 === 0, lit(null).cast("double"))
+        .otherwise(col("o_totalprice")).as("p"))
+    val med = t0.filter(col("p").isNotNull).groupBy(col("st"))
+      .agg(expr("percentile(p, 0.5d)").as("med"))
+    t0.join(broadcast(med), "st")
+      .groupBy(col("st"))
+      .agg(sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_imputed"),
+        sumD(coalesce(col("p"), col("med"))).as("sum_imputed"),
+        round(max(col("med")), 6).as("median"))
+      .select(col("st").as("o_orderstatus"), col("n_imputed"),
+        col("sum_imputed"), col("median"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_impute_median" -> imputeMedian,
     "rel_interval_overlap" -> intervalOverlap,
     "rel_bitmap_intersect" -> bitmapIntersect,
     "rel_bloom_prefilter" -> bloomPrefilter,
@@ -798,6 +823,24 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // quantile_cont ≡ Spark's exact interpolated percentile
+    // (rel_percentile pins the kernel equality)
+    "rel_impute_median" ->
+      s"""WITH t0 AS (
+         |  SELECT o_orderstatus AS st,
+         |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+         |         ELSE o_totalprice END AS p
+         |  FROM orders
+         |), med AS (
+         |  SELECT st, quantile_cont(p, 0.5) AS m
+         |  FROM t0 WHERE p IS NOT NULL GROUP BY st
+         |)
+         |SELECT t0.st AS o_orderstatus,
+         |  SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+         |  ${Exact.sumSql("coalesce(p, m)")} AS sum_imputed,
+         |  round(MAX(m), 6) AS median
+         |FROM t0 JOIN med ON t0.st = med.st
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // the same sweep line in SQL: deltas, keyed running sum with closes
     // before opens on ties, arg-min of the peak
     "rel_interval_overlap" ->
