@@ -59,7 +59,9 @@ class LogSource extends TableProvider {
       throw new IllegalArgumentException(
         s"${LogSource.NAME}: '$path' has no _commits log")
     val maxV = Option(properties.get("maxVersionsPerTrigger")).map(_.toLong)
-    new LogTable(path, maxV)
+    val fromV = Option(properties.get("startingVersion")).map(_.toLong)
+    val toV = Option(properties.get("endingVersion")).map(_.toLong)
+    new LogTable(path, maxV, fromV, toV)
   }
 }
 
@@ -98,28 +100,36 @@ object LogSource {
       .toArray[InputPartition]
 }
 
-private class LogTable(path: String, maxV: Option[Long])
-    extends Table with SupportsRead {
+private class LogTable(path: String, maxV: Option[Long],
+    fromV: Option[Long], toV: Option[Long]) extends Table with SupportsRead {
   override def name(): String = s"commitlog($path)"
   override def schema(): StructType = LogSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new LogScan(path, maxV)
+    () => new LogScan(path, maxV, fromV, toV)
 }
 
-private class LogScan(path: String, maxV: Option[Long]) extends Scan {
+private class LogScan(path: String, maxV: Option[Long],
+    fromV: Option[Long], toV: Option[Long]) extends Scan {
   override def readSchema(): StructType = LogSource.schema
-  override def toBatch: Batch = new LogBatch(path)
+  override def toBatch: Batch = new LogBatch(path, fromV, toV)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LogMicroBatchStream(path, maxV)
 }
 
-/** Batch read = the full payload as of `latest` (every committed chunk). */
-private class LogBatch(path: String) extends Batch {
+/** Batch read: the payload of versions `[startingVersion, endingVersion]`
+  * (both INCLUSIVE, Delta's reader semantics) — defaults to 1..latest,
+  * i.e. the whole table. A bounded range is "give me the changes between
+  * two versions, as a batch": the incremental-consumption shape without
+  * standing up a stream. */
+private class LogBatch(path: String, fromV: Option[Long],
+    toV: Option[Long]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val latest = CommitLog.latest(path).map(_.version).getOrElse(0L)
-    LogSource.planVersions(path, 0L, latest)
+    LogSource.planVersions(path,
+      fromV.map(_ - 1L).getOrElse(0L),
+      toV.map(math.min(_, latest)).getOrElse(latest))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     LogChunkReaderFactory

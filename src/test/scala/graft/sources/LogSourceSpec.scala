@@ -93,6 +93,24 @@ class LogSourceSpec extends SparkSpec {
     assert(got.forall(_.distinct.size == 1), s"one version per batch: $got")
   }
 
+  test("batch version-range options bound the read inclusively") {
+    val t = freshTable("range")
+    commitLines(t, 0L, Seq("a"))
+    commitLines(t, 1L, Seq("b"))
+    commitLines(t, 2L, Seq("c"))
+    def readRange(opts: (String, String)*): Set[String] = {
+      val r = opts.foldLeft(spark.read.format(LogSource.NAME)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      r.load(t).select(col("line")).collect().map(_.getString(0)).toSet
+    }
+    assert(readRange() == Set("a", "b", "c"))
+    assert(readRange("startingVersion" -> "2") == Set("b", "c"))
+    assert(readRange("endingVersion" -> "2") == Set("a", "b"))
+    assert(readRange("startingVersion" -> "2", "endingVersion" -> "2") == Set("b"))
+    assert(readRange("startingVersion" -> "4") == Set())
+  }
+
   test("a table without a commit log fails loudly") {
     val bare = "/tmp/graft_logsrc_spec_bare"
     new java.io.File(bare).mkdirs()
