@@ -1108,6 +1108,77 @@ object StreamOps {
     s.table(name).orderBy(col("o_orderstatus"))
   }
 
+  /** CONSTRAINT-GATED STREAMING SINK — src_checked_write's table contract
+    * under continuous ingest: each micro-batch splits on the committed
+    * constraints; CLEAN rows publish as the next log version (the
+    * txn-sink exactly-once pattern — deterministic per-batch dirs,
+    * replay detection against the log), VIOLATING rows land in a
+    * quarantine dir with their batch id — the permissive/quarantine
+    * philosophy of the reference's config validation applied to data:
+    * the stream never stalls on bad rows, the published table never
+    * contains one, and quarantined rows stay replayable. In-query
+    * requires pin the split: committed ∪ quarantined = staged input,
+    * zero violations in any committed chunk. The oracle is the
+    * constraint-satisfying aggregate; `n_quarantined` rides every row
+    * through the hash gate. */
+  private def checkedSinkQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_checked_sink_" +
+      s.sparkContext.applicationId
+    CommitLog.reset(root)
+    val stage = s"$root/stage"
+    // deterministically corrupted feed: every 13th event has a negated
+    // value (violates value >= 0)
+    graft.Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 13 === 0, -col("value"))
+          .otherwise(col("value")).as("value"))
+      .repartition(4).write.mode("overwrite").parquet(stage)
+    val schema = s.read.parquet(stage).schema
+    val rule = col("value") >= 0
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val chunk = s"$root/clean_b$id"
+          val replayed = CommitLog.entries(root)
+            .exists(c => CommitLog.payloadDirs(c.dataDir).contains(chunk))
+          if (!batch.isEmpty && !replayed) {
+            batch.filter(!rule).write.mode("overwrite")
+              .parquet(s"$root/quarantine/b$id")
+            batch.filter(rule).write.mode("overwrite").parquet(chunk)
+            val base = CommitLog.latest(root).map(_.version).getOrElse(0L)
+            try CommitLog.commit(root, base, chunk)
+            catch {
+              case e: CommitLog.CommitConflictException =>
+                if (CommitLog.entries(root).last.dataDir != chunk) throw e
+            }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val chunks = CommitLog.entries(root)
+      .flatMap(c => CommitLog.payloadDirs(c.dataDir))
+    val published = s.read.parquet(chunks: _*)
+    val quarantined = s.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/quarantine")
+    require(published.filter(!rule).count() == 0,
+      "no violating row may be published")
+    val staged = s.read.parquet(stage).count()
+    require(published.count() + quarantined.count() == staged,
+      "committed + quarantined must partition the input")
+    val nq = quarantined.agg(count(lit(1)).as("n_quarantined"))
+    published.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.ops.Exact.sumD(col("value")).as("sum_value"))
+      .crossJoin(broadcast(nq))
+      .orderBy(col("event_type"))
+  }
+
   /** The custom Count-Min aggregate under Structured Streaming: the
     * sketch's constant-size buffer is exactly what a streaming stateful
     * aggregate wants (64 KiB of state TOTAL for unbounded key
@@ -1152,6 +1223,7 @@ object StreamOps {
     "stream_static_join" -> streamStaticJoinQ,
     "stream_temporal_join" -> temporalJoinQ,
     "stream_ts_match" -> tsMatchStreamQ,
+    "stream_checked_sink" -> checkedSinkQ,
     "stream_stream_join" -> streamStreamJoinQ,
     "stream_outer_join" -> streamOuterJoinQ,
     "stream_watermark_dedup" -> ((s, dir) => watermarkDedupQ(s, dir)),
@@ -1172,6 +1244,18 @@ object StreamOps {
         |  arg_max(value, event_id) AS value,
         |  arg_max(props, event_id) AS props
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the published table is exactly the constraint-satisfying subset;
+    // the quarantine count is the complement
+    "stream_checked_sink" ->
+      s"""WITH feed AS (
+         |  SELECT event_type,
+         |    CASE WHEN event_id % 13 = 0 THEN -"value" ELSE "value" END AS v
+         |  FROM events
+         |), nq AS (SELECT COUNT(*) AS n_quarantined FROM feed WHERE v < 0)
+         |SELECT event_type, COUNT(*) AS n,
+         |  ${graft.ops.Exact.sumSql("v")} AS sum_value, nq.n_quarantined
+         |FROM feed CROSS JOIN nq WHERE v >= 0
+         |GROUP BY event_type, nq.n_quarantined ORDER BY event_type""".stripMargin,
     // every trailing window under the threshold — the stream must emit
     // exactly the batch operator's matches
     "stream_ts_match" ->

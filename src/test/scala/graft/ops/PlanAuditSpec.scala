@@ -67,7 +67,10 @@ class PlanAuditSpec extends SparkSpec {
     "rel_kmv_setops",
     // the z-normalized query pattern is a BROADCAST 1-row array; candidate
     // subsequences stream map-side against it
-    "ts_subseq_topk")
+    "ts_subseq_topk",
+    // the BROADCAST 1-row quarantine count rides the published aggregate
+    // through the hash gate
+    "stream_checked_sink")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
