@@ -633,6 +633,61 @@ object FormatOps {
       sumD(col("value")).as("sum_value"))
   }
 
+  /** METADATA-ONLY AGGREGATES — Delta's "metadata-only query"
+    * optimization: every commit records a stats sidecar (row count,
+    * min/max of the sort column, DECIMAL-exact column sum) computed from
+    * the batch being written, and `COUNT(*)` / `MIN` / `MAX` / `SUM`
+    * over the whole table are then answered by FOLDING the sidecars —
+    * O(versions) driver-side metadata reads, ZERO data files opened. At
+    * 100 TB this is the difference between an instant dashboard count
+    * and a full scan. The sum is carried as a decimal STRING (doubles
+    * would drift on re-aggregation); mergeability is exactly the
+    * partial-aggregate contract. The oracle scans the raw table — a
+    * stats sidecar that dropped or double-counted a row breaks the
+    * hash; `StatsQuerySpec` proves the zero-scan claim by answering
+    * AFTER the data dirs are renamed away. */
+  private[graft] def writeStatsCommit(s: SparkSession, path: String,
+      expected: Long, dataDir: String, df: DataFrame): Unit = {
+    df.write.mode("overwrite").parquet(dataDir)
+    val st = df.agg(count(lit(1)), min(col("o_orderdate")), max(col("o_orderdate")),
+      sum(col("o_totalprice").cast(Exact.dec))).head()
+    val c = CommitLog.commit(path, expected, dataDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, f"_stats_v${c.version}%020d.json"),
+      s"""{"rows":${st.getLong(0)},"min":"${st.getTimestamp(1)}",""" +
+        s""""max":"${st.getTimestamp(2)}","sum":"${st.getDecimal(3).toPlainString}"}""")
+    ()
+  }
+
+  /** Fold the stats sidecars of every committed version — metadata only. */
+  private[graft] def statsAnswer(s: SparkSession, path: String): DataFrame = {
+    val folded = CommitLog.entries(path).map { c =>
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, f"_stats_v${c.version}%020d.json"))
+      def field(k: String) = txt.split(s""""$k":"?""")(1).split("[\",}]")(0)
+      (field("rows").toLong, field("min"), field("max"), BigDecimal(field("sum")))
+    }
+    val (rows, mins, maxs, sums) = (folded.map(_._1).sum,
+      folded.map(_._2).min, folded.map(_._3).max, folded.map(_._4).sum)
+    import s.implicits._
+    Seq((rows, mins, maxs, sums.toDouble))
+      .toDF("n_rows", "min_date", "max_date", "sum_price")
+      .select(col("n_rows"), col("min_date").cast("timestamp"),
+        col("max_date").cast("timestamp"), col("sum_price"))
+  }
+
+  private def statsQueryQ(s: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir(s, "statsq")
+    CommitLog.reset(path)
+    new java.io.File(path).mkdirs()
+    val orders = graft.Tables(s, dir, "orders")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    for (i <- 0 until 3)
+      writeStatsCommit(s, path, i.toLong, s"$path/data_v${i + 1}",
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === i))
+    statsAnswer(s, path)
+  }
+
   /** WRITE-TIME CONSTRAINT ENFORCEMENT — the CHECK / NOT NULL contract
     * real table formats attach to the table, not the pipeline: the
     * constraints are table METADATA (committed as a `_constraints`
@@ -1195,6 +1250,7 @@ object FormatOps {
     "src_optimize" -> optimizeQ,
     "src_hidden_partitioning" -> hiddenPartitioning,
     "src_checked_write" -> checkedWriteQ,
+    "src_stats_query" -> statsQueryQ,
     "src_text_roundtrip" -> textRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
     "src_csv_roundtrip" -> csvRoundtrip,
@@ -1445,6 +1501,13 @@ object FormatOps {
          |  ${sumSql("o_totalprice")} AS sum_price
          |FROM unioned GROUP BY 1, 2
          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // the stats fold must equal the raw scan exactly — a sidecar that
+    // dropped or double-counted a row breaks the hash
+    "src_stats_query" ->
+      """SELECT COUNT(*) AS n_rows, MIN(o_orderdate) AS min_date,
+        |  MAX(o_orderdate) AS max_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM orders""".stripMargin,
     // only the constraint-satisfying rows are ever published: the
     // corrupted keys (negated price / nulled custkey) must be absent
     "src_checked_write" ->
