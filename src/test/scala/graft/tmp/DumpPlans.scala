@@ -29,7 +29,10 @@ object DumpPlans {
       "geo_proximity_pairs" -> "spatial join: 3x3 neighbor-cell explode -> hash equi-join on the cell key (never all-pairs); exact distance predicate prunes after candidate generation",
       "graph_pagerank" -> "fixed-point PageRank: staged edge+degree table reused every iteration, ONE hash-agg shuffle per iteration, node count as a broadcast 1-row aggregate (no driver count)",
       "rel_cdc_apply" -> "CDC fold: max_by(struct) partial aggregate — map-side combine shrinks each partition to one row per key BEFORE the shuffle; tombstone filter after",
-      "rel_expectations" -> "N contract rules in ONE scan (conditional-count aggregates + unpivot); referential rule via broadcast LEFT ANTI join")
+      "rel_expectations" -> "N contract rules in ONE scan (conditional-count aggregates + unpivot); referential rule via broadcast LEFT ANTI join",
+      "geo_join_rule" -> "optimizer-rule tier: the NAIVE graft_geo_within join auto-rewritten by plans/GeoJoinRewrite into Generate(3x3 cells) -> hash equi-join on the cell key (residual predicate kept); no CartesianProduct/BroadcastNestedLoopJoin survives",
+      "sim_pq_adc" -> "product quantization: per-subspace codebook broadcast joins (train + encode), then the ADC scan — codes join the broadcast (subspace, code) lookup table and sum; the original vectors never reach the scoring join",
+      "rel_interval_overlap" -> "sweep line: unpivoted +/-1 deltas, ONE keyed running-sum window, tiny broadcast-back of the per-key max — no interval x interval self-join")
     val sb = new StringBuilder
     sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
     sb ++= "Regenerate with `sbt \"Test/runMain graft.tmp.DumpPlans\"`.\n"
