@@ -836,7 +836,8 @@ object Relational2 {
          |  FROM t0 WHERE p IS NOT NULL GROUP BY st
          |)
          |SELECT t0.st AS o_orderstatus,
-         |  SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS n_imputed,
+         |  CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_imputed,
          |  ${Exact.sumSql("coalesce(p, m)")} AS sum_imputed,
          |  round(MAX(m), 6) AS median
          |FROM t0 JOIN med ON t0.st = med.st
@@ -857,7 +858,8 @@ object Relational2 {
         |    ROWS UNBOUNDED PRECEDING) AS c
         |  FROM deltas
         |), mc AS (
-        |  SELECT p, MAX(c) AS max_concurrent FROM running GROUP BY p
+        |  SELECT p, CAST(MAX(c) AS BIGINT) AS max_concurrent
+        |  FROM running GROUP BY p
         |)
         |SELECT r.p AS o_orderpriority, m.max_concurrent,
         |  MIN(r.t) AS peak_ts
