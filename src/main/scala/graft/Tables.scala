@@ -54,14 +54,15 @@ object Tables {
 
   /** ts-column normalization shared by the batch loader and the streaming
     * file source (StreamOps.eventsStream): any corpus vintage → TIMESTAMP.
-    * Operates on the column literally named `ts` (the nanos branch needs
-    * SQL integer `div` — Column `/` is double division and loses epoch-nano
-    * precision above 2^53). */
+    * The nanos branch needs SQL integer division (Column `/` is double
+    * division and loses epoch-nano precision above 2^53), built from the
+    * PASSED column via the registered `div` function so any caller's
+    * column expression is honored, not just one literally named `ts`. */
   def normalizeTs(physical: org.apache.spark.sql.types.DataType,
                   ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
     physical match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
+      case LongType => timestamp_micros(call_function("div", ts, lit(1000L)))
       case TimestampType => ts
       case _ => ts.cast(TimestampType)
     }

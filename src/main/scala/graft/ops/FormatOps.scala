@@ -649,13 +649,21 @@ object FormatOps {
   private[graft] def writeStatsCommit(s: SparkSession, path: String,
       expected: Long, dataDir: String, df: DataFrame): Unit = {
     df.write.mode("overwrite").parquet(dataDir)
-    val st = df.agg(count(lit(1)), min(col("o_orderdate")), max(col("o_orderdate")),
+    // min/max are stored as EPOCH MICROS, not Timestamp.toString — the
+    // latter renders in the JVM default timezone (only the Spark session
+    // TZ is pinned to UTC), so the folded strings would shift by the host
+    // offset and lexicographic max would be wrong on non-UTC hosts. An
+    // empty batch has no min/max and would have serialized "null"; reject
+    // it — a commit must describe at least one row for the fold to hold.
+    val st = df.agg(count(lit(1)),
+      min(unix_micros(col("o_orderdate"))), max(unix_micros(col("o_orderdate"))),
       sum(col("o_totalprice").cast(Exact.dec))).head()
+    require(st.getLong(0) > 0, s"empty batch: refusing stats commit to $dataDir")
     val c = CommitLog.commit(path, expected, dataDir)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, f"_stats_v${c.version}%020d.json"),
-      s"""{"rows":${st.getLong(0)},"min":"${st.getTimestamp(1)}",""" +
-        s""""max":"${st.getTimestamp(2)}","sum":"${st.getDecimal(3).toPlainString}"}""")
+      s"""{"rows":${st.getLong(0)},"min_us":${st.getLong(1)},""" +
+        s""""max_us":${st.getLong(2)},"sum":"${st.getDecimal(3).toPlainString}"}""")
     ()
   }
 
@@ -665,15 +673,16 @@ object FormatOps {
       val txt = java.nio.file.Files.readString(
         java.nio.file.Paths.get(path, f"_stats_v${c.version}%020d.json"))
       def field(k: String) = txt.split(s""""$k":"?""")(1).split("[\",}]")(0)
-      (field("rows").toLong, field("min"), field("max"), BigDecimal(field("sum")))
+      (field("rows").toLong, field("min_us").toLong, field("max_us").toLong,
+        BigDecimal(field("sum")))
     }
     val (rows, mins, maxs, sums) = (folded.map(_._1).sum,
       folded.map(_._2).min, folded.map(_._3).max, folded.map(_._4).sum)
     import s.implicits._
     Seq((rows, mins, maxs, sums.toDouble))
-      .toDF("n_rows", "min_date", "max_date", "sum_price")
-      .select(col("n_rows"), col("min_date").cast("timestamp"),
-        col("max_date").cast("timestamp"), col("sum_price"))
+      .toDF("n_rows", "min_us", "max_us", "sum_price")
+      .select(col("n_rows"), timestamp_micros(col("min_us")).as("min_date"),
+        timestamp_micros(col("max_us")).as("max_date"), col("sum_price"))
   }
 
   private def statsQueryQ(s: SparkSession, dir: String): DataFrame = {

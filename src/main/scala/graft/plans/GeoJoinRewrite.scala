@@ -136,8 +136,17 @@ object GeoJoinRewrite extends Rule[LogicalPlan] {
         // in the condition; the extraOptimizations batch runs to fixpoint
         if !cond.references.exists(_.name == "graft_cell") =>
       val parts = conjuncts(cond)
+      // Accept any FOLDABLE positive threshold, not just a raw Double
+      // literal — lit(0.05)*lit(1.0) or a config-derived cast must still
+      // take the grid path, not silently fall back to the O(L·R)
+      // nested loop. Non-positive or non-foldable thresholds keep the
+      // original join (a cell size <= 0 has no pigeonhole guarantee).
+      def threshold(e: Expression): Option[Double] =
+        if (!e.foldable || e.dataType != DoubleType) None
+        else Option(e.eval()).collect { case t: Double if t > 0d => t }
       parts.collectFirst { case g: GeoWithin => g } match {
-        case Some(g @ GeoWithin(a, b, c, d, Literal(t: Double, DoubleType))) =>
+        case Some(g @ GeoWithin(a, b, c, d, te)) if threshold(te).isDefined =>
+          val t = threshold(te).get
           // which side owns which coordinate pair?
           val sides =
             if (Seq(a, b).forall(_.references.subsetOf(left.outputSet)) &&
@@ -172,6 +181,10 @@ object GeoJoinRewrite extends Rule[LogicalPlan] {
               Project(j.output, rewritten)
             case None => j
           }
+        case Some(g: GeoWithin) =>
+          logDebug(s"GeoWithin join left unrewritten (threshold not a " +
+            s"foldable positive Double): $g — falling back to nested loop")
+          j
         case _ => j
       }
   }

@@ -142,19 +142,21 @@ private object LogChunkReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LogChunkPartition]
     new PartitionReader[InternalRow] {
-      private var lines: Iterator[String] = _
+      // Stream line-by-line: one line resident per next()/get() cycle, so
+      // per-task memory is O(1) in chunk size — a materialized
+      // readAllLines would scale with the chunk at odds with the source's
+      // 100 TB posture.
+      private var reader: java.io.BufferedReader = _
       private var current: String = _
       override def next(): Boolean = {
-        if (lines == null)
-          lines = Files.readAllLines(
-            Paths.get(p.file), StandardCharsets.UTF_8).asScala.iterator
-        val has = lines.hasNext
-        if (has) current = lines.next()
-        has
+        if (reader == null)
+          reader = Files.newBufferedReader(Paths.get(p.file), StandardCharsets.UTF_8)
+        current = reader.readLine()
+        current != null
       }
       override def get(): InternalRow = InternalRow(
         p.version, UTF8String.fromString(p.file), UTF8String.fromString(current))
-      override def close(): Unit = ()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 }

@@ -1105,7 +1105,14 @@ object StreamOps {
     val fedBatches = q.recentProgress.count(_.numInputRows > 0)
     require(fedBatches == 4,
       s"4 commits at maxVersionsPerTrigger=1 must arrive as 4 micro-batches, got $fedBatches")
-    s.table(name).orderBy(col("o_orderstatus"))
+    // last_version must pin "all 4 commits flowed" independently of which
+    // status values appear in the final chunk: the per-group max(version)
+    // only equals 4 for groups present in chunk 4, so publish the GLOBAL
+    // max (a broadcast 1-row cross join) on every row instead.
+    val drained = s.table(name)
+    drained.drop("last_version")
+      .crossJoin(broadcast(drained.agg(max(col("last_version")).as("last_version"))))
+      .orderBy(col("o_orderstatus"))
   }
 
   /** CONSTRAINT-GATED STREAMING SINK — src_checked_write's table contract

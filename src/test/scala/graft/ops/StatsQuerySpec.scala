@@ -37,4 +37,18 @@ class StatsQuerySpec extends SparkSpec {
       spark.read.parquet(s"$path/data_v1").count()
     }
   }
+
+  test("an empty batch is rejected: no commit, no null-poisoned sidecar") {
+    val path = "/tmp/graft_statsq_empty_spec"
+    CommitLog.reset(path)
+    new java.io.File(path).mkdirs()
+    val orders = graft.Tables(spark, sf, "orders")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    intercept[IllegalArgumentException] {
+      FormatOps.writeStatsCommit(spark, path, 0L, s"$path/data_v1",
+        orders.filter(lit(false)))
+    }
+    assert(CommitLog.latest(path).isEmpty,
+      "a rejected empty batch must publish no version")
+  }
 }

@@ -70,6 +70,31 @@ class GeoJoinRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("a foldable composite threshold still takes the grid path; t <= 0 falls back") {
+    val a = pts(0).select(col("id").as("e1"), col("lat").as("lat1"), col("lon").as("lon1"))
+    val b = pts(1000).select(col("id").as("e2"), col("lat").as("lat2"), col("lon").as("lon2"))
+    GeoWithin.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ GeoJoinRewrite
+    try {
+      // lit(0.05) * lit(1.0) is foldable but NOT a raw Literal — the rule
+      // must still rewrite (pre-fix it silently nested-looped)
+      val composite = a.join(b, GeoWithin.within(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2"), lit(0.05) * lit(1.0))).select(col("e1"), col("e2"))
+      val plan = composite.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"foldable threshold must take the grid rewrite:\n$plan")
+      assert(collectPairs(composite) == collectPairs(naive()))
+      // a non-positive cell size has no pigeonhole guarantee: keep the
+      // original join rather than rewriting into a broken grid
+      val zero = a.join(b, GeoWithin.within(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2"), lit(0.0))).select(col("e1"), col("e2"))
+      val zeroPlan = zero.queryExecution.executedPlan.toString
+      assert(zeroPlan.contains("BroadcastNestedLoopJoin") || zeroPlan.contains("CartesianProduct"))
+      assert(zero.count() == 0L)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("GraftExtensions installs the function and the rule at session build") {
     // fresh session over the SAME SparkContext (GraftExtensionsSpec's
     // pattern — .stop() would kill the shared context)

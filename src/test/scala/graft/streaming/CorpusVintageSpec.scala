@@ -76,6 +76,17 @@ class CorpusVintageSpec extends SparkSpec {
     }
   }
 
+  test("normalizeTs honors its column argument regardless of the column's name") {
+    import spark.implicits._
+    // pre-fix, the nanos branch hard-coded the name `ts` via expr("ts div
+    // 1000") — a caller passing any other column failed analysis or
+    // silently resolved against a different column
+    val got = Seq((7L, 1709296496789123000L)).toDF("event_id", "raw")
+      .select(graft.Tables.normalizeTs(LongType, col("raw")).as("t"))
+      .select(unix_micros(col("t"))).head().getLong(0)
+    assert(got == 1709296496789123L)
+  }
+
   test("eventsStream matches the batch loader and accepts a watermark on every vintage") {
     for ((name, dir) <- vintages) {
       // watermark + stateful agg: would throw EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
