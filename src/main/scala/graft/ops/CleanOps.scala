@@ -207,7 +207,10 @@ object CleanOps {
   private def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val weights = s.range(0, CLS_BUCKETS.toLong)
       .select(col("id").as("bucket"), (col("id") % 7 - 3).as("wgt"))
-    linearScore(docs(s, dir), "doc_id", "text", weights, CLS_BUCKETS, 100.0)
+    // balanced scan: the per-token md5 feature hashing is the query's cost,
+    // and the single-row-group corpus would otherwise feed it one-threaded
+    linearScore(graft.Tables.balanced(s, dir, "documents", "doc_id"),
+      "doc_id", "text", weights, CLS_BUCKETS, 100.0)
       .orderBy(col("doc_id"))
   }
 

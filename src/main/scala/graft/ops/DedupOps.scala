@@ -550,41 +550,54 @@ object DedupOps {
   private def simhashQuery(s: SparkSession, dir: String): DataFrame =
     simhash(s, dir).orderBy(col("doc_id"))
 
-  /** SimHash near-dup pairs with Hamming distance <= 2 via the pigeonhole
-    * multi-index: split the fingerprint into 3 chunks — any pair within
-    * distance 2 shares at least one chunk exactly, so candidates come from
-    * equi-joins on (chunk_idx, chunk_value), verified with bit_count(xor).
+  /** DEMOTED to a per-distance pair-count summary. The 16-bit toy width
+    * has only ~128 distinct chunk values, so its candidate set — and its
+    * full pair LIST — grows quadratically with the corpus (7.9× runtime at
+    * the 10× rehearsal, 36k output rows at sf0.01). The canonical
+    * production pair miner is `simhash64Pairs` (63-bit, 3×21-bit chunks,
+    * near-linear candidates); this query keeps the 16-bit fingerprints
+    * oracle-covered while emitting only (hamming, n_pairs) — O(3) rows at
+    * any scale. The oracle is the BRUTE-FORCE all-pairs count, so a hash
+    * match still proves pigeonhole completeness: every emitted candidate
+    * is exact-verified (hamming <= 2), so emitted ⊆ true, and count
+    * equality then forces set equality.
     *
-    * Scale honesty: 16 bits give only ~128 distinct chunk values, so the
-    * candidate join is Θ(n²/128) — fine for this corpus, but the
-    * production shape is a 64-bit fingerprint chunked 3×21 bits (same plan,
-    * ~2M distinct chunk values), where candidates stay near-linear. The
-    * 16-bit width here matches `dedup_simhash` so the pair stage is
-    * oracle-checkable against the same fingerprints. */
+    * Each qualifying pair is counted exactly ONCE without a distinct
+    * shuffle: of the up-to-3 chunk matches a pair can have, only the
+    * FIRST agreeing chunk emits (later chunks require all earlier ones to
+    * differ) — the dedup is a codegen'd predicate in the join, not a
+    * shuffle over all surviving pairs. */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val asInt = conv(col("simhash16"), 2, 10).cast("long").as("sh")
     // staged: both sides of the chunk self-join read it
     val withInt = staged(s, dir, "simhash_int") {
       simhash(s, dir).select(col("doc_id"), asInt)
     }
-    val chunks = withInt.select(col("doc_id"), col("sh"),
+    val base = withInt.select(col("doc_id"), col("sh"),
+      expr("sh % 64").as("c0"),           // low 6 bits
+      expr("(sh div 64) % 32").as("c1"),  // mid 5
+      expr("sh div 2048").as("c2"))       // high 5
+    val chunks = base.select(col("doc_id"), col("sh"),
+      col("c0"), col("c1"), col("c2"),
       explode(array(
-        struct(lit(0).as("ci"), expr("sh % 64").as("cv")),            // low 6 bits
-        struct(lit(1).as("ci"), expr("(sh div 64) % 32").as("cv")),   // mid 5
-        struct(lit(2).as("ci"), expr("sh div 2048").as("cv"))         // high 5
-      )).as("c"))
-      .select(col("doc_id"), col("sh"), col("c.ci"), col("c.cv"))
+        struct(lit(0).as("ci"), col("c0").as("cv")),
+        struct(lit(1).as("ci"), col("c1").as("cv")),
+        struct(lit(2).as("ci"), col("c2").as("cv")))).as("c"))
+      .select(col("doc_id"), col("sh"), col("c0"), col("c1"), col("c2"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      // filter BEFORE distinct: hamming is codegen'd per candidate row,
-      // so only surviving pairs reach the dedup shuffle
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.ci") === 0 ||
+            (col("a.ci") === 1 && col("a.c0") =!= col("b.c0")) ||
+            (col("a.ci") === 2 && col("a.c0") =!= col("b.c0") &&
+              col("a.c1") =!= col("b.c1"))))
+      .select(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 2)
-      .distinct()
-      .orderBy(col("d1"), col("d2"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
   }
 
   /** Production-width SimHash: a 63-bit fingerprint (63, not 64, so the
@@ -636,21 +649,32 @@ object DedupOps {
     * — the Spark side never pairs outside chunk buckets.) */
   private def simhash64Pairs(s: SparkSession, dir: String): DataFrame = {
     val withInt = staged(s, dir, "simhash64_int")(simhash64(s, dir))
-    val chunks = withInt.select(col("doc_id"), col("sh"),
+    val base = withInt.select(col("doc_id"), col("sh"),
+      expr("sh % 2097152").as("c0"),
+      expr("(sh div 2097152) % 2097152").as("c1"),
+      expr("sh div 4398046511104").as("c2"))
+    val chunks = base.select(col("doc_id"), col("sh"),
+      col("c0"), col("c1"), col("c2"),
       explode(array(
-        struct(lit(0).as("ci"), expr("sh % 2097152").as("cv")),
-        struct(lit(1).as("ci"), expr("(sh div 2097152) % 2097152").as("cv")),
-        struct(lit(2).as("ci"), expr("sh div 4398046511104").as("cv"))
-      )).as("c"))
-      .select(col("doc_id"), col("sh"), col("c.ci"), col("c.cv"))
+        struct(lit(0).as("ci"), col("c0").as("cv")),
+        struct(lit(1).as("ci"), col("c1").as("cv")),
+        struct(lit(2).as("ci"), col("c2").as("cv")))).as("c"))
+      .select(col("doc_id"), col("sh"), col("c0"), col("c1"), col("c2"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    // each qualifying pair emits from exactly ONE chunk (the first
+    // agreeing one), so no distinct is needed: the dedup that used to be
+    // a shuffle over all surviving pairs is a codegen'd join predicate
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.ci") === 0 ||
+            (col("a.ci") === 1 && col("a.c0") =!= col("b.c0")) ||
+            (col("a.ci") === 2 && col("a.c0") =!= col("b.c0") &&
+              col("a.c1") =!= col("b.c1"))))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 2)
-      .distinct()
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -931,6 +955,9 @@ object DedupOps {
          |bitsums AS (SELECT doc_id, $bitSums FROM tok1 GROUP BY doc_id)
          |SELECT doc_id, $bits AS simhash16 FROM bitsums ORDER BY doc_id""".stripMargin
     },
+    // BRUTE-FORCE all-pairs count by Hamming distance (test-scale only):
+    // count equality with the chunk-index side proves pigeonhole
+    // completeness, since every Spark-emitted candidate is exact-verified
     "dedup_simhash_pairs" -> {
       val bitSums = (1 to 16).map(i =>
         s"SUM(CASE WHEN substr(md5(w), $i, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS b$i")
@@ -940,18 +967,12 @@ object DedupOps {
         s"(CASE WHEN b$i > 0 THEN ${1L << (16 - i)} ELSE 0 END)").mkString(" + ")
       s"""WITH tok1 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |bitsums AS (SELECT doc_id, $bitSums FROM tok1 GROUP BY doc_id),
-         |sh AS (SELECT doc_id, $shval AS shval FROM bitsums),
-         |chunks AS (
-         |  SELECT doc_id, shval, 0 AS ci, shval % 64 AS cv FROM sh
-         |  UNION ALL SELECT doc_id, shval, 1, (shval // 64) % 32 FROM sh
-         |  UNION ALL SELECT doc_id, shval, 2, shval // 2048 FROM sh
-         |)
-         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-         |  CAST(bit_count(xor(a.shval, b.shval)) AS BIGINT) AS hamming
-         |FROM chunks a JOIN chunks b
-         |  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+         |sh AS (SELECT doc_id, $shval AS shval FROM bitsums)
+         |SELECT CAST(bit_count(xor(a.shval, b.shval)) AS BIGINT) AS hamming,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.shval, b.shval)) <= 2
-         |ORDER BY d1, d2""".stripMargin
+         |GROUP BY 1 ORDER BY hamming""".stripMargin
     },
   )
 }

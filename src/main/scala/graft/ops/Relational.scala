@@ -184,9 +184,12 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
-  /** JSON field extraction + aggregation over events.props. */
+  /** JSON field extraction + aggregation over events.props. The scan is
+    * `balanced`: per-row JSON parsing is the query's cost, and the
+    * single-row-group corpus would otherwise feed the parser one
+    * partition (= one thread) up to the aggregation shuffle. */
   private def jsonExtract(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    graft.Tables.balanced(s, dir, "events", "event_id")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"), sumD(col("value")).as("sum_value"))

@@ -52,19 +52,32 @@ object TextOps {
     "zh" -> Seq("hash", "scan"))
 
   /** Language-ID: score = marker-token hits per language, argmax with a
-    * fixed tie order; output is the confusion matrix against the label. */
+    * fixed tie order; output is the confusion matrix against the label.
+    *
+    * The tokenization and the 5 per-language scores are HOISTED into their
+    * own projections (separate attributes), not inlined into the argmax
+    * when-chain: conditional branches are excluded from codegen
+    * subexpression elimination, so the inlined form re-split the text and
+    * re-counted markers once per branch (~10× the per-row work — the
+    * query's dominant cost at the 10× rehearsal). CollapseProject keeps
+    * the split because inlining would duplicate a non-cheap expression.
+    * The scan is `balanced`: the corpus arrives as one row group, and the
+    * per-row tokenize would otherwise run single-threaded. */
   private def langId(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    val scores = markers.map { case (l, ws) =>
-      l -> size(filter(t, w => w.isin(ws.map(lit): _*)))
-    }
-    val all = scores.map(_._2)
+    val withT = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("lang"), toks(col("text")).as("t"))
+    val withScores = withT.select(col("lang") +:
+      markers.zipWithIndex.map { case ((_, ws), i) =>
+        size(filter(col("t"), w => w.isin(ws.map(lit): _*))).as(s"s$i")
+      }: _*)
+    val withMax = withScores.withColumn("m",
+      greatest(markers.indices.map(i => col(s"s$i")): _*))
     // first language (in declared order) reaching the max wins ties
-    val pred = scores.tail.foldLeft(
-      when(scores.head._2 >= greatest(all: _*), scores.head._1)) {
-      case (acc, (l, sc)) => acc.when(sc >= greatest(all: _*), l)
+    val pred = markers.zipWithIndex.tail.foldLeft(
+      when(col("s0") >= col("m"), markers.head._1)) {
+      case (acc, ((l, _), i)) => acc.when(col(s"s$i") >= col("m"), l)
     }
-    docs(s, dir)
+    withMax
       .select(col("lang"), pred.as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
