@@ -78,15 +78,30 @@ object FuzzyMatch {
         }))).as("pb"))
       .select(col(idCol), col("s"), col("pb.L").as("L"),
         col("pb.seg").as("seg"), col("pb.key").as("key"))
+    // First-agreeing-segment dedup (no distinct): a (dirty, name) pair can
+    // only reach the join through ONE target length (L' must equal the
+    // name's actual length), so duplicates arise solely when BOTH segments
+    // match. Keep the seg-1 copy; admit a seg-2 copy only when the two
+    // prefix segments DISAGREE — candidate-set identical to a
+    // `.distinct()`, minus its full shuffle of the candidate pairs. Both
+    // prefixes are recomputed POST-join from columns already in the row
+    // (s, name, L), so the dedup adds zero bytes to the shuffled sides.
     probes.join(catSeg, Seq("L", "seg", "key"))
-      .select(col(idCol), col("s"), col("name"))
-      .distinct()
-      .filter(levenshtein(col("s"), col("name")) <= 1)
+      .filter(col("seg") === 1 ||
+        col("s").substr(lit(1), floor(col("L") / 2).cast("int")) =!=
+          col("name").substr(lit(1), floor(col("L") / 2).cast("int")))
       .withColumn("dist", levenshtein(col("s"), col("name")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col(idCol), col("s"), col("name"), col("dist"))
   }
 
   private def fuzzyQ(s: SparkSession, dir: String): DataFrame = {
-    val part = graft.Tables(s, dir, "part")
+    // balanced scan: the corpus ships `part` as a single split, so the
+    // whole probe pipeline (dirty-string synthesis, 6-way probe explode,
+    // broadcast join, levenshtein verify) would otherwise run in ONE task
+    // up to the final sort — the per-row expression work is the query's
+    // cost and must spread across cores
+    val part = graft.Tables.balanced(s, dir, "part", "p_partkey")
     val dirtyDf = part.select(col("p_partkey").as("dirty_id"),
       expr(dirtySql).as("s"))
     val catalog = part.select(col("p_name")).distinct()

@@ -473,9 +473,22 @@ object Similarity {
     Staging.staged(s, dir, "knn_edges") {
       val assigned = ivfRanked(s, dir).filter(col("crk") === 1)
         .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
-      val scored = assigned.as("a")
-        .join(assigned.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      // SALTED per-cell self-join: cell cardinality bounds the plain join's
+      // parallelism (10 cells = 10 tasks, whatever the cluster width), and
+      // each task's work is quadratic in its cell. Bucketing the b-side by
+      // hash(vec_id) % S and exploding the a-side over all S buckets meets
+      // every (a, b) cell-pair exactly once while cutting the widest task
+      // S-fold — the replication cost is S copies of the a-side vectors,
+      // tuned against task width like any salt factor.
+      val S = 8
+      val aSide = assigned.withColumn("salt",
+        explode(array((0 until S).map(lit): _*)))
+      val bSide = assigned.withColumn("salt",
+        pmod(xxhash64(col("vec_id")), lit(S.toLong)).cast("int"))
+      val scored = aSide.as("a")
+        .join(bSide.as("b"),
+          col("a.cell") === col("b.cell") && col("a.salt") === col("b.salt") &&
+            col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
           col("a.cell").as("cell"),
           round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
