@@ -58,10 +58,10 @@ object StreamOps {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val spark = streamed.sparkSession
     // stateful queries instantiate one state store per shuffle partition at
-    // query start; 8 is plenty for the bench corpus and cuts fixed setup
+    // query start; 4 is plenty for the bench corpus and cuts fixed setup
     // cost (a production job sizes this to keys × state bytes instead)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = streamed.writeStream
         .format("memory").queryName(name)
@@ -784,7 +784,7 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         graft.ops.Exact.sumD(col("value")).as("sum_value"))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try runVersionedSink(agg, table)
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(graft.ops.CommitLog.latest(table).get.dataDir)
@@ -896,7 +896,7 @@ object StreamOps {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("sp", dec))))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = s.readStream.schema(changeSchema)
         .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", 1)
@@ -989,7 +989,7 @@ object StreamOps {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("sp", graft.ops.Exact.dec))))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(stage)
@@ -1095,7 +1095,7 @@ object StreamOps {
         max(col("version")).as("last_version"))
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val q = try {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -1148,7 +1148,7 @@ object StreamOps {
     val schema = s.read.parquet(stage).schema
     val rule = col("value") >= 0
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(stage)
