@@ -63,7 +63,9 @@ object BpeOps {
 
   private def bpeCountQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = graft.Tables(s, dir, "documents")
+    // balanced: regex word-extraction explode dominates and the corpus
+    // ships as one split
+    val words = graft.Tables.balanced(s, dir, "documents", "doc_id")
       .select(col("doc_id"), col("source"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
     val vocab = words.select(col("w")).distinct().as[String]
@@ -110,7 +112,7 @@ object BpeOps {
   private val PACK_CAP = 2048L
 
   private def bpePackQ(s: SparkSession, dir: String): DataFrame = {
-    val docsDf = graft.Tables(s, dir, "documents")
+    val docsDf = graft.Tables.balanced(s, dir, "documents", "doc_id")
     val counts = docsDf.select(col("doc_id"), col("lang"))
       .join(perDocTokenCounts(s, docsDf), "doc_id")
     val w = org.apache.spark.sql.expressions.Window

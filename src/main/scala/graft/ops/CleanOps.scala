@@ -164,7 +164,10 @@ object CleanOps {
         lit("?utm_campaign=z&a="), a, lit("&b="), b, lit("#frag")))
       .otherwise(concat(lit("http://www.example.com/p/"), page,
         lit("?b="), b, lit("&a="), a, lit("&utm_source=x")))
-    docs(s, dir).select(d.as("doc_id"), raw.as("url"))
+    // balanced: the regex-chain canonicalization is per-row work on a
+    // single-split corpus
+    graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(d.as("doc_id"), raw.as("url"))
       .withColumn("canonical", canonicalUrl(col("url")))
       .groupBy(col("canonical"))
       .agg(count(lit(1)).as("n_docs"),

@@ -31,7 +31,9 @@ object MultimodalOps {
     * documents.text; a real corpus reads image/audio files or blob refs). */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    graft.Tables(s, dir, "documents")
+    // balanced: every consumer runs per-row byte kernels (container walks,
+    // digests) and the corpus ships as one split
+    graft.Tables.balanced(s, dir, "documents", "doc_id")
       .select(col("doc_id"), col("text").cast("binary").as("media"), col("source"))
       .as[MediaRecord]
   }

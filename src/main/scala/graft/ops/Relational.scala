@@ -105,7 +105,9 @@ object Relational {
   /** Window top-k: 3 highest-value orders per market segment (broadcast the
     * customer dim onto orders, then a keyed window). */
   private def windowTopK(s: SparkSession, dir: String): DataFrame = {
-    val joined = t(s, dir, "orders")
+    // balanced: the broadcast probe + WindowGroupLimit partial pass are
+    // map-side and would serialize on the single-split scan
+    val joined = graft.Tables.balanced(s, dir, "orders", "o_orderkey")
       .join(broadcast(t(s, dir, "customer")),
         col("o_custkey") === col("c_custkey"), "inner")
     val w = Window.partitionBy(col("c_mktsegment"))

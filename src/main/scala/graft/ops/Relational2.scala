@@ -641,7 +641,9 @@ object Relational2 {
     * aggregate form never sorts all touches per conversion (the window
     * row_number formulation the oracle uses would). */
   private def attribution(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+    // balanced: both branch scans + the conv/touch projections run
+    // map-side on a single-split table
+    val ev = graft.Tables.balanced(s, dir, "events", "event_id")
     val conv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("conv_id"),
         col("ts").as("conv_ts"))

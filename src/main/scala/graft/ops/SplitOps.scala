@@ -128,7 +128,8 @@ object SplitOps {
       conv(substring(md5(concat(lit("ws:"), col("o_orderkey").cast("string"))
         .cast("binary")), 1, 4), 16, 10).cast("long") % 10000
     val threshold = floor(col("o_totalprice") / 50.0).cast("long")
-    graft.Tables(s, dir, "orders")
+    // balanced: per-row md5 bucketing on a single-split table
+    graft.Tables.balanced(s, dir, "orders", "o_orderkey")
       .filter(bucket < threshold)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_sampled"),

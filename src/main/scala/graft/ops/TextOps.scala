@@ -160,7 +160,9 @@ object TextOps {
     * and the multiply order are identical in both engines, so scores
     * hash-match exactly. Ties break on the term for determinism. */
   private def tfidf(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    // balanced: the tokenize-explode is the query's map-side cost and the
+    // corpus ships as one split
+    val d = graft.Tables.balanced(s, dir, "documents", "doc_id")
     // corpus size as a broadcast 1-row aggregate INSIDE the pipeline (the
     // oracle's `n` CTE) — a driver-side d.count() here would be a whole
     // extra pass over the corpus before the real job at 100 TB

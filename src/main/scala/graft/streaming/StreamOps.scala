@@ -491,9 +491,15 @@ object StreamOps {
         col("valid_from"), col("valid_to"))
     val eff = date_add(lit("1992-01-01").cast("date"),
       pmod(col("event_id"), lit(2400)).cast("int")).cast("timestamp")
+    // no broadcast hint: the SCD2 dim is ORDERS-sized, so forcing a
+    // broadcast makes the driver collect+ship the whole dim each batch and
+    // the build cost grows linearly with it. Left to the planner, the dim
+    // broadcasts while it fits the threshold and falls back to a shuffled
+    // join once it outgrows it — the scale-correct posture for a
+    // fact-sized temporal dimension.
     val joined = eventsStream(s, dir)
       .select(col("event_id"), col("user_id"), eff.as("eff_ts"))
-      .join(broadcast(dim),
+      .join(dim,
         col("user_id") === col("o_custkey") &&
           col("eff_ts") >= col("valid_from") &&
           (col("valid_to").isNull || col("eff_ts") < col("valid_to")))
