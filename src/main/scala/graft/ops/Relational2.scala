@@ -319,7 +319,8 @@ object Relational2 {
     * to the row's partition-local ordinal.
     *
     * Determinism: the ranged plan is materialized to ONE physical RDD
-    * (`ranged.rdd`) and BOTH jobs below run over that same object. This is
+    * (`ranged.queryExecution.toRdd`) and BOTH jobs below run over that
+    * same object. This is
     * load-bearing — two separate DataFrame actions each build their own
     * physical plan, and RangePartitioner re-samples its bounds per plan
     * (its seed incorporates the RDD id), so the offsets collected by job 1
@@ -336,36 +337,54 @@ object Relational2 {
   /** The exchange stage under [[globalRank]]: range-repartition on the
     * keys + partition-local sort. Exposed so PlanSpec can assert the only
     * full-data exchange is the range repartition (the final globalRank
-    * frame is a Scan ExistingRDD — its exchange lives here, below `.rdd`,
-    * where EliminateSorts cannot touch the ordering). */
+    * frame is a Scan ExistingRDD — its exchange lives here, below the
+    * `.toRdd` boundary, where EliminateSorts cannot touch the ordering). */
   private[graft] def rangedByKeys(df: DataFrame, keys: Column*): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     df.repartitionByRange(parts, keys: _*).sortWithinPartitions(keys: _*)
   }
 
   private[graft] def globalRank(df: DataFrame, keys: Column*): DataFrame = {
+    // InternalRow end-to-end (r8 rework): the public rdd/createDataFrame
+    // round-trip paid two full per-row conversions (InternalRow→Row via
+    // the deserializer, Row→InternalRow via the encoder) plus a Seq
+    // allocation per row in Row.fromSeq — overhead proportional to the
+    // data on a path whose real work is one += per row. queryExecution
+    // .toRdd is the same ONE-lineage pin (lazy val on the single
+    // QueryExecution), and the scan over internalCreateDataFrame's result
+    // applies its own UnsafeProjection, so the mutable JoinedRow each
+    // partition reuses is copied before anything downstream buffers it.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
     val spark = df.sparkSession
     val rdd = rangedByKeys(df, keys: _*)
-      .rdd                                      // ONE plan, ONE shuffle dep
+      .queryExecution.toRdd                     // ONE plan, ONE shuffle dep
     val counts = rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator(pid -> it.size.toLong),
-        preservesPartitioning = true)
-      .collect().sortBy(_._1).map(_._2)         // job 1: counts only
+      .mapPartitionsWithIndex((pid, it) => {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+        Iterator(pid -> n)                      // job 1: counts only
+      }, preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
     val total = counts.sum
     val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
     val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>  // job 2: reuses
       var rank = offsets.value(pid)                         // job 1's shuffle
+      val extra = new GenericInternalRow(2)
+      extra.update(1, total)
+      val joined = new JoinedRow
       it.map { row =>
         rank += 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ rank :+ total)
+        extra.update(0, rank)
+        joined(row, extra): InternalRow
       }
     }
-    spark.createDataFrame(ranked, org.apache.spark.sql.types.StructType(
-      df.schema.fields
-        :+ org.apache.spark.sql.types.StructField("__rank",
-            org.apache.spark.sql.types.LongType, nullable = false)
-        :+ org.apache.spark.sql.types.StructField("__n",
-            org.apache.spark.sql.types.LongType, nullable = false)))
+    org.apache.spark.sql.classic.GraftSqlInternals.internalCreateDataFrame(
+      spark, ranked, org.apache.spark.sql.types.StructType(
+        df.schema.fields
+          :+ org.apache.spark.sql.types.StructField("__rank",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          :+ org.apache.spark.sql.types.StructField("__n",
+              org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
   /** Equi-DEPTH histogram (the fixed-width one is rel_histogram):
