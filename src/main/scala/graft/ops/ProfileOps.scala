@@ -112,8 +112,14 @@ object ProfileOps {
     SketchFunctions.register(s)
     val W = SketchFunctions.CMS_W
     val D = SketchFunctions.CMS_D
-    val left = graft.Tables(s, dir, "events").select(col("user_id"))
-    val right = graft.Tables(s, dir, "orders").select(col("o_custkey"))
+    // balanced scans: the sketch pass is per-row hash work directly above
+    // the scan, and the single-row-group test corpus would feed each
+    // side's partial aggregate one-threaded (at production file counts the
+    // scans parallelize natively and the rebalance is a no-op by intent)
+    val left = graft.Tables.balanced(s, dir, "events", "event_id")
+      .select(col("user_id"))
+    val right = graft.Tables.balanced(s, dir, "orders", "o_orderkey")
+      .select(col("o_custkey"))
     val skL = left.agg(SketchFunctions.cmsSketch(col("user_id")).as("skl"),
       count(lit(1)).as("n_left"))
     val skR = right.agg(SketchFunctions.cmsSketch(col("o_custkey")).as("skr"),

@@ -831,8 +831,17 @@ object Relational2 {
       viewsAndSql(s, dir, nullsafeJoinSql, "orders")),
     "rel_recursive_spine" -> ((s, dir) =>
       viewsAndSql(s, dir, recursiveSpineSql, "orders")),
-    "rel_lateral_topk" -> ((s, dir) =>
-      viewsAndSql(s, dir, lateralTopkSql, "customer", "orders")),
+    "rel_lateral_topk" -> ((s, dir) => {
+      // the lateral decorrelates to a broadcast join + per-segment
+      // WindowGroupLimit whose partial (map-side) sort sits DIRECTLY above
+      // the orders scan — on the single-row-group test corpus that sort
+      // would run one-threaded, so register orders balanced (same rows;
+      // production multi-file tables parallelize the scan natively)
+      graft.Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      graft.Tables.balanced(s, dir, "orders", "o_orderkey")
+        .createOrReplaceTempView("orders")
+      s.sql(lateralTopkSql)
+    }),
     "rel_in_subquery" -> ((s, dir) =>
       viewsAndSql(s, dir, inSubquerySql, "part", "lineitem")),
     "rel_window_analytics" -> windowAnalytics,
