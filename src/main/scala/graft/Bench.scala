@@ -49,6 +49,20 @@ object Bench {
     // session-level warmers (scheduler, codegen compiler, parquet reader)
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "region").count()
+    // Machine-speed calibration (r8): a fixed synthetic job — hash+sum
+    // over 200M longs across 32 tasks, no I/O, no data dependence — timed
+    // alongside the queries. Round-over-round totals are only comparable
+    // when the host is equally fast; r8's VM ran identical untouched
+    // queries ~25% slower than r7's, which without this marker reads as a
+    // code regression. Divide totals by calib_sec to compare hosts out.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id))").collect() // xor: no ANSI overflow
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // warm the calibration plan itself
+    val calibSec = Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // measurement basis: .count(), deliberately — it lets Catalyst prune
     // unreferenced projections, but r1 and r2 were recorded on the same
@@ -112,11 +126,11 @@ object Bench {
     }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","queries":${dict(results)},"pass_secs":$perPass,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"queries":${dict(results)},"pass_secs":$perPass,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
     catch { case scala.util.control.NonFatal(_) => () }
     // "queries" = the 15 slowest (the outlier-audit set); full map in the file
     val slowest = results.sortBy(-_._2).take(15)
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","n_queries":${results.size},"queries":${dict(slowest)},"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"n_queries":${results.size},"queries":${dict(slowest)},"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
