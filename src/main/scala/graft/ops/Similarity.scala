@@ -135,6 +135,8 @@ object Similarity {
   }
 
   private val NPROBE = 2
+  /** sim_ann_filtered's predicate: label % FILTER_MOD == 0 (keeps ~1/3). */
+  private val FILTER_MOD = 3
 
   /** Every vector scored against every (broadcast) quantizer cell, ranked
     * per vector by cell similarity. Staged: IVF's assignment + probe
@@ -324,6 +326,53 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("cell"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** FILTERED ANN — vector search composed with a metadata predicate, the
+    * standard vector-DB request ("nearest neighbors among documents with
+    * license X / language Y"). The correctness trap is POST-filtering: take
+    * the unfiltered top-K, then apply the predicate — under a selective
+    * predicate that returns fewer than K rows (often zero), because the
+    * true filtered neighbors were ranked below the unfiltered cut. The
+    * engine answer is PRE-filtering: the predicate column travels with the
+    * index rows (vector stores keep metadata in the postings for exactly
+    * this reason — here it joins back onto the assigned vectors), the
+    * filter applies to the probed cells' candidates BEFORE the top-K
+    * window, and the rerank ranks survivors only. Both ranks are computed
+    * in one pass over the scored frame (the filtered rank is a window
+    * partitioned by (query, predicate)), and each output row carries
+    * `post_n` = how many of the unfiltered top-K would have survived — the
+    * measured under-return that justifies the operator. Scale: identical
+    * to sim_ann_ivf (probed-cell candidates only, never all-pairs); the
+    * predicate adds one payload column to the index and a filter above it. */
+  private def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfRanked(s, dir)
+    val labels = emb(s, dir).select(col("vec_id"), col("label"))
+    val assigned = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
+      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
+      .join(labels, "vec_id") // index payload column (stored with postings)
+    val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("cell_label").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .withColumn("sim",
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      .withColumn("keep", col("label") % FILTER_MOD === 0)
+    val wAll = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val wFil = Window.partitionBy(col("q_id"), col("keep"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val both = scored
+      .withColumn("rk_all", row_number().over(wAll))
+      .withColumn("rk", row_number().over(wFil))
+    val postN = both.filter(col("rk_all") <= K)
+      .groupBy(col("q_id"))
+      .agg(count(when(col("keep"), 1)).as("post_n"))
+    both.filter(col("keep") && col("rk") <= K)
+      .join(broadcast(postN), Seq("q_id"), "left")
+      .select(col("q_id"), col("rk"), col("cell"), col("vec_id"),
+        col("label"), col("sim"), coalesce(col("post_n"), lit(0L)).as("post_n"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -661,6 +710,7 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopK,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
+    "sim_ann_filtered" -> annFiltered,
     "sim_ann_index_serve" -> annIndexServe,
     "sim_ann_refresh" -> annRefresh,
     "sim_ann_recall" -> annRecall,
@@ -757,6 +807,65 @@ object Similarity {
          |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
   }
 
+  // sim_ann_filtered: the IVF probe replayed with the vector's OWN label
+  // carried as the index payload column; rk ranks predicate survivors only
+  // (window partitioned by (q_id, predicate)), post_n counts how many of
+  // the UNFILTERED top-K would have survived — the under-return the
+  // pre-filter form exists to avoid.
+  private val annFilteredSql = {
+    val dotAC =
+      "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
+    val dotAQ =
+      "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*p.qv[i]), (x,y) -> x+y)"
+    s"""WITH $eCte,
+       |ex AS (
+       |  SELECT label, i AS dim, v[i] AS val
+       |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+       |), centd AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM ex GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label, list(c ORDER BY dim) AS cv FROM centd GROUP BY label
+       |), centn AS (
+       |  SELECT label, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,x) -> a+x)) AS cn
+       |  FROM cent
+       |), ranked AS (
+       |  SELECT e.vec_id, e.v, e.nrm, e.label AS vlabel, c.label,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round($dotAC / (e.nrm * c.cn), 6) DESC, c.label ASC) AS crk
+       |  FROM e CROSS JOIN centn c
+       |), assigned AS (
+       |  SELECT vec_id, label AS cell, vlabel, v, nrm FROM ranked
+       |  WHERE crk = 1 AND vec_id >= $N_QUERIES
+       |), probes AS (
+       |  SELECT vec_id AS q_id, label AS cell, v AS qv, nrm AS qn FROM ranked
+       |  WHERE crk <= $NPROBE AND vec_id < $N_QUERIES
+       |), scored AS (
+       |  SELECT p.q_id, a.cell, a.vec_id, a.vlabel AS label,
+       |    (a.vlabel % $FILTER_MOD = 0) AS keep,
+       |    round($dotAQ / (a.nrm * p.qn), 6) AS sim
+       |  FROM assigned a JOIN probes p USING (cell)
+       |), rk AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id ASC) AS rk_all,
+       |    row_number() OVER (PARTITION BY q_id, keep
+       |      ORDER BY sim DESC, vec_id ASC) AS rk_fil
+       |  FROM scored
+       |), post AS (
+       |  SELECT q_id,
+       |    CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS post_n
+       |  FROM rk WHERE rk_all <= $K GROUP BY q_id
+       |)
+       |SELECT r.q_id, r.rk_fil AS rk, r.cell, r.vec_id, r.label, r.sim,
+       |  COALESCE(p.post_n, 0) AS post_n
+       |FROM rk r LEFT JOIN post p USING (q_id)
+       |WHERE r.keep AND r.rk_fil <= $K
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   private val annMultiprobeSql = {
     def flipSql(i: Int) =
       s"substr(qbkt, 1, ${i - 1}) || (CASE WHEN substr(qbkt, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(qbkt, ${i + 1})"
@@ -838,6 +947,7 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopkSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
+    "sim_ann_filtered" -> annFilteredSql,
     // the persisted-index serve path answers exactly what the in-session
     // IVF answers (same quantizer, same NPROBE) — same oracle; the
     // refreshed index must also answer identically (frozen quantizer)
