@@ -382,7 +382,16 @@ object TextOps {
     * by DuckDB are different doubles — ties round differently). At
     * 100 TB: tf/dl/df are index-build outputs; serving reads 3 posting
     * lists and broadcasts 3 numbers. */
-  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+
+  /** The scorer behind text_bm25_topk AND text_hybrid_rrf's lexical arm:
+    * BM25 score per candidate doc (docs containing >= 1 query term),
+    * un-limited — each consumer applies its own top-N. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val tok = Staging.staged(s, dir, "bm25_tok") {
       graft.Tables.balanced(s, dir, "documents", "doc_id")
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
@@ -416,13 +425,65 @@ object TextOps {
             x => x.getField("contrib")),
           lit(0.0), (a, x) => a + x), 6).as("score"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(10)
-      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  private val RRF_K = 60
+  private val HYBRID_N = 20   // per-arm candidate depth
+  private val HYBRID_TOP = 10
+
+  /** HYBRID RETRIEVAL — Reciprocal Rank Fusion of the engine's two serving
+    * paths: the lexical BM25 ranking (the fixed df-rank-10/20/30 term
+    * query, same scorer as text_bm25_topk) and a semantic cosine ranking
+    * for a fixed query vector (doc 0's embedding; doc 0 is excluded from
+    * both arms as the trivial self-hit). Each arm contributes its top-N
+    * ranks only — RRF scores docs by Σ 1/(K + rank) over the arms they
+    * appear in, which needs no score calibration between BM25 floats and
+    * cosine floats (the reason RRF is the standard first fusion). The
+    * per-arm rank is attached by sorting the top-N candidate set as ONE
+    * array (posexplode) — the N rows came off a distributed
+    * TakeOrderedAndProject, so no unpartitioned window ever sees the
+    * corpus; the fusion itself is a full outer join of two N-row lists.
+    * At 100 TB both arms serve from their indexes (postings / IVF cells)
+    * — the fusion cost is independent of corpus size. */
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    def rankOf(df: DataFrame, key: Column, id: Column, rkName: String): DataFrame =
+      df.orderBy(key.asc, id.asc).limit(HYBRID_N)
+        .agg(array_sort(collect_list(struct(key.as("k"), id.as("id")))).as("xs"))
+        .select(posexplode(col("xs")))
+        .select(col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("long").as(rkName))
+    val lex = rankOf(
+      bm25Scored(s, dir).filter(col("doc_id") =!= 0),
+      -col("score"), col("doc_id"), "lex_rk")
+    val e = graft.Tables.balanced(s, dir, "embeddings", "vec_id")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    def nrm(c: Column): Column =
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0d), (a, x) => a + x))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), nrm(col("v")).as("qn"))
+    val sem = rankOf(
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("sim", round(
+          aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+            lit(0.0d), (a, x) => a + x) / (nrm(col("v")) * col("qn")), 6)
+          + lit(0.0d)) // +0.0 folds a rounded -0.0 into 0.0 (sort-key only)
+        .select(col("vec_id"), col("sim")),
+      -col("sim"), col("vec_id"), "vec_rk")
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0d) / (lit(RRF_K) + col("lex_rk")), lit(0.0d)) +
+        coalesce(lit(1.0d) / (lit(RRF_K) + col("vec_rk")), lit(0.0d)), 9))
+    rankOf(fused, -col("rrf"), col("doc_id"), "rk")
+      .join(fused, Seq("doc_id"))
+      .filter(col("rk") <= HYBRID_TOP)
+      .select(col("doc_id"), col("lex_rk"), col("vec_rk"), col("rrf"), col("rk"))
+      .orderBy(col("rk"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK,
+    "text_hybrid_rrf" -> hybridRrf,
     "text_inverted_index" -> invertedIndex,
     "text_lang_id_ngram" -> langIdNgram,
     "text_repetition" -> repetition,
@@ -441,7 +502,74 @@ object TextOps {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  // text_hybrid_rrf: the bm25 oracle's scorer + a cosine arm for doc 0's
+  // embedding, each ranked to depth HYBRID_N, fused by 1/(K+rank) sums.
+  // All float constants are literals on both sides; the two RRF terms add
+  // in one fixed order (lex + vec) so the doubles agree bitwise.
+  private val hybridRrfSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |), dl AS (
+       |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+       |), st AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM dl
+       |), dfr AS (
+       |  SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+       |), q AS (
+       |  SELECT w, df FROM (
+       |    SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM dfr)
+       |  WHERE rk IN (10, 20, 30)
+       |), tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT tf.doc_id, tf.w,
+       |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+       |      (CAST(tf AS DOUBLE) * 2.2) /
+       |      (CAST(tf AS DOUBLE) +
+       |        1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS contrib
+       |  FROM tf JOIN q USING (w) JOIN dl USING (doc_id), st
+       |), bm AS (
+       |  SELECT doc_id,
+       |    round(list_reduce(list_prepend(0.0, list(contrib ORDER BY w)),
+       |      (a, x) -> a + x), 6) AS score
+       |  FROM sc WHERE doc_id <> 0 GROUP BY doc_id
+       |), lexr AS (
+       |  SELECT doc_id, lex_rk FROM (
+       |    SELECT doc_id, CAST(row_number() OVER
+       |      (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk FROM bm)
+       |  WHERE lex_rk <= $HYBRID_N
+       |), e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+       |      (a,x) -> a+x)) AS nrm
+       |  FROM embeddings
+       |), qv AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0
+       |), sem AS (
+       |  SELECT vec_id AS doc_id,
+       |    round(list_reduce(list_transform(generate_series(1, len(v)),
+       |        i -> v[i]*qv[i]), (a,x) -> a+x) / (nrm * qn), 6) AS sim
+       |  FROM e, qv WHERE vec_id <> 0
+       |), semr AS (
+       |  SELECT doc_id, vec_rk FROM (
+       |    SELECT doc_id, CAST(row_number() OVER
+       |      (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rk FROM sem)
+       |  WHERE vec_rk <= $HYBRID_N
+       |), fused AS (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.vec_rk,
+       |    round(COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + l.lex_rk), 0.0) +
+       |          COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + s.vec_rk), 0.0), 9)
+       |      AS rrf
+       |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+       |)
+       |SELECT doc_id, lex_rk, vec_rk, rrf, rk FROM (
+       |  SELECT *, CAST(row_number() OVER
+       |    (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk FROM fused)
+       |WHERE rk <= $HYBRID_TOP ORDER BY rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_hybrid_rrf" -> hybridRrfSql,
     // identical expression TREE (same literals, same association) so the
     // doubles agree bitwise; per-doc sum folds in term order
     "text_bm25_topk" ->
