@@ -70,7 +70,15 @@ class PlanAuditSpec extends SparkSpec {
     "ts_subseq_topk",
     // the BROADCAST 1-row quarantine count rides the published aggregate
     // through the hash gate
-    "stream_checked_sink")
+    "stream_checked_sink",
+    // post_n is a BROADCAST query-count-sized aggregate joined back onto
+    // the K survivors per query; candidate generation itself is the
+    // IVF probed-cell equi-join (same scale path as sim_ann_ivf)
+    "sim_ann_filtered",
+    // the semantic arm scores the corpus against the BROADCAST 1-row
+    // query vector (same shape as ts_subseq_topk's broadcast pattern);
+    // the lexical arm inherits text_bm25_topk's 1-row stats broadcast
+    "text_hybrid_rrf")
 
   private val skip = Set( // streaming: plan forms only at execution
     "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
