@@ -363,9 +363,14 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id").asc)
     val wFil = Window.partitionBy(col("q_id"), col("keep"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    val both = scored
-      .withColumn("rk_all", row_number().over(wAll))
-      .withColumn("rk", row_number().over(wFil))
+    // staged: referenced by BOTH the post_n aggregate and the survivor
+    // branch — unpersisted, the scored join and its windows would run
+    // twice (Catalyst does not dedupe common DataFrame subtrees)
+    val both = Staging.staged(s, dir, "ann_filtered_both") {
+      scored
+        .withColumn("rk_all", row_number().over(wAll))
+        .withColumn("rk", row_number().over(wFil))
+    }
     val postN = both.filter(col("rk_all") <= K)
       .groupBy(col("q_id"))
       .agg(count(when(col("keep"), 1)).as("post_n"))

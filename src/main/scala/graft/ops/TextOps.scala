@@ -390,8 +390,14 @@ object TextOps {
 
   /** The scorer behind text_bm25_topk AND text_hybrid_rrf's lexical arm:
     * BM25 score per candidate doc (docs containing >= 1 query term),
-    * un-limited — each consumer applies its own top-N. */
-  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    * un-limited — each consumer applies its own top-N. Staged: two
+    * queries serve from the same scored postings, the way a production
+    * deployment scores once per (index version, query) and fans results
+    * into every downstream ranker. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "bm25_scored")(bm25ScoredBuild(s, dir))
+
+  private def bm25ScoredBuild(s: SparkSession, dir: String): DataFrame = {
     val tok = Staging.staged(s, dir, "bm25_tok") {
       graft.Tables.balanced(s, dir, "documents", "doc_id")
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
@@ -474,10 +480,19 @@ object TextOps {
       .withColumn("rrf", round(
         coalesce(lit(1.0d) / (lit(RRF_K) + col("lex_rk")), lit(0.0d)) +
         coalesce(lit(1.0d) / (lit(RRF_K) + col("vec_rk")), lit(0.0d)), 9))
-    rankOf(fused, -col("rrf"), col("doc_id"), "rk")
-      .join(fused, Seq("doc_id"))
-      .filter(col("rk") <= HYBRID_TOP)
-      .select(col("doc_id"), col("lex_rk"), col("vec_rk"), col("rrf"), col("rk"))
+    // final rank in ONE pass: sort the <= 2N fused rows as one array with
+    // every output column riding in the struct — a rank-then-join-back
+    // would reference `fused` twice and compute both arms twice (Catalyst
+    // does not dedupe common DataFrame subtrees)
+    fused
+      .agg(array_sort(collect_list(struct((-col("rrf")).as("k"),
+        col("doc_id").as("doc_id"), col("lex_rk").as("lex_rk"),
+        col("vec_rk").as("vec_rk"), col("rrf").as("rrf")))).as("xs"))
+      .select(posexplode(col("xs")))
+      .filter(col("pos") < HYBRID_TOP)
+      .select(col("col.doc_id").as("doc_id"), col("col.lex_rk").as("lex_rk"),
+        col("col.vec_rk").as("vec_rk"), col("col.rrf").as("rrf"),
+        (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("rk"))
   }
 
