@@ -128,9 +128,79 @@ object BpeOps {
       .orderBy(col("lang"), col("bin"))
   }
 
+  // ---- BPE merge TRAINING ----------------------------------------------
+
+  /** Apply one learned merge to a space-joined symbol string: replace the
+    * LEFTMOST adjacent (l, r) occurrence, re-scan from the start, repeat
+    * to fixpoint. Re-scanning from the start (rather than continuing
+    * after the replacement) is what makes runs like "l r l r" merge
+    * fully — and it is the exact semantics the oracle's recursive CTE
+    * replays, one occurrence per recursion round. */
+  private[graft] def applyMerge(stt: String, l: String, r: String): String = {
+    val pat = s" $l $r "
+    val rep = s" $l$r "
+    var s2 = " " + stt + " "
+    var p = s2.indexOf(pat)
+    while (p >= 0) {
+      s2 = s2.substring(0, p) + rep + s2.substring(p + pat.length)
+      p = s2.indexOf(pat)
+    }
+    s2.trim
+  }
+
+  private val TRAIN_STEPS = 4
+
+  /** BPE merge TRAINING (Sennrich et al. 2016) — the learning half of the
+    * tokenizer whose merge TABLE the counting/packing queries consume:
+    * start from per-word character symbols weighted by corpus frequency;
+    * each step counts adjacent symbol pairs (one hash aggregate over the
+    * vocabulary), takes the most frequent pair (ties: lexicographic), and
+    * merges it everywhere. Output = the learned merge list with its pair
+    * counts — the trained artifact itself, driver-sized by nature (a real
+    * vocab is ~50k merges; here 4 steps so the DuckDB oracle can replay
+    * each one).
+    *
+    * Scale posture: the only corpus-sized pass is the initial word-
+    * frequency aggregate (one shuffle); every training step runs on the
+    * VOCABULARY (distinct words), which is orders below corpus size at
+    * any scale — pair counting is a map-side-combined hash aggregate and
+    * the merge application is a narrow per-row kernel. The per-step
+    * argmax collects ONE row. This mirrors production BPE trainers, which
+    * train on the word-frequency dict, never the corpus. */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab0 = Staging.staged(s, dir, "bpe_train_vocab") {
+      graft.Tables.balanced(s, dir, "documents", "doc_id")
+        .select(explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .withColumn("stt", concat_ws(" ",
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+    }
+    var vocab = vocab0.as[(String, Long, String)]
+    val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (k <- 1 to TRAIN_STEPS) {
+      val a = split(col("stt"), " ")
+      val pairs = vocab.toDF("w", "freq", "stt")
+        .select(col("freq"), explode(zip_with(
+          slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((k.toLong, l, r, cnt))
+      vocab = vocab.map { case (w, f, stt) => (w, f, applyMerge(stt, l, r)) }
+    }
+    learned.toSeq.toDF("step", "l", "r", "pair_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_count" -> bpeCountQ,
     "text_bpe_pack" -> bpePackQ,
+    "text_bpe_train" -> bpeTrainQ,
   )
 
   private def mergesListSql: String =
@@ -167,7 +237,56 @@ object BpeOps {
        |),
        |ntok AS (SELECT w, min(len(syms)) AS n_tok FROM bpe GROUP BY w)""".stripMargin
 
+  // text_bpe_train oracle: each unrolled step counts adjacent pairs from
+  // the previous vocabulary state, takes the argmax, and replays the
+  // merge as a recursive CTE (one leftmost occurrence per recursion
+  // round, to fixpoint — the kernel's exact semantics). MATERIALIZED is
+  // load-bearing: each state feeds both the next pair count and the next
+  // recursion base, and without it DuckDB re-derives the whole upstream
+  // chain per reference (exponential in steps).
+  private def bpeTrainStepSql(k: Int): String =
+    s""", p$k AS MATERIALIZED (
+       |  SELECT a[i] AS l, a[i+1] AS r, freq
+       |  FROM (SELECT string_split(stt, ' ') AS a, freq FROM s${k - 1}),
+       |       unnest(generate_series(1, len(a)-1)) AS t(i)
+       |), b$k AS MATERIALIZED (
+       |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$k GROUP BY 1, 2
+       |  ORDER BY cnt DESC, l, r LIMIT 1
+       |), m$k AS (
+       |  SELECT w, freq, stt, ' '||l||' '||r||' ' AS pat, ' '||l||r||' ' AS rep
+       |  FROM s${k - 1} CROSS JOIN b$k
+       |  UNION
+       |  SELECT w, freq,
+       |    trim(substr(' '||stt||' ', 1, strpos(' '||stt||' ', pat) - 1) ||
+       |      rep ||
+       |      substr(' '||stt||' ', strpos(' '||stt||' ', pat) + length(pat))),
+       |    pat, rep
+       |  FROM m$k
+       |  WHERE strpos(' '||stt||' ', pat) > 0
+       |), s$k AS MATERIALIZED (
+       |  SELECT w, freq, stt FROM m$k WHERE strpos(' '||stt||' ', pat) = 0
+       |)""".stripMargin
+
+  private val bpeTrainSql: String = {
+    val steps = (1 to TRAIN_STEPS).map(bpeTrainStepSql).mkString
+    val out = (1 to TRAIN_STEPS).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l, r, cnt AS pair_count FROM b$k")
+      .mkString("\n UNION ALL ")
+    s"""WITH RECURSIVE twords AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents
+       |), s0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    array_to_string(list_transform(generate_series(1, length(w)),
+       |      i -> substr(w, i, 1)), ' ') AS stt
+       |  FROM twords GROUP BY w
+       |)$steps
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainSql,
     "text_bpe_count" ->
       s"""WITH RECURSIVE $bpeCtes
          |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
