@@ -178,8 +178,15 @@ object BpeOps {
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
     }
     var vocab = vocab0.as[(String, Long, String)]
+    // per-step states are persisted (vocabulary-sized — trivial) so step
+    // k's pair count runs ONE pass instead of re-running every prior
+    // merge map from the staged base (quadratic in steps otherwise); all
+    // are released before returning
+    val cached = scala.collection.mutable
+      .ArrayBuffer[org.apache.spark.sql.Dataset[(String, Long, String)]]()
     val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    for (k <- 1 to TRAIN_STEPS) {
+    var exhausted = false
+    for (k <- 1 to TRAIN_STEPS if !exhausted) {
       val a = split(col("stt"), " ")
       val pairs = vocab.toDF("w", "freq", "stt")
         .select(col("freq"), explode(zip_with(
@@ -189,11 +196,21 @@ object BpeOps {
         .agg(sum(col("freq")).as("cnt"))
       val best = pairs
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0)
-      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      learned += ((k.toLong, l, r, cnt))
-      vocab = vocab.map { case (w, f, stt) => (w, f, applyMerge(stt, l, r)) }
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // no adjacent pairs left: the
+      else {                             // oracle just emits fewer steps
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((k.toLong, l, r, cnt))
+        if (k < TRAIN_STEPS) { // the final state has no consumer
+          vocab = vocab
+            .map { case (w, f, stt) => (w, f, applyMerge(stt, l, r)) }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached += vocab
+        }
+      }
     }
+    cached.foreach(_.unpersist())
     learned.toSeq.toDF("step", "l", "r", "pair_count")
   }
 
