@@ -50,14 +50,17 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "region").count()
     // Machine-speed calibration (r8): a fixed synthetic job — hash+sum
-    // over 200M longs across 32 tasks, no I/O, no data dependence — timed
-    // alongside the queries. Round-over-round totals are only comparable
-    // when the host is equally fast; r8's VM ran identical untouched
-    // queries ~25% slower than r7's, which without this marker reads as a
-    // code regression. Divide totals by calib_sec to compare hosts out.
+    // over 200M longs, one task per executor thread, no I/O, no data
+    // dependence — timed alongside the queries. Round-over-round totals
+    // are only comparable when the host is equally fast; r8's VM ran
+    // identical untouched queries ~25% slower than r7's, which without
+    // this marker reads as a code regression. Divide totals by calib_sec
+    // to compare hosts out. Partition count tracks SPARK_GRAFT_CPUS (r9)
+    // so the calibration measures the same parallelism regime as the
+    // queries on any host; the cpus value rides in the JSON line.
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 32)
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id))").collect() // xor: no ANSI overflow
       (System.nanoTime() - t0) / 1e9
     }
@@ -126,11 +129,11 @@ object Bench {
     }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"queries":${dict(results)},"pass_secs":$perPass,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"cpus":$cpus,"queries":${dict(results)},"pass_secs":$perPass,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
     catch { case scala.util.control.NonFatal(_) => () }
     // "queries" = the 15 slowest (the outlier-audit set); full map in the file
     val slowest = results.sortBy(-_._2).take(15)
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"n_queries":${results.size},"queries":${dict(slowest)},"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_queries":${results.size},"queries":${dict(slowest)},"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,6 +31,45 @@ object SparkEntry {
       GraphOps.queries ++ ContractOps.queries ++ TimeSeriesOps.queries ++
       graft.streaming.StreamOps.queries
 
+  /** EAGER-EXECUTION CONTRACT: every `queries` factory returns a lazy
+    * plan EXCEPT the names below, whose factory launches Spark jobs when
+    * invoked — streaming queries (the micro-batch runs to completion and
+    * the factory returns the sink's result), write-then-read lifecycle
+    * operators (table-format roundtrips, the persisted ANN index
+    * serve/refresh, the hybrid retrieval's index-served semantic arm,
+    * bucketed-table setup), and iterative training loops whose per-step
+    * argmax collects driver-side (BPE). Tooling that builds plans
+    * without intending to execute (plan audits, explain dumps, schema
+    * introspection) must either expect job launches for these or skip
+    * them; PlanAuditSpec consumes this set for exactly that reason. */
+  val eagerQueries: Set[String] = Set(
+    // streaming: the factory executes the stream; the batch plan only
+    // forms at execution
+    "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
+    "stream_static_join", "stream_stream_join", "stream_outer_join",
+    "stream_txn_sink", "stream_change_feed", "stream_running_counts",
+    "stream_lsh_neardup", "stream_watermark_dedup", "stream_bloom_dedup",
+    "stream_geo_proximity",
+    // write-then-read roundtrips execute a write action at plan build
+    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
+    "src_sorted_skipping", "src_orc_roundtrip", "src_zorder_skipping",
+    "src_schema_evolution", "src_text_roundtrip",
+    "src_manifest_pruned", "src_compaction", "src_time_travel",
+    "src_gdpr_delete", "src_versioned_prune", "src_change_feed", "src_vacuum",
+    "src_ivm_apply", "src_txn_tables", "src_shallow_clone",
+    "src_partition_evolution",
+    "src_bloom_skipping", "src_dpp_join",
+    // persisted-index lifecycle: the factory writes the cell-partitioned
+    // index and collects the probed-cell list before returning
+    "sim_ann_index_serve", "sim_ann_refresh",
+    "text_hybrid_rrf", "text_hybrid_recall",
+    // executes DROP TABLE + two bucketed writes at plan build
+    "rel_bucketed_join",
+    // runs the whole training loop at plan build (per-step argmax
+    // collects ONE row; the returned frame is the driver-sized
+    // learned-merge LocalRelation)
+    "text_bpe_train", "text_bpe_roundtrip")
+
   def oracleSql: Map[String, String] =
     CotQueries.oracles ++ Relational.oracles ++ Relational2.oracles ++
       Bucketing.oracles ++ FormatOps.oracles ++ DedupOps.oracles ++

@@ -143,7 +143,12 @@ object BpeOps {
     var p = s2.indexOf(pat)
     while (p >= 0) {
       s2 = s2.substring(0, p) + rep + s2.substring(p + pat.length)
-      p = s2.indexOf(pat)
+      // a new leftmost occurrence can only appear adjacent to the edit
+      // (everything strictly before p was already scanned and pat-free),
+      // so resume a bounded window back instead of position 0 — same
+      // leftmost-first fixpoint, O(n) instead of O(n²) on pathological
+      // runs like "a a a … a" merging (a, a)
+      p = s2.indexOf(pat, math.max(0, p - pat.length))
     }
     s2.trim
   }

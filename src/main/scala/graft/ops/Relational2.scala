@@ -840,7 +840,12 @@ object Relational2 {
       graft.Tables(s, dir, "customer").createOrReplaceTempView("customer")
       graft.Tables.balanced(s, dir, "orders", "o_orderkey")
         .createOrReplaceTempView("orders")
-      s.sql(lateralTopkSql)
+      val df = s.sql(lateralTopkSql) // analysis resolves the balanced view now
+      // restore the vanilla view: the shared session's `orders` must not
+      // silently inherit the REPARTITION_BY_NUM exchange in later
+      // s.sql consumers (the returned plan keeps the balanced frame)
+      graft.Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      df
     }),
     "rel_in_subquery" -> ((s, dir) =>
       viewsAndSql(s, dir, inSubquerySql, "part", "lineitem")),

@@ -134,16 +134,18 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  private val NPROBE = 2
+  private[ops] val NPROBE = 2
   /** sim_ann_filtered's predicate: label % FILTER_MOD == 0 (keeps ~1/3). */
   private val FILTER_MOD = 3
 
   /** Every vector scored against every (broadcast) quantizer cell, ranked
     * per vector by cell similarity. Staged: IVF's assignment + probe
-    * branches and the semantic-dedup query all filter this — unpersisted,
-    * the full corpus × cells scoring (and the centroid build under it)
-    * would run once per consumer. */
-  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
+    * branches, the semantic-dedup query, and text_hybrid_rrf's semantic
+    * arm (TextOps) all filter this — unpersisted, the full corpus × cells
+    * scoring (and the centroid build under it) would run once per
+    * consumer. Package-private: the hybrid retrieval operator serves its
+    * semantic arm from this same quantizer. */
+  private[ops] def ivfRanked(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(s, dir)).drop("label")
     val cent = centroidVectors(s, dir)
       .withColumnRenamed("label", "cell_label")
@@ -381,6 +383,25 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Write `postings` as a cell-partitioned parquet index at `path` and
+    * return a reader restricted to `cells` whose scan is GUARANTEED
+    * partition-pruned (the `require` pins the partition filter in the
+    * executed plan — a silent fallback to a full-index scan fails loudly
+    * instead of shipping a linear scan to a 100 TB index). Shared by
+    * every persisted-index serve path: sim_ann_index_serve here and
+    * text_hybrid_rrf's semantic arm in TextOps. */
+  private[ops] def servePrunedIndex(s: SparkSession, path: String,
+      postings: DataFrame, cells: Seq[Int]): DataFrame = {
+    postings.write.mode("overwrite").partitionBy("cell").parquet(path)
+    val index = s.read.parquet(path)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    val planStr = index.queryExecution.executedPlan.toString
+    require(planStr.contains("PartitionFilters") &&
+      planStr.substring(planStr.indexOf("PartitionFilters")).take(200).contains(" IN "),
+      "serve path must reach the index through a partition-pruned scan")
+    index
+  }
+
   /** The IVF index LIFECYCLE: sim_ann_ivf builds and queries in one
     * session; production builds ONCE and serves many query batches. The
     * inverted file is written to parquet PARTITIONED BY CELL — so serving
@@ -398,20 +419,14 @@ object Similarity {
     val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_annidx_" +
       s.sparkContext.applicationId
     val ranked = ivfRanked(s, dir)
-    ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
+    val postings = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
       .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
     val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("cell_label").as("cell"),
         col("v").as("qv"), col("nrm").as("qn"))
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val index = s.read.parquet(path)
-      .filter(col("cell").isin(probedCells.map(Int.box): _*))
-    val planStr = index.queryExecution.executedPlan.toString
-    require(planStr.contains("PartitionFilters") &&
-      planStr.substring(planStr.indexOf("PartitionFilters")).take(200).contains(" IN "),
-      "serve path must reach the index through a partition-pruned scan")
+    val index = servePrunedIndex(s, path, postings, probedCells)
     val scored = index.join(broadcast(probes), "cell")
       .withColumn("sim",
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
@@ -645,18 +660,36 @@ object Similarity {
     val exact = Staging.staged(s, dir, "ann_exact") {
       cosineTopK(s, dir).select(col("q_id"), col("vec_id"))
     }
-    def recallOf(method: String, ann: DataFrame): DataFrame = {
+    // ground truth for the FILTERED path: brute-force top-K among
+    // predicate survivors only (the pre-filter semantics' exact answer)
+    val exactFil = {
+      val e = withNorm(emb(s, dir))
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val cand = e.filter(col("vec_id") >= N_QUERIES &&
+        col("label") % FILTER_MOD === 0)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      cand.join(broadcast(q))
+        .withColumn("sim",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("vec_id"))
+    }
+    def recallOf(method: String, truth: DataFrame, ann: DataFrame): DataFrame = {
       val a = ann.select(col("q_id").as("aq"), col("vec_id").as("av"))
-      exact.join(a, col("q_id") === col("aq") && col("vec_id") === col("av"),
+      truth.join(a, col("q_id") === col("aq") && col("vec_id") === col("av"),
           "left")
         .groupBy(col("q_id"))
         .agg(count(col("aq")).as("n_hits"))
         .select(lit(method).as("method"), col("q_id"), col("n_hits"),
           round(col("n_hits").cast("double") / K, 6).as("recall"))
     }
-    recallOf("ivf", annIvf(s, dir))
-      .unionByName(recallOf("lsh", annLsh(s, dir)))
-      .unionByName(recallOf("mp", annMultiprobe(s, dir)))
+    recallOf("fil", exactFil, annFiltered(s, dir).select(col("q_id"), col("vec_id")))
+      .unionByName(recallOf("ivf", exact, annIvf(s, dir)))
+      .unionByName(recallOf("lsh", exact, annLsh(s, dir)))
+      .unionByName(recallOf("mp", exact, annMultiprobe(s, dir)))
       .orderBy(col("method"), col("q_id"))
   }
 
@@ -746,12 +779,57 @@ object Similarity {
        |  sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x), (a,x) -> a+x)) AS nrm
        |  FROM embeddings)""".stripMargin
 
+  /** Shared with TextOps's hybrid-retrieval oracle: the semantic arm
+    * replays the same embedding CTE and quantizer-cell ranking as
+    * sim_ann_ivf (CTE named `qranked` to avoid collisions with the text
+    * CTEs it composes with). */
+  private[ops] def eCteSql: String = eCte
+
+  private[ops] val quantizerRankedCtesSql: String = {
+    val dotAC =
+      "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
+    s"""ex AS (
+       |  SELECT label, i AS dim, v[i] AS val
+       |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+       |), centd AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM ex GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label, list(c ORDER BY dim) AS cv FROM centd GROUP BY label
+       |), centn AS (
+       |  SELECT label, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,x) -> a+x)) AS cn
+       |  FROM cent
+       |), qranked AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.label,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      round($dotAC / (e.nrm * c.cn), 6) DESC, c.label ASC) AS crk
+       |  FROM e CROSS JOIN centn c
+       |)""".stripMargin
+  }
+
   private val cosineTopkSql =
     s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
          |scored AS (
          |  SELECT q.q_id, e.vec_id, round($dotSql / (e.nrm * q.qn), 6) AS sim
          |  FROM e CROSS JOIN q WHERE e.vec_id >= $N_QUERIES
+         |)
+         |SELECT q_id, rk, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  // exact filtered top-K: the brute-force scan with the predicate applied
+  // BEFORE the per-query window — sim_ann_filtered's ground truth
+  private val cosineTopkFilSql =
+    s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, round($dotSql / (e.nrm * q.qn), 6) AS sim
+         |  FROM e CROSS JOIN q
+         |  WHERE e.vec_id >= $N_QUERIES AND e.label % $FILTER_MOD = 0
          |)
          |SELECT q_id, rk, vec_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
@@ -975,13 +1053,21 @@ object Similarity {
          |  MAX(rmse) AS max_rmse, ${avgSql("scale_r")} AS avg_scale
          |FROM s2 GROUP BY label ORDER BY label""".stripMargin
     },
-    // recall@K composes the three rankings above verbatim as subqueries
+    // recall@K composes the rankings above verbatim as subqueries; the
+    // filtered path scores against ITS exact answer (brute-force top-K
+    // among predicate survivors), not the unfiltered truth
     "sim_ann_recall" ->
       s"""WITH exact AS (SELECT q_id, vec_id FROM ($cosineTopkSql)),
+         |exactfil AS (SELECT q_id, vec_id FROM ($cosineTopkFilSql)),
+         |filr AS (SELECT q_id, vec_id FROM ($annFilteredSql)),
          |lshr AS (SELECT q_id, vec_id FROM ($annLshSql)),
          |ivfr AS (SELECT q_id, vec_id FROM ($annIvfSql)),
          |mpr AS (SELECT q_id, vec_id FROM ($annMultiprobeSql)),
          |hits AS (
+         |  SELECT 'fil' AS method, e.q_id, COUNT(f.q_id) AS n_hits
+         |  FROM exactfil e LEFT JOIN filr f ON e.q_id = f.q_id AND e.vec_id = f.vec_id
+         |  GROUP BY e.q_id
+         |  UNION ALL
          |  SELECT 'ivf' AS method, e.q_id, COUNT(i.q_id) AS n_hits
          |  FROM exact e LEFT JOIN ivfr i ON e.q_id = i.q_id AND e.vec_id = i.vec_id
          |  GROUP BY e.q_id

@@ -437,30 +437,58 @@ object TextOps {
   private val HYBRID_N = 20   // per-arm candidate depth
   private val HYBRID_TOP = 10
 
-  /** HYBRID RETRIEVAL — Reciprocal Rank Fusion of the engine's two serving
-    * paths: the lexical BM25 ranking (the fixed df-rank-10/20/30 term
-    * query, same scorer as text_bm25_topk) and a semantic cosine ranking
-    * for a fixed query vector (doc 0's embedding; doc 0 is excluded from
-    * both arms as the trivial self-hit). Each arm contributes its top-N
-    * ranks only — RRF scores docs by Σ 1/(K + rank) over the arms they
-    * appear in, which needs no score calibration between BM25 floats and
-    * cosine floats (the reason RRF is the standard first fusion). The
-    * per-arm rank is attached by sorting the top-N candidate set as ONE
-    * array (posexplode) — the N rows came off a distributed
+  /** Per-arm rank attach: sort the top-N candidate set as ONE array
+    * (posexplode) — the N rows came off a distributed
     * TakeOrderedAndProject, so no unpartitioned window ever sees the
-    * corpus; the fusion itself is a full outer join of two N-row lists.
-    * At 100 TB both arms serve from their indexes (postings / IVF cells)
-    * — the fusion cost is independent of corpus size. */
-  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
-    def rankOf(df: DataFrame, key: Column, id: Column, rkName: String): DataFrame =
-      df.orderBy(key.asc, id.asc).limit(HYBRID_N)
-        .agg(array_sort(collect_list(struct(key.as("k"), id.as("id")))).as("xs"))
-        .select(posexplode(col("xs")))
-        .select(col("col.id").as("doc_id"),
-          (col("pos") + 1).cast("long").as(rkName))
-    val lex = rankOf(
-      bm25Scored(s, dir).filter(col("doc_id") =!= 0),
+    * corpus. */
+  private def rankOf(df: DataFrame, key: Column, id: Column, rkName: String): DataFrame =
+    df.orderBy(key.asc, id.asc).limit(HYBRID_N)
+      .agg(array_sort(collect_list(struct(key.as("k"), id.as("id")))).as("xs"))
+      .select(posexplode(col("xs")))
+      .select(col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as(rkName))
+
+  /** Lexical arm: the BM25 ranking (same scorer as text_bm25_topk, doc 0
+    * excluded as the trivial self-hit), served from the staged postings. */
+  private def lexArm(s: SparkSession, dir: String): DataFrame =
+    rankOf(bm25Scored(s, dir).filter(col("doc_id") =!= 0),
       -col("score"), col("doc_id"), "lex_rk")
+
+  /** SEMANTIC ARM, served from the engine's OWN IVF index — not an exact
+    * corpus scan: doc 0's query vector is ranked against the broadcast
+    * quantizer (the staged `ivfRanked` frame Similarity's ANN family
+    * shares), and candidates are read back from a persisted
+    * cell-partitioned index through a PARTITION-PRUNED scan
+    * (Similarity.servePrunedIndex `require`s the partition filter in the
+    * plan). At 100 TB the arm touches nprobe/n_cells of the index per
+    * query batch — cost independent of corpus size, the same serve path
+    * as sim_ann_index_serve. Probed-cell ids are collected driver-side to
+    * form the pruning predicate (metadata-sized, like a partition
+    * listing). */
+  private def semArmAnnScored(s: SparkSession, dir: String, tag: String): DataFrame = {
+    val ranked = Similarity.ivfRanked(s, dir)
+    val postings = ranked.filter(col("crk") === 1 && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
+    val probes = ranked
+      .filter(col("crk") <= Similarity.NPROBE && col("vec_id") === 0)
+      .select(col("cell_label").as("cell"), col("v").as("qv"), col("nrm").as("qn"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_hybidx_${tag}_" +
+      s.sparkContext.applicationId
+    val index = Similarity.servePrunedIndex(s, path, postings, probedCells)
+    index.join(broadcast(probes), "cell")
+      .withColumn("sim", round(
+        graft.functions.VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qn")), 6)
+        + lit(0.0d)) // +0.0 folds a rounded -0.0 into 0.0 (sort-key only)
+      .select(col("vec_id"), col("sim"))
+  }
+
+  /** The EXACT semantic scan (full-corpus cosine vs doc 0) — kept as the
+    * ground truth text_hybrid_recall measures the ANN arm against; the
+    * serving query itself (text_hybrid_rrf) never runs this. */
+  private def semArmExactScored(s: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.balanced(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -468,22 +496,27 @@ object TextOps {
       sqrt(aggregate(transform(c, x => x * x), lit(0.0d), (a, x) => a + x))
     val q = e.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), nrm(col("v")).as("qn"))
-    val sem = rankOf(
-      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-        .withColumn("sim", round(
-          aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
-            lit(0.0d), (a, x) => a + x) / (nrm(col("v")) * col("qn")), 6)
-          + lit(0.0d)) // +0.0 folds a rounded -0.0 into 0.0 (sort-key only)
-        .select(col("vec_id"), col("sim")),
-      -col("sim"), col("vec_id"), "vec_rk")
+    e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("sim", round(
+        aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
+          lit(0.0d), (a, x) => a + x) / (nrm(col("v")) * col("qn")), 6)
+        + lit(0.0d))
+      .select(col("vec_id"), col("sim"))
+  }
+
+  /** RRF fusion of two attached-rank arm lists: docs scored by
+    * Σ 1/(K + rank) over the arms they appear in — no score calibration
+    * between BM25 floats and cosine floats (the reason RRF is the
+    * standard first fusion). The fusion is a full outer join of two
+    * N-row lists; the final rank is attached in ONE pass (sorted array +
+    * posexplode) because a rank-then-join-back would reference `fused`
+    * twice and compute both arms twice (Catalyst does not dedupe common
+    * DataFrame subtrees). */
+  private def fuseArms(lex: DataFrame, sem: DataFrame): DataFrame = {
     val fused = lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0d) / (lit(RRF_K) + col("lex_rk")), lit(0.0d)) +
         coalesce(lit(1.0d) / (lit(RRF_K) + col("vec_rk")), lit(0.0d)), 9))
-    // final rank in ONE pass: sort the <= 2N fused rows as one array with
-    // every output column riding in the struct — a rank-then-join-back
-    // would reference `fused` twice and compute both arms twice (Catalyst
-    // does not dedupe common DataFrame subtrees)
     fused
       .agg(array_sort(collect_list(struct((-col("rrf")).as("k"),
         col("doc_id").as("doc_id"), col("lex_rk").as("lex_rk"),
@@ -496,9 +529,47 @@ object TextOps {
       .orderBy(col("rk"))
   }
 
+  /** HYBRID RETRIEVAL — Reciprocal Rank Fusion of the engine's two serving
+    * paths: the lexical BM25 ranking (postings-served) and the
+    * IVF-index-served semantic ranking for doc 0's query vector. BOTH
+    * arms serve from their indexes — the lexical arm from the staged
+    * scored postings, the semantic arm from the persisted cell-partitioned
+    * IVF index through a plan-pinned partition-pruned scan — so the
+    * fusion cost is independent of corpus size. The approximation the
+    * ANN arm introduces is measured by text_hybrid_recall. */
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame =
+    fuseArms(lexArm(s, dir),
+      rankOf(semArmAnnScored(s, dir, "rrf"), -col("sim"), col("vec_id"), "vec_rk"))
+
+  /** Recall of the ANN-served hybrid against the exact-semantic-arm
+    * hybrid: `sem` = overlap of the two semantic top-N lists (the arm the
+    * IVF serve approximates), `fused` = overlap of the two fused top-10
+    * lists (what a user of the operator actually sees). The same
+    * recall-pinning contract as sim_ann_recall, extended to the fusion. */
+  private def hybridRecall(s: SparkSession, dir: String): DataFrame = {
+    val semAnn = rankOf(semArmAnnScored(s, dir, "recall"),
+      -col("sim"), col("vec_id"), "vec_rk")
+    val semEx = rankOf(semArmExactScored(s, dir),
+      -col("sim"), col("vec_id"), "vec_rk")
+    val lex = lexArm(s, dir)
+    val fusedAnn = fuseArms(lex, semAnn).select(col("doc_id"))
+    val fusedEx = fuseArms(lex, semEx).select(col("doc_id"))
+    def hits(method: String, truth: DataFrame, ann: DataFrame, denom: Int): DataFrame =
+      truth.join(ann.select(col("doc_id").as("ad")),
+          truth("doc_id") === col("ad"), "left")
+        .agg(count(col("ad")).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"),
+          round(col("n_hits").cast("double") / denom, 6).as("recall"))
+    hits("fused", fusedEx, fusedAnn, HYBRID_TOP)
+      .unionByName(hits("sem", semEx.select(col("doc_id")),
+        semAnn.select(col("doc_id")), HYBRID_N))
+      .orderBy(col("method"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK,
     "text_hybrid_rrf" -> hybridRrf,
+    "text_hybrid_recall" -> hybridRecall,
     "text_inverted_index" -> invertedIndex,
     "text_lang_id_ngram" -> langIdNgram,
     "text_repetition" -> repetition,
@@ -517,12 +588,12 @@ object TextOps {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
-  // text_hybrid_rrf: the bm25 oracle's scorer + a cosine arm for doc 0's
-  // embedding, each ranked to depth HYBRID_N, fused by 1/(K+rank) sums.
-  // All float constants are literals on both sides; the two RRF terms add
-  // in one fixed order (lex + vec) so the doubles agree bitwise.
-  private val hybridRrfSql =
-    s"""WITH tok AS (
+  // Lexical-arm CTEs (the bm25 oracle's scorer, doc 0 excluded) ending in
+  // `lexr` — shared by text_hybrid_rrf and text_hybrid_recall. All float
+  // constants are literals on both sides; the two RRF terms add in one
+  // fixed order (lex + vec) so the doubles agree bitwise.
+  private val hybridLexCtes =
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
        |), dl AS (
        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
@@ -555,36 +626,98 @@ object TextOps {
        |    SELECT doc_id, CAST(row_number() OVER
        |      (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk FROM bm)
        |  WHERE lex_rk <= $HYBRID_N
-       |), e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |    sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
-       |      (a,x) -> a+x)) AS nrm
-       |  FROM embeddings
-       |), qv AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0
+       |)""".stripMargin
+
+  // Semantic-arm CTEs replaying the IVF serve (same quantizer-cell chain
+  // as sim_ann_ivf via Similarity.quantizerRankedCtesSql): doc 0's probes
+  // (crk <= NPROBE), candidates restricted to the probed cells' postings
+  // (crk = 1, vec_id <> 0), exact rerank within them — ending in `semr`.
+  private val hybridSemAnnCtes = {
+    val dotAQ =
+      "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*p.qv[i]), (x,y) -> x+y)"
+    s"""${Similarity.quantizerRankedCtesSql},
+       |sassigned AS (
+       |  SELECT vec_id, label AS cell, v, nrm FROM qranked
+       |  WHERE crk = 1 AND vec_id <> 0
+       |), sprobes AS (
+       |  SELECT label AS cell, v AS qv, nrm AS qn FROM qranked
+       |  WHERE crk <= ${Similarity.NPROBE} AND vec_id = 0
        |), sem AS (
-       |  SELECT vec_id AS doc_id,
-       |    round(list_reduce(list_transform(generate_series(1, len(v)),
-       |        i -> v[i]*qv[i]), (a,x) -> a+x) / (nrm * qn), 6) AS sim
-       |  FROM e, qv WHERE vec_id <> 0
+       |  SELECT a.vec_id AS doc_id,
+       |    round($dotAQ / (a.nrm * p.qn), 6) AS sim
+       |  FROM sassigned a JOIN sprobes p USING (cell)
        |), semr AS (
        |  SELECT doc_id, vec_rk FROM (
        |    SELECT doc_id, CAST(row_number() OVER
        |      (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rk FROM sem)
        |  WHERE vec_rk <= $HYBRID_N
-       |), fused AS (
-       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.vec_rk,
-       |    round(COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + l.lex_rk), 0.0) +
-       |          COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + s.vec_rk), 0.0), 9)
-       |      AS rrf
-       |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
-       |)
-       |SELECT doc_id, lex_rk, vec_rk, rrf, rk FROM (
-       |  SELECT *, CAST(row_number() OVER
-       |    (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk FROM fused)
+       |)""".stripMargin
+  }
+
+  // RRF fusion of `lexr` and a semantic rank list, with the final rank
+  // attached — parameterized on the semantic CTE name so the recall
+  // oracle can fuse both the ANN and the exact arm.
+  private def hybridFusedCte(semrName: String, fusedName: String) =
+    s"""$fusedName AS (
+       |  SELECT doc_id, lex_rk, vec_rk, rrf,
+       |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+       |  FROM (
+       |    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.vec_rk,
+       |      round(COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + l.lex_rk), 0.0) +
+       |            COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + s.vec_rk), 0.0), 9)
+       |        AS rrf
+       |    FROM lexr l FULL OUTER JOIN $semrName s ON l.doc_id = s.doc_id)
+       |)""".stripMargin
+
+  private val hybridRrfSql =
+    s"""WITH $hybridLexCtes,
+       |${Similarity.eCteSql},
+       |$hybridSemAnnCtes,
+       |${hybridFusedCte("semr", "fused")}
+       |SELECT doc_id, lex_rk, vec_rk, rrf, rk FROM fused
        |WHERE rk <= $HYBRID_TOP ORDER BY rk""".stripMargin
+
+  // text_hybrid_recall: the exact semantic arm (full-corpus cosine) as
+  // ground truth, compared against the IVF-served arm — at arm level
+  // (overlap of the two top-N semantic lists) and at fusion level
+  // (overlap of the two fused top-10 lists).
+  private val hybridRecallSql = {
+    val semExactCtes =
+      s"""qv0 AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0
+         |), semx AS (
+         |  SELECT vec_id AS doc_id,
+         |    round(list_reduce(list_transform(generate_series(1, len(v)),
+         |        i -> v[i]*qv[i]), (a,x) -> a+x) / (nrm * qn), 6) AS sim
+         |  FROM e, qv0 WHERE vec_id <> 0
+         |), semrx AS (
+         |  SELECT doc_id, vec_rk FROM (
+         |    SELECT doc_id, CAST(row_number() OVER
+         |      (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rk FROM semx)
+         |  WHERE vec_rk <= $HYBRID_N
+         |)""".stripMargin
+    s"""WITH $hybridLexCtes,
+       |${Similarity.eCteSql},
+       |$hybridSemAnnCtes,
+       |$semExactCtes,
+       |${hybridFusedCte("semr", "fa")},
+       |${hybridFusedCte("semrx", "fx")},
+       |fat AS (SELECT doc_id FROM fa WHERE rk <= $HYBRID_TOP),
+       |fxt AS (SELECT doc_id FROM fx WHERE rk <= $HYBRID_TOP),
+       |hits AS (
+       |  SELECT 'fused' AS method, CAST(COUNT(a.doc_id) AS BIGINT) AS n_hits,
+       |    round(COUNT(a.doc_id) / $HYBRID_TOP.0, 6) AS recall
+       |  FROM fxt e LEFT JOIN fat a ON e.doc_id = a.doc_id
+       |  UNION ALL
+       |  SELECT 'sem' AS method, CAST(COUNT(a.doc_id) AS BIGINT) AS n_hits,
+       |    round(COUNT(a.doc_id) / $HYBRID_N.0, 6) AS recall
+       |  FROM semrx e LEFT JOIN semr a ON e.doc_id = a.doc_id
+       |)
+       |SELECT method, n_hits, recall FROM hits ORDER BY method""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "text_hybrid_rrf" -> hybridRrfSql,
+    "text_hybrid_recall" -> hybridRecallSql,
     // identical expression TREE (same literals, same association) so the
     // doubles agree bitwise; per-doc sum folds in term order
     "text_bm25_topk" ->

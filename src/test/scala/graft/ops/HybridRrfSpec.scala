@@ -29,4 +29,30 @@ class HybridRrfSpec extends SparkSpec {
         s"row $r: rrf != 1/(60+lex) + 1/(60+vec)")
     }
   }
+
+  test("semantic arm serves from the partition-pruned IVF index") {
+    // the serve contract is enforced at build time: servePrunedIndex
+    // `require`s the partition filter in the executed plan, so merely
+    // BUILDING the query proves the pruned-scan path (a regression to a
+    // full-index scan would throw here, not ship)
+    val df = graft.SparkEntry
+      .queries("text_hybrid_rrf")(spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    // and the fused plan reads the index through a parquet scan, not the
+    // embeddings table crossJoin the old exact arm used
+    assert(plan.contains("graft_hybidx_rrf_"),
+      "fused plan should read the persisted hybrid index")
+  }
+
+  test("text_hybrid_recall pins the ANN arm's approximation") {
+    val rows = graft.SparkEntry
+      .queries("text_hybrid_recall")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val byMethod = rows.map(r =>
+      r.getAs[String]("method") -> r.getAs[Double]("recall")).toMap
+    assert(byMethod.keySet == Set("fused", "sem"))
+    byMethod.foreach { case (m, rec) =>
+      assert(rec > 0.0 && rec <= 1.0, s"$m recall out of range: $rec")
+    }
+  }
 }

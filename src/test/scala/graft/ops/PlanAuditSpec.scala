@@ -74,36 +74,13 @@ class PlanAuditSpec extends SparkSpec {
     // post_n is a BROADCAST query-count-sized aggregate joined back onto
     // the K survivors per query; candidate generation itself is the
     // IVF probed-cell equi-join (same scale path as sim_ann_ivf)
-    "sim_ann_filtered",
-    // the semantic arm scores the corpus against the BROADCAST 1-row
-    // query vector (same shape as ts_subseq_topk's broadcast pattern);
-    // the lexical arm inherits text_bm25_topk's 1-row stats broadcast
-    "text_hybrid_rrf")
+    "sim_ann_filtered")
 
-  private val skip = Set( // streaming: plan forms only at execution
-    "stream_hourly_window", "stream_dedup_lastwins", "stream_session_window",
-    "stream_static_join", "stream_stream_join", "stream_outer_join",
-    "stream_txn_sink", "stream_change_feed", "stream_running_counts",
-    "stream_lsh_neardup", "stream_watermark_dedup", "stream_bloom_dedup",
-    // write-then-read roundtrips execute a write action at plan build
-    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
-    "src_sorted_skipping", "src_orc_roundtrip", "src_zorder_skipping",
-    "src_schema_evolution", "src_text_roundtrip",
-    "src_manifest_pruned", "src_compaction", "src_time_travel",
-    "src_gdpr_delete", "src_versioned_prune", "src_change_feed", "src_vacuum",
-    "src_ivm_apply", "src_txn_tables", "src_shallow_clone",
-    "src_partition_evolution",
-    "src_bloom_skipping", "src_dpp_join", "sim_ann_index_serve",
-    "sim_ann_refresh",
-    "stream_geo_proximity",
-    // executes DROP TABLE + two bucketed writes at plan build; the
-    // zero-exchange join form is pinned by PlanSpec instead
-    "rel_bucketed_join",
-    // runs the whole training loop at plan build (its per-step plans are
-    // vocabulary-sized hash aggregates + narrow maps; the returned frame
-    // is the driver-sized learned-merge LocalRelation, so auditing it
-    // would be vacuous) — semantics pinned by BpeTrainSpec + the oracle
-    "text_bpe_train")
+  // queries whose factory launches jobs at plan build (streams, write-
+  // then-read lifecycles, training loops) — the documented contract
+  // lives at SparkEntry.eagerQueries; auditing their pre-execution plans
+  // would be vacuous or impossible
+  private val skip = graft.SparkEntry.eagerQueries
 
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin anywhere") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
