@@ -131,11 +131,12 @@ object BpeOps {
   // ---- BPE merge TRAINING ----------------------------------------------
 
   /** Apply one learned merge to a space-joined symbol string: replace the
-    * LEFTMOST adjacent (l, r) occurrence, re-scan from the start, repeat
-    * to fixpoint. Re-scanning from the start (rather than continuing
-    * after the replacement) is what makes runs like "l r l r" merge
-    * fully — and it is the exact semantics the oracle's recursive CTE
-    * replays, one occurrence per recursion round. */
+    * LEFTMOST adjacent (l, r) occurrence, repeat to fixpoint — the exact
+    * semantics the oracle's recursive CTE replays, one occurrence per
+    * recursion round. Leftmost-FIRST (not continue-after-replacement) is
+    * what makes runs like "l r l r" merge fully; the scan resumes a
+    * bounded window before the edit, which preserves that order exactly
+    * (see the in-body note). */
   private[graft] def applyMerge(stt: String, l: String, r: String): String = {
     val pat = s" $l $r "
     val rep = s" $l$r "
@@ -153,17 +154,18 @@ object BpeOps {
     s2.trim
   }
 
-  private val TRAIN_STEPS = 4
+  private val TRAIN_STEPS = 32
+  private val CKPT_EVERY = 8
 
   /** BPE merge TRAINING (Sennrich et al. 2016) — the learning half of the
     * tokenizer whose merge TABLE the counting/packing queries consume:
     * start from per-word character symbols weighted by corpus frequency;
     * each step counts adjacent symbol pairs (one hash aggregate over the
     * vocabulary), takes the most frequent pair (ties: lexicographic), and
-    * merges it everywhere. Output = the learned merge list with its pair
+    * merges it everywhere. Returns the learned merge list with its pair
     * counts — the trained artifact itself, driver-sized by nature (a real
-    * vocab is ~50k merges; here 4 steps so the DuckDB oracle can replay
-    * each one).
+    * vocab is ~50k merges; here 32 steps, each replayed by the DuckDB
+    * oracle).
     *
     * Scale posture: the only corpus-sized pass is the initial word-
     * frequency aggregate (one shuffle); every training step runs on the
@@ -171,8 +173,39 @@ object BpeOps {
     * any scale — pair counting is a map-side-combined hash aggregate and
     * the merge application is a narrow per-row kernel. The per-step
     * argmax collects ONE row. This mirrors production BPE trainers, which
-    * train on the word-frequency dict, never the corpus. */
-  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    * train on the word-frequency dict, never the corpus.
+    *
+    * Lineage control at real step counts: per-step states are persisted
+    * (vocabulary-sized — trivial) so step k's pair count runs ONE pass,
+    * and every CKPT_EVERY steps the state is locally CHECKPOINTED — the
+    * plan above a checkpoint references no prior step, so analysis/
+    * planning cost per step stays FLAT instead of growing with the
+    * (10⁴–10⁵ in production) merge count, and the superseded persists are
+    * released immediately. */
+  private[graft] def trainMerges(s: SparkSession, dir: String,
+      steps: Int): Seq[(Long, String, String, Long)] =
+    // the trained artifact is shared across its consumers (text_bpe_train
+    // reports it, text_bpe_roundtrip applies it) under Staging's per-pass
+    // accounting — production trains a tokenizer ONCE per corpus version
+    Staging.stagedValue(s, dir, s"bpe_merges_$steps") {
+      trainMergesUncached(s, dir, steps)
+    }
+
+  private def trainMergesUncached(s: SparkSession, dir: String,
+      steps: Int): Seq[(Long, String, String, Long)] = {
+    import s.implicits._
+    // AQE re-optimizes (and re-schedules) per shuffle stage — pure
+    // overhead on these fixed vocabulary-sized 2-stage jobs, paid 2·steps
+    // times; restore whatever the session had afterwards
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try trainLoop(s, dir, steps)
+    finally s.conf.set(aqeKey, aqeBefore)
+  }
+
+  private def trainLoop(s: SparkSession, dir: String,
+      steps: Int): Seq[(Long, String, String, Long)] = {
     import s.implicits._
     val vocab0 = Staging.staged(s, dir, "bpe_train_vocab") {
       graft.Tables.balanced(s, dir, "documents", "doc_id")
@@ -182,16 +215,18 @@ object BpeOps {
         .withColumn("stt", concat_ws(" ",
           expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
     }
-    var vocab = vocab0.as[(String, Long, String)]
-    // per-step states are persisted (vocabulary-sized — trivial) so step
-    // k's pair count runs ONE pass instead of re-running every prior
-    // merge map from the staged base (quadratic in steps otherwise); all
-    // are released before returning
+    // the training state is VOCABULARY-sized (distinct words ≪ corpus):
+    // right-size its partitioning once so each of the ~2·steps per-step
+    // jobs schedules a handful of tasks instead of a full corpus-width
+    // task wave — at production vocab sizes this constant scales with
+    // |vocab| / target-partition-rows, not with the corpus
+    val TRAIN_PARTS = 8
+    var vocab = vocab0.as[(String, Long, String)].repartition(TRAIN_PARTS)
     val cached = scala.collection.mutable
       .ArrayBuffer[org.apache.spark.sql.Dataset[(String, Long, String)]]()
     val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
-    for (k <- 1 to TRAIN_STEPS if !exhausted) {
+    for (k <- 1 to steps if !exhausted) {
       val a = split(col("stt"), " ")
       val pairs = vocab.toDF("w", "freq", "stt")
         .select(col("freq"), explode(zip_with(
@@ -207,22 +242,67 @@ object BpeOps {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((k.toLong, l, r, cnt))
-        if (k < TRAIN_STEPS) { // the final state has no consumer
-          vocab = vocab
+        if (k < steps) { // the final state has no consumer
+          val next = vocab
             .map { case (w, f, stt) => (w, f, applyMerge(stt, l, r)) }
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          cached += vocab
+          if (k % CKPT_EVERY == 0) {
+            // eager local checkpoint: truncates lineage (the next step's
+            // plan starts HERE) and makes every earlier persist dead
+            vocab = next.localCheckpoint(true)
+            cached.foreach(_.unpersist()); cached.clear()
+          } else {
+            vocab = next
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cached += vocab
+          }
         }
       }
     }
     cached.foreach(_.unpersist())
-    learned.toSeq.toDF("step", "l", "r", "pair_count")
+    learned.toSeq
+  }
+
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainMerges(s, dir, TRAIN_STEPS).toDF("step", "l", "r", "pair_count")
+  }
+
+  /** The TRAIN → APPLY lifecycle closed in one operator: learn the merge
+    * table from the corpus ([[trainMerges]]), then tokenize the SAME
+    * corpus with the learned table — the per-distinct-word kernel and
+    * broadcast join of [[bpeCountQ]], with the learned merges (rank =
+    * training step) in place of the in-code fixture. This is the pairing
+    * production runs (a tokenizer is trained once, then meters every
+    * downstream budget); text_bpe_count/pack keep the fixture table so
+    * counting semantics stay pinned independently of training. The
+    * DuckDB oracle replays training AND application, so a drift in
+    * either half breaks the hash. */
+  private def bpeRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rank = trainMerges(s, dir, TRAIN_STEPS)
+      .map { case (step, l, r, _) => (l, r) -> step.toInt }.toMap
+    val words = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    val vocab = words.select(col("w")).distinct().as[String]
+    val rankB = s.sparkContext.broadcast(rank)
+    val tokPerWord = vocab.mapPartitions { it =>
+      val rk = rankB.value
+      it.map(w => (w, tokenCount(w, rk).toLong))
+    }.toDF("w", "n_tok")
+    words.join(broadcast(tokPerWord), "w")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tok")).as("bpe_tokens"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("source"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_count" -> bpeCountQ,
     "text_bpe_pack" -> bpePackQ,
     "text_bpe_train" -> bpeTrainQ,
+    "text_bpe_roundtrip" -> bpeRoundtripQ,
   )
 
   private def mergesListSql: String =
@@ -232,9 +312,14 @@ object BpeOps {
   // the lowest-rank adjacent pair (nullif guards list_position's 0-for-
   // absent) and merges its leftmost occurrence; a word's count is the
   // minimum symbol-list length it ever reaches (lengths strictly decrease).
-  private def bpeCtes: String =
+  // Parameterized on the mlist body so the roundtrip oracle can feed the
+  // LEARNED merges (derived in-query from the training CTEs) through the
+  // same counting replay the fixture-table queries use.
+  private def bpeCtes: String = bpeCountCtes(s"SELECT $mergesListSql AS ms")
+
+  private def bpeCountCtes(mlistBody: String): String =
     s"""mlist AS (
-       |  SELECT $mergesListSql AS ms
+       |  $mlistBody
        |),
        |words AS (
        |  SELECT doc_id, source,
@@ -289,12 +374,11 @@ object BpeOps {
        |  SELECT w, freq, stt FROM m$k WHERE strpos(' '||stt||' ', pat) = 0
        |)""".stripMargin
 
-  private val bpeTrainSql: String = {
+  // the shared training replay: word frequencies → character states →
+  // one (p_k, b_k, m_k, s_k) block per unrolled step
+  private val bpeTrainCtes: String = {
     val steps = (1 to TRAIN_STEPS).map(bpeTrainStepSql).mkString
-    val out = (1 to TRAIN_STEPS).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS step, l, r, cnt AS pair_count FROM b$k")
-      .mkString("\n UNION ALL ")
-    s"""WITH RECURSIVE twords AS (
+    s"""twords AS (
        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
        |  FROM documents
        |), s0 AS MATERIALIZED (
@@ -302,13 +386,37 @@ object BpeOps {
        |    array_to_string(list_transform(generate_series(1, length(w)),
        |      i -> substr(w, i, 1)), ' ') AS stt
        |  FROM twords GROUP BY w
-       |)$steps
+       |)$steps""".stripMargin
+  }
+
+  private val bpeTrainSql: String = {
+    val out = (1 to TRAIN_STEPS).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, l, r, cnt AS pair_count FROM b$k")
+      .mkString("\n UNION ALL ")
+    s"""WITH RECURSIVE $bpeTrainCtes
        |$out
        |ORDER BY step""".stripMargin
   }
 
+  // roundtrip: the training replay's learned merges (b1..bN, in step
+  // order) become the mlist the counting replay consumes — both halves
+  // in ONE query, so the oracle breaks if either drifts
+  private val bpeRoundtripSql: String = {
+    val learnedRows = (1 to TRAIN_STEPS).map(k =>
+      s"SELECT $k AS step, l, r FROM b$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $bpeTrainCtes,
+       |${bpeCountCtes(
+            s"SELECT list(l || ' ' || r ORDER BY step) AS ms FROM ($learnedRows)")}
+       |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words
+       |FROM words JOIN ntok USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_roundtrip" -> bpeRoundtripSql,
     "text_bpe_count" ->
       s"""WITH RECURSIVE $bpeCtes
          |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,

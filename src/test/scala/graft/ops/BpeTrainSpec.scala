@@ -33,4 +33,37 @@ class BpeTrainSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length,
       "the same pair cannot be learned twice (its occurrences were merged)")
   }
+
+  test("roundtrip: the learned table actually tokenizes the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rt = graft.SparkEntry.queries("text_bpe_roundtrip")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("bpe_tokens"), r.getAs[Long]("n_words"))).toMap
+    assert(rt.nonEmpty, "roundtrip produced no per-source rows")
+    // learned merges must COMPRESS: strictly fewer tokens than characters
+    // (chars = the no-merge upper bound), but at least one token per word
+    val chars = spark.sql(
+      s"""SELECT source,
+         |  CAST(aggregate(collect_list(c), 0L, (a, x) -> a + x) AS BIGINT) AS n_chars
+         |FROM (
+         |  SELECT source,
+         |    aggregate(transform(
+         |      regexp_extract_all(lower(text), '[a-z]+', 0), w -> length(w)),
+         |      0L, (a, x) -> a + x) AS c
+         |  FROM parquet.`$dir/documents.parquet`)
+         |GROUP BY source""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rt.foreach { case (src, (tok, nWords)) =>
+      assert(tok < chars(src),
+        s"$src: learned merges did not compress ($tok tokens vs ${chars(src)} chars)")
+      assert(tok >= nWords, s"$src: fewer tokens than words")
+    }
+    // and the learned table differs from the in-code fixture's counts
+    // (train → apply is a real lifecycle, not the fixture relabeled)
+    val fix = graft.SparkEntry.queries("text_bpe_count")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("bpe_tokens")).toMap
+    assert(rt.map(_._2._1).sum != fix.values.sum,
+      "roundtrip counts identical to fixture-table counts — suspicious")
+  }
 }
