@@ -46,6 +46,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ops.Fs.pointStreamCheckpointsAtTmpfs(spark)
     // session-level warmers (scheduler, codegen compiler, parquet reader)
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "region").count()

@@ -256,8 +256,7 @@ object StreamOps {
     * inside the streaming plan — see sessionWindowQ). */
   def withFlushSentinel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val flushDir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_flush_" +
-      s.sparkContext.applicationId
+    val flushDir = graft.ops.Fs.streamScratchDir(s, "graft_flush")
     // the flush file is OURS, so it is written with native TimestampType —
     // no scale guessing; the union runs after eventsStream has normalized
     // the corpus side to the same type
@@ -560,8 +559,7 @@ object StreamOps {
     * sentinel is safe only because a right-column filter can't push
     * through a left-outer join). Oracle = the batch LEFT JOIN. */
   def streamOuterJoinQ(s: SparkSession, dir: String): DataFrame = {
-    val stage = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_oj_" +
-      s.sparkContext.applicationId
+    val stage = graft.ops.Fs.streamScratchDir(s, "graft_oj")
     val ev = graft.Tables(s, dir, "events")
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -748,8 +746,8 @@ object StreamOps {
   }
 
   private def incrementalMergeQ(s: SparkSession, dir: String): DataFrame = {
-    val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_incmerge_" +
-      s.sparkContext.applicationId + s"_${nameCounter.incrementAndGet()}"
+    val root = graft.ops.Fs.streamScratchDir(s, "graft_incmerge") +
+      s"_${nameCounter.incrementAndGet()}"
     runIncrementalMerge(eventsStream(s, dir), root)
       .select(col("user_id"), col("n"), col("sum_dec").cast("double").as("sum_value"))
       .orderBy(col("user_id"))
@@ -782,8 +780,7 @@ object StreamOps {
   }
 
   private def versionedSinkQ(s: SparkSession, dir: String): DataFrame = {
-    val table = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_vsink_" +
-      s.sparkContext.applicationId
+    val table = graft.ops.Fs.streamScratchDir(s, "graft_vsink")
     graft.ops.CommitLog.reset(table)
     val agg = eventsStream(s, dir)
       .groupBy(col("user_id"))
@@ -846,8 +843,7 @@ object StreamOps {
 
   private def changeFeedStreamQ(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.CommitLog
-    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_cdcsub_" +
-      s.sparkContext.applicationId
+    val path = graft.ops.Fs.streamScratchDir(s, "graft_cdcsub")
     CommitLog.reset(path)
     val changeSchema = stageCdcFeed(s, dir, path)
     val folded = s.readStream
@@ -886,10 +882,8 @@ object StreamOps {
   private def ivmStreamQ(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.CommitLog
     val dec = graft.ops.Exact.dec
-    val feedPath = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_sivm_feed_" +
-      s.sparkContext.applicationId
-    val mv = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_sivm_mv_" +
-      s.sparkContext.applicationId
+    val feedPath = graft.ops.Fs.streamScratchDir(s, "graft_sivm_feed")
+    val mv = graft.ops.Fs.streamScratchDir(s, "graft_sivm_mv")
     CommitLog.reset(feedPath)
     CommitLog.reset(mv)
     val changeSchema = stageCdcFeed(s, dir, feedPath)
@@ -977,8 +971,7 @@ object StreamOps {
     * cross-table contract through the hash gate. */
   private def txnSinkQ(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.CommitLog
-    val txn = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_txnsink_" +
-      s.sparkContext.applicationId
+    val txn = graft.ops.Fs.streamScratchDir(s, "graft_txnsink")
     CommitLog.reset(txn)
     val stage = s"$txn/stage"
     graft.Tables(s, dir, "events")
@@ -1074,15 +1067,19 @@ object StreamOps {
   private def logSourceQ(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.CommitLog
     import graft.sources.LogSource
-    val table = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_logsrc_" +
-      s.sparkContext.applicationId
+    val table = graft.ops.Fs.streamScratchDir(s, "graft_logsrc")
     CommitLog.reset(table)
-    val orders = graft.Tables(s, dir, "orders")
+    // balanced: per-row JSON serialization is the publish cost and the
+    // corpus ships as one split; a chunk may hold MANY files (the source
+    // reads one partition per chunk FILE), so the writer keeps its
+    // natural parallelism — publishing scales with the cluster, and the
+    // subscriber's per-commit batching is unchanged
+    val orders = graft.Tables.balanced(s, dir, "orders", "o_orderkey")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     for (i <- 0 until 4) {
       val chunk = s"$table/chunk_v${i + 1}"
       orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
-        .toJSON.coalesce(1).write.mode("overwrite").text(chunk)
+        .toJSON.write.mode("overwrite").text(chunk)
       CommitLog.commit(table, i.toLong, chunk)
     }
     val payload = org.apache.spark.sql.types.StructType(Seq(
@@ -1140,8 +1137,7 @@ object StreamOps {
     * through the hash gate. */
   private def checkedSinkQ(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.CommitLog
-    val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_checked_sink_" +
-      s.sparkContext.applicationId
+    val root = graft.ops.Fs.streamScratchDir(s, "graft_checked_sink")
     CommitLog.reset(root)
     val stage = s"$root/stage"
     // deterministically corrupted feed: every 13th event has a negated

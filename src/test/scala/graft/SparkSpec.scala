@@ -19,6 +19,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.ops.Fs.pointStreamCheckpointsAtTmpfs(s)
     s
   }
 }
