@@ -123,9 +123,14 @@ object FormatOps {
     // dimensions: custkey (< 2^16 at test SFs; at larger scale widen the
     // bit budget or range-bucket first) and days since 1992-01-01
     val days = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+    // file count tracks the cluster width (production OPTIMIZE targets a
+    // file SIZE, same effect): a fixed count would serialize the range
+    // sort into ever-fatter tasks as the table grows, and more z-files
+    // only sharpen min/max pruning
+    val zFiles = math.max(8, s.sparkContext.defaultParallelism)
     graft.Tables(s, dir, "orders")
       .withColumn("zv", zvalue(col("o_custkey"), days.cast("long")))
-      .repartitionByRange(8, col("zv"))
+      .repartitionByRange(zFiles, col("zv"))
       .sortWithinPartitions(col("zv"))
       .drop("zv")
       .write.mode("overwrite").parquet(path)
