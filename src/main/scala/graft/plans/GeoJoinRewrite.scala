@@ -118,6 +118,14 @@ object GeoJoinRewrite extends Rule[LogicalPlan] {
   // them — equality of (cx, cy) always implies equality of the packed key
   private val STRIDE = 1000003L
 
+  /** Diagnostic for the rule's worst failure mode — a GeoWithin join left
+    * on the O(|L|·|R|) nested-loop path because its threshold is not a
+    * foldable positive Double. Counted (not just logged) so the fallback
+    * is OBSERVABLE: GeoJoinRewriteSpec pins that it fires, and a
+    * production deployment can alert on it. Monotone across the session;
+    * optimizer batches run to fixpoint, so one query may add several. */
+  private[graft] val fallbackCount = new java.util.concurrent.atomic.AtomicLong
+
   private def key(lat: Expression, lon: Expression, t: Double,
                   dx: Long, dy: Long): Expression = {
     def cellOf(c: Expression) = Floor(Divide(c, Literal(t)))
@@ -182,7 +190,8 @@ object GeoJoinRewrite extends Rule[LogicalPlan] {
             case None => j
           }
         case Some(g: GeoWithin) =>
-          logDebug(s"GeoWithin join left unrewritten (threshold not a " +
+          fallbackCount.incrementAndGet()
+          logWarning(s"GeoWithin join left unrewritten (threshold not a " +
             s"foldable positive Double): $g — falling back to nested loop")
           j
         case _ => j

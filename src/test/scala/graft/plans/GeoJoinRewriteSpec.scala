@@ -95,6 +95,68 @@ class GeoJoinRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("the unrewritten-join diagnostic fires on a non-foldable threshold") {
+    // the rule's worst failure mode is a SILENT fallback to the nested
+    // loop; GeoJoinRewrite counts every GeoWithin join it leaves
+    // unrewritten, and this negative spec pins that the counter moves
+    val a = pts(0).select(col("id").as("e1"), col("lat").as("lat1"),
+      col("lon").as("lon1"), (col("lat") * 0 + 0.05).as("t1"))
+    val b = pts(1000).select(col("id").as("e2"), col("lat").as("lat2"), col("lon").as("lon2"))
+    GeoWithin.register(spark)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ GeoJoinRewrite
+    try {
+      val before = GeoJoinRewrite.fallbackCount.get()
+      // per-row threshold column: correct to evaluate, impossible to grid
+      val df = a.join(b, GeoWithin.within(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2"), col("t1"))).select(col("e1"), col("e2"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+        "non-foldable threshold must keep the original join")
+      assert(GeoJoinRewrite.fallbackCount.get() > before,
+        "the fallback diagnostic must fire when a GeoWithin join is left unrewritten")
+      assert(collectPairs(df) == collectPairs(naive()),
+        "the fallback must still answer correctly")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("the knn mirrored-cell shape (self-join, id inequality) rewrites too") {
+    // geo_knn_radius builds its grid by hand; the SAME query written
+    // naively — one point set self-joined on GeoWithin plus an id
+    // inequality — must take the rewrite, covering the optimizer tier's
+    // second spatial shape
+    val p = pts(0)
+    val a = p.select(col("id").as("e1"), col("lat").as("lat1"), col("lon").as("lon1"))
+    val b = p.select(col("id").as("e2"), col("lat").as("lat2"), col("lon").as("lon2"))
+    GeoWithin.register(spark)
+    def knn(): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val d2 = (col("lat1") - col("lat2")) * (col("lat1") - col("lat2")) +
+        (col("lon1") - col("lon2")) * (col("lon1") - col("lon2"))
+      val w = Window.partitionBy(col("e1")).orderBy(col("dist2").asc, col("e2").asc)
+      a.join(b, GeoWithin.within(col("lat1"), col("lon1"),
+          col("lat2"), col("lon2"), lit(0.05)) && col("e1") =!= col("e2"))
+        .select(col("e1"), col("e2"), d2.as("dist2"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("e1"), col("e2"), col("rk").cast("long").as("rk"))
+    }
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev.filterNot(_ == GeoJoinRewrite)
+    val baseline = knn().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_ == GeoJoinRewrite) :+ GeoJoinRewrite
+    try {
+      val rewritten = knn()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"self-join knn shape must take the grid rewrite:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == baseline && got.nonEmpty)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("GraftExtensions installs the function and the rule at session build") {
     // fresh session over the SAME SparkContext (GraftExtensionsSpec's
     // pattern — .stop() would kill the shared context)
