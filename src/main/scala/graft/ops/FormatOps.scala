@@ -85,10 +85,12 @@ object FormatOps {
     * lossless and the window agg exact. */
   private def sortedWrite(s: SparkSession, dir: String): DataFrame = {
     val path = tmpDir(s, "sorted")
-    graft.Tables(s, dir, "orders")
-      .repartitionByRange(8, col("o_orderdate"))
-      .sortWithinPartitions(col("o_orderdate"))
-      .write.mode("overwrite").parquet(path)
+    withMicrosTimestamps(s) {
+      graft.Tables(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions(col("o_orderdate"))
+        .write.mode("overwrite").parquet(path)
+    }
     s.read.parquet(path)
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -110,6 +112,19 @@ object FormatOps {
     * table — proving the clustered cycle lossless. At 100 TB this is the
     * difference between reading ~1/k of row groups for a 2-D box and
     * reading everything that matches only the lead column. */
+  /** Write with TIMESTAMP_MICROS (INT64) instead of Spark's deprecated
+    * INT96 default. INT96 column chunks carry NO footer statistics, so a
+    * timestamp-sorted layout would row-group-skip nothing and the footer
+    * manifest builders (FooterStats) would see NULL bounds — the
+    * data-skipping operators' entire premise. Scoped set/restore: query
+    * factories run sequentially per session. */
+  private def withMicrosTimestamps[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally s.conf.set(key, prev)
+  }
+
   private def zorderBits = 16
 
   private def zvalue(x: Column, y: Column): Column =
@@ -128,12 +143,14 @@ object FormatOps {
     // sort into ever-fatter tasks as the table grows, and more z-files
     // only sharpen min/max pruning
     val zFiles = math.max(8, s.sparkContext.defaultParallelism)
-    graft.Tables(s, dir, "orders")
-      .withColumn("zv", zvalue(col("o_custkey"), days.cast("long")))
-      .repartitionByRange(zFiles, col("zv"))
-      .sortWithinPartitions(col("zv"))
-      .drop("zv")
-      .write.mode("overwrite").parquet(path)
+    withMicrosTimestamps(s) {
+      graft.Tables(s, dir, "orders")
+        .withColumn("zv", zvalue(col("o_custkey"), days.cast("long")))
+        .repartitionByRange(zFiles, col("zv"))
+        .sortWithinPartitions(col("zv"))
+        .drop("zv")
+        .write.mode("overwrite").parquet(path)
+    }
     s.read.parquet(path)
       .filter(col("o_custkey") >= 100 && col("o_custkey") < 200 &&
         col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
@@ -216,22 +233,27 @@ object FormatOps {
     * opening them — at 100 TB (≈100k files) the difference between
     * footer-probing every file and a metadata-only plan.
     *
-    * Here the manifest is built with one stats scan (a real table
-    * maintains it incrementally at write commit); the file list that
-    * survives pruning is collected to the DRIVER — a deliberate,
+    * Here the manifest is read from the files' FOOTERS (metadata only,
+    * O(files) — the write already recorded every row group's min/max;
+    * a real table folds the same numbers into its commit): the file list
+    * that survives pruning is collected to the DRIVER — a deliberate,
     * metadata-sized collect (file paths, not data; exactly what every
     * table-format planner does). The exact predicate still applies after
     * the coarse file filter, and the oracle (plain filter on the
     * original table) proves no qualifying row was pruned away. */
   def manifestPrune(s: SparkSession, path: String,
                     lo: java.sql.Timestamp, hi: java.sql.Timestamp): (Seq[String], Int) = {
-    val manifest = s.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+    val files = s.read.parquet(path).inputFiles.toSeq
+    val manifest = graft.sources.FooterStats.longMinMax(s, files, Seq("o_orderdate"))
+    // NULL bounds (a row group without stats) must KEEP the file — the
+    // no-false-negative contract; footer micros compare as timestamps so
+    // the window semantics are identical to the row-scan manifest
     val selected = manifest
-      .filter(col("lo") < lit(hi) && col("hi") >= lit(lo))
+      .filter(col("o_orderdate_lo").isNull ||
+        (timestamp_micros(col("o_orderdate_lo")) < lit(hi) &&
+          timestamp_micros(col("o_orderdate_hi")) >= lit(lo)))
       .select("file").collect().map(_.getString(0)).toSeq
-    (selected, s.read.parquet(path).inputFiles.length)
+    (selected, files.size)
   }
 
   /** Read only the manifest-selected files. An empty selection (no file
@@ -245,9 +267,11 @@ object FormatOps {
 
   private def manifestPruned(s: SparkSession, dir: String): DataFrame = {
     val path = tmpDir(s, "manifest")
-    graft.Tables(s, dir, "orders")
-      .repartitionByRange(16, col("o_orderdate"))
-      .write.mode("overwrite").parquet(path)
+    withMicrosTimestamps(s) {
+      graft.Tables(s, dir, "orders")
+        .repartitionByRange(16, col("o_orderdate"))
+        .write.mode("overwrite").parquet(path)
+    }
     val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
     val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
     val (files, _) = manifestPrune(s, path, lo, hi)
@@ -276,13 +300,15 @@ object FormatOps {
     // v1 cuts at 1997-07-01; the query window reaches past the cut, so a
     // reader that leaked v2's appended rows would change the hash
     val cut = lit("1997-07-01").cast("timestamp")
-    orders.filter(col("o_orderdate") < cut)
-      .repartitionByRange(16, col("o_orderdate"))
-      .write.mode("overwrite").parquet(s"$path/data_v1")
-    CommitLog.commit(path, 0, s"$path/data_v1")
-    orders.repartitionByRange(16, col("o_orderdate"))
-      .write.mode("overwrite").parquet(s"$path/data_v2")
-    CommitLog.commit(path, 1, s"$path/data_v2")
+    withMicrosTimestamps(s) {
+      orders.filter(col("o_orderdate") < cut)
+        .repartitionByRange(16, col("o_orderdate"))
+        .write.mode("overwrite").parquet(s"$path/data_v1")
+      CommitLog.commit(path, 0, s"$path/data_v1")
+      orders.repartitionByRange(16, col("o_orderdate"))
+        .write.mode("overwrite").parquet(s"$path/data_v2")
+      CommitLog.commit(path, 1, s"$path/data_v2")
+    }
     // reader: pin v1 while latest is v2, then manifest-prune v1's files
     val pinned = CommitLog.entries(path).find(_.version == 1L).get.dataDir
     val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
@@ -845,31 +871,34 @@ object FormatOps {
     CommitLog.reset(path)
     // v1: ingest-shaped — 32 small files, rows scattered by hash, every
     // file spanning nearly the full custkey/date range
-    graft.Tables(s, dir, "orders")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$path/data_v1")
-    CommitLog.commit(path, 0L, s"$path/data_v1")
-    // OPTIMIZE: read the committed version, recluster on the z-curve,
-    // publish as the next version (CAS — a concurrent writer would lose
-    // exactly one of the two commits, as CommitLogSpec pins elsewhere)
-    val days = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
-    CommitLog.read(s, path, 1L)
-      .withColumn("zv", zvalue(col("o_custkey"), days.cast("long")))
-      .repartitionByRange(8, col("zv"))
-      .sortWithinPartitions(col("zv"))
-      .drop("zv")
-      .write.mode("overwrite").parquet(s"$path/data_v2")
-    CommitLog.commit(path, 1L, s"$path/data_v2")
-    def stats(v: Long) = CommitLog.read(s, path, v)
-      .withColumn("dus", unix_micros(col("o_orderdate").cast("timestamp")))
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("o_custkey")).as("clo"), max(col("o_custkey")).as("chi"),
-        min(col("dus")).as("dlo"), max(col("dus")).as("dhi"))
-      .collect()
+    withMicrosTimestamps(s) {
+      graft.Tables(s, dir, "orders")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$path/data_v1")
+      CommitLog.commit(path, 0L, s"$path/data_v1")
+      // OPTIMIZE: read the committed version, recluster on the z-curve,
+      // publish as the next version (CAS — a concurrent writer would lose
+      // exactly one of the two commits, as CommitLogSpec pins elsewhere)
+      val days = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      CommitLog.read(s, path, 1L)
+        .withColumn("zv", zvalue(col("o_custkey"), days.cast("long")))
+        .repartitionByRange(8, col("zv"))
+        .sortWithinPartitions(col("zv"))
+        .drop("zv")
+        .write.mode("overwrite").parquet(s"$path/data_v2")
+      CommitLog.commit(path, 1L, s"$path/data_v2")
+    }
+    // both versions' manifests come from footers — metadata only, the
+    // numbers the write itself recorded (schema: file, n_rows,
+    // o_custkey_lo/hi, o_orderdate_lo/hi as UTC micros)
+    def stats(v: Long) = graft.sources.FooterStats.longMinMax(s,
+      CommitLog.read(s, path, v).inputFiles.toSeq,
+      Seq("o_custkey", "o_orderdate")).collect()
     val (usLo, usHi) = (788918400000000L, 820454400000000L) // 1995 / 1996-01-01 UTC
     def selected(st: Array[org.apache.spark.sql.Row]) = st.filter { r =>
-      r.getLong(2) >= 100 && r.getLong(1) < 200 &&
-        r.getLong(4) >= usLo && r.getLong(3) < usHi
+      (2 to 5).exists(r.isNullAt) || // stats-less chunk: cannot prune
+        (r.getLong(3) >= 100 && r.getLong(2) < 200 &&
+          r.getLong(5) >= usLo && r.getLong(4) < usHi)
     }
     val (st1, st2) = (stats(1L), stats(2L))
     require(st2.length < st1.length,
@@ -879,7 +908,7 @@ object FormatOps {
       sel2.length.toDouble / st2.length < sel1.length.toDouble / st1.length,
       s"z-order must improve box pruning: v1 ${sel1.length}/${st1.length}, " +
         s"v2 ${sel2.length}/${st2.length}")
-    require(CommitLog.read(s, path, 1L).count() == CommitLog.read(s, path, 2L).count(),
+    require(st1.map(_.getLong(1)).sum == st2.map(_.getLong(1)).sum,
       "OPTIMIZE must preserve rows and leave v1 time-travelable")
     readPruned(s, s"$path/data_v2", sel2.map(_.getString(0)).toSeq)
       .filter(col("o_custkey") >= 100 && col("o_custkey") < 200 &&
@@ -956,34 +985,39 @@ object FormatOps {
     * provide: the table is laid out by `o_orderdate` (the natural sort
     * key), so every file's `o_orderkey` range spans nearly the whole
     * domain and a point lookup on it overlaps ALL the min/max ranges.
-    * A per-file bloom bitmap (4 KiB, built by `graft_bloom` under
-    * `groupBy(input_file_name)` in ONE stats scan) answers "might this
-    * file contain key k?" with no false negatives — the planner opens
-    * only bitmap-positive files. This is the Delta/Iceberg bloom-filter
-    * index: at 100 TB ≈ 100k files the index is ~400 MB of metadata
-    * (maintained incrementally at commit, consulted without touching
-    * data), and a point lookup reads 1–2 files instead of all of them.
+    * A split-block bloom filter written by PARQUET ITSELF at write time
+    * (`parquet.bloom.filter.enabled#<col>`) answers "might this file
+    * contain key k?" with no false negatives — the planner consults the
+    * footers and opens only bloom-positive files. This is the
+    * Delta/Iceberg bloom-filter index with the index storage parquet
+    * already provides: at 100 TB ≈ 100k files the index rides in the
+    * footers (written incrementally with each file for free, consulted
+    * without touching row data), and a point lookup reads 1–2 files
+    * instead of all of them.
     *
     * The probe keys are derived by a metadata-sized aggregate (min/max +
     * two modulus-class extremes — a real lookup arrives with literal
-    * keys); the driver-side bitmap probe mirrors the kernel's XXH64
-    * chain. The in-query guard pins the pruning claim; the oracle (plain
+    * keys). The in-query guard pins the pruning claim; the oracle (plain
     * IN-lookup on the original table) proves no-false-negative planning:
     * an over-pruned file would lose a row and break the hash. */
   private def bloomSkipping(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.BloomFunctions.register(s)
     val path = tmpDir(s, "bloomidx")
-    // size FILES to the index's key capacity, exactly how parquet bloom
-    // filters size bits to NDV: the 4 KiB bitmap holds ~5k keys under 4%
-    // fpp, so keys-per-file must stay bounded as the table grows or the
-    // saturated bitmaps answer "maybe" for everything and pruning dies
-    // (caught by the sf1 full-suite rehearsal: 94k keys/file = kept 16/16)
+    // size FILES to the filter's key capacity, exactly how parquet sizes
+    // bloom bits to expected NDV: keys-per-file must stay bounded as the
+    // table grows or the saturated filters answer "maybe" for everything
+    // and pruning dies (caught by the sf1 full-suite rehearsal when the
+    // 4 KiB predecessor hit 94k keys/file = kept 16/16). The source row
+    // count comes from ITS footers — metadata, not a scan.
     val keysPerFile = 5000L
-    val nFiles = math.max(16L,
-      (graft.Tables(s, dir, "orders").count() + keysPerFile - 1) / keysPerFile).toInt
+    val srcRows = graft.sources.FooterStats.rowCount(s,
+      graft.Tables(s, dir, "orders").inputFiles.toSeq)
+    val nFiles = math.max(16L, (srcRows + keysPerFile - 1) / keysPerFile).toInt
     graft.Tables(s, dir, "orders")
       .repartitionByRange(nFiles, col("o_orderdate"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_orderkey", keysPerFile.toString)
+      .parquet(path)
     val k = s.read.parquet(path).agg(
       min(col("o_orderkey")), max(col("o_orderkey")),
       min(when(col("o_orderkey") % 7 === 0, col("o_orderkey"))),
@@ -991,16 +1025,10 @@ object FormatOps {
     val probes = (0 until 4)
       .flatMap(i => if (k.isNullAt(i)) None else Some(k.getLong(i)))
       .distinct.sorted
-    val index = s.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(graft.functions.BloomFunctions.bloomSketch(col("o_orderkey")).as("bloom"))
-      .collect()
-    val kept = index.filter { r =>
-      val words = r.getSeq[Long](1).toArray
-      probes.exists(graft.functions.BloomFunctions.mightContain(words, _))
-    }.map(_.getString(0)).toSeq
-    require(kept.size < index.length,
-      s"bloom index must skip files (kept ${kept.size}/${index.length})")
+    val files = s.read.parquet(path).inputFiles.toSeq
+    val kept = graft.sources.FooterStats.bloomKeep(s, files, "o_orderkey", probes)
+    require(kept.size < files.size,
+      s"bloom index must skip files (kept ${kept.size}/${files.size})")
     readPruned(s, path, kept)
       .filter(col("o_orderkey").isin(probes: _*))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
