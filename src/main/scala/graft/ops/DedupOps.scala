@@ -495,19 +495,28 @@ object DedupOps {
       : DataFrame = {
     val sets = stage("cont_sets",
       d.select(col("doc_id"), array_distinct(shingles(col("text"), k)).as("ws")))
-    // (doc, shingle) table: feeds the df count, the prefix ranking, and the
-    // candidate join's corpus side
+    // (doc, shingle-HASH) table: feeds the df count, the prefix ranking,
+    // and the candidate join's corpus side. Joining/shuffling on
+    // xxhash64(w) instead of the multi-word shingle string shrinks every
+    // shuffle key to 8 bytes; a collision can only ADD a candidate pair
+    // (equal strings always hash equal), and the exact string-array
+    // verification below removes false candidates — so hashing is
+    // safe-by-construction for the no-lost-pair contract. The prefix
+    // bound itself holds for ANY ⌊(1-t)·|A|⌋+1 tokens (the probe side
+    // carries the full token set), so df-on-hash ranking stays valid.
     val tok = stage("cont_tok",
-      sets.select(col("doc_id"), size(col("ws")).as("n"), explode(col("ws")).as("w")))
-    val df_ = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      sets.select(col("doc_id"), size(col("ws")).as("n"),
+        explode(col("ws")).as("w"))
+        .select(col("doc_id"), col("n"), xxhash64(col("w")).as("wh")))
+    val df_ = tok.groupBy(col("wh")).agg(count(lit(1)).as("df"))
     val wRare = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("w").asc)
-    val prefix = tok.join(df_, "w")
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("wh").asc)
+    val prefix = tok.join(df_, "wh")
       .withColumn("rk", row_number().over(wRare))
       .filter(col("rk") <=
         floor(col("n") * (1.0 - threshold) + 1e-9).cast("int") + 1)
-      .select(col("doc_id").as("pa"), col("w"))
-    val cand = prefix.join(tok.select(col("doc_id").as("pb"), col("w")), "w")
+      .select(col("doc_id").as("pa"), col("wh"))
+    val cand = prefix.join(tok.select(col("doc_id").as("pb"), col("wh")), "wh")
       .filter(col("pa") =!= col("pb"))
       .select(least(col("pa"), col("pb")).as("d1"),
         greatest(col("pa"), col("pb")).as("d2"))

@@ -25,6 +25,7 @@ object FullSf1 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ops.Fs.pointStreamCheckpointsAtTmpfs(spark)
     spark.range(1000).selectExpr("sum(id)").collect()
     val all = graft.SparkEntry.queries.keys.toSeq.sorted
     val queries =
