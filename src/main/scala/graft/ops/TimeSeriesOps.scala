@@ -70,8 +70,50 @@ object TimeSeriesOps {
       .limit(TOPK)
   }
 
+  /** Time-grid resampling with forward fill — the gap-fill every
+    * metrics/sensor/feature-store pipeline runs before a model sees the
+    * series: one row per (series, hour) on a regular grid, carrying the
+    * last observation at or before that hour (NULL before the first).
+    *
+    * Scale shape: the grid is users × hours where the hour list is a
+    * BROADCAST 1-row sequence (the time range is an operating window —
+    * it does not grow with the corpus; the user dimension does, and
+    * partitions the work). Last-obs-per-hour is a keyed dedup window,
+    * the fill is ONE keyed window (`last ignoreNulls` over the unioned
+    * grid) — no self-join, no per-gap explosion, shuffle only on
+    * user_id. At 100 TB this is the plan you want: every stage is keyed
+    * by the series id. */
+  private def tsResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // grid bounds: one metadata-sized row, broadcast under the cross joins
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = bounds.select(explode(
+      expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(hours))
+    // last observation per (user, hour): deterministic under ties via
+    // (ts, event_id) — the same total order every keyed op here uses
+    val wLast = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val obs = ev.withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("h"), col("value").as("v"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour"),
+        last(col("v"), ignoreNulls = true).over(wFill).as("filled"),
+        when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_subseq_topk" -> tsSubseqTopk,
+    "ts_resample_ffill" -> tsResampleFfill,
   )
 
   /** Shared oracle substrate: every trailing M-window scored against the
@@ -116,5 +158,32 @@ object TimeSeriesOps {
       s"""WITH $scoredSql
          |SELECT user_id, end_event_id, dist FROM scored
          |ORDER BY dist ASC, user_id ASC, end_event_id ASC LIMIT $TOPK""".stripMargin,
+    // same grid, same (ts, event_id) tie order, same ignore-nulls fill
+    "ts_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, "value" AS v FROM events
+        |), b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+        |  FROM ev
+        |), hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+        |), grid AS (
+        |  SELECT user_id, h FROM (SELECT DISTINCT user_id FROM ev)
+        |  CROSS JOIN hours
+        |), obs AS (
+        |  SELECT user_id, h, v FROM (
+        |    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, v,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM ev) WHERE rk = 1
+        |)
+        |SELECT g.user_id, g.h AS hour,
+        |  last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled,
+        |  CAST(CASE WHEN o.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_obs
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+        |ORDER BY g.user_id, hour""".stripMargin,
   )
 }

@@ -74,7 +74,10 @@ class PlanAuditSpec extends SparkSpec {
     // post_n is a BROADCAST query-count-sized aggregate joined back onto
     // the K survivors per query; candidate generation itself is the
     // IVF probed-cell equi-join (same scale path as sim_ann_ivf)
-    "sim_ann_filtered")
+    "sim_ann_filtered",
+    // the resample grid is series × BROADCAST hour sequence — the hour
+    // list is an operating window (fixed size), the series side scales
+    "ts_resample_ffill")
 
   // queries whose factory launches jobs at plan build (streams, write-
   // then-read lifecycles, training loops) — the documented contract
