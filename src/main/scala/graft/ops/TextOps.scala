@@ -207,10 +207,13 @@ object TextOps {
     * contributes to it), so the model joins are total — including the
     * short-doc edge where the "trigram" is a truncated prefix. */
   private def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val g3 = Staging.staged(s, dir, "lm_g3") {
-      graft.Tables.balanced(s, dir, "documents", "doc_id")
-        .select(col("doc_id"), explode(Tokens.charNgrams(col("text"), 3)).as("g"))
-    }
+    // NOT staged: persisting the exploded (doc, gram) table materializes
+    // corpus × gram rows — the one thing in this query that grows with
+    // data and spills at scale. The explode is cheap map-side CPU over a
+    // column-pruned scan, so both consumers recompute it and stream; what
+    // IS worth keeping is the VOCABULARY-sized model aggregate below.
+    def g3 = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), explode(Tokens.charNgrams(col("text"), 3)).as("g"))
     // c3 feeds both the model join and the context aggregation — staged so
     // the vocabulary aggregate over the corpus runs once
     val c3 = Staging.staged(s, dir, "lm_c3") {
