@@ -54,14 +54,17 @@ object StreamOps {
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the final table (AvailableNow ≈ the reference's one-shot scheduled
     * invocation). */
-  def runToMemory(streamed: DataFrame, outputMode: String): DataFrame = {
+  def runToMemory(streamed: DataFrame, outputMode: String,
+                  stateParts: Int = 4): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val spark = streamed.sparkSession
     // stateful queries instantiate one state store per shuffle partition at
     // query start; 4 is plenty for the bench corpus and cuts fixed setup
-    // cost (a production job sizes this to keys × state bytes instead)
+    // cost. Heavy stateful shapes (session merge) pass a higher count —
+    // state work parallelizes with it (a production job sizes this to
+    // keys × state bytes instead)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     try {
       val q = streamed.writeStream
         .format("memory").queryName(name)
@@ -288,7 +291,9 @@ object StreamOps {
     // the flush row is eliminated before it can advance the watermark —
     // silently withholding the tail sessions. (The sentinel's own session
     // also never emits: it ends 30 min after the final watermark.)
-    runToMemory(agg, "append")
+    // session merge is the heaviest per-row state op in the suite — give
+    // its stores more lanes than the 4-partition fixed-cost default
+    runToMemory(agg, "append", stateParts = 8)
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("s_start"))
   }
