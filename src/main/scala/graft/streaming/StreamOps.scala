@@ -73,7 +73,14 @@ object StreamOps {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    spark.table(name)
+    // resolve the result (analysis is eager, so the frame keeps the sink's
+    // relation), then UNREGISTER the sink's temp view: every stream run
+    // creates a fresh sink table, and a long session that never drops the
+    // names pins hundreds of buffered result tables on the heap — the
+    // returned frame alone keeps this one alive until the caller drops it
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Streaming hourly tumbling-window aggregation; complete mode so the
@@ -1121,10 +1128,12 @@ object StreamOps {
     // the input is already the grouped per-status aggregate (a handful of
     // rows at any scale), so the single-partition window is free — and it
     // introduces no join for the nested-loop plan audit to flag
-    s.table(name)
+    val out = s.table(name)
       .withColumn("last_version", max(col("last_version"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .orderBy(col("o_orderstatus"))
+    s.catalog.dropTempView(name) // same sink-table hygiene as runToMemory
+    out
   }
 
   /** CONSTRAINT-GATED STREAMING SINK — src_checked_write's table contract

@@ -68,7 +68,9 @@ object FullSf1 {
       val notes =
         if (measured.exists(_._2 < 0)) "FAILURES present; see -1 ratios"
         else f"all ${measured.size} queries green at sf1; worst ratio $worstR%.1fx = $worstQ " +
-          "(fixed-cost queries sit near 1x; per-pair scans scale with candidates)"
+          "(fixed-cost queries sit near 1x; linear-OUTPUT ops — grid " +
+          "resample, write-everything roundtrips — and per-candidate scans " +
+          "track the rows they emit)"
       def loadavg(): String =
         try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
           .split("\\s+").take(3).mkString(" ")
