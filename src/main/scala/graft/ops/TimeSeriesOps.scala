@@ -111,9 +111,34 @@ object TimeSeriesOps {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** Per-series lag/rolling features — the feature-engineering pass a
+    * training pipeline runs before a model sees event data: previous
+    * value, trailing-5 exact mean / min / max, and the gap to the
+    * previous event. Everything is ONE keyed window lineage (shuffle on
+    * the series key once, every feature computed in the same sorted
+    * frame); the rolling mean uses the decimal-exact sum so the hash is
+    * partition-independent. Output is row-per-event by design — feature
+    * tables are as large as their input. */
+  private def tsLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w5 = w.rowsBetween(-4, Window.currentRow)
+    graft.Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("lag1"),
+        (sum(col("value").cast(graft.ops.Exact.dec)).over(w5).cast("double") /
+          count(lit(1)).over(w5)).as("roll_mean"),
+        min(col("value")).over(w5).as("roll_min"),
+        max(col("value")).over(w5).as("roll_max"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .as("dt_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_subseq_topk" -> tsSubseqTopk,
     "ts_resample_ffill" -> tsResampleFfill,
+    "ts_lag_features" -> tsLagFeatures,
   )
 
   /** Shared oracle substrate: every trailing M-window scored against the
@@ -185,5 +210,20 @@ object TimeSeriesOps {
         |  CAST(CASE WHEN o.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_obs
         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
         |ORDER BY g.user_id, hour""".stripMargin,
+    // identical keyed windows; decimal-exact rolling sum (Exact.sumSql
+    // pattern) so the mean is partition-independent in both engines
+    "ts_lag_features" ->
+      """SELECT user_id, event_id,
+        |  lag("value", 1) OVER w AS lag1,
+        |  CAST(SUM(CAST("value" AS DECIMAL(30,6))) OVER w5 AS DOUBLE)
+        |    / COUNT(*) OVER w5 AS roll_mean,
+        |  MIN("value") OVER w5 AS roll_min,
+        |  MAX("value") OVER w5 AS roll_max,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS dt_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

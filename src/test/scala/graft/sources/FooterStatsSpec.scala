@@ -79,6 +79,36 @@ class FooterStatsSpec extends SparkSpec {
     assert(r.getLong(4) == 0L && r.getLong(5) == 99L, "longs keep real bounds")
   }
 
+  test("multi-row-group files fold stats and blooms across ALL groups") {
+    val path = tmp("multirg")
+    import spark.implicits._
+    // force several row groups inside ONE file: tiny block size + one task
+    (1L to 50000L).map(i => (i, s"payload_$i" * 4)).toDF("k", "p")
+      .coalesce(1)
+      .write
+      .option("parquet.block.size", (64 * 1024).toString)
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "50000")
+      .parquet(path)
+    val files = spark.read.parquet(path).inputFiles.toSeq
+    assert(files.size == 1)
+    val nGroups = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.size finally r.close()
+    }
+    assert(nGroups > 1, s"need several row groups, got $nGroups")
+    // min must come from the FIRST group, max from the LAST
+    val st = FooterStats.longMinMax(spark, files, Seq("k")).head()
+    assert(st.getLong(1) == 50000L && st.getLong(2) == 1L &&
+      st.getLong(3) == 50000L)
+    // a key in any group keeps the file; absent keys may drop it
+    assert(FooterStats.bloomKeep(spark, files, "k", Seq(1L)).size == 1)
+    assert(FooterStats.bloomKeep(spark, files, "k", Seq(49999L)).size == 1)
+  }
+
   test("parquet-native bloom filters: no false negatives, real skipping") {
     val path = tmp("bloom")
     import spark.implicits._
