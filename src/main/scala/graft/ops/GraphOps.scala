@@ -150,10 +150,26 @@ object GraphOps {
   private def bfsQ(s: SparkSession, dir: String): DataFrame =
     bfsLayers(edges(s, dir), BFS_SOURCE, BFS_HOPS).orderBy(col("node"))
 
+  /** Connected components over the (undirected view of the) edge graph —
+    * the community/partition primitive link-level dedup and corpus
+    * clustering both reduce to. Reuses the min-label-propagation kernel
+    * (`DedupOps.clusterPairs`: co-partitioned RDD supersteps, one narrow
+    * join + min-reduce each, label-sum convergence) and summarizes one
+    * row per component: id = min member node, size. Oracle = the
+    * recursive min-reachable-id closure, the same formulation
+    * dedup_clusters pins. */
+  private def componentsQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.clusterPairs(
+        edges(s, dir).select(col("src").as("d1"), col("dst").as("d2")))
+      .groupBy(col("cluster_id").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("component_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerankQ,
     "graph_triangles" -> trianglesQ,
     "graph_bfs_layers" -> bfsQ,
+    "graph_components" -> componentsQ,
   )
 
   private val pagerankSql: String = {
@@ -196,6 +212,21 @@ object GraphOps {
          |SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
          |ORDER BY node""".stripMargin,
     "graph_pagerank" -> pagerankSql,
+    // min-label fixpoint == min reachable node over the undirected graph
+    "graph_components" ->
+      s"""WITH RECURSIVE $edgesSql,
+         |und AS (
+         |  SELECT src AS u, dst AS v FROM edges
+         |  UNION SELECT dst, src FROM edges
+         |), reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT e.u, reach.r FROM und e JOIN reach ON e.v = reach.u
+         |), lab AS (
+         |  SELECT u, MIN(r) AS component_id FROM reach GROUP BY u
+         |)
+         |SELECT component_id, COUNT(*) AS n_nodes
+         |FROM lab GROUP BY 1 ORDER BY component_id""".stripMargin,
     "graph_triangles" ->
       s"""WITH $edgesSql,
          |und AS (
