@@ -293,5 +293,21 @@ package object api {
         .groupBy(col("k"), col("max_concurrent"))
         .agg(min(col("t")).as("peak_ts"))
     }
+
+    /** Time-grid resampling with forward fill: one row per (`key`,
+      * `unit` bucket) across the frame's time range, carrying the last
+      * observation at or before the bucket (NULL before the key's first);
+      * ties inside a bucket resolve by (`ts`, `ord`). Returns
+      * (key, hour, filled, is_obs) — see ts_resample_ffill. */
+    def resampleFfill(key: String, ts: String, ord: String, value: String,
+        unit: String = "hour"): DataFrame =
+      ops.TimeSeriesOps.resampleFfill(df, key, ts, ord, value, unit)
+
+    /** Per-series lag/rolling model features in ONE keyed window lineage:
+      * lag1, trailing-`n` exact-decimal mean, rolling min/max, and the
+      * microsecond gap to the previous row — see ts_lag_features. */
+    def lagFeatures(key: String, ts: String, ord: String, value: String,
+        n: Int = 5): DataFrame =
+      ops.TimeSeriesOps.lagFeatures(df, key, ts, ord, value, n)
   }
 }

@@ -83,33 +83,41 @@ object TimeSeriesOps {
     * grid) — no self-join, no per-gap explosion, shuffle only on
     * user_id. At 100 TB this is the plan you want: every stage is keyed
     * by the series id. */
-  private def tsResampleFfill(s: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Tables(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+  /** PUBLIC generic resample+ffill over any (key, ts, ord, value) frame:
+    * one row per (key, `unit` bucket) on the regular grid spanning the
+    * whole frame's time range, carrying the last observation at or before
+    * the bucket (`filled`, NULL before the key's first) and `is_obs`.
+    * Ties inside a bucket resolve by the (ts, ord) total order. */
+  def resampleFfill(d: DataFrame, key: String, ts: String, ord: String,
+                    value: String, unit: String = "hour"): DataFrame = {
+    val ev = d.select(col(key), col(ts), col(ord), col(value))
     // grid bounds: one metadata-sized row, broadcast under the cross joins
     val bounds = ev.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
-    val hours = bounds.select(explode(
-      expr("sequence(lo, hi, interval 1 hour)")).as("h"))
-    val grid = ev.select(col("user_id")).distinct()
-      .crossJoin(broadcast(hours))
-    // last observation per (user, hour): deterministic under ties via
-    // (ts, event_id) — the same total order every keyed op here uses
-    val wLast = Window.partitionBy(col("user_id"), col("h"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val obs = ev.withColumn("h", date_trunc("hour", col("ts")))
+      date_trunc(unit, min(col(ts))).as("lo"),
+      date_trunc(unit, max(col(ts))).as("hi"))
+    val grid = ev.select(col(key)).distinct()
+      .crossJoin(broadcast(bounds.select(explode(
+        expr(s"sequence(lo, hi, interval 1 $unit)")).as("h"))))
+    // last observation per (key, bucket): deterministic under ties via
+    // (ts, ord) — the same total order every keyed op here uses
+    val wLast = Window.partitionBy(col(key), col("h"))
+      .orderBy(col(ts).desc, col(ord).desc)
+    val obs = ev.withColumn("h", date_trunc(unit, col(ts)))
       .withColumn("rk", row_number().over(wLast))
       .filter(col("rk") === 1)
-      .select(col("user_id"), col("h"), col("value").as("v"))
-    val wFill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .select(col(key), col("h"), col(value).as("v"))
+    val wFill = Window.partitionBy(col(key)).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq("user_id", "h"), "left")
-      .select(col("user_id"), col("h").as("hour"),
+    grid.join(obs, Seq(key, "h"), "left")
+      .select(col(key), col("h").as("hour"),
         last(col("v"), ignoreNulls = true).over(wFill).as("filled"),
         when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
-      .orderBy(col("user_id"), col("hour"))
   }
+
+  private def tsResampleFfill(s: SparkSession, dir: String): DataFrame =
+    resampleFfill(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("hour"))
 
   /** Per-series lag/rolling features — the feature-engineering pass a
     * training pipeline runs before a model sees event data: previous
@@ -119,21 +127,29 @@ object TimeSeriesOps {
     * frame); the rolling mean uses the decimal-exact sum so the hash is
     * partition-independent. Output is row-per-event by design — feature
     * tables are as large as their input. */
-  private def tsLagFeatures(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val w5 = w.rowsBetween(-4, Window.currentRow)
-    graft.Tables(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .select(col("user_id"), col("event_id"),
-        lag(col("value"), 1).over(w).as("lag1"),
-        (sum(col("value").cast(graft.ops.Exact.dec)).over(w5).cast("double") /
-          count(lit(1)).over(w5)).as("roll_mean"),
-        min(col("value")).over(w5).as("roll_min"),
-        max(col("value")).over(w5).as("roll_max"),
-        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+  /** PUBLIC generic lag/rolling features over any (key, ts, ord, value)
+    * frame: previous value, trailing-`n` exact-decimal mean, rolling
+    * min/max, and the gap to the previous row in microseconds — one keyed
+    * window lineage (single shuffle on `key`). */
+  def lagFeatures(d: DataFrame, key: String, ts: String, ord: String,
+                  value: String, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+    val wn = w.rowsBetween(-(n - 1), Window.currentRow)
+    d.select(col(key), col(ts), col(ord), col(value))
+      .select(col(key), col(ord),
+        lag(col(value), 1).over(w).as("lag1"),
+        (sum(col(value).cast(graft.ops.Exact.dec)).over(wn).cast("double") /
+          count(lit(1)).over(wn)).as("roll_mean"),
+        min(col(value)).over(wn).as("roll_min"),
+        max(col(value)).over(wn).as("roll_max"),
+        (unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(w))
           .as("dt_us"))
-      .orderBy(col("user_id"), col("event_id"))
   }
+
+  private def tsLagFeatures(s: SparkSession, dir: String): DataFrame =
+    lagFeatures(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_subseq_topk" -> tsSubseqTopk,

@@ -193,4 +193,14 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set(("a", 3L, 9L), ("b", 1L, 0L)))
   }
+
+  test("resampleFfill + lagFeatures agree with the corpus queries") {
+    val ev = graft.Tables(spark, sf, "events")
+    val rs = ev.resampleFfill("user_id", "ts", "event_id", "value")
+    val rsRef = graft.ops.TimeSeriesOps.queries("ts_resample_ffill")(spark, sf)
+    assert(rs.exceptAll(rsRef).count() == 0 && rs.count() == rsRef.count())
+    val lf = ev.lagFeatures("user_id", "ts", "event_id", "value")
+    val lfRef = graft.ops.TimeSeriesOps.queries("ts_lag_features")(spark, sf)
+    assert(lf.exceptAll(lfRef).count() == 0 && lf.count() == lfRef.count())
+  }
 }
