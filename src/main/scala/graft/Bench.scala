@@ -135,6 +135,7 @@ object Bench {
     // "queries" = the 15 slowest (the outlier-audit set); full map in the file
     val slowest = results.sortBy(-_._2).take(15)
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_queries":${results.size},"queries":${dict(slowest)},"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    graft.ops.Fs.cleanupAppScratch(spark)
     spark.stop()
   }
 }

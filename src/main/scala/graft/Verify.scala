@@ -63,6 +63,7 @@ object Verify {
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(oraclePath, merged)
     }
+    graft.ops.Fs.cleanupAppScratch(spark)
     spark.stop()
   }
 }

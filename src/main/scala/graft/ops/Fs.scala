@@ -31,6 +31,18 @@ object Fs {
     else System.getProperty("java.io.tmpdir", "/tmp")
   }
 
+  /** Delete every tmpfs directory this application created (checkpoints
+    * + stream scratch, all suffixed with the applicationId) — called by
+    * the harness mains before session stop so repeated runs in one
+    * container don't accumulate dead state in RAM-backed storage. */
+  def cleanupAppScratch(s: org.apache.spark.sql.SparkSession): Unit = {
+    val appId = s.sparkContext.applicationId
+    val base = new java.io.File(tmpfsBase())
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_") && f.getName.contains(appId))
+      .foreach(deleteRecursively)
+  }
+
   /** Scratch directory for a stream query's INTERNAL staging (sentinel
     * feeds, versioned-sink state, published log chunks): tmpfs-backed
     * when available — this data's lifetime is the query, so paying ext4

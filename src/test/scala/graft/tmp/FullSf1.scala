@@ -81,6 +81,7 @@ object FullSf1 {
           s"""{"metric":"scale_rehearsal_full","stat":"median_of_$PASSES","sf1_dir":"${dirs(1)}","generator":"tools/gen_sf1.py","load":"${loadavg()}","notes":"$notes","worst_ratios":$worst10,"queries":{""",
           ",", "}}"))
     }
+    graft.ops.Fs.cleanupAppScratch(spark)
     spark.stop()
   }
 }
