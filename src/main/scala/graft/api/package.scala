@@ -295,13 +295,17 @@ package object api {
     }
 
     /** Time-grid resampling with forward fill: one row per (`key`,
-      * `unit` bucket) across the frame's time range, carrying the last
-      * observation at or before the bucket (NULL before the key's first);
-      * ties inside a bucket resolve by (`ts`, `ord`). Returns
-      * (key, hour, filled, is_obs) — see ts_resample_ffill. */
+      * `unit` bucket), carrying the last observation at or before the
+      * bucket; ties inside a bucket resolve by (`ts`, `ord`). Each key's
+      * grid starts at its own first observation by default;
+      * `alignedStart = true` starts every key at the frame's global
+      * minimum instead (rows before a key's first observation carry NULL
+      * `filled`). Returns (key, hour, filled, is_obs) — see
+      * ts_resample_ffill. */
     def resampleFfill(key: String, ts: String, ord: String, value: String,
-        unit: String = "hour"): DataFrame =
-      ops.TimeSeriesOps.resampleFfill(df, key, ts, ord, value, unit)
+        unit: String = "hour", alignedStart: Boolean = false): DataFrame =
+      ops.TimeSeriesOps.resampleFfill(df, key, ts, ord, value, unit,
+        alignedStart)
 
     /** Per-series lag/rolling model features in ONE keyed window lineage:
       * lag1, trailing-`n` exact-decimal mean, rolling min/max, and the

@@ -433,18 +433,44 @@ object DedupOps {
     var prevSum = labelSum(lab)
     var iter = 0
     var converged = false
-    while (!converged && iter < 20) {
-      val next = eByV.join(lab)
+    // Each superstep is edge propagation PLUS a pointer-doubling shortcut
+    // (label(u) := label(label(u)) — labels are node ids, so the current
+    // label table answers the lookup): plain min-label propagation needs
+    // ~diameter supersteps, which on a chain-shaped graph is |V| and would
+    // blow any fixed cap; with the shortcut the label distance covered
+    // doubles per superstep, so 64 iterations bound any graph that fits in
+    // a Long's worth of nodes. Non-convergence inside the cap can then only
+    // be a bug, and the require below makes it fail loudly instead of
+    // returning wrong component labels.
+    val MAX_ITERS = 64
+    while (!converged && iter < MAX_ITERS) {
+      // prop is read twice (shortcut lookup table + its own labels):
+      // persist for the superstep, released once `next` is materialized
+      val prop = eByV.join(lab)
         .map { case (_, (u, lv)) => (u, lv) }
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // shortcut: every label l is itself a node, so joining (l, u) against
+      // prop reads label(l); ll <= lv always (labels only decrease), and the
+      // reduceByKey restores `part` for the next superstep's narrow join
+      val next = prop.map { case (u, l) => (l, u) }
+        .partitionBy(part)
+        .join(prop)
+        .map { case (_, (u, ll)) => (u, ll) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val s2 = labelSum(next)
+      prop.unpersist(blocking = false)
       lab.unpersist(blocking = false)
       lab = next
       converged = s2 == prevSum
       prevSum = s2
       iter += 1
     }
+    require(converged,
+      s"connected components did not converge in $MAX_ITERS supersteps " +
+        "(pointer-doubling bounds any graph well inside this cap; " +
+        "non-convergence is a kernel bug, not a data property)")
     // truncate the plan to the materialized labels, then release the
     // iteration state — nothing may pin block-manager memory for the rest
     // of a long session once the query's result is independent of it

@@ -31,16 +31,19 @@ object Fs {
     else System.getProperty("java.io.tmpdir", "/tmp")
   }
 
-  /** Delete every tmpfs directory this application created (checkpoints
-    * + stream scratch, all suffixed with the applicationId) — called by
-    * the harness mains before session stop so repeated runs in one
-    * container don't accumulate dead state in RAM-backed storage. */
+  /** Delete every scratch directory this application created (checkpoints
+    * + stream scratch on tmpfs, staged serve indexes under java.io.tmpdir
+    * — all suffixed with the applicationId) — called by the harness mains
+    * before session stop so repeated runs in one container don't
+    * accumulate dead state in RAM-backed storage or /tmp. */
   def cleanupAppScratch(s: org.apache.spark.sql.SparkSession): Unit = {
     val appId = s.sparkContext.applicationId
-    val base = new java.io.File(tmpfsBase())
-    Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("graft_") && f.getName.contains(appId))
-      .foreach(deleteRecursively)
+    Seq(tmpfsBase(), System.getProperty("java.io.tmpdir", "/tmp"))
+      .distinct.map(new java.io.File(_)).foreach { base =>
+        Option(base.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft_") && f.getName.contains(appId))
+          .foreach(deleteRecursively)
+      }
   }
 
   /** Scratch directory for a stream query's INTERNAL staging (sentinel

@@ -383,22 +383,47 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** Write `postings` as a cell-partitioned parquet index at `path` and
-    * return a reader restricted to `cells` whose scan is GUARANTEED
-    * partition-pruned (the `require` pins the partition filter in the
-    * executed plan — a silent fallback to a full-index scan fails loudly
-    * instead of shipping a linear scan to a 100 TB index). Shared by
-    * every persisted-index serve path: sim_ann_index_serve here and
-    * text_hybrid_rrf's semantic arm in TextOps. */
-  private[ops] def servePrunedIndex(s: SparkSession, path: String,
-      postings: DataFrame, cells: Seq[Int]): DataFrame = {
-    postings.write.mode("overwrite").partitionBy("cell").parquet(path)
+  /** Write `postings` as a cell-partitioned parquet index — ONCE per
+    * (session, corpus, `key`) — and return a reader restricted to `cells`
+    * whose scan is GUARANTEED partition-pruned (the `require` pins the
+    * partition filter in the executed plan — a silent fallback to a
+    * full-index scan fails loudly instead of shipping a linear scan to a
+    * 100 TB index). Shared by every persisted-index serve path:
+    * sim_ann_index_serve here and the text hybrid family's semantic arm
+    * in TextOps. `key` names the POSTINGS IDENTITY (which rows the index
+    * holds): consumers with identical postings pass the same key and
+    * share one O(corpus) build per verify/bench pass — production builds
+    * an index once per corpus version and serves every query batch from
+    * it; rebuilding it inside each consumer query would charge the
+    * corpus-linear build to a serve path advertised as
+    * corpus-size-independent. The staged value is the PATH (the written
+    * files are the artifact); Staging.clear drops it between bench
+    * passes so each pass pays the build exactly once. */
+  private[ops] def servePrunedIndex(s: SparkSession, dir: String, key: String,
+      postings: => DataFrame, cells: Seq[Int]): DataFrame = {
+    val path = Staging.stagedValue(s, dir, s"prunedidx_$key") {
+      val p = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_${key}_" +
+        s.sparkContext.applicationId
+      postings.write.mode("overwrite").partitionBy("cell").parquet(p)
+      p
+    }
     val index = s.read.parquet(path)
       .filter(col("cell").isin(cells.map(Int.box): _*))
+    // Pin the partition filter by its content, not one spelling: a
+    // multi-value isin plans as `cell IN (...)`, but OptimizeIn rewrites a
+    // single-element set to `cell = N` — both are pruned scans. An empty
+    // PartitionFilters bracket (or an isnotnull-only one) is the silent
+    // full-scan fallback this guard exists to catch.
     val planStr = index.queryExecution.executedPlan.toString
-    require(planStr.contains("PartitionFilters") &&
-      planStr.substring(planStr.indexOf("PartitionFilters")).take(200).contains(" IN "),
-      "serve path must reach the index through a partition-pruned scan")
+    val start = planStr.indexOf("PartitionFilters: [")
+    val filters = if (start < 0) "" else {
+      val body = planStr.substring(start + "PartitionFilters: [".length)
+      body.take(math.max(0, body.indexOf(']')))
+    }
+    require(filters.contains("cell") &&
+      (filters.contains(" IN ") || filters.contains(" = ")),
+      s"serve path must reach the index through a partition-pruned scan " +
+        s"(PartitionFilters: [$filters])")
     index
   }
 
@@ -416,17 +441,18 @@ object Similarity {
     * listing. Results are identical to sim_ann_ivf (same quantizer, same
     * NPROBE), so the oracle is the same SQL. */
   private def annIndexServe(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_annidx_" +
-      s.sparkContext.applicationId
     val ranked = ivfRanked(s, dir)
-    val postings = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
-      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
     val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("cell_label").as("cell"),
         col("v").as("qv"), col("nrm").as("qn"))
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val index = servePrunedIndex(s, path, postings, probedCells)
+    // postings identity: candidate vectors only (queries excluded) — a
+    // different index than the hybrid family's all-vectors postings
+    val index = servePrunedIndex(s, dir, "annserve",
+      ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
+        .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm")),
+      probedCells)
     val scored = index.join(broadcast(probes), "cell")
       .withColumn("sim",
         round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))

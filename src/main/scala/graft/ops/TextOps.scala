@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tokens._
 import Exact._
@@ -439,133 +440,181 @@ object TextOps {
   private val RRF_K = 60
   private val HYBRID_N = 20   // per-arm candidate depth
   private val HYBRID_TOP = 10
+  private val HYBRID_Q = 4    // query-batch size: docs 0..Q-1 are the queries
 
-  /** Per-arm rank attach: sort the top-N candidate set as ONE array
-    * (posexplode) — the N rows came off a distributed
-    * TakeOrderedAndProject, so no unpartitioned window ever sees the
-    * corpus. */
-  private def rankOf(df: DataFrame, key: Column, id: Column, rkName: String): DataFrame =
-    df.orderBy(key.asc, id.asc).limit(HYBRID_N)
-      .agg(array_sort(collect_list(struct(key.as("k"), id.as("id")))).as("xs"))
-      .select(posexplode(col("xs")))
-      .select(col("col.id").as("doc_id"),
-        (col("pos") + 1).cast("long").as(rkName))
+  /** Per-query top-N rank attach: row_number over a q_id-keyed window.
+    * The rank<=N filter plans as a WindowGroupLimit (partial map-side
+    * group-limit BEFORE the shuffle), so with Q query partitions the
+    * shuffle carries ~Q x N x tasks rows, not the scored corpus — the
+    * per-key twin of the single-list TakeOrderedAndProject. */
+  private def rankPerQuery(df: DataFrame, key: Column, id: Column,
+      rkName: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(key.asc, id.asc)
+    df.withColumn(rkName, row_number().over(w).cast("long"))
+      .filter(col(rkName) <= HYBRID_N)
+      .select(col("q_id"), id.as("doc_id"), col(rkName))
+  }
 
-  /** Lexical arm: the BM25 ranking (same scorer as text_bm25_topk, doc 0
-    * excluded as the trivial self-hit), served from the staged postings. */
+  /** Per-query LEXICAL arm: more-like-this BM25 — each query doc's own
+    * distinct terms are its query, scored against the corpus with the
+    * same saturation formula (and the same staged token substrate) as
+    * text_bm25_topk, self-hit excluded. The per-query term table is
+    * query-batch-sized and BROADCAST; the corpus-sized side is touched
+    * once for the whole batch — the production amortization a
+    * one-query-at-a-time loop forfeits. */
+  private def bm25MltScored(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "bm25_mlt_scored") {
+      val tok = Staging.staged(s, dir, "bm25_tok") {
+        graft.Tables.balanced(s, dir, "documents", "doc_id")
+          .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      }
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val dfr = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      // query terms: the batch docs' distinct tokens, idf attached —
+      // (Q x per-doc vocab) rows, broadcast under the corpus-side join
+      val qterms = tok.filter(col("doc_id") < HYBRID_Q)
+        .select(col("doc_id").as("q_id"), col("w")).distinct()
+        .join(dfr, Seq("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .join(broadcast(qterms), Seq("w"))
+        .filter(col("doc_id") =!= col("q_id"))
+      val contrib =
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+      tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+        .withColumn("contrib", contrib)
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(round(aggregate(
+            transform(array_sort(collect_list(struct(col("w"), col("contrib")))),
+              x => x.getField("contrib")),
+            lit(0.0), (a, x) => a + x), 6).as("score"))
+    }
+
   private def lexArm(s: SparkSession, dir: String): DataFrame =
-    rankOf(bm25Scored(s, dir).filter(col("doc_id") =!= 0),
-      -col("score"), col("doc_id"), "lex_rk")
+    rankPerQuery(bm25MltScored(s, dir), -col("score"), col("doc_id"), "lex_rk")
 
-  /** SEMANTIC ARM, served from the engine's OWN IVF index — not an exact
-    * corpus scan: doc 0's query vector is ranked against the broadcast
-    * quantizer (the staged `ivfRanked` frame Similarity's ANN family
-    * shares), and candidates are read back from a persisted
-    * cell-partitioned index through a PARTITION-PRUNED scan
-    * (Similarity.servePrunedIndex `require`s the partition filter in the
-    * plan). At 100 TB the arm touches nprobe/n_cells of the index per
-    * query batch — cost independent of corpus size, the same serve path
-    * as sim_ann_index_serve. Probed-cell ids are collected driver-side to
-    * form the pruning predicate (metadata-sized, like a partition
-    * listing). */
-  private def semArmAnnScored(s: SparkSession, dir: String, tag: String): DataFrame = {
+  /** Per-query SEMANTIC arm, served from the engine's OWN IVF index — not
+    * an exact corpus scan: the batch docs' query vectors are ranked
+    * against the broadcast quantizer (the staged `ivfRanked` frame
+    * Similarity's ANN family shares), and candidates are read back from
+    * the persisted cell-partitioned index through a PARTITION-PRUNED scan
+    * over the UNION of the batch's probed cells — ONE index read serves
+    * every query in the batch (Similarity.servePrunedIndex `require`s the
+    * partition filter in the plan, and stages the index build per
+    * session, so the hybrid queries share one O(corpus) write). At 100 TB
+    * the arm touches <= Q x nprobe / n_cells of the index per batch —
+    * cost independent of corpus size. Probed-cell ids are collected
+    * driver-side to form the pruning predicate (metadata-sized, like a
+    * partition listing). */
+  private def semArmAnnScored(s: SparkSession, dir: String): DataFrame = {
     val ranked = Similarity.ivfRanked(s, dir)
-    val postings = ranked.filter(col("crk") === 1 && col("vec_id") =!= 0)
-      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
     val probes = ranked
-      .filter(col("crk") <= Similarity.NPROBE && col("vec_id") === 0)
-      .select(col("cell_label").as("cell"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("crk") <= Similarity.NPROBE && col("vec_id") < HYBRID_Q)
+      .select(col("vec_id").as("q_id"), col("cell_label").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_hybidx_${tag}_" +
-      s.sparkContext.applicationId
-    val index = Similarity.servePrunedIndex(s, path, postings, probedCells)
+    // postings identity "hybsem": EVERY corpus vector in its crk=1 cell
+    // (queries are corpus docs; self-hits are dropped at scoring time) —
+    // shared by text_hybrid_rrf and text_hybrid_recall
+    val index = Similarity.servePrunedIndex(s, dir, "hybsem",
+      ranked.filter(col("crk") === 1)
+        .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm")),
+      probedCells)
     index.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(
         graft.functions.VectorFunctions.dot(col("v"), col("qv")) /
           (col("nrm") * col("qn")), 6)
         + lit(0.0d)) // +0.0 folds a rounded -0.0 into 0.0 (sort-key only)
-      .select(col("vec_id"), col("sim"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
   }
 
-  /** The EXACT semantic scan (full-corpus cosine vs doc 0) — kept as the
-    * ground truth text_hybrid_recall measures the ANN arm against; the
-    * serving query itself (text_hybrid_rrf) never runs this. */
+  /** The EXACT semantic scan (full-corpus cosine vs each batch query) —
+    * kept as the ground truth text_hybrid_recall measures the ANN arm
+    * against; the serving query itself (text_hybrid_rrf) never runs
+    * this. */
   private def semArmExactScored(s: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.balanced(s, dir, "embeddings", "vec_id")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     def nrm(c: Column): Column =
       sqrt(aggregate(transform(c, x => x * x), lit(0.0d), (a, x) => a + x))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("v").as("qv"), nrm(col("v")).as("qn"))
-    e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+    val q = e.filter(col("vec_id") < HYBRID_Q)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        nrm(col("v")).as("qn"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(
         aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
           lit(0.0d), (a, x) => a + x) / (nrm(col("v")) * col("qn")), 6)
         + lit(0.0d))
-      .select(col("vec_id"), col("sim"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
   }
 
-  /** RRF fusion of two attached-rank arm lists: docs scored by
-    * Σ 1/(K + rank) over the arms they appear in — no score calibration
-    * between BM25 floats and cosine floats (the reason RRF is the
-    * standard first fusion). The fusion is a full outer join of two
-    * N-row lists; the final rank is attached in ONE pass (sorted array +
-    * posexplode) because a rank-then-join-back would reference `fused`
-    * twice and compute both arms twice (Catalyst does not dedupe common
-    * DataFrame subtrees). */
+  /** Per-query RRF fusion of two attached-rank arm lists: within each
+    * query, docs score Σ 1/(K + rank) over the arms they appear in — no
+    * score calibration between BM25 floats and cosine floats (the reason
+    * RRF is the standard first fusion). The fusion is a full outer join
+    * of two (q_id, doc_id)-keyed N-row-per-query lists; the final rank is
+    * a q_id-keyed window (WindowGroupLimit keeps the shuffle
+    * batch-sized). */
   private def fuseArms(lex: DataFrame, sem: DataFrame): DataFrame = {
-    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+    val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0d) / (lit(RRF_K) + col("lex_rk")), lit(0.0d)) +
         coalesce(lit(1.0d) / (lit(RRF_K) + col("vec_rk")), lit(0.0d)), 9))
-    fused
-      .agg(array_sort(collect_list(struct((-col("rrf")).as("k"),
-        col("doc_id").as("doc_id"), col("lex_rk").as("lex_rk"),
-        col("vec_rk").as("vec_rk"), col("rrf").as("rrf")))).as("xs"))
-      .select(posexplode(col("xs")))
-      .filter(col("pos") < HYBRID_TOP)
-      .select(col("col.doc_id").as("doc_id"), col("col.lex_rk").as("lex_rk"),
-        col("col.vec_rk").as("vec_rk"), col("col.rrf").as("rrf"),
-        (col("pos") + 1).cast("long").as("rk"))
-      .orderBy(col("rk"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= HYBRID_TOP)
+      .select(col("q_id"), col("doc_id"), col("lex_rk"), col("vec_rk"),
+        col("rrf"), col("rk"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
-  /** HYBRID RETRIEVAL — Reciprocal Rank Fusion of the engine's two serving
-    * paths: the lexical BM25 ranking (postings-served) and the
-    * IVF-index-served semantic ranking for doc 0's query vector. BOTH
-    * arms serve from their indexes — the lexical arm from the staged
-    * scored postings, the semantic arm from the persisted cell-partitioned
-    * IVF index through a plan-pinned partition-pruned scan — so the
-    * fusion cost is independent of corpus size. The approximation the
-    * ANN arm introduces is measured by text_hybrid_recall. */
+  /** HYBRID RETRIEVAL over a QUERY BATCH — Reciprocal Rank Fusion of the
+    * engine's two serving paths for each of the batch's query docs: the
+    * per-query more-like-this BM25 ranking (postings-served) and the
+    * IVF-index-served semantic ranking of the query's vector. BOTH arms
+    * serve from their indexes and BOTH are batched — the corpus-sided
+    * work (token scoring, one pruned index read over the union of probed
+    * cells) is paid once for the whole batch, per-query fused top-10
+    * lists come out — the production serve shape, which amortizes the
+    * index read a one-query loop would pay Q times. The approximation
+    * the ANN arm introduces is measured by text_hybrid_recall. */
   private def hybridRrf(s: SparkSession, dir: String): DataFrame =
     fuseArms(lexArm(s, dir),
-      rankOf(semArmAnnScored(s, dir, "rrf"), -col("sim"), col("vec_id"), "vec_rk"))
+      rankPerQuery(semArmAnnScored(s, dir), -col("sim"), col("vec_id"), "vec_rk"))
 
   /** Recall of the ANN-served hybrid against the exact-semantic-arm
-    * hybrid: `sem` = overlap of the two semantic top-N lists (the arm the
-    * IVF serve approximates), `fused` = overlap of the two fused top-10
-    * lists (what a user of the operator actually sees). The same
-    * recall-pinning contract as sim_ann_recall, extended to the fusion. */
+    * hybrid, aggregated over the query batch: `sem` = overlap of the
+    * per-query semantic top-N lists (the arm the IVF serve approximates),
+    * `fused` = overlap of the per-query fused top-10 lists (what a user
+    * of the operator actually sees). The same recall-pinning contract as
+    * sim_ann_recall, extended to the fusion. */
   private def hybridRecall(s: SparkSession, dir: String): DataFrame = {
-    val semAnn = rankOf(semArmAnnScored(s, dir, "recall"),
+    val semAnn = rankPerQuery(semArmAnnScored(s, dir),
       -col("sim"), col("vec_id"), "vec_rk")
-    val semEx = rankOf(semArmExactScored(s, dir),
+    val semEx = rankPerQuery(semArmExactScored(s, dir),
       -col("sim"), col("vec_id"), "vec_rk")
     val lex = lexArm(s, dir)
-    val fusedAnn = fuseArms(lex, semAnn).select(col("doc_id"))
-    val fusedEx = fuseArms(lex, semEx).select(col("doc_id"))
+    val fusedAnn = fuseArms(lex, semAnn).select(col("q_id"), col("doc_id"))
+    val fusedEx = fuseArms(lex, semEx).select(col("q_id"), col("doc_id"))
     def hits(method: String, truth: DataFrame, ann: DataFrame, denom: Int): DataFrame =
-      truth.join(ann.select(col("doc_id").as("ad")),
-          truth("doc_id") === col("ad"), "left")
+      truth.join(ann.select(col("q_id").as("aq"), col("doc_id").as("ad")),
+          truth("q_id") === col("aq") && truth("doc_id") === col("ad"), "left")
         .agg(count(col("ad")).as("n_hits"))
         .select(lit(method).as("method"), col("n_hits"),
-          round(col("n_hits").cast("double") / denom, 6).as("recall"))
+          round(col("n_hits").cast("double") / (HYBRID_Q * denom), 6).as("recall"))
     hits("fused", fusedEx, fusedAnn, HYBRID_TOP)
-      .unionByName(hits("sem", semEx.select(col("doc_id")),
-        semAnn.select(col("doc_id")), HYBRID_N))
+      .unionByName(hits("sem", semEx.select(col("q_id"), col("doc_id")),
+        semAnn.select(col("q_id"), col("doc_id")), HYBRID_N))
       .orderBy(col("method"))
   }
 
@@ -591,10 +640,12 @@ object TextOps {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
-  // Lexical-arm CTEs (the bm25 oracle's scorer, doc 0 excluded) ending in
-  // `lexr` — shared by text_hybrid_rrf and text_hybrid_recall. All float
-  // constants are literals on both sides; the two RRF terms add in one
-  // fixed order (lex + vec) so the doubles agree bitwise.
+  // Lexical-arm CTEs (per-query more-like-this BM25: each batch doc's own
+  // distinct terms are its query, self-hit excluded) ending in `lexr` —
+  // shared by text_hybrid_rrf and text_hybrid_recall. All float constants
+  // are literals on both sides; per-(q_id, doc_id) contribs add in term
+  // order and the two RRF terms add in one fixed order (lex + vec) so the
+  // doubles agree bitwise.
   private val hybridLexCtes =
     s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -606,70 +657,75 @@ object TextOps {
        |  FROM dl
        |), dfr AS (
        |  SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
-       |), q AS (
-       |  SELECT w, df FROM (
-       |    SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM dfr)
-       |  WHERE rk IN (10, 20, 30)
+       |), qt AS (
+       |  SELECT DISTINCT doc_id AS q_id, w FROM tok WHERE doc_id < $HYBRID_Q
        |), tf AS (
        |  SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2
        |), sc AS (
-       |  SELECT tf.doc_id, tf.w,
+       |  SELECT q.q_id, tf.doc_id, tf.w,
        |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
        |      (CAST(tf AS DOUBLE) * 2.2) /
        |      (CAST(tf AS DOUBLE) +
        |        1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS contrib
-       |  FROM tf JOIN q USING (w) JOIN dl USING (doc_id), st
+       |  FROM tf JOIN qt q USING (w) JOIN dfr USING (w) JOIN dl USING (doc_id), st
+       |  WHERE tf.doc_id <> q.q_id
        |), bm AS (
-       |  SELECT doc_id,
+       |  SELECT q_id, doc_id,
        |    round(list_reduce(list_prepend(0.0, list(contrib ORDER BY w)),
        |      (a, x) -> a + x), 6) AS score
-       |  FROM sc WHERE doc_id <> 0 GROUP BY doc_id
+       |  FROM sc GROUP BY q_id, doc_id
        |), lexr AS (
-       |  SELECT doc_id, lex_rk FROM (
-       |    SELECT doc_id, CAST(row_number() OVER
-       |      (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk FROM bm)
+       |  SELECT q_id, doc_id, lex_rk FROM (
+       |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rk FROM bm)
        |  WHERE lex_rk <= $HYBRID_N
        |)""".stripMargin
 
-  // Semantic-arm CTEs replaying the IVF serve (same quantizer-cell chain
-  // as sim_ann_ivf via Similarity.quantizerRankedCtesSql): doc 0's probes
+  // Semantic-arm CTEs replaying the batched IVF serve (same
+  // quantizer-cell chain as sim_ann_ivf via
+  // Similarity.quantizerRankedCtesSql): each batch doc's probes
   // (crk <= NPROBE), candidates restricted to the probed cells' postings
-  // (crk = 1, vec_id <> 0), exact rerank within them — ending in `semr`.
+  // (crk = 1, self-hit excluded), exact rerank within them — ending in
+  // `semr`.
   private val hybridSemAnnCtes = {
     val dotAQ =
       "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*p.qv[i]), (x,y) -> x+y)"
     s"""${Similarity.quantizerRankedCtesSql},
        |sassigned AS (
        |  SELECT vec_id, label AS cell, v, nrm FROM qranked
-       |  WHERE crk = 1 AND vec_id <> 0
+       |  WHERE crk = 1
        |), sprobes AS (
-       |  SELECT label AS cell, v AS qv, nrm AS qn FROM qranked
-       |  WHERE crk <= ${Similarity.NPROBE} AND vec_id = 0
+       |  SELECT vec_id AS q_id, label AS cell, v AS qv, nrm AS qn FROM qranked
+       |  WHERE crk <= ${Similarity.NPROBE} AND vec_id < $HYBRID_Q
        |), sem AS (
-       |  SELECT a.vec_id AS doc_id,
+       |  SELECT p.q_id, a.vec_id AS doc_id,
        |    round($dotAQ / (a.nrm * p.qn), 6) AS sim
        |  FROM sassigned a JOIN sprobes p USING (cell)
+       |  WHERE a.vec_id <> p.q_id
        |), semr AS (
-       |  SELECT doc_id, vec_rk FROM (
-       |    SELECT doc_id, CAST(row_number() OVER
-       |      (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rk FROM sem)
+       |  SELECT q_id, doc_id, vec_rk FROM (
+       |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rk FROM sem)
        |  WHERE vec_rk <= $HYBRID_N
        |)""".stripMargin
   }
 
-  // RRF fusion of `lexr` and a semantic rank list, with the final rank
-  // attached — parameterized on the semantic CTE name so the recall
-  // oracle can fuse both the ANN and the exact arm.
+  // Per-query RRF fusion of `lexr` and a semantic rank list, with the
+  // final per-query rank attached — parameterized on the semantic CTE
+  // name so the recall oracle can fuse both the ANN and the exact arm.
   private def hybridFusedCte(semrName: String, fusedName: String) =
     s"""$fusedName AS (
-       |  SELECT doc_id, lex_rk, vec_rk, rrf,
-       |    CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+       |  SELECT q_id, doc_id, lex_rk, vec_rk, rrf,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
        |  FROM (
-       |    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.vec_rk,
+       |    SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+       |      COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.vec_rk,
        |      round(COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + l.lex_rk), 0.0) +
        |            COALESCE(CAST(1.0 AS DOUBLE) / ($RRF_K + s.vec_rk), 0.0), 9)
        |        AS rrf
-       |    FROM lexr l FULL OUTER JOIN $semrName s ON l.doc_id = s.doc_id)
+       |    FROM lexr l FULL OUTER JOIN $semrName s
+       |      ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
        |)""".stripMargin
 
   private val hybridRrfSql =
@@ -677,25 +733,27 @@ object TextOps {
        |${Similarity.eCteSql},
        |$hybridSemAnnCtes,
        |${hybridFusedCte("semr", "fused")}
-       |SELECT doc_id, lex_rk, vec_rk, rrf, rk FROM fused
-       |WHERE rk <= $HYBRID_TOP ORDER BY rk""".stripMargin
+       |SELECT q_id, doc_id, lex_rk, vec_rk, rrf, rk FROM fused
+       |WHERE rk <= $HYBRID_TOP ORDER BY q_id, rk""".stripMargin
 
-  // text_hybrid_recall: the exact semantic arm (full-corpus cosine) as
-  // ground truth, compared against the IVF-served arm — at arm level
-  // (overlap of the two top-N semantic lists) and at fusion level
-  // (overlap of the two fused top-10 lists).
+  // text_hybrid_recall: the exact semantic arm (full-corpus cosine per
+  // batch query) as ground truth, compared against the IVF-served arm —
+  // at arm level (overlap of the per-query top-N semantic lists) and at
+  // fusion level (overlap of the per-query fused top-10 lists), hits
+  // aggregated over the batch.
   private val hybridRecallSql = {
     val semExactCtes =
-      s"""qv0 AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0
+      s"""qv0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+         |  WHERE vec_id < $HYBRID_Q
          |), semx AS (
-         |  SELECT vec_id AS doc_id,
+         |  SELECT q.q_id, e.vec_id AS doc_id,
          |    round(list_reduce(list_transform(generate_series(1, len(v)),
          |        i -> v[i]*qv[i]), (a,x) -> a+x) / (nrm * qn), 6) AS sim
-         |  FROM e, qv0 WHERE vec_id <> 0
+         |  FROM e, qv0 q WHERE e.vec_id <> q.q_id
          |), semrx AS (
-         |  SELECT doc_id, vec_rk FROM (
-         |    SELECT doc_id, CAST(row_number() OVER
-         |      (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rk FROM semx)
+         |  SELECT q_id, doc_id, vec_rk FROM (
+         |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rk FROM semx)
          |  WHERE vec_rk <= $HYBRID_N
          |)""".stripMargin
     s"""WITH $hybridLexCtes,
@@ -704,16 +762,18 @@ object TextOps {
        |$semExactCtes,
        |${hybridFusedCte("semr", "fa")},
        |${hybridFusedCte("semrx", "fx")},
-       |fat AS (SELECT doc_id FROM fa WHERE rk <= $HYBRID_TOP),
-       |fxt AS (SELECT doc_id FROM fx WHERE rk <= $HYBRID_TOP),
+       |fat AS (SELECT q_id, doc_id FROM fa WHERE rk <= $HYBRID_TOP),
+       |fxt AS (SELECT q_id, doc_id FROM fx WHERE rk <= $HYBRID_TOP),
        |hits AS (
        |  SELECT 'fused' AS method, CAST(COUNT(a.doc_id) AS BIGINT) AS n_hits,
-       |    round(COUNT(a.doc_id) / $HYBRID_TOP.0, 6) AS recall
-       |  FROM fxt e LEFT JOIN fat a ON e.doc_id = a.doc_id
+       |    round(COUNT(a.doc_id) / ${HYBRID_Q * HYBRID_TOP}.0, 6) AS recall
+       |  FROM fxt e LEFT JOIN fat a
+       |    ON e.q_id = a.q_id AND e.doc_id = a.doc_id
        |  UNION ALL
        |  SELECT 'sem' AS method, CAST(COUNT(a.doc_id) AS BIGINT) AS n_hits,
-       |    round(COUNT(a.doc_id) / $HYBRID_N.0, 6) AS recall
-       |  FROM semrx e LEFT JOIN semr a ON e.doc_id = a.doc_id
+       |    round(COUNT(a.doc_id) / ${HYBRID_Q * HYBRID_N}.0, 6) AS recall
+       |  FROM semrx e LEFT JOIN semr a
+       |    ON e.q_id = a.q_id AND e.doc_id = a.doc_id
        |)
        |SELECT method, n_hits, recall FROM hits ORDER BY method""".stripMargin
   }

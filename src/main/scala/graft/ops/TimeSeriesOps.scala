@@ -84,20 +84,40 @@ object TimeSeriesOps {
     * user_id. At 100 TB this is the plan you want: every stage is keyed
     * by the series id. */
   /** PUBLIC generic resample+ffill over any (key, ts, ord, value) frame:
-    * one row per (key, `unit` bucket) on the regular grid spanning the
-    * whole frame's time range, carrying the last observation at or before
-    * the bucket (`filled`, NULL before the key's first) and `is_obs`.
-    * Ties inside a bucket resolve by the (ts, ord) total order. */
+    * one row per (key, `unit` bucket) on a regular grid, carrying the
+    * last observation at or before the bucket (`filled`) and `is_obs`.
+    * Ties inside a bucket resolve by the (ts, ord) total order.
+    *
+    * By default each key's grid starts at ITS OWN first observation
+    * (`alignedStart = false`) and runs to the frame's global end — the
+    * production default: with long-history corpora and churning key
+    * populations, a global start multiplies output by dead leading
+    * NULL spans for every late-arriving key (the suite's worst sf1
+    * output-growth term before this). `alignedStart = true` restores the
+    * globally aligned grid for feature-store shapes that need every
+    * series on identical frames (rows before a key's first observation
+    * carry NULL `filled`). */
   def resampleFfill(d: DataFrame, key: String, ts: String, ord: String,
-                    value: String, unit: String = "hour"): DataFrame = {
+                    value: String, unit: String = "hour",
+                    alignedStart: Boolean = false): DataFrame = {
     val ev = d.select(col(key), col(ts), col(ord), col(value))
-    // grid bounds: one metadata-sized row, broadcast under the cross joins
+    // global bounds: one metadata-sized row, broadcast under the joins
     val bounds = ev.agg(
-      date_trunc(unit, min(col(ts))).as("lo"),
+      date_trunc(unit, min(col(ts))).as("glo"),
       date_trunc(unit, max(col(ts))).as("hi"))
-    val grid = ev.select(col(key)).distinct()
-      .crossJoin(broadcast(bounds.select(explode(
-        expr(s"sequence(lo, hi, interval 1 $unit)")).as("h"))))
+    // per-key grid start (or the broadcast global start), exploded into
+    // the key's bucket sequence — the explode is NARROW over the keyed
+    // aggregate, so grid construction keeps the series-key partitioning
+    val keyLo =
+      if (alignedStart)
+        ev.select(col(key)).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col(key), col("glo").as("lo"), col("hi"))
+      else
+        ev.groupBy(col(key)).agg(date_trunc(unit, min(col(ts))).as("lo"))
+          .crossJoin(broadcast(bounds.select(col("hi"))))
+    val grid = keyLo.select(col(key),
+      explode(expr(s"sequence(lo, hi, interval 1 $unit)")).as("h"))
     // last observation per (key, bucket): deterministic under ties via
     // (ts, ord) — the same total order every keyed op here uses
     val wLast = Window.partitionBy(col(key), col("h"))
@@ -199,19 +219,19 @@ object TimeSeriesOps {
       s"""WITH $scoredSql
          |SELECT user_id, end_event_id, dist FROM scored
          |ORDER BY dist ASC, user_id ASC, end_event_id ASC LIMIT $TOPK""".stripMargin,
-    // same grid, same (ts, event_id) tie order, same ignore-nulls fill
+    // same per-key grid start, same (ts, event_id) tie order, same
+    // ignore-nulls fill
     "ts_resample_ffill" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id, "value" AS v FROM events
         |), b AS (
-        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
-        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
-        |  FROM ev
-        |), hours AS (
-        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+        |  SELECT CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi FROM ev
+        |), kl AS (
+        |  SELECT user_id, CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo
+        |  FROM ev GROUP BY 1
         |), grid AS (
-        |  SELECT user_id, h FROM (SELECT DISTINCT user_id FROM ev)
-        |  CROSS JOIN hours
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |  FROM kl, b
         |), obs AS (
         |  SELECT user_id, h, v FROM (
         |    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, v,

@@ -75,8 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     // the K survivors per query; candidate generation itself is the
     // IVF probed-cell equi-join (same scale path as sim_ann_ivf)
     "sim_ann_filtered",
-    // the resample grid is series × BROADCAST hour sequence — the hour
-    // list is an operating window (fixed size), the series side scales
+    // the resample grid joins each key's start bucket with the BROADCAST
+    // 1-row global end bucket — the series side scales and stays keyed
     "ts_resample_ffill")
 
   // queries whose factory launches jobs at plan build (streams, write-

@@ -36,7 +36,16 @@ def main():
     old, oq = load(old_path)
     new, nq = load(new_path)
     oc, nc = old.get("calib_sec"), new.get("calib_sec")
-    if oc and nc:
+    ocpu, ncpu = old.get("cpus"), new.get("cpus")
+    if oc and nc and ocpu is not None and str(ocpu) != str(ncpu):
+        # the calibration job's partition count tracks SPARK_GRAFT_CPUS, so
+        # calib ratios across different cpu counts measure configured
+        # parallelism, not host speed — refuse to normalize rather than
+        # silently skew every ratio
+        host = 1.0
+        note = (f" (CPUS DIFFER old={ocpu} new={ncpu} — calib not comparable,"
+                " raw ratios only)")
+    elif oc and nc:
         host = nc / oc
         note = ""
     else:
