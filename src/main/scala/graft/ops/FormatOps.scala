@@ -282,6 +282,53 @@ object FormatOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Typed footer-stat pruning beyond INT64 — the manifest columns real
+    * tables actually filter on: STRING keys (parquet BINARY UTF-8
+    * min/max; padded ids, status codes, clerk keys) and DOUBLE measures.
+    * Two clustered layouts of the customer table — range-partitioned by
+    * c_name and by c_acctbal — are each pruned by their own typed footer
+    * manifest (FooterStats.binaryMinMax / doubleMinMax, O(files)
+    * metadata) before the exact predicate runs. A `require` pins that
+    * each manifest actually DROPPED files (the operator's reason to
+    * exist — without it a broken stats reader degrades to reading
+    * everything and still hashes green), and the oracle replays both
+    * predicates on the ORIGINAL table, proving no qualifying row was
+    * pruned away (the no-false-negative contract). The c_name window is
+    * below the smallest corpus's key range so the query prunes — and
+    * returns identical rows — at every SF. */
+  private def typedPruned(s: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables(s, dir, "customer")
+    def prunedAgg(tag: String, layoutKey: Column,
+        manifest: Seq[String] => DataFrame, keep: DataFrame => DataFrame,
+        exact: Column): DataFrame = {
+      val path = tmpDir(s, s"typed_$tag")
+      cust.repartitionByRange(16, layoutKey)
+        .write.mode("overwrite").parquet(path)
+      val files = s.read.parquet(path).inputFiles.toSeq
+      val selected = keep(manifest(files)).select("file")
+        .collect().map(_.getString(0)).toSeq
+      require(selected.size < files.size,
+        s"$tag footer manifest pruned nothing — the typed-stats path is broken")
+      readPruned(s, path, selected).filter(exact)
+        .agg(count(lit(1)).as("n"), sumD(col("c_acctbal")).as("sum_acctbal"))
+        .select(lit(tag).as("stat_type"), col("n"), col("sum_acctbal"))
+    }
+    val nameLo = "Customer#000000030"
+    val nameHi = "Customer#000000120"
+    val byName = prunedAgg("string", col("c_name"),
+      fs => graft.sources.FooterStats.binaryMinMax(s, fs, Seq("c_name")),
+      m => m.filter(col("c_name_lo").isNull ||
+        (col("c_name_lo") < lit(nameHi) && col("c_name_hi") >= lit(nameLo))),
+      col("c_name") >= lit(nameLo) && col("c_name") < lit(nameHi))
+    val balLo = 2500.0
+    val byBal = prunedAgg("double", col("c_acctbal"),
+      fs => graft.sources.FooterStats.doubleMinMax(s, fs, Seq("c_acctbal")),
+      m => m.filter(col("c_acctbal_lo").isNull ||
+        col("c_acctbal_hi") >= lit(balLo)),
+      col("c_acctbal") >= lit(balLo))
+    byName.unionByName(byBal).orderBy(col("stat_type"))
+  }
+
   /** The composed read path of the mini table format — commit log →
     * pinned version → per-version manifest → stats-pruned file subset —
     * i.e. what an Iceberg/Delta reader actually does for `VERSION AS OF n
@@ -1288,6 +1335,7 @@ object FormatOps {
     "src_partition_evolution" -> partitionEvolution,
     "src_vacuum" -> vacuumQ,
     "src_manifest_pruned" -> manifestPruned,
+    "src_typed_prune" -> typedPruned,
     "src_compaction" -> compaction,
     "src_optimize" -> optimizeQ,
     "src_hidden_partitioning" -> hiddenPartitioning,
@@ -1487,6 +1535,18 @@ object FormatOps {
          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // both typed predicates replayed on the ORIGINAL table — matching
+    // proves neither the string nor the double footer manifest dropped a
+    // qualifying row
+    "src_typed_prune" ->
+      s"""SELECT 'double' AS stat_type, COUNT(*) AS n,
+         |  ${sumSql("c_acctbal")} AS sum_acctbal
+         |FROM customer WHERE c_acctbal >= 2500.0
+         |UNION ALL
+         |SELECT 'string', COUNT(*), ${sumSql("c_acctbal")}
+         |FROM customer WHERE c_name >= 'Customer#000000030'
+         |  AND c_name < 'Customer#000000120'
+         |ORDER BY stat_type""".stripMargin,
     "src_compaction" ->
       s"""WITH f AS (
          |  SELECT md5(CAST(event_id AS VARCHAR) || ':' || event_type) AS fp,

@@ -3,6 +3,14 @@ package graft.sources
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
+/** A local filesystem registered under a scheme ONLY the Spark session's
+  * hadoopConfiguration knows about — footer reads through it succeed iff
+  * FooterStats ships the SESSION conf into its tasks (the seam a real
+  * cluster needs for credentials / custom fs impls). */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
 /** FooterStats must report exactly what a row scan would — the footer is
   * the same data's metadata — while never reading row data. The bloom
   * side must have NO false negatives (planted keys always keep their
@@ -107,6 +115,57 @@ class FooterStatsSpec extends SparkSpec {
     // a key in any group keeps the file; absent keys may drop it
     assert(FooterStats.bloomKeep(spark, files, "k", Seq(1L)).size == 1)
     assert(FooterStats.bloomKeep(spark, files, "k", Seq(49999L)).size == 1)
+  }
+
+  test("string and double footer bounds match the row scan") {
+    val path = tmp("typed")
+    import spark.implicits._
+    val df = (1 to 4000)
+      .map(i => (f"key_$i%06d", i / 7.0 - 100.0, i.toLong))
+      .toDF("sk", "dv", "k")
+    df.repartitionByRange(6, col("k")).write.parquet(path)
+    val files = spark.read.parquet(path).inputFiles.toSeq
+    val bin = FooterStats.binaryMinMax(spark, files, Seq("sk"))
+      .orderBy(col("file")).collect()
+    val dbl = FooterStats.doubleMinMax(spark, files, Seq("dv"))
+      .orderBy(col("file")).collect()
+    val scan = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("sk")), max(col("sk")), min(col("dv")), max(col("dv")))
+      .orderBy(col("file")).collect()
+    bin.zip(scan).foreach { case (f, sc) =>
+      assert(f.getString(2) == sc.getString(1) &&
+        f.getString(3) == sc.getString(2), s"string bounds ${f.getString(0)}")
+    }
+    dbl.zip(scan).foreach { case (f, sc) =>
+      assert(f.getDouble(2) == sc.getDouble(3) &&
+        f.getDouble(3) == sc.getDouble(4), s"double bounds ${f.getString(0)}")
+    }
+    // a physical-type mismatch (reading a string column with the long
+    // helper) must degrade to NULL bounds — keep the file, never lie
+    val wrong = FooterStats.longMinMax(spark, files, Seq("sk")).head()
+    assert(wrong.isNullAt(2) && wrong.isNullAt(3),
+      "wrong-typed stats must yield NULL bounds")
+  }
+
+  test("the SESSION's hadoop conf reaches the footer tasks (fs seam)") {
+    val path = tmp("confseam")
+    import spark.implicits._
+    (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+      .coalesce(1).write.parquet(path)
+    val local = spark.read.parquet(path).inputFiles.toSeq
+    // register the scheme ONLY in the session conf: the old executor-side
+    // `new Configuration()` would throw "No FileSystem for scheme"
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    try {
+      val aliased = local.map(f => "graftfs://" + new java.net.URI(f).getPath)
+      assert(FooterStats.rowCount(spark, aliased) == 100L)
+      val st = FooterStats.longMinMax(spark, aliased, Seq("k")).head()
+      assert(st.getLong(2) == 1L && st.getLong(3) == 100L,
+        "bounds must come back through the session-registered scheme")
+    } finally
+      spark.sparkContext.hadoopConfiguration.unset("fs.graftfs.impl")
   }
 
   test("parquet-native bloom filters: no false negatives, real skipping") {
