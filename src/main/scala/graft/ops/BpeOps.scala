@@ -204,8 +204,25 @@ object BpeOps {
     finally s.conf.set(aqeKey, aqeBefore)
   }
 
-  private def trainLoop(s: SparkSession, dir: String,
-      steps: Int): Seq[(Long, String, String, Long)] = {
+  /** Training with per-step wall times — the scale-rehearsal surface
+    * (tmp.BpeRehearsal): proves per-step cost stays FLAT across
+    * production-scale step counts (the lineage checkpoint + superseded-
+    * persist release doing their job) instead of growing with the merge
+    * count. Same loop, same results; the timing buffer is the only
+    * addition. */
+  private[graft] def trainMergesTimed(s: SparkSession, dir: String,
+      steps: Int): (Seq[(Long, String, String, Long)], Seq[Double]) = {
+    val times = scala.collection.mutable.ArrayBuffer[Double]()
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try (trainLoop(s, dir, steps, Some(times)), times.toSeq)
+    finally s.conf.set(aqeKey, aqeBefore)
+  }
+
+  private def trainLoop(s: SparkSession, dir: String, steps: Int,
+      stepTimes: Option[scala.collection.mutable.ArrayBuffer[Double]] = None)
+      : Seq[(Long, String, String, Long)] = {
     import s.implicits._
     val vocab0 = Staging.staged(s, dir, "bpe_train_vocab") {
       graft.Tables.balanced(s, dir, "documents", "doc_id")
@@ -227,6 +244,7 @@ object BpeOps {
     val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     var exhausted = false
     for (k <- 1 to steps if !exhausted) {
+      val t0 = System.nanoTime()
       val a = split(col("stt"), " ")
       val pairs = vocab.toDF("w", "freq", "stt")
         .select(col("freq"), explode(zip_with(
@@ -257,6 +275,7 @@ object BpeOps {
           }
         }
       }
+      stepTimes.foreach(_ += (System.nanoTime() - t0) / 1e9)
     }
     cached.foreach(_.unpersist())
     learned.toSeq

@@ -35,7 +35,8 @@ object DumpPlans {
       "rel_interval_overlap" -> "sweep line: unpivoted +/-1 deltas, ONE keyed running-sum window, tiny broadcast-back of the per-key max — no interval x interval self-join",
       "rel_fuzzy_match_ed1" -> "PassJoin segment pigeonhole: balanced probe scan (single-split corpus would serialize the per-row probe work), catalog segments broadcast, first-agreeing-segment dedup — no distinct shuffle, no all-pairs",
       "sim_knn_graph" -> "salted per-cell self-join: b-side bucketed hash(vec_id)%8, a-side exploded over buckets — every cell-pair met once at 8x the task width of the plain cell join",
-      "rel_rank_quantiles" -> "exact global quantiles via globalRank: ONE range exchange (inside the Scan ExistingRDD — counts job + rank job share the pinned InternalRow lineage, so the shuffle runs once), then narrow per-partition rank arithmetic; no single-partition global window anywhere")
+      "rel_rank_quantiles" -> "exact global quantiles via globalRank: ONE range exchange (inside the Scan ExistingRDD — counts job + rank job share the pinned InternalRow lineage, so the shuffle runs once), then narrow per-partition rank arithmetic; no single-partition global window anywhere",
+      "ts_resample_ffill" -> "per-key grid: keyed min-aggregate start bucket exploded (narrow) against the broadcast 1-row global end; keyed last-obs dedup + ignoreNulls fill windows — shuffle only on the series key, no dead leading spans")
     val sb = new StringBuilder
     sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
     sb ++= "Regenerate with `sbt \"Test/runMain graft.tmp.DumpPlans\"`.\n"
