@@ -58,7 +58,7 @@ object SparkEntry {
     "src_gdpr_delete", "src_versioned_prune", "src_change_feed", "src_vacuum",
     "src_ivm_apply", "src_txn_tables", "src_shallow_clone",
     "src_partition_evolution",
-    "src_bloom_skipping", "src_dpp_join",
+    "src_bloom_skipping", "src_dpp_join", "src_typed_prune",
     // persisted-index lifecycle: the factory writes the cell-partitioned
     // index and collects the probed-cell list before returning
     "sim_ann_index_serve", "sim_ann_refresh",
