@@ -7,6 +7,19 @@ class GraphOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("clusterPairs: chain graph (diameter >> iteration cap) converges") {
+    // plain min-label propagation needs ~diameter supersteps — a
+    // 2000-node chain would exhaust any fixed cap and, before r10,
+    // silently return wrong labels; the pointer-doubling shortcut
+    // converges in O(log diameter) and require(converged) guards the rest
+    val n = 2000L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = DedupOps.clusterPairs(chain).collect()
+    assert(labels.length == n.toInt)
+    assert(labels.forall(_.getAs[Long]("cluster_id") == 0L),
+      "every chain node must label to the minimum node id")
+  }
+
   test("bfsLayers: shortest distance wins, hop bound respected, unreachable excluded") {
     //    0 -> 1 -> 2 -> 3 -> 4 -> 5      (chain)
     //    0 -> 2                          (shortcut: dist(2) = 1, dist(3) = 2)
