@@ -92,11 +92,21 @@ object TimeSeriesOps {
     * (`alignedStart = false`) and runs to the frame's global end — the
     * production default: with long-history corpora and churning key
     * populations, a global start multiplies output by dead leading
-    * NULL spans for every late-arriving key (the suite's worst sf1
-    * output-growth term before this). `alignedStart = true` restores the
-    * globally aligned grid for feature-store shapes that need every
-    * series on identical frames (rows before a key's first observation
-    * carry NULL `filled`). */
+    * NULL spans for every late-arriving key. In this mode the grid is
+    * never JOINED: every window (bucket dedup, carried value, next-bucket
+    * lead) runs over the OBSERVATION rows, and each observation then
+    * explodes its gap span [its bucket, next obs bucket) — clipped to the
+    * global end — directly into output rows. Windows touch O(obs) rows,
+    * the output-sized frame is produced by a narrow explode, and the only
+    * shuffles are the two keyed windows: at 10x data the fill cost is the
+    * explode itself, not a sort-and-join over the full grid (which made
+    * this the suite's worst sf1 ratio twice).
+    *
+    * `alignedStart = true` restores the globally aligned grid for
+    * feature-store shapes that need every series on identical frames
+    * (rows before a key's first observation carry NULL `filled`); that
+    * path keeps the grid-join formulation since leading spans have no
+    * observation to explode from. */
   def resampleFfill(d: DataFrame, key: String, ts: String, ord: String,
                     value: String, unit: String = "hour",
                     alignedStart: Boolean = false): DataFrame = {
@@ -105,19 +115,6 @@ object TimeSeriesOps {
     val bounds = ev.agg(
       date_trunc(unit, min(col(ts))).as("glo"),
       date_trunc(unit, max(col(ts))).as("hi"))
-    // per-key grid start (or the broadcast global start), exploded into
-    // the key's bucket sequence — the explode is NARROW over the keyed
-    // aggregate, so grid construction keeps the series-key partitioning
-    val keyLo =
-      if (alignedStart)
-        ev.select(col(key)).distinct()
-          .crossJoin(broadcast(bounds))
-          .select(col(key), col("glo").as("lo"), col("hi"))
-      else
-        ev.groupBy(col(key)).agg(date_trunc(unit, min(col(ts))).as("lo"))
-          .crossJoin(broadcast(bounds.select(col("hi"))))
-    val grid = keyLo.select(col(key),
-      explode(expr(s"sequence(lo, hi, interval 1 $unit)")).as("h"))
     // last observation per (key, bucket): deterministic under ties via
     // (ts, ord) — the same total order every keyed op here uses
     val wLast = Window.partitionBy(col(key), col("h"))
@@ -126,12 +123,38 @@ object TimeSeriesOps {
       .withColumn("rk", row_number().over(wLast))
       .filter(col("rk") === 1)
       .select(col(key), col("h"), col(value).as("v"))
-    val wFill = Window.partitionBy(col(key)).orderBy(col("h"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq(key, "h"), "left")
-      .select(col(key), col("h").as("hour"),
-        last(col("v"), ignoreNulls = true).over(wFill).as("filled"),
-        when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
+    if (alignedStart) {
+      val grid = ev.select(col(key)).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col(key),
+          explode(expr(s"sequence(glo, hi, interval 1 $unit)")).as("h"))
+      val wFill = Window.partitionBy(col(key)).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq(key, "h"), "left")
+        .select(col(key), col("h").as("hour"),
+          last(col("v"), ignoreNulls = true).over(wFill).as("filled"),
+          when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
+    } else {
+      // gap spans over observation rows only: `carried` is the forward
+      // fill (ignoreNulls look-back handles NULL-valued observations
+      // exactly like the join form's `last ignoreNulls`), `next_h` bounds
+      // the span — both in ONE keyed window lineage
+      val wNext = Window.partitionBy(col(key)).orderBy(col("h"))
+      val wCarry = wNext
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = obs
+        .withColumn("carried", last(col("v"), ignoreNulls = true).over(wCarry))
+        .withColumn("next_h", lead(col("h"), 1).over(wNext))
+        .crossJoin(broadcast(bounds.select(col("hi"))))
+        .withColumn("end_h",
+          coalesce(expr(s"next_h - interval 1 $unit"), col("hi")))
+      spans.select(col(key), col("h"), col("v"), col("carried"),
+          explode(expr(s"sequence(h, end_h, interval 1 $unit)")).as("hour"))
+        .select(col(key), col("hour"),
+          col("carried").as("filled"),
+          when(col("hour") === col("h") && col("v").isNotNull, 1L)
+            .otherwise(0L).as("is_obs"))
+    }
   }
 
   private def tsResampleFfill(s: SparkSession, dir: String): DataFrame =
