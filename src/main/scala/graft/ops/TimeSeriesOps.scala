@@ -103,10 +103,12 @@ object TimeSeriesOps {
     * this the suite's worst sf1 ratio twice).
     *
     * `alignedStart = true` restores the globally aligned grid for
-    * feature-store shapes that need every series on identical frames
-    * (rows before a key's first observation carry NULL `filled`); that
-    * path keeps the grid-join formulation since leading spans have no
-    * observation to explode from. */
+    * feature-store shapes that need every series on identical frames:
+    * each key's leading span (global start up to its first observation,
+    * NULL `filled`, zero `is_obs`) is exploded from the per-key
+    * first-bucket aggregate and unioned in — the same
+    * windows-over-observations + narrow-explode plan, never a grid
+    * join. */
   def resampleFfill(d: DataFrame, key: String, ts: String, ord: String,
                     value: String, unit: String = "hour",
                     alignedStart: Boolean = false): DataFrame = {
@@ -123,43 +125,57 @@ object TimeSeriesOps {
       .withColumn("rk", row_number().over(wLast))
       .filter(col("rk") === 1)
       .select(col(key), col("h"), col(value).as("v"))
-    if (alignedStart) {
-      val grid = ev.select(col(key)).distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col(key),
-          explode(expr(s"sequence(glo, hi, interval 1 $unit)")).as("h"))
-      val wFill = Window.partitionBy(col(key)).orderBy(col("h"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(obs, Seq(key, "h"), "left")
-        .select(col(key), col("h").as("hour"),
-          last(col("v"), ignoreNulls = true).over(wFill).as("filled"),
-          when(col("v").isNotNull, 1L).otherwise(0L).as("is_obs"))
-    } else {
-      // gap spans over observation rows only: `carried` is the forward
-      // fill (ignoreNulls look-back handles NULL-valued observations
-      // exactly like the join form's `last ignoreNulls`), `next_h` bounds
-      // the span — both in ONE keyed window lineage
-      val wNext = Window.partitionBy(col(key)).orderBy(col("h"))
-      val wCarry = wNext
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val spans = obs
-        .withColumn("carried", last(col("v"), ignoreNulls = true).over(wCarry))
-        .withColumn("next_h", lead(col("h"), 1).over(wNext))
-        .crossJoin(broadcast(bounds.select(col("hi"))))
-        .withColumn("end_h",
-          coalesce(expr(s"next_h - interval 1 $unit"), col("hi")))
-      spans.select(col(key), col("h"), col("v"), col("carried"),
-          explode(expr(s"sequence(h, end_h, interval 1 $unit)")).as("hour"))
-        .select(col(key), col("hour"),
-          col("carried").as("filled"),
-          when(col("hour") === col("h") && col("v").isNotNull, 1L)
-            .otherwise(0L).as("is_obs"))
+    // gap spans over observation rows only: `carried` is the forward
+    // fill (ignoreNulls look-back handles NULL-valued observations
+    // exactly like a grid-join's `last ignoreNulls` would), `next_h`
+    // bounds the span — both in ONE keyed window lineage
+    val wNext = Window.partitionBy(col(key)).orderBy(col("h"))
+    val wCarry = wNext
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = obs
+      .withColumn("carried", last(col("v"), ignoreNulls = true).over(wCarry))
+      .withColumn("next_h", lead(col("h"), 1).over(wNext))
+      .crossJoin(broadcast(bounds.select(col("hi"))))
+      .withColumn("end_h",
+        coalesce(expr(s"next_h - interval 1 $unit"), col("hi")))
+    val filledSpans = spans
+      .select(col(key), col("h"), col("v"), col("carried"),
+        explode(expr(s"sequence(h, end_h, interval 1 $unit)")).as("hour"))
+      .select(col(key), col("hour"),
+        col("carried").as("filled"),
+        when(col("hour") === col("h") && col("v").isNotNull, 1L)
+          .otherwise(0L).as("is_obs"))
+    if (!alignedStart) filledSpans
+    else {
+      // leading NULL spans: global start up to (excluding) each key's
+      // first observed bucket — a per-key aggregate over the obs rows,
+      // exploded narrowly; keys observed in the first bucket emit none
+      val vType = ev.schema(value).dataType
+      val leading = obs.groupBy(col(key)).agg(min(col("h")).as("first_h"))
+        .crossJoin(broadcast(bounds.select(col("glo"))))
+        .filter(col("first_h") > col("glo"))
+        .select(col(key), explode(expr(
+          s"sequence(glo, first_h - interval 1 $unit, interval 1 $unit)"))
+          .as("hour"))
+        .select(col(key), col("hour"), lit(null).cast(vType).as("filled"),
+          lit(0L).as("is_obs"))
+      filledSpans.unionByName(leading)
     }
   }
 
   private def tsResampleFfill(s: SparkSession, dir: String): DataFrame =
     resampleFfill(graft.Tables(s, dir, "events"),
         "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("hour"))
+
+  /** The globally ALIGNED variant as its own oracle-checked query: every
+    * series on the identical frame from the global start (leading spans
+    * NULL-filled with is_obs 0) — the feature-store shape. Same
+    * windows-over-observations plan as the default; only the leading-span
+    * union differs. */
+  private def tsResampleAligned(s: SparkSession, dir: String): DataFrame =
+    resampleFfill(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", alignedStart = true)
       .orderBy(col("user_id"), col("hour"))
 
   /** Per-series lag/rolling features — the feature-engineering pass a
@@ -197,6 +213,7 @@ object TimeSeriesOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_subseq_topk" -> tsSubseqTopk,
     "ts_resample_ffill" -> tsResampleFfill,
+    "ts_resample_aligned" -> tsResampleAligned,
     "ts_lag_features" -> tsLagFeatures,
   )
 
@@ -255,6 +272,34 @@ object TimeSeriesOps {
         |), grid AS (
         |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
         |  FROM kl, b
+        |), obs AS (
+        |  SELECT user_id, h, v FROM (
+        |    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, v,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM ev) WHERE rk = 1
+        |)
+        |SELECT g.user_id, g.h AS hour,
+        |  last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled,
+        |  CAST(CASE WHEN o.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_obs
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+        |ORDER BY g.user_id, hour""".stripMargin,
+    // globally aligned grid: every key from the global start, NULL fill
+    // before a key's first observation; same tie order and fill semantics
+    "ts_resample_aligned" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, "value" AS v FROM events
+        |), b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+        |  FROM ev
+        |), hours AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+        |), grid AS (
+        |  SELECT user_id, h FROM (SELECT DISTINCT user_id FROM ev)
+        |  CROSS JOIN hours
         |), obs AS (
         |  SELECT user_id, h, v FROM (
         |    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, v,

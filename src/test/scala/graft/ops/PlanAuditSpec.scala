@@ -75,9 +75,9 @@ class PlanAuditSpec extends SparkSpec {
     // the K survivors per query; candidate generation itself is the
     // IVF probed-cell equi-join (same scale path as sim_ann_ivf)
     "sim_ann_filtered",
-    // the resample grid joins each key's start bucket with the BROADCAST
-    // 1-row global end bucket — the series side scales and stays keyed
-    "ts_resample_ffill")
+    // the resample spans join the BROADCAST 1-row global bound(s) — the
+    // series side scales and stays keyed
+    "ts_resample_ffill", "ts_resample_aligned")
 
   // queries whose factory launches jobs at plan build (streams, write-
   // then-read lifecycles, training loops) — the documented contract
