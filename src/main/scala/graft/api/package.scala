@@ -262,6 +262,17 @@ package object api {
         .select(col("q_id"), col("rk").cast("long").as("rk"), col("id"), col("sim"))
     }
 
+    /** Batched more-like-this BM25 retrieval: each id in `queryIds` is a
+      * query whose own distinct terms score every other document (BM25
+      * k1=1.2, b=0.75), ranked per query with self-hits excluded. The
+      * corpus is tokenized and scored ONCE for the whole batch under a
+      * broadcast query-term table. Returns (q_id, doc_id, score, rk)
+      * with rk <= topN — the lexical serving arm of text_hybrid_rrf as a
+      * generic operator. */
+    def moreLikeThis(idCol: String, textCol: String, queryIds: Seq[Long],
+        topN: Int = 20): DataFrame =
+      ops.TextOps.moreLikeThis(df, idCol, textCol, queryIds, topN)
+
     /** Temporal (as-of-validity) enrichment: each left row joins the
       * `dim` version valid at its `at` instant — key equality plus
       * `validFrom <= at < validTo` (NULL `validTo` = open tail). The dim

@@ -462,6 +462,49 @@ object TextOps {
     * query-batch-sized and BROADCAST; the corpus-sized side is touched
     * once for the whole batch — the production amortization a
     * one-query-at-a-time loop forfeits. */
+  /** PUBLIC generic batched more-like-this BM25 over any (id, text)
+    * frame: each query id's own distinct terms are its query, scored
+    * against every other document with the BM25 saturation formula
+    * (k1=1.2, b=0.75 — the constants the corpus queries pin) and ranked
+    * per query. Returns (q_id, doc_id, score, rk) with rk <= topN,
+    * self-hits excluded. The per-query term table is query-batch-sized
+    * and BROADCAST; the corpus side is tokenized and scored ONCE for the
+    * whole batch, and ranks ride a q_id-keyed WindowGroupLimit window —
+    * the same plan shape as text_hybrid_rrf's lexical arm, which
+    * `ApiSpec` pins this against. */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      queryIds: Seq[Long], topN: Int = 20): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("w"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfr = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val qterms = tok.filter(col("doc_id").isin(queryIds.map(Long.box): _*))
+      .select(col("doc_id").as("q_id"), col("w")).distinct()
+      .join(dfr, Seq("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(qterms), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+    val contrib =
+      log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(aggregate(
+          transform(array_sort(collect_list(struct(col("w"), col("contrib")))),
+            x => x.getField("contrib")),
+          lit(0.0), (a, x) => a + x), 6).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topN)
+  }
+
   private def bm25MltScored(s: SparkSession, dir: String): DataFrame =
     Staging.staged(s, dir, "bm25_mlt_scored") {
       val tok = Staging.staged(s, dir, "bm25_tok") {
@@ -495,7 +538,7 @@ object TextOps {
             lit(0.0), (a, x) => a + x), 6).as("score"))
     }
 
-  private def lexArm(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lexArm(s: SparkSession, dir: String): DataFrame =
     rankPerQuery(bm25MltScored(s, dir), -col("score"), col("doc_id"), "lex_rk")
 
   /** Per-query SEMANTIC arm, served from the engine's OWN IVF index — not

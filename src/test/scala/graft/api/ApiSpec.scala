@@ -194,6 +194,19 @@ class ApiSpec extends SparkSpec {
     assert(got == Set(("a", 3L, 9L), ("b", 1L, 0L)))
   }
 
+  test("moreLikeThis agrees with the hybrid lexical arm") {
+    val got = graft.Tables(spark, sf, "documents")
+      .moreLikeThis("doc_id", "text", Seq(0L, 1L, 2L, 3L), 20)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rk"))).toSet
+    val ref = graft.ops.TextOps.lexArm(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("lex_rk"))).toSet
+    assert(got == ref, "generic more-like-this must reproduce the corpus arm")
+  }
+
   test("resampleFfill + lagFeatures agree with the corpus queries") {
     val ev = graft.Tables(spark, sf, "events")
     val rs = ev.resampleFfill("user_id", "ts", "event_id", "value")
