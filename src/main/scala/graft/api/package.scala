@@ -324,5 +324,36 @@ package object api {
     def lagFeatures(key: String, ts: String, ord: String, value: String,
         n: Int = 5): DataFrame =
       ops.TimeSeriesOps.lagFeatures(df, key, ts, ord, value, n)
+
+    /** Rolling z-score anomaly detection: each point scored against the
+      * trailing-`n` window's decimal-exact mean/std, |z| > `thresh`
+      * flagged; only full windows emit. Returns (key, ord, z, is_anom) —
+      * see ts_anomaly_zscore. */
+    def anomalyZscore(key: String, ts: String, ord: String, value: String,
+        n: Int = 24, thresh: Double = 2.5, scale: Int = 2): DataFrame =
+      ops.TimeSeriesOps.anomalyZscore(df, key, ts, ord, value, n, thresh,
+        scale)
+
+    /** Time-grid resampling with linear interpolation between bracketing
+      * observations (no extrapolation past each key's last). Returns
+      * (key, hour, interp, is_obs) — see ts_interp_linear. */
+    def interpLinear(key: String, ts: String, ord: String, value: String,
+        unit: String = "hour"): DataFrame =
+      ops.TimeSeriesOps.interpLinear(df, key, ts, ord, value, unit)
+
+    /** Bounded exponentially weighted moving average: weight (1-`alpha`)^i
+      * on the i-th previous value, truncated at `n` terms and renormalized
+      * over present terms. Returns (key, ord, ewma) — see ts_ewma. */
+    def ewma(key: String, ts: String, ord: String, value: String,
+        n: Int = 8, alpha: Double = 0.3): DataFrame =
+      ops.TimeSeriesOps.ewma(df, key, ts, ord, value, n, alpha)
+
+    /** Per-series autocorrelation at lags 1..`maxLag`: Pearson correlation
+      * of the series with its own k-shifted self, decimal-exact moments.
+      * Returns (key, k, acf), acf NULL when either side is degenerate —
+      * see ts_autocorr. */
+    def autocorr(key: String, ts: String, ord: String, value: String,
+        maxLag: Int = 3): DataFrame =
+      ops.TimeSeriesOps.autocorr(df, key, ts, ord, value, maxLag)
   }
 }

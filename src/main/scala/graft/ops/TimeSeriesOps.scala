@@ -210,11 +210,232 @@ object TimeSeriesOps {
         "user_id", "ts", "event_id", "value")
       .orderBy(col("user_id"), col("event_id"))
 
+  private val ZW = 24        // rolling window for the z-score
+  private val ZTHRESH = 2.5d // |z| beyond this flags an anomaly
+
+  /** Rolling z-score anomaly detection — the monitoring/data-quality pass
+    * over metric streams: each point scored against the trailing-`n`
+    * window's mean and population std, |z| > `thresh` flagged. Only full
+    * windows emit (cold starts carry no stable baseline).
+    *
+    * Determinism across engines: the window's first and second moments
+    * come from EXACT decimal sums — `value` quantized to DECIMAL(15,
+    * `scale`), whose square (scale 2·`scale`) is exact in both engines —
+    * so mean/variance are bit-identical doubles regardless of
+    * partitioning or either engine's windowed-sum evaluation order
+    * (segment trees sum out of sequence). `scale` must cover the data's
+    * actual decimal precision (events.value is 2-decimal) AND keep the
+    * squared window sum's raw integer under 2^53, where decimal→double
+    * conversion is exact — at scale 2 that bound is n·max(v)² < 4.5e11,
+    * comfortable for any operating window. Everything is ONE keyed
+    * window lineage: a single shuffle on the series key at any scale. */
+  def anomalyZscore(d: DataFrame, key: String, ts: String, ord: String,
+                    value: String, n: Int = ZW, thresh: Double = ZTHRESH,
+                    scale: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val vd = col(value).cast(org.apache.spark.sql.types.DecimalType(15, scale))
+    val scored = d.select(col(key), col(ts), col(ord), col(value))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("mean", sum(vd).over(w).cast("double") / col("cnt"))
+      .withColumn("ex2", sum(vd * vd).over(w).cast("double") / col("cnt"))
+      .filter(col("cnt") === n)
+      .withColumn("vr", col("ex2") - col("mean") * col("mean"))
+      .withColumn("zr",
+        when(col("vr") > 1e-12,
+          (col(value) - col("mean")) / sqrt(col("vr")))
+          .otherwise(lit(0.0d)))
+    scored.select(col(key), col(ord), round(col("zr"), 6).as("z"),
+      when(abs(col("zr")) > thresh, 1L).otherwise(0L).as("is_anom"))
+  }
+
+  private def tsAnomalyZscore(s: SparkSession, dir: String): DataFrame =
+    anomalyZscore(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
+
+  /** Time-grid resampling with LINEAR INTERPOLATION — the other half of
+    * the gap-fill pair (`resampleFfill` carries the last value; this one
+    * draws the line between brackets): one row per (key, `unit` bucket)
+    * from each key's first to ITS last observed bucket, the value
+    * linearly interpolated between the bracketing observations (no
+    * extrapolation past the last — interpolation needs both ends).
+    *
+    * Same windows-over-observations + narrow-explode plan as ffill: the
+    * bucket dedup and the bracket lookup (lead of bucket and value) are
+    * keyed windows over the OBSERVATION rows; each observation then
+    * explodes its span [its bucket, next bucket) directly into output
+    * rows carrying both bracket values — the output-sized frame is never
+    * windowed or joined, and the only shuffles are the two keyed windows
+    * on the series key. The interpolation fraction is an integer
+    * microsecond ratio cast to double, identical in both engines. */
+  def interpLinear(d: DataFrame, key: String, ts: String, ord: String,
+                   value: String, unit: String = "hour"): DataFrame = {
+    val ev = d.select(col(key), col(ts), col(ord), col(value))
+    val wLast = Window.partitionBy(col(key), col("h"))
+      .orderBy(col(ts).desc, col(ord).desc)
+    val obs = ev.withColumn("h", date_trunc(unit, col(ts)))
+      .withColumn("rk", row_number().over(wLast))
+      .filter(col("rk") === 1)
+      .select(col(key), col("h"), col(value).as("v"))
+    val wk = Window.partitionBy(col(key)).orderBy(col("h"))
+    val spans = obs
+      .withColumn("next_h", lead(col("h"), 1).over(wk))
+      .withColumn("next_v", lead(col("v"), 1).over(wk))
+    val exploded = spans.select(col(key), col("h"), col("v"),
+      col("next_h"), col("next_v"),
+      explode(expr(
+        s"sequence(h, coalesce(next_h - interval 1 $unit, h), interval 1 $unit)"))
+        .as("bucket"))
+    val frac = (unix_micros(col("bucket")) - unix_micros(col("h"))).cast("double") /
+      (unix_micros(col("next_h")) - unix_micros(col("h"))).cast("double")
+    // round-half-up at 1e-6 via explicit IEEE ops (floor(x*1e6+0.5)/1e6)
+    // instead of round(): lerps of low-decimal values by rational hour
+    // fractions land EXACTLY on 6-decimal midpoints, where Spark (exact
+    // BigDecimal on the double's binary value) and DuckDB (multiply/
+    // nearbyint/divide) round differently; the same double ops in the
+    // same order are bit-identical in any engine. Values are >= 0 here.
+    def r6(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+    exploded.select(col(key), col("bucket").as("hour"),
+      r6(when(col("bucket") === col("h"), col("v"))
+        .otherwise(col("v") + (col("next_v") - col("v")) * frac))
+        .as("interp"),
+      when(col("bucket") === col("h") && col("v").isNotNull, 1L)
+        .otherwise(0L).as("is_obs"))
+  }
+
+  private def tsInterpLinear(s: SparkSession, dir: String): DataFrame =
+    interpLinear(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("hour"))
+
+  private val EW = 8        // EWMA window: residual weight (1-α)^8 ≈ 5.8%
+  private val EALPHA = 0.3d
+
+  /** Bounded exponentially weighted moving average — the smoothing pass
+    * behind trend/forecast features: weight (1-α)^i on the i-th previous
+    * value, truncated at `n` terms and renormalized over the terms
+    * actually present (series starts use the shorter window). The
+    * truncation makes the recurrence a fixed-depth lag composition: ONE
+    * keyed window lineage, single shuffle on the series key, no
+    * per-partition imperative state. (The unbounded recurrence would need
+    * a sorted per-key scan — repartition + sortWithinPartitions +
+    * mapPartitions; at (1-α)^n < 6% residual weight the bounded form is
+    * the production trade.)
+    *
+    * Determinism: the weights are computed ONCE driver-side and embedded
+    * as the same literal doubles in the plan and in the oracle SQL
+    * (exact-decimal string → double round-trips), so no runtime `pow`
+    * (not correctly rounded in either engine) enters the comparison; the
+    * weighted sum folds left in both engines. */
+  def ewma(d: DataFrame, key: String, ts: String, ord: String,
+           value: String, n: Int = EW, alpha: Double = EALPHA): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+    val weights = ewmaWeights(n, alpha)
+    val lagged = (0 until n).map(i =>
+      if (i == 0) col(value) else lag(col(value), i).over(w))
+    val num = lagged.zip(weights).map { case (l, wt) =>
+      when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
+    val den = lagged.zip(weights).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
+    d.select(col(key), col(ts), col(ord), col(value))
+      .select(col(key), col(ord), round(num / den, 6).as("ewma"))
+  }
+
+  private def ewmaWeights(n: Int, alpha: Double): Seq[Double] =
+    (0 until n).map(i => math.pow(1.0 - alpha, i))
+
+  /** The ts_ewma oracle, generated from the SAME weight doubles the plan
+    * embeds: each weight rendered as its exact decimal expansion and
+    * CAST('…' AS DOUBLE) so DuckDB recovers the identical bits. */
+  private def ewmaOracleSql(n: Int, alpha: Double): String = {
+    val wts = ewmaWeights(n, alpha).map(wt =>
+      s"CAST('${new java.math.BigDecimal(wt).toPlainString}' AS DOUBLE)")
+    def lagv(i: Int) = if (i == 0) "v" else s"lag(v, $i) OVER w"
+    val terms = wts.zipWithIndex.map { case (wt, i) =>
+      s"CASE WHEN ${lagv(i)} IS NOT NULL THEN ${lagv(i)} * $wt " +
+        "ELSE CAST(0.0 AS DOUBLE) END" }
+    val dens = wts.zipWithIndex.map { case (wt, i) =>
+      s"CASE WHEN ${lagv(i)} IS NOT NULL THEN $wt " +
+        "ELSE CAST(0.0 AS DOUBLE) END" }
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, "value" AS v FROM events
+       |)
+       |SELECT user_id, event_id,
+       |  round((${terms.mkString("\n    + ")})
+       |      / (${dens.mkString("\n    + ")}), 6) AS ewma
+       |FROM ev
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+
+  private def tsEwma(s: SparkSession, dir: String): DataFrame =
+    ewma(graft.Tables(s, dir, "events"), "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val ACF_LAGS = 3
+
+  /** Per-series lag-k autocorrelation (the ACF head) — the seasonality /
+    * memory diagnostic a feature pipeline computes before choosing lag
+    * features or detecting drift: Pearson correlation between the series
+    * and its k-shifted self over the rows where both sides exist, for
+    * k = 1..`maxLag`.
+    *
+    * Plan: ONE keyed window produces all `maxLag` shifted columns, a
+    * narrow explode unpivots (k, x, y) pairs, and a hash aggregate per
+    * (key, k) folds the five Pearson moments — shuffle on the series key
+    * once, then on (key, k) for the metadata-sized aggregate.
+    *
+    * Determinism: the moments are exact decimal sums (DECIMAL(15,2) and
+    * its exact products), each cast to double while its raw integer is
+    * still < 2^53 (exact conversion — with 2-decimal data that bounds
+    * per-series Σx·y < 9e11, far above any per-series operating window);
+    * the Pearson combination then runs in IEEE doubles in the same
+    * written order in both engines, and sqrt makes midpoint round ties
+    * measure-zero. Degenerate (constant) sides yield NULL, not a
+    * division by zero. */
+  def autocorr(d: DataFrame, key: String, ts: String, ord: String,
+               value: String, maxLag: Int = ACF_LAGS): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+    val dec2 = org.apache.spark.sql.types.DecimalType(15, 2)
+    val lagged = d.select(col(key), col(ts), col(ord), col(value))
+      .select(col(key) +: col(value).as("x") +:
+        (1 to maxLag).map(k => lag(col(value), k).over(w).as(s"l$k")): _*)
+    val pairs = lagged.select(col(key), explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("k"), col("x"), col(s"l$k").as("y"))): _*)).as("p"))
+      .select(col(key), col("p.k").as("k"), col("p.x").as("x"),
+        col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val (xd, yd) = (col("x").cast(dec2), col("y").cast(dec2))
+    val m = pairs.groupBy(col(key), col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(xd).cast("double").as("sx"),
+      sum(yd).cast("double").as("sy"),
+      sum(xd * yd).cast("double").as("sxy"),
+      sum(xd * xd).cast("double").as("sx2"),
+      sum(yd * yd).cast("double").as("sy2"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("sy2") - col("sy") * col("sy"))
+    m.select(col(key), col("k"),
+      when(den > 0.0d, round(num / den, 6)).as("acf"))
+  }
+
+  private def tsAutocorr(s: SparkSession, dir: String): DataFrame =
+    autocorr(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_subseq_topk" -> tsSubseqTopk,
     "ts_resample_ffill" -> tsResampleFfill,
     "ts_resample_aligned" -> tsResampleAligned,
     "ts_lag_features" -> tsLagFeatures,
+    "ts_anomaly_zscore" -> tsAnomalyZscore,
+    "ts_interp_linear" -> tsInterpLinear,
+    "ts_ewma" -> tsEwma,
+    "ts_autocorr" -> tsAutocorr,
   )
 
   /** Shared oracle substrate: every trailing M-window scored against the
@@ -314,6 +535,102 @@ object TimeSeriesOps {
         |  CAST(CASE WHEN o.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_obs
         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
         |ORDER BY g.user_id, hour""".stripMargin,
+    // identical decimal-exact window moments: DECIMAL(15,2) and its exact
+    // square summed per frame, cast to double only after the sum (raw
+    // integers < 2^53 so the cast is exact in both engines)
+    "ts_anomaly_zscore" ->
+      s"""WITH a AS (
+         |  SELECT user_id, event_id, "value" AS v,
+         |    COUNT(*) OVER w AS cnt,
+         |    CAST(SUM(CAST("value" AS DECIMAL(15,2))) OVER w AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST("value" AS DECIMAL(15,2)) *
+         |             CAST("value" AS DECIMAL(15,2))) OVER w AS DOUBLE) AS s2
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN ${ZW - 1} PRECEDING AND CURRENT ROW)
+         |), b AS (
+         |  SELECT user_id, event_id, v, s1/cnt AS mean, s2/cnt AS ex2
+         |  FROM a WHERE cnt = $ZW
+         |), c AS (
+         |  SELECT user_id, event_id,
+         |    CASE WHEN ex2 - mean*mean > 1e-12
+         |      THEN (v - mean) / sqrt(ex2 - mean*mean)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS zr
+         |  FROM b
+         |)
+         |SELECT user_id, event_id, round(zr, 6) AS z,
+         |  CAST(CASE WHEN abs(zr) > $ZTHRESH THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_anom
+         |FROM c ORDER BY user_id, event_id""".stripMargin,
+    // same bucket dedup / bracket windows over observations, same integer
+    // microsecond lerp fraction cast to double
+    "ts_interp_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, "value" AS v FROM events
+        |), obs AS (
+        |  SELECT user_id, h, v FROM (
+        |    SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, v,
+        |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |        ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM ev) WHERE rk = 1
+        |), sp AS (
+        |  SELECT user_id, h, v,
+        |    lead(h) OVER wk AS next_h, lead(v) OVER wk AS next_v
+        |  FROM obs WINDOW wk AS (PARTITION BY user_id ORDER BY h)
+        |), g AS (
+        |  SELECT user_id, h, v, next_h, next_v,
+        |    unnest(generate_series(h, coalesce(next_h - INTERVAL 1 HOUR, h),
+        |                           INTERVAL 1 HOUR)) AS bucket
+        |  FROM sp
+        |)
+        |SELECT user_id, bucket AS hour,
+        |  CAST(floor((CASE WHEN bucket = h THEN v
+        |    ELSE v + (next_v - v) *
+        |      (CAST(epoch_us(bucket) - epoch_us(h) AS DOUBLE) /
+        |       CAST(epoch_us(next_h) - epoch_us(h) AS DOUBLE)) END)
+        |    * 1e6 + 0.5) AS DOUBLE) / 1e6 AS interp,
+        |  CAST(CASE WHEN bucket = h AND v IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_obs
+        |FROM g ORDER BY user_id, hour""".stripMargin,
+    // the SAME driver-computed weight doubles, embedded as exact-decimal
+    // strings cast to double (string→double parse recovers the bits); the
+    // weighted sum folds left in both engines
+    "ts_ewma" -> ewmaOracleSql(EW, EALPHA),
+    // identical decimal-exact Pearson moments per (key, lag), identical
+    // IEEE combination order, NULL on degenerate sides
+    "ts_autocorr" -> {
+      val shifted = (1 to ACF_LAGS).map(k =>
+        s"""lag("value", $k) OVER w AS l$k""").mkString(", ")
+      val unions = (1 to ACF_LAGS).map(k =>
+        s"SELECT user_id, $k AS k, x, l$k AS y FROM lagged")
+        .mkString("\n  UNION ALL ")
+      s"""WITH lagged AS (
+         |  SELECT user_id, "value" AS x, $shifted
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), pairs AS (
+         |  SELECT * FROM (
+         |  $unions
+         |  ) WHERE y IS NOT NULL
+         |), m AS (
+         |  SELECT user_id, k, COUNT(*) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(15,2))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(15,2))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x AS DECIMAL(15,2)) * CAST(y AS DECIMAL(15,2)))
+         |      AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(x AS DECIMAL(15,2)) * CAST(x AS DECIMAL(15,2)))
+         |      AS DOUBLE) AS sx2,
+         |    CAST(SUM(CAST(y AS DECIMAL(15,2)) * CAST(y AS DECIMAL(15,2)))
+         |      AS DOUBLE) AS sy2
+         |  FROM pairs GROUP BY user_id, k
+         |)
+         |SELECT user_id, CAST(k AS INT) AS k,
+         |  CASE WHEN sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy) > 0.0
+         |    THEN round((n*sxy - sx*sy) /
+         |      (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 6)
+         |  END AS acf
+         |FROM m ORDER BY user_id, k""".stripMargin
+    },
     // identical keyed windows; decimal-exact rolling sum (Exact.sumSql
     // pattern) so the mean is partition-independent in both engines
     "ts_lag_features" ->

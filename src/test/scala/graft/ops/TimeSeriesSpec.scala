@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Semantic checks for the round-10 time-series additions — each operator
+  * pinned against a hand-computed fixture, independently of the DuckDB
+  * oracle (which replays the same plan; these tests pin the MATH). */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def hourTs(h: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  /** (key, hour-offset, event_id, value) rows → events-shaped frame. */
+  private def ev(rows: Seq[(Long, Int, Long, Double)]) = {
+    import spark.implicits._
+    rows.map { case (k, h, e, v) => (k, hourTs(h), e, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+  }
+
+  test("anomalyZscore flags exactly the planted spike, full windows only") {
+    // 29 quiet points (value 10.0) then one spike of 50.0: windows are
+    // full from the 24th row on; the spike's window has mean/std driven
+    // by 23 tens + one fifty.
+    val rows = (0 until 29).map(i => (1L, i, i.toLong, 10.0)) :+
+      (1L, 29, 29L, 50.0)
+    val out = anomaly(rows)
+    // rows 0..22 have partial windows -> dropped
+    assert(out.size == 30 - 23)
+    // all-constant full windows: variance 0 -> z defined as 0, no flag
+    (23 to 28).foreach { e =>
+      assert(out(e.toLong) == (0.0, 0L), s"event $e should be quiet") }
+    // the spike: mean = (23*10+50)/24, var = E[x^2]-mean^2 over the frame
+    val mean = (23 * 10.0 + 50.0) / 24
+    val ex2 = (23 * 100.0 + 2500.0) / 24
+    val z = (50.0 - mean) / math.sqrt(ex2 - mean * mean)
+    val (zGot, flag) = out(29L)
+    assert(math.abs(zGot - z) < 1e-6 && flag == 1L,
+      s"spike z: got $zGot expected $z")
+  }
+
+  private def anomaly(rows: Seq[(Long, Int, Long, Double)]) =
+    TimeSeriesOps.anomalyZscore(ev(rows), "user_id", "ts", "event_id",
+        "value")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("z"), r.getAs[Long]("is_anom"))).toMap
+
+  test("interpLinear draws the straight line between brackets, no extrapolation") {
+    // key 1: observations at hour 0 (v=10) and hour 4 (v=30) -> hours
+    // 1..3 interpolate to 15, 20, 25; nothing past hour 4.
+    val out = TimeSeriesOps.interpLinear(
+        ev(Seq((1L, 0, 1L, 10.0), (1L, 4, 2L, 30.0))),
+        "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getAs[Timestamp]("hour").toInstant.atZone(
+          java.time.ZoneOffset.UTC).getHour ->
+        (r.getAs[Double]("interp"), r.getAs[Long]("is_obs")))
+      .toMap
+    assert(out.keySet == Set(0, 1, 2, 3, 4))
+    assert(out(0) == (10.0, 1L) && out(4) == (30.0, 1L))
+    assert(out(1) == (15.0, 0L) && out(2) == (20.0, 0L) &&
+      out(3) == (25.0, 0L))
+  }
+
+  test("interpLinear keeps the last-in-hour observation as the bracket") {
+    // two observations in hour 0 (event order breaks the tie) -> the
+    // later one (v=12) is the bracket start.
+    val out = TimeSeriesOps.interpLinear(
+        ev(Seq((1L, 0, 1L, 8.0), (1L, 0, 2L, 12.0), (1L, 2, 3L, 22.0))),
+        "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getAs[Timestamp]("hour").toInstant.atZone(
+          java.time.ZoneOffset.UTC).getHour -> r.getAs[Double]("interp"))
+      .toMap
+    assert(out(0) == 12.0 && out(1) == 17.0 && out(2) == 22.0)
+  }
+
+  test("ewma matches the hand-rolled truncated weighted mean") {
+    // series 1,2,3,4 with n=3, alpha=0.5: weights 1, .5, .25 renormalized
+    // over present terms.
+    val out = TimeSeriesOps.ewma(
+        ev(Seq((1L, 0, 0L, 1.0), (1L, 1, 1L, 2.0), (1L, 2, 2L, 3.0),
+          (1L, 3, 3L, 4.0))),
+        "user_id", "ts", "event_id", "value", n = 3, alpha = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
+    def rnd(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(0L) == 1.0)
+    assert(out(1L) == rnd((2.0 + 0.5 * 1.0) / 1.5))
+    assert(out(2L) == rnd((3.0 + 0.5 * 2.0 + 0.25 * 1.0) / 1.75))
+    assert(out(3L) == rnd((4.0 + 0.5 * 3.0 + 0.25 * 2.0) / 1.75))
+  }
+
+  test("autocorr: linear series is exactly 1, alternating series is -1 at lag 1") {
+    // key 1: strictly linear (ACF 1 at every lag); key 2: alternating
+    // +/-5 around 0 (ACF -1 at lag 1, +1 at lag 2).
+    val lin = (0 until 10).map(i => (1L, i, i.toLong, 1.0 + i))
+    val alt = (0 until 10).map(i => (2L, i, (100 + i).toLong,
+      if (i % 2 == 0) 5.0 else -5.0))
+    val out = TimeSeriesOps.autocorr(ev(lin ++ alt), "user_id", "ts",
+        "event_id", "value", maxLag = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("k")) ->
+        Option(r.getAs[java.lang.Double]("acf")).map(_.doubleValue)).toMap
+    assert(out((1L, 1)).contains(1.0) && out((1L, 2)).contains(1.0))
+    assert(out((2L, 1)).contains(-1.0) && out((2L, 2)).contains(1.0))
+  }
+
+  test("autocorr: constant series yields NULL, not a crash") {
+    val out = TimeSeriesOps.autocorr(
+        ev((0 until 6).map(i => (1L, i, i.toLong, 7.0))),
+        "user_id", "ts", "event_id", "value", maxLag = 2)
+      .collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(2)))
+  }
+
+  test("api surface reproduces the corpus queries for the new ts ops") {
+    val sf = "/root/testdata/sf0.001"
+    import graft.api._
+    val evs = graft.Tables(spark, sf, "events")
+    for ((got, name) <- Seq(
+        (evs.anomalyZscore("user_id", "ts", "event_id", "value"),
+          "ts_anomaly_zscore"),
+        (evs.interpLinear("user_id", "ts", "event_id", "value"),
+          "ts_interp_linear"),
+        (evs.ewma("user_id", "ts", "event_id", "value"), "ts_ewma"),
+        (evs.autocorr("user_id", "ts", "event_id", "value"),
+          "ts_autocorr"))) {
+      val ref = TimeSeriesOps.queries(name)(spark, sf)
+      assert(got.exceptAll(ref).count() == 0 && got.count() == ref.count(),
+        s"$name api/corpus mismatch")
+    }
+  }
+}
