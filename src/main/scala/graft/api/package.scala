@@ -355,5 +355,22 @@ package object api {
     def autocorr(key: String, ts: String, ord: String, value: String,
         maxLag: Int = 3): DataFrame =
       ops.TimeSeriesOps.autocorr(df, key, ts, ord, value, maxLag)
+
+    /** Mean-shift changepoint score: trailing-`k` vs leading-`k` window
+      * mean separation over the pooled std, > `thresh` flagged; both
+      * windows must be full. Returns (key, ord, shift_z, is_cp) — see
+      * ts_changepoint. */
+    def changepoint(key: String, ts: String, ord: String, value: String,
+        k: Int = 12, thresh: Double = 3.0, scale: Int = 2): DataFrame =
+      ops.TimeSeriesOps.changepoint(df, key, ts, ord, value, k, thresh,
+        scale)
+
+    /** Moving-average seasonal decomposition: value = trend (centered
+      * `width`-row mean) + seasonal (per-(key, hour-of-day) detrended
+      * mean) + remainder. Returns (key, ord, trend, seasonal, remainder)
+      * — see ts_seasonal_decompose. */
+    def seasonalDecompose(key: String, ts: String, ord: String,
+        value: String, width: Int = 24): DataFrame =
+      ops.TimeSeriesOps.seasonalDecompose(df, key, ts, ord, value, width)
   }
 }

@@ -28,6 +28,16 @@ object TimeSeriesOps {
   private def fold(a: Column): Column =
     aggregate(a, lit(0.0d), (acc, x) => acc + x)
 
+  /** Round-half-up at 1e-6 via explicit IEEE ops (floor(x*1e6+0.5)/1e6)
+    * instead of round(): derived values (lerps, scores) can land EXACTLY
+    * on 6-decimal midpoints, where Spark (exact BigDecimal on the
+    * double's binary value) and DuckDB (multiply/nearbyint/divide) round
+    * differently; the same double ops in the same order are bit-identical
+    * in any engine. Rounds negatives half toward +inf — fine, as long as
+    * the oracle spells the identical expression. */
+  private def r6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+
   /** z-normalize an array<double> in-place: (x - mean) / std; windows
     * with ~zero variance are the caller's job to filter. */
   private def znorm(v: Column): Column = {
@@ -289,14 +299,6 @@ object TimeSeriesOps {
         .as("bucket"))
     val frac = (unix_micros(col("bucket")) - unix_micros(col("h"))).cast("double") /
       (unix_micros(col("next_h")) - unix_micros(col("h"))).cast("double")
-    // round-half-up at 1e-6 via explicit IEEE ops (floor(x*1e6+0.5)/1e6)
-    // instead of round(): lerps of low-decimal values by rational hour
-    // fractions land EXACTLY on 6-decimal midpoints, where Spark (exact
-    // BigDecimal on the double's binary value) and DuckDB (multiply/
-    // nearbyint/divide) round differently; the same double ops in the
-    // same order are bit-identical in any engine. Values are >= 0 here.
-    def r6(c: Column): Column =
-      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
     exploded.select(col(key), col("bucket").as("hour"),
       r6(when(col("bucket") === col("h"), col("v"))
         .otherwise(col("v") + (col("next_v") - col("v")) * frac))
@@ -427,6 +429,113 @@ object TimeSeriesOps {
         "user_id", "ts", "event_id", "value")
       .orderBy(col("user_id"), col("k"))
 
+  private val CPK = 12       // changepoint window: k rows each side
+  private val CPTHRESH = 3.0d
+
+  /** Mean-shift changepoint score — the drift detector a monitoring
+    * pipeline runs over metric streams: each point scores the separation
+    * between the trailing-`k` window (strictly before it) and the
+    * leading-`k` window (it and after), |mean_after - mean_before| over
+    * the pooled std; points above `thresh` flag as changepoints. Only
+    * positions with BOTH windows full emit (a shift needs evidence on
+    * each side). This is the two-sample window test that approximates
+    * CUSUM without its sequential recurrence — the recurrence would force
+    * a per-key ordered scan, while this form is ONE keyed window lineage:
+    * a single shuffle on the series key at any scale, both frames served
+    * by the same sort.
+    *
+    * Determinism: both windows' first/second moments are exact decimal
+    * sums (same DECIMAL(15,`scale`) discipline as [[anomalyZscore]] —
+    * the cast to double happens on exact integers < 2^53), and the score
+    * combines them in IEEE doubles in identical written order in both
+    * engines; the pooled variance is epsilon-regularized (+1e-9) so a
+    * zero-variance boundary — the cleanest possible shift — scores
+    * enormous instead of dividing by zero. */
+  def changepoint(d: DataFrame, key: String, ts: String, ord: String,
+                  value: String, k: Int = CPK, thresh: Double = CPTHRESH,
+                  scale: Int = 2): DataFrame = {
+    val ob = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+    val wp = ob.rowsBetween(-k, -1)
+    val wn = ob.rowsBetween(Window.currentRow, k - 1)
+    val vd = col(value).cast(org.apache.spark.sql.types.DecimalType(15, scale))
+    val scored = d.select(col(key), col(ts), col(ord), col(value))
+      .withColumn("cp", count(lit(1)).over(wp))
+      .withColumn("sp", sum(vd).over(wp).cast("double"))
+      .withColumn("sp2", sum(vd * vd).over(wp).cast("double"))
+      .withColumn("cn", count(lit(1)).over(wn))
+      .withColumn("sn", sum(vd).over(wn).cast("double"))
+      .withColumn("sn2", sum(vd * vd).over(wn).cast("double"))
+      .filter(col("cp") === k && col("cn") === k)
+      .withColumn("mp", col("sp") / k).withColumn("mn", col("sn") / k)
+      .withColumn("vp", col("sp2") / k - col("mp") * col("mp"))
+      .withColumn("vn", col("sn2") / k - col("mn") * col("mn"))
+      // epsilon-REGULARIZED denominator, not a zero-variance guard: the
+      // cleanest possible changepoint (flat level to flat level) has ZERO
+      // within-window variance exactly at the boundary, and a guard that
+      // returns 0 there would blind the detector to its clearest case;
+      // the epsilon keeps the score finite (and enormous) instead
+      .withColumn("pooled", (col("vp") + col("vn")) / 2.0d)
+      .withColumn("score",
+        abs(col("mn") - col("mp")) / sqrt(col("pooled") + lit(1e-9)))
+    scored.select(col(key), col(ord), r6(col("score")).as("shift_z"),
+      when(col("score") > thresh, 1L).otherwise(0L).as("is_cp"))
+  }
+
+  private def tsChangepoint(s: SparkSession, dir: String): DataFrame =
+    changepoint(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val SEAS_W = 24 // centered trend window = one daily period
+
+  /** Classical seasonal decomposition (the moving-average STL ancestor):
+    * value = trend + seasonal + remainder, with trend a centered
+    * `width`-row moving average, seasonal the per-(key, hour-of-day) mean
+    * of the detrended series, remainder the rest. The feature/forecast
+    * pipeline runs this to separate level shifts from daily shape before
+    * modeling either.
+    *
+    * Plan: the trend is ONE keyed window (single sort on the series
+    * key); rows without a full centered window drop (no trend estimate
+    * at the edges); the seasonal mean is a second window partitioned by
+    * (key, hour) — two shuffles total, no joins, output row-per-scored-
+    * event. At 100 TB both shuffles are on the series key (the second
+    * refines it), so co-partitioning holds.
+    *
+    * Determinism: the trend mean comes from an exact decimal sum; the
+    * detrended value is then round-half-up QUANTIZED to 1e-6 as a LONG
+    * (floor(x·1e6+0.5) — identical IEEE ops in both engines, exact at
+    * any magnitude the decimal data can reach), so the seasonal mean is
+    * an exact integer sum divided once — partitioning and evaluation
+    * order cannot show through in either engine. */
+  def seasonalDecompose(d: DataFrame, key: String, ts: String, ord: String,
+                        value: String, width: Int = SEAS_W): DataFrame = {
+    val half = width / 2
+    val wT = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+      .rowsBetween(-half, half - 1)
+    val vd = col(value).cast(org.apache.spark.sql.types.DecimalType(15, 2))
+    val trended = d.select(col(key), col(ts), col(ord), col(value))
+      .withColumn("cnt", count(lit(1)).over(wT))
+      .withColumn("trend", sum(vd).over(wT).cast("double") / col("cnt"))
+      .filter(col("cnt") === width)
+      .withColumn("hod", hour(col(ts)))
+      .withColumn("dq",
+        floor((col(value) - col("trend")) * lit(1e6) + lit(0.5d)).cast("long"))
+    val wS = Window.partitionBy(col(key), col("hod"))
+    val seasoned = trended
+      .withColumn("seasonal",
+        (sum(col("dq")).over(wS).cast("double") /
+          count(lit(1)).over(wS)) / lit(1e6))
+    seasoned.select(col(key), col(ord), r6(col("trend")).as("trend"),
+      r6(col("seasonal")).as("seasonal"),
+      r6(col(value) - col("trend") - col("seasonal")).as("remainder"))
+  }
+
+  private def tsSeasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    seasonalDecompose(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_subseq_topk" -> tsSubseqTopk,
     "ts_resample_ffill" -> tsResampleFfill,
@@ -436,6 +545,8 @@ object TimeSeriesOps {
     "ts_interp_linear" -> tsInterpLinear,
     "ts_ewma" -> tsEwma,
     "ts_autocorr" -> tsAutocorr,
+    "ts_changepoint" -> tsChangepoint,
+    "ts_seasonal_decompose" -> tsSeasonalDecompose,
   )
 
   /** Shared oracle substrate: every trailing M-window scored against the
@@ -631,6 +742,69 @@ object TimeSeriesOps {
          |  END AS acf
          |FROM m ORDER BY user_id, k""".stripMargin
     },
+    // identical two-frame decimal-exact moments, identical IEEE score
+    // combination and floor-based rounding
+    "ts_changepoint" ->
+      s"""WITH a AS (
+         |  SELECT user_id, event_id, "value" AS v,
+         |    COUNT(*) OVER wp AS cp,
+         |    CAST(SUM(CAST("value" AS DECIMAL(15,2))) OVER wp AS DOUBLE) AS sp,
+         |    CAST(SUM(CAST("value" AS DECIMAL(15,2)) *
+         |             CAST("value" AS DECIMAL(15,2))) OVER wp AS DOUBLE) AS sp2,
+         |    COUNT(*) OVER wn AS cn,
+         |    CAST(SUM(CAST("value" AS DECIMAL(15,2))) OVER wn AS DOUBLE) AS sn,
+         |    CAST(SUM(CAST("value" AS DECIMAL(15,2)) *
+         |             CAST("value" AS DECIMAL(15,2))) OVER wn AS DOUBLE) AS sn2
+         |  FROM events
+         |  WINDOW
+         |    wp AS (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN $CPK PRECEDING AND 1 PRECEDING),
+         |    wn AS (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN CURRENT ROW AND ${CPK - 1} FOLLOWING)
+         |), b AS (
+         |  SELECT user_id, event_id,
+         |    sp / $CPK AS mp, sn / $CPK AS mn,
+         |    sp2 / $CPK - (sp / $CPK) * (sp / $CPK) AS vp,
+         |    sn2 / $CPK - (sn / $CPK) * (sn / $CPK) AS vn
+         |  FROM a WHERE cp = $CPK AND cn = $CPK
+         |), c AS (
+         |  SELECT user_id, event_id,
+         |    abs(mn - mp) /
+         |      sqrt((vp + vn) / CAST(2.0 AS DOUBLE) + 1e-9) AS score
+         |  FROM b
+         |)
+         |SELECT user_id, event_id,
+         |  CAST(floor(score * 1e6 + 0.5) AS DOUBLE) / 1e6 AS shift_z,
+         |  CAST(CASE WHEN score > $CPTHRESH THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_cp
+         |FROM c ORDER BY user_id, event_id""".stripMargin,
+    // identical centered-window decimal trend, long-quantized detrended
+    // values (floor(x*1e6+0.5) both engines), exact integer seasonal sum
+    "ts_seasonal_decompose" ->
+      s"""WITH a AS (
+         |  SELECT user_id, ts, event_id, "value" AS v,
+         |    COUNT(*) OVER wt AS cnt,
+         |    CAST(SUM(CAST("value" AS DECIMAL(15,2))) OVER wt AS DOUBLE)
+         |      / COUNT(*) OVER wt AS trend
+         |  FROM events
+         |  WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN ${SEAS_W / 2} PRECEDING AND ${SEAS_W / 2 - 1} FOLLOWING)
+         |), b AS (
+         |  SELECT user_id, event_id, v, trend, hour(ts) AS hod,
+         |    CAST(floor((v - trend) * 1e6 + 0.5) AS BIGINT) AS dq
+         |  FROM a WHERE cnt = $SEAS_W
+         |), c AS (
+         |  SELECT user_id, event_id, v, trend,
+         |    (CAST(SUM(dq) OVER ws AS DOUBLE) / COUNT(*) OVER ws) / 1e6
+         |      AS seasonal
+         |  FROM b WINDOW ws AS (PARTITION BY user_id, hod)
+         |)
+         |SELECT user_id, event_id,
+         |  CAST(floor(trend * 1e6 + 0.5) AS DOUBLE) / 1e6 AS trend,
+         |  CAST(floor(seasonal * 1e6 + 0.5) AS DOUBLE) / 1e6 AS seasonal,
+         |  CAST(floor((v - trend - seasonal) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         |    AS remainder
+         |FROM c ORDER BY user_id, event_id""".stripMargin,
     // identical keyed windows; decimal-exact rolling sum (Exact.sumSql
     // pattern) so the mean is partition-independent in both engines
     "ts_lag_features" ->

@@ -10,7 +10,8 @@ import java.sql.Timestamp
 class TimeSeriesSpec extends SparkSpec {
 
   private def hourTs(h: Int): Timestamp =
-    Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h.toLong))
 
   /** (key, hour-offset, event_id, value) rows → events-shaped frame. */
   private def ev(rows: Seq[(Long, Int, Long, Double)]) = {
@@ -116,6 +117,53 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.length == 2 && out.forall(_.isNullAt(2)))
   }
 
+  test("changepoint flags the planted level shift and nothing else") {
+    // 20 points at 10.0 then 20 points at 30.0, k=5: the boundary scores
+    // highest; constant stretches away from the shift score 0.
+    val rows = (0 until 20).map(i => (1L, i, i.toLong, 10.0)) ++
+      (20 until 40).map(i => (1L, i, i.toLong, 30.0))
+    val out = TimeSeriesOps.changepoint(ev(rows), "user_id", "ts",
+        "event_id", "value", k = 5, thresh = 3.0)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("shift_z"), r.getAs[Long]("is_cp"))).toMap
+    // both windows full: trailing needs i >= 5, leading [i, i+4] needs
+    // i <= 35
+    assert(out.keySet == (5 to 35).map(_.toLong).toSet)
+    // deep inside constant stretches: zero shift -> score 0
+    assert(out(10L) == (0.0, 0L) && out(30L) == (0.0, 0L))
+    // event 20 is the exact boundary: before all 10s, after all 30s,
+    // pooled variance 0 -> the epsilon-regularized score is enormous;
+    // straddling neighbors (18, 19, 21, 22) score 1.73 / 2.83 — under
+    // the 3.0 threshold — so the boundary alone flags.
+    val flagged = out.collect { case (e, (_, 1L)) => e }
+    assert(flagged == List(20L), s"exactly the boundary must flag: $flagged")
+    assert(out(19L)._1 < 3.0 && out(21L)._1 < 3.0)
+  }
+
+  test("seasonalDecompose recovers trend+seasonal+remainder identity") {
+    // 3 days of hourly data with a deterministic daily shape on a flat
+    // level: decomposition must satisfy v = trend + seasonal + remainder
+    // (to rounding) and the trend must sit near the level.
+    val rows = (0 until 72).map { i =>
+      (1L, i, i.toLong, 100.0 + (if (i % 24 < 12) 4.0 else -4.0)) }
+    val df = TimeSeriesOps.seasonalDecompose(ev(rows), "user_id", "ts",
+        "event_id", "value", width = 24)
+    val got = df.collect().map(r => (r.getAs[Long]("event_id"),
+      r.getAs[Double]("trend"), r.getAs[Double]("seasonal"),
+      r.getAs[Double]("remainder")))
+    // centered 24-window over a shape summing to 0 per day -> trend 100
+    assert(got.nonEmpty)
+    got.foreach { case (e, t, s, r) =>
+      assert(t == 100.0, s"event $e trend $t")
+      val v = 100.0 + (if (e % 24 < 12) 4.0 else -4.0)
+      assert(math.abs(v - (t + s + r)) < 2e-6,
+        s"event $e identity broke: $v vs ${t + s + r}")
+      assert(math.abs(math.abs(s) - 4.0) < 1e-6,
+        s"event $e seasonal $s should be ±4")
+    }
+  }
+
   test("api surface reproduces the corpus queries for the new ts ops") {
     val sf = "/root/testdata/sf0.001"
     import graft.api._
@@ -127,7 +175,11 @@ class TimeSeriesSpec extends SparkSpec {
           "ts_interp_linear"),
         (evs.ewma("user_id", "ts", "event_id", "value"), "ts_ewma"),
         (evs.autocorr("user_id", "ts", "event_id", "value"),
-          "ts_autocorr"))) {
+          "ts_autocorr"),
+        (evs.changepoint("user_id", "ts", "event_id", "value"),
+          "ts_changepoint"),
+        (evs.seasonalDecompose("user_id", "ts", "event_id", "value"),
+          "ts_seasonal_decompose"))) {
       val ref = TimeSeriesOps.queries(name)(spark, sf)
       assert(got.exceptAll(ref).count() == 0 && got.count() == ref.count(),
         s"$name api/corpus mismatch")
