@@ -113,14 +113,29 @@ object Bench {
     val noisy = scala.collection.mutable.ArrayBuffer[String]()
     val needRerun = names.indices.filter { i =>
       val ok = samples(i).filter(_ >= 0)
-      ok.nonEmpty && ok.min > 0 && ok.max / ok.min > 3.0
+      // absolute floor (r10): 3x dispersion on a 0.05 s query is jitter,
+      // not contamination — it cannot move the total, and rerunning it
+      // wastes the rerun block on noise flags nobody should read
+      ok.nonEmpty && ok.min > 0 && ok.max / ok.min > 3.0 &&
+        ok.max - ok.min > 0.25
     }
     if (needRerun.nonEmpty) {
-      // one clear for the whole rerun block: each rerun pays staged
-      // builds under the same first-consumer accounting as a pass
+      // Rerun accounting (r10 fix): a pass charges each staged build to
+      // its alphabetically-first consumer; a rerun block that cleared
+      // staging and ran only the noisy SUBSET charged shared builds to
+      // whichever noisy query hit them first — e.g. a 1 s serve-side
+      // query re-paying its predecessor's 3 s index build, biasing its
+      // median UP with an artifact sample. Instead: clear once, then
+      // warm-run each noisy query untimed (rebuilding any staged inputs)
+      // and time the SECOND run — every rerun sample measures the query
+      // with its staged inputs warm, the same state it sees mid-pass.
+      // (For a build-paying first consumer the rerun measures serve
+      // only — a bounded DOWNWARD pull on one of four median votes,
+      // traded for removing the unbounded upward artifact.)
       graft.ops.Staging.clear(spark)
       needRerun.foreach { i =>
         noisy += names(i)
+        run(names(i))
         samples(i) = samples(i) :+ run(names(i))
       }
     }

@@ -372,5 +372,13 @@ package object api {
     def seasonalDecompose(key: String, ts: String, ord: String,
         value: String, width: Int = 24): DataFrame =
       ops.TimeSeriesOps.seasonalDecompose(df, key, ts, ord, value, width)
+
+    /** Leave-one-out target encoding: each row's `cat` encoded as the
+      * mean `target` of the OTHER rows in its category ((S_c - t_i) /
+      * (n_c - 1)); singleton categories fall back to the global prior
+      * with is_fallback = 1. Appends loo_enc / is_fallback — see
+      * rel_target_encode. */
+    def targetEncode(cat: String, target: String): DataFrame =
+      ops.Relational2.targetEncode(df, cat, target)
   }
 }

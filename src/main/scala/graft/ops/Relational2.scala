@@ -799,7 +799,52 @@ object Relational2 {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Leave-one-out target encoding — the leakage-controlled categorical
+    * feature every tabular training pipeline ships: each row's category
+    * is encoded as the mean target of the OTHER rows in its category,
+    * (S_c - t_i) / (n_c - 1), so a row never sees its own label;
+    * singleton categories fall back to the global prior (with a flag, so
+    * downstream can treat the fallback as its own signal).
+    *
+    * Plan: ONE window partitioned by the category computes (S_c, n_c) —
+    * a single shuffle on the category key, no join-back of a per-category
+    * aggregate; the global prior is a broadcast 1-row aggregate riding a
+    * cross join (the PlanAudit-allowlisted 1-row pattern). High-
+    * cardinality categories are exactly the target-encoding use case, so
+    * the category shuffle is well-spread by construction; a skewed
+    * category would salt the same way rel_salted_agg does.
+    *
+    * Determinism: S_c is a decimal-exact windowed sum; S_c - t_i stays
+    * decimal (exact), is cast to double, and divides by the long count —
+    * identical IEEE ops in identical order in both engines; rounding is
+    * the floor(x·1e6+0.5) form because LOO means over small (n_c - 1)
+    * divisors DO land on 6-decimal midpoints where round() diverges. */
+  def targetEncode(d: DataFrame, cat: String, target: String): DataFrame = {
+    val wc = Window.partitionBy(col(cat))
+    val td = col(target).cast(dec)
+    val enc = d
+      .withColumn("n_c", count(lit(1)).over(wc))
+      .withColumn("s_c", sum(td).over(wc))
+    val prior = d.groupBy()
+      .agg((sum(td).cast("double") / count(lit(1))).as("prior"))
+    enc.crossJoin(broadcast(prior))
+      .withColumn("raw",
+        when(col("n_c") > 1,
+          (col("s_c") - td).cast("double") / (col("n_c") - 1))
+          .otherwise(col("prior")))
+      .withColumn("loo_enc",
+        floor(col("raw") * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6))
+      .withColumn("is_fallback",
+        when(col("n_c") > 1, 0L).otherwise(1L))
+  }
+
+  private def targetEncodeQ(s: SparkSession, dir: String): DataFrame =
+    targetEncode(t(s, dir, "orders"), "o_custkey", "o_totalprice")
+      .select(col("o_orderkey"), col("loo_enc"), col("is_fallback"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_target_encode" -> targetEncodeQ,
     "rel_impute_median" -> imputeMedian,
     "rel_interval_overlap" -> intervalOverlap,
     "rel_bitmap_intersect" -> bitmapIntersect,
@@ -858,6 +903,28 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical decimal-exact windowed sum, decimal subtraction before
+    // the double cast, long-divisor IEEE division, floor-based rounding
+    "rel_target_encode" ->
+      """WITH s AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    COUNT(*) OVER wc AS n_c,
+        |    SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER wc AS s_c
+        |  FROM orders
+        |  WINDOW wc AS (PARTITION BY o_custkey)
+        |), p AS (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+        |    / COUNT(*) AS prior
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |  CAST(floor((CASE WHEN n_c > 1
+        |    THEN CAST(s_c - CAST(o_totalprice AS DECIMAL(30,6)) AS DOUBLE)
+        |      / (n_c - 1)
+        |    ELSE prior END) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS loo_enc,
+        |  CAST(CASE WHEN n_c > 1 THEN 0 ELSE 1 END AS BIGINT) AS is_fallback
+        |FROM s CROSS JOIN p
+        |ORDER BY o_orderkey""".stripMargin,
     // quantile_cont ≡ Spark's exact interpolated percentile
     // (rel_percentile pins the kernel equality)
     "rel_impute_median" ->

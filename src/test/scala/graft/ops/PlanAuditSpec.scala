@@ -77,7 +77,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_filtered",
     // the resample spans join the BROADCAST 1-row global bound(s) — the
     // series side scales and stays keyed
-    "ts_resample_ffill", "ts_resample_aligned")
+    "ts_resample_ffill", "ts_resample_aligned",
+    // the global-prior fallback is a BROADCAST 1-row aggregate riding a
+    // cross join; the encoding itself is one category-keyed window
+    "rel_target_encode")
 
   // queries whose factory launches jobs at plan build (streams, write-
   // then-read lifecycles, training loops) — the documented contract

@@ -134,6 +134,22 @@ class Relational2Spec extends SparkSpec {
     assert(sj.count() == batchJoin.count())
   }
 
+  test("targetEncode: LOO mean excludes own row, singleton falls back to prior") {
+    import spark.implicits._
+    // category a: targets 10, 20, 30 -> LOO means 25, 20, 15;
+    // category b: singleton -> global prior (10+20+30+100)/4 = 40
+    val d = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("b", 4L, 100.0)).toDF("cat", "id", "t")
+    val out = Relational2.targetEncode(d, "cat", "t")
+      .select(col("id"), col("loo_enc"), col("is_fallback"))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("loo_enc"), r.getAs[Long]("is_fallback"))).toMap
+    assert(out(1L) == (25.0, 0L) && out(2L) == (20.0, 0L) &&
+      out(3L) == (15.0, 0L))
+    assert(out(4L) == (40.0, 1L), "singleton must take the global prior")
+  }
+
   test("text_repetition: rates in [0,1]; text_zipf: ranks 1..25 share-ordered") {
     val rep = TextOps.queries("text_repetition")(spark, sf).collect()
     rep.foreach { r =>
