@@ -142,6 +142,13 @@ package object api {
       * across engines and cluster sizes); persist the edges first. */
     def pagerank(iters: Int = 3): DataFrame = ops.GraphOps.pagerank(df, iters)
 
+    /** Weighted single-source shortest paths over this (src, dst, w)
+      * edge list, bounded at `rounds` relaxation rounds (≤ `rounds`
+      * hops) — frontier Bellman-Ford; persist the edges first. Returns
+      * (node, dist) for reached nodes — see graph_sssp. */
+    def sssp(source: Long, rounds: Int = 4): DataFrame =
+      ops.GraphOps.sssp(df, source, rounds)
+
     /** One-scan data-contract report: (rule, n_checked, n_violations)
       * for each (name, violation-predicate) pair. */
     def expectations(rules: Seq[(String, Column)]): DataFrame =

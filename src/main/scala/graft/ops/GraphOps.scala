@@ -165,11 +165,78 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("component_id"))
 
+  /** Deterministic integer edge weights (1..9) over the same thinned
+    * graph: exact arithmetic end-to-end, so relaxation sums are
+    * bit-identical in both engines; parallel (src, dst) duplicates keep
+    * the MIN weight. Staged — every relaxation round rescans it. */
+  private def weightedEdges(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "graph_wedges") {
+      graft.Tables(s, dir, "lineitem")
+        .filter((col("l_orderkey") + col("l_partkey")) % 20 === 0)
+        .select((col("l_orderkey") % 2000).as("src"),
+          ((col("l_orderkey") * 7 + col("l_partkey")) % 2000).as("dst"),
+          (lit(1L) + (col("l_orderkey") * 3 + col("l_partkey")) % 9).as("w"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+    }
+
+  private val weightedEdgesSql: String =
+    """wedges AS (
+      |  SELECT l_orderkey % 2000 AS src,
+      |    (l_orderkey * 7 + l_partkey) % 2000 AS dst,
+      |    MIN(1 + (l_orderkey * 3 + l_partkey) % 9) AS w
+      |  FROM lineitem
+      |  WHERE (l_orderkey + l_partkey) % 20 = 0
+      |    AND l_orderkey % 2000 <> (l_orderkey * 7 + l_partkey) % 2000
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val SSSP_SOURCE = 0L
+  private val SSSP_ROUNDS = 4
+
+  /** PUBLIC: weighted single-source shortest paths, bounded at `rounds`
+    * relaxation rounds (= shortest path over at most `rounds` hops) —
+    * frontier Bellman-Ford as iterative dataflow. Each round relaxes
+    * ONLY the frontier (nodes whose distance improved last round), so
+    * per-round work is O(frontier-adjacent edges), the weighted analogue
+    * of [[bfsLayers]]'s discipline; a converged (unbounded) run is the
+    * same loop driven to an empty frontier with rounds ~ graph diameter.
+    * Integer weights keep every relaxation sum exact in both engines.
+    * localCheckpoint per round cuts the growing lineage. Callers should
+    * stage/persist `e` — it is rescanned every round. */
+  def sssp(e: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("cn"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("cn")).agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(dist, cand("cn") === dist("node"), "left")
+        .filter(col("node").isNull || col("nd") < col("dist"))
+        .select(col("cn").as("node"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      dist = dist.join(improved.select(col("node").as("inode")),
+          col("node") === col("inode"), "left_anti")
+        .union(improved)
+        .localCheckpoint(true)
+      frontier = improved
+    }
+    dist
+  }
+
+  private def ssspQ(s: SparkSession, dir: String): DataFrame =
+    sssp(weightedEdges(s, dir), SSSP_SOURCE, SSSP_ROUNDS)
+      .orderBy(col("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerankQ,
     "graph_triangles" -> trianglesQ,
     "graph_bfs_layers" -> bfsQ,
     "graph_components" -> componentsQ,
+    "graph_sssp" -> ssspQ,
   )
 
   private val pagerankSql: String = {
@@ -201,6 +268,21 @@ object GraphOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // hop-bounded path enumeration + MIN — the formulation the frontier
+    // relaxation avoids (exponential in path multiplicity); integer
+    // weights make every path sum exact in both engines
+    "graph_sssp" ->
+      s"""WITH RECURSIVE $weightedEdgesSql,
+         |paths AS (
+         |  SELECT CAST($SSSP_SOURCE AS BIGINT) AS node,
+         |    CAST(0 AS BIGINT) AS dist, 0 AS hops
+         |  UNION ALL
+         |  SELECT e.dst, p.dist + e.w, p.hops + 1
+         |  FROM paths p JOIN wedges e ON e.src = p.node
+         |  WHERE p.hops < $SSSP_ROUNDS
+         |)
+         |SELECT node, MIN(dist) AS dist FROM paths GROUP BY node
+         |ORDER BY node""".stripMargin,
     "graph_bfs_layers" ->
       s"""WITH RECURSIVE $edgesSql,
          |bfs AS (

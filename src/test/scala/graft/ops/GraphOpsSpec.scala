@@ -33,6 +33,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("sssp: cheaper multi-hop path beats direct edge, hop bound respected") {
+    //    0 --10--> 3         (direct but expensive)
+    //    0 --1--> 1 --1--> 2 --1--> 3   (3 hops, total 3)
+    //    3 --1--> 4 --1--> 5 --1--> 6   (6 needs 6 hops via cheap route)
+    val e = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L)).toDF("src", "dst", "w")
+    val got = GraphOps.sssp(e, 0L, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 via the cheap 3-hop path; 4 via direct-then-step (10+1=11) OR
+    // cheap+step (3+1=4) — 4 hops, in bound; 5 needs 5 hops on the cheap
+    // route but 2 on the expensive one (10+1+1=12 at hop 3... direct
+    // 0->3 is 1 hop, so 5 = 0->3->4->5 = 12 within 3 hops); 6 likewise
+    // 13 within 4 hops
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 12L, 6L -> 13L))
+  }
+
+  test("sssp: later rounds improve already-settled nodes through the frontier") {
+    // 0 --9--> 2 settles early; the chain 0->1 (1), 1->2 (1) improves 2
+    // in round 2; then 2 --1--> 4 must propagate the IMPROVED value
+    val e = Seq((0L, 2L, 9L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.sssp(e, 0L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 4L -> 3L))
+  }
+
   test("bfsLayers: cycles terminate and keep first-discovery distance") {
     val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
     val got = GraphOps.bfsLayers(e, 0L, hops = 5)
