@@ -29,6 +29,7 @@ object SparkEntry {
       KmvOps.queries ++
       SplitOps.queries ++ FuzzyMatch.queries ++ GeoOps.queries ++ HistoryOps.queries ++
       GraphOps.queries ++ ContractOps.queries ++ TimeSeriesOps.queries ++
+      StatOps.queries ++ CorpusOps.queries ++
       graft.streaming.StreamOps.queries
 
   /** EAGER-EXECUTION CONTRACT: every `queries` factory returns a lazy
@@ -49,7 +50,10 @@ object SparkEntry {
     "stream_static_join", "stream_stream_join", "stream_outer_join",
     "stream_txn_sink", "stream_change_feed", "stream_running_counts",
     "stream_lsh_neardup", "stream_watermark_dedup", "stream_bloom_dedup",
-    "stream_geo_proximity",
+    "stream_geo_proximity", "stream_funnel", "stream_checked_sink",
+    "stream_heavy_hitters", "stream_incremental_merge", "stream_ivm",
+    "stream_log_source", "stream_temporal_join", "stream_ts_match",
+    "stream_versioned_sink",
     // write-then-read roundtrips execute a write action at plan build
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
     "src_sorted_skipping", "src_orc_roundtrip", "src_zorder_skipping",
@@ -68,7 +72,11 @@ object SparkEntry {
     // runs the whole training loop at plan build (per-step argmax
     // collects ONE row; the returned frame is the driver-sized
     // learned-merge LocalRelation)
-    "text_bpe_train", "text_bpe_roundtrip")
+    "text_bpe_train", "text_bpe_roundtrip",
+    // iterative peeling: per-round convergence counts run at plan build
+    "graph_kcore",
+    // globalRank's per-partition offset pass runs at plan build
+    "text_curriculum_shards")
 
   def oracleSql: Map[String, String] =
     CotQueries.oracles ++ Relational.oracles ++ Relational2.oracles ++
@@ -79,5 +87,6 @@ object SparkEntry {
       KmvOps.oracles ++
       SplitOps.oracles ++ FuzzyMatch.oracles ++ GeoOps.oracles ++ HistoryOps.oracles ++
       GraphOps.oracles ++ ContractOps.oracles ++ TimeSeriesOps.oracles ++
+      StatOps.oracles ++ CorpusOps.oracles ++
       graft.streaming.StreamOps.oracles
 }

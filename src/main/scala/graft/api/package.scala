@@ -387,5 +387,68 @@ package object api {
       * rel_target_encode. */
     def targetEncode(cat: String, target: String): DataFrame =
       ops.Relational2.targetEncode(df, cat, target)
+
+    /** Per-group mode with a deterministic smaller-value tie-break.
+      * Returns (grp, mode_value, mode_cnt, n_rows, mode_share) — see
+      * rel_mode_stat. */
+    def modeBy(group: Column, value: Column): DataFrame =
+      ops.StatOps.mode(df, group, value)
+
+    /** Pearson correlation + least-squares slope/intercept per group from
+      * exact BIGINT moment sums (y rounded to whole units) — see
+      * rel_corr_regr. */
+    def corrRegr(group: Column, x: Column, y: Column): DataFrame =
+      ops.StatOps.corrRegr(df, group, x, y)
+
+    /** Per-group Gini impurity of a categorical + majority class/share —
+      * see rel_gini_impurity. */
+    def giniImpurity(group: Column, cls: Column): DataFrame =
+      ops.StatOps.giniImpurity(df, group, cls)
+
+    /** χ² contingency cells between two categoricals: observed, expected,
+      * per-cell contribution — see rel_chi2_cells. */
+    def chi2Cells(a: Column, b: Column): DataFrame =
+      ops.StatOps.chi2Cells(df, a, b)
+
+    /** Consecutive step-sequence occurrences per key (MATCH_RECOGNIZE
+      * shape) — see rel_sequence_match. */
+    def sequenceMatch(key: Column, order: Seq[Column], step: Column,
+        id: Column, ts: Column, pattern: Seq[String]): DataFrame =
+      ops.StatOps.sequenceMatch(df, key, order, step, id, ts, pattern)
+
+    /** Theil–Sen robust trend slope per series: median pairwise slope
+      * over each key's first-`w` observations — see ts_theil_sen. */
+    def theilSen(key: String, ts: String, ord: String, value: String,
+        w: Int = 40): DataFrame =
+      ops.TimeSeriesOps.theilSen(df, key, ts, ord, value, w)
+
+    /** Adjacent-token bigram occurrences of `text` — see
+      * text_bigram_topk. */
+    def bigrams(text: Column): DataFrame = ops.CorpusOps.bigrams(df, text)
+
+    /** Curriculum shard manifest: global `score` order via globalRank,
+      * contiguous fixed-size shards, one manifest row per shard — see
+      * text_curriculum_shards. */
+    def curriculumShards(score: String, id: String,
+        shardSize: Long): DataFrame =
+      ops.CorpusOps.curriculumShards(df, score, id, shardSize)
+
+    /** k-core decomposition of an (src, dst) edge frame by iterative
+      * peeling; fails loudly if unconverged within `rounds` — see
+      * graph_kcore. */
+    def kcore(k: Int, rounds: Int = 20): DataFrame =
+      ops.GraphOps.kcore(df, k, rounds)
+
+    /** Deterministic synchronous label propagation (community detection)
+      * over an (src, dst) edge frame for exactly `rounds` rounds — see
+      * graph_label_prop. */
+    def labelPropagate(rounds: Int = 4): DataFrame =
+      ops.GraphOps.labelPropagate(df, rounds)
+
+    /** Winsorized per-group summary: discrete pLow/pHigh percentile
+      * bounds + exact-decimal winsorized mean — see rel_winsorize. */
+    def winsorize(group: Column, value: Column, pLow: Int = 5,
+        pHigh: Int = 95): DataFrame =
+      ops.StatOps.winsorize(df, group, value, pLow, pHigh)
   }
 }

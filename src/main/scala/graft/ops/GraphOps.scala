@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over a corpus-derived graph: PageRank (the canonical
@@ -231,13 +232,159 @@ object GraphOps {
     sssp(weightedEdges(s, dir), SSSP_SOURCE, SSSP_ROUNDS)
       .orderBy(col("node"))
 
+  private val KCORE_K = 3
+  // peeling depth is densest near the k-core threshold: the sf0.01 graph
+  // (avg degree ~3 = critical for k=3) peels in 15 rounds; sf0.1 (~28) in
+  // 1; 20 covers the worst corpus with margin and the loop exits at the
+  // first zero-peel round anyway
+  private val KCORE_ROUNDS = 20
+
+  /** PUBLIC: k-core decomposition (the maximal subgraph where every node
+    * keeps degree >= k) by iterative peeling: drop nodes below k, filter
+    * their edges, repeat. Each round is one degree aggregation plus two
+    * semi-joins on the (shrinking) edge set — the standard distributed
+    * k-core dataflow; rounds needed = the peeling depth, typically small
+    * on heavy-tailed graphs because whole low-degree layers vanish per
+    * round. Runs exactly `rounds` rounds and REQUIRES the fixpoint was
+    * reached by then (the final round must peel nothing), so an
+    * unconverged run fails loudly instead of returning a too-large core —
+    * the discipline the components kernel pins (see r9 ADVICE).
+    * localCheckpoint per round cuts the growing lineage; the driver-side
+    * count per round is one long over a category-free aggregate. */
+  def kcore(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = und.count()
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      val keep = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("kn"))
+      val pruned = und
+        .join(keep, und("u") === keep("kn"), "left_semi")
+        .join(keep, und("v") === keep("kn"), "left_semi")
+        .localCheckpoint(true)
+      val n = pruned.count()
+      converged = n == nEdges // monotone peel: a zero-peel round is stable
+      nEdges = n
+      und = pruned
+      r += 1
+    }
+    require(converged,
+      s"k-core peeling did not converge within $rounds rounds " +
+        s"($nEdges directed edges still unstable)")
+    und.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  private def kcoreQ(s: SparkSession, dir: String): DataFrame =
+    kcore(edges(s, dir), KCORE_K, KCORE_ROUNDS).orderBy(col("node"))
+
+  private val LPA_ROUNDS = 4
+
+  /** PUBLIC: synchronous label propagation (community detection) for a
+    * FIXED round count: every node simultaneously adopts the most
+    * frequent label among its (undirected) neighbors, ties to the
+    * smallest label — fully deterministic, unlike classic randomized
+    * LPA, so both engines replay it bit-identically. Semantics ARE "the
+    * labels after exactly `rounds` synchronous updates" (LPA has no
+    * guaranteed fixpoint — labels can 2-cycle on bipartite structure —
+    * so a convergence contract would be wrong; fixed-round is how
+    * deterministic LPA is specified). Per round: one join of the label
+    * table to the staged edge list + one (node, label) count + one
+    * argmax window over that aggregate — two key-space shuffles, the
+    * Pregel shape. Every und-node has degree >= 1, so the new label
+    * table covers all nodes. */
+  def labelPropagate(e: DataFrame, rounds: Int): DataFrame = {
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val nb = und.join(labels, und("v") === labels("node"))
+        .select(col("u"), col("lbl"))
+      val cnt = nb.groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      labels = cnt.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("u").as("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  private def labelPropQ(s: SparkSession, dir: String): DataFrame =
+    labelPropagate(edges(s, dir), LPA_ROUNDS)
+      .groupBy(col("lbl").as("community_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("community_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerankQ,
     "graph_triangles" -> trianglesQ,
     "graph_bfs_layers" -> bfsQ,
     "graph_components" -> componentsQ,
     "graph_sssp" -> ssspQ,
+    "graph_kcore" -> kcoreQ,
+    "graph_label_prop" -> labelPropQ,
   )
+
+  /** Unrolled synchronous LPA rounds; MATERIALIZED for the same
+    * double-reference expansion reason as the k-core ladder. */
+  private val labelPropSql: String = {
+    def round(prev: String, r: Int): String =
+      s"""c$r AS MATERIALIZED (
+         |  SELECT e.u, l.lbl, COUNT(*) AS c
+         |  FROM und e JOIN $prev l ON e.v = l.node GROUP BY 1, 2
+         |), l$r AS MATERIALIZED (
+         |  SELECT u AS node, lbl FROM (
+         |    SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u
+         |      ORDER BY c DESC, lbl ASC) AS rk
+         |    FROM c$r
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    s"""WITH $edgesSql,
+       |und AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM edges
+       |  UNION SELECT dst, src FROM edges
+       |),
+       |l0 AS MATERIALIZED (
+       |  SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM und)
+       |),
+       |${(1 to LPA_ROUNDS).map(r => round(s"l${r - 1}", r)).mkString(",\n")}
+       |SELECT lbl AS community_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM l$LPA_ROUNDS GROUP BY 1 ORDER BY community_id""".stripMargin
+  }
+
+  /** Unrolled peeling ladder — round r keeps nodes with degree >= k in the
+    * round-(r-1) edge set. The Spark side proves fixpoint-by-`rounds`
+    * (require), so `rounds` unrolled CTE layers equal the fixpoint. */
+  private val kcoreSql: String = {
+    // MATERIALIZED: each layer references its predecessor twice (degree
+    // filter + edge filter) — inlined, the 20-layer ladder expands 2^20
+    // copies of the base scan and exhausts file handles
+    def round(prev: String, r: Int): String =
+      s"""k$r AS MATERIALIZED (
+         |  SELECT u FROM (SELECT u, COUNT(*) AS c FROM $prev GROUP BY u)
+         |  WHERE c >= $KCORE_K
+         |), u$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM $prev e
+         |  JOIN k$r a ON e.u = a.u JOIN k$r b ON e.v = b.u
+         |)""".stripMargin
+    s"""WITH $edgesSql,
+       |u0 AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM edges
+       |  UNION SELECT dst, src FROM edges
+       |),
+       |${(1 to KCORE_ROUNDS).map(r => round(s"u${r - 1}", r)).mkString(",\n")}
+       |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM u$KCORE_ROUNDS GROUP BY u ORDER BY node""".stripMargin
+  }
 
   private val pagerankSql: String = {
     val baseU = math.round((1 - DAMP) * SCALE)
@@ -294,6 +441,8 @@ object GraphOps {
          |SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
          |ORDER BY node""".stripMargin,
     "graph_pagerank" -> pagerankSql,
+    "graph_kcore" -> kcoreSql,
+    "graph_label_prop" -> labelPropSql,
     // min-label fixpoint == min reachable node over the undirected graph
     "graph_components" ->
       s"""WITH RECURSIVE $edgesSql,

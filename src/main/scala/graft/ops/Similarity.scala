@@ -769,9 +769,34 @@ object Similarity {
   private def covarianceQ(s: SparkSession, dir: String): DataFrame =
     covariance(emb(s, dir), "v")
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval objective when
+    * embeddings encode magnitude (recommender scores, unnormalized BM25
+    * projections), distinct from cosine. Exact brute-force arm: same
+    * broadcast-query / codegen-dot / per-query-window plan as
+    * [[cosineTopK]], minus the norm division. At scale, MIPS reduces to
+    * cosine over magnitude-augmented vectors (append sqrt(M²-|x|²) to
+    * candidates, 0 to queries — Bachrach et al.'s asymmetric transform),
+    * after which the IVF/LSH cell-pruned serve path of sim_ann_* applies
+    * unchanged; the exact arm here is that path's ground truth. */
+  private def mipsTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cand = e.filter(col("vec_id") >= N_QUERIES)
+    val scored = cand.join(broadcast(q))
+      .withColumn("score", round(dot(col("v"), col("qv")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_covariance" -> covarianceQ,
     "sim_cosine_topk" -> cosineTopK,
+    "sim_mips_topk" -> mipsTopK,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_filtered" -> annFiltered,
@@ -1054,6 +1079,18 @@ object Similarity {
         |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
     "sim_cosine_topk" -> cosineTopkSql,
+    "sim_mips_topk" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $N_QUERIES),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, round($dotSql, 6) AS score
+         |  FROM e CROSS JOIN q WHERE e.vec_id >= $N_QUERIES
+         |)
+         |SELECT q_id, rk, vec_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_filtered" -> annFilteredSql,

@@ -1,0 +1,365 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical profiling operators — the data-science layer a training
+  * corpus pipeline runs BEFORE committing to a mixture: per-group modes,
+  * exact-sum correlation/regression, class-balance impurity, and
+  * independence testing between categorical dimensions, plus ordered
+  * event-sequence matching (the MATCH_RECOGNIZE shape).
+  *
+  * Cross-engine exactness discipline (shared with GraphOps' fixed-point
+  * PageRank): every aggregate accumulates in BIGINT (exact, associative,
+  * order-free), and the floating-point formula runs ONCE over those exact
+  * sums with an identical expression spelling in both engines — IEEE
+  * `* / - sqrt` are correctly rounded, so identical inputs through an
+  * identical expression tree are bit-identical regardless of engine or
+  * cluster size. Outputs are round-half-up quantized at 1e-6 via the
+  * explicit floor spelling (see TimeSeriesOps) because `round()` differs
+  * between engines exactly on representable midpoints.
+  *
+  * Scale notes per operator inline; none carries an unpartitioned window
+  * over row data — windows only ever run on group-count aggregates whose
+  * cardinality is the (tiny) category space.
+  */
+object StatOps {
+
+  private def r6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+
+  private val r6Sql: String => String =
+    x => s"CAST(floor(($x) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+
+  // ---------------------------------------------------------------- mode
+
+  /** Per-group mode with a deterministic tie-break (smaller value wins).
+    * Shape at scale: ONE shuffle to the (group, value) aggregate — the
+    * shuffle key space is the category product, not the corpus — then a
+    * window over that tiny aggregate picks the argmax. */
+  def mode(d: DataFrame, group: Column, value: Column): DataFrame = {
+    val counts = d.groupBy(group.as("grp"), value.as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_rows", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+      .filter(col("rk") === 1)
+      .select(col("grp"), col("value").as("mode_value"),
+        col("cnt").as("mode_cnt"), col("n_rows"),
+        r6(col("cnt").cast("double") / col("n_rows").cast("double"))
+          .as("mode_share"))
+  }
+
+  private def modeQ(s: SparkSession, dir: String): DataFrame =
+    mode(graft.Tables(s, dir, "orders"),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .withColumnRenamed("grp", "o_orderpriority")
+      .orderBy(col("o_orderpriority"))
+
+  // ------------------------------------------------- correlation + OLS
+
+  /** Pearson correlation + least-squares line per group from exact BIGINT
+    * moment sums (n, Σx, Σy, Σx², Σy², Σxy). x = quantity (integral),
+    * y = extendedprice rounded to whole units — y² ≤ 1.1e10 keeps Σy²
+    * inside BIGINT beyond sf100. The double formula runs once per GROUP
+    * (5 rows), never per row; map-side partial aggregation makes the
+    * moment pass one reduced shuffle of 6 longs per group per task. */
+  def corrRegr(d: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val agg = d
+      .select(group.as("grp"), x.cast("long").as("x"),
+        floor(y + lit(0.5d)).cast("long").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nd = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    val cov = nd * dbl("sxy") - dbl("sx") * dbl("sy")
+    val varx = nd * dbl("sxx") - dbl("sx") * dbl("sx")
+    val vary = nd * dbl("syy") - dbl("sy") * dbl("sy")
+    val slope = cov / varx
+    agg.select(col("grp"), col("n"),
+      r6(slope).as("slope"),
+      r6((dbl("sy") - slope * dbl("sx")) / nd).as("intercept"),
+      r6(cov / sqrt(varx * vary)).as("corr"))
+  }
+
+  private def corrRegrQ(s: SparkSession, dir: String): DataFrame =
+    corrRegr(graft.Tables(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .withColumnRenamed("grp", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+
+  // -------------------------------------------------------------- gini
+
+  /** Per-group Gini impurity of a categorical column — the class-balance
+    * metric a mixture designer reads before weighting sources — plus the
+    * majority class and its share. gini = 1 - Σc²/n² from exact counts;
+    * one shuffle to the (group, class) aggregate, windows over it only. */
+  def giniImpurity(d: DataFrame, group: Column, cls: Column): DataFrame = {
+    val counts = d.groupBy(group.as("grp"), cls.as("cls"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp"))
+    val wTop = w.orderBy(col("cnt").desc, col("cls").asc)
+    counts
+      .withColumn("rk", row_number().over(wTop))
+      .withColumn("n", sum(col("cnt")).over(w))
+      .withColumn("sc2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("n_classes", count(lit(1)).over(w))
+      .filter(col("rk") === 1)
+      .select(col("grp"), col("n"), col("n_classes"),
+        r6(lit(1.0d) - col("sc2").cast("double")
+          / (col("n").cast("double") * col("n").cast("double"))).as("gini"),
+        col("cls").as("top_class"),
+        r6(col("cnt").cast("double") / col("n").cast("double"))
+          .as("top_share"))
+  }
+
+  private def giniQ(s: SparkSession, dir: String): DataFrame =
+    giniImpurity(graft.Tables(s, dir, "documents"),
+        col("source"), col("lang"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+
+  // ------------------------------------------------------ chi² cells
+
+  /** Pearson chi-squared contingency cells between two categoricals: one
+    * row per cell with observed count, expected count, and the cell's χ²
+    * contribution — emitted PER CELL (the scalar Σ would sum doubles in
+    * engine-dependent order; the per-cell value is a single deterministic
+    * expression over exact BIGINT marginals). Row/column marginals come
+    * from re-aggregating the cell table (category-space sized) and join
+    * back broadcast — no window over row data, no second corpus scan. */
+  def chi2Cells(d: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = d.groupBy(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    def dbl(c: String) = col(c).cast("double")
+    val num = dbl("o") * dbl("n") - dbl("rt") * dbl("ct")
+    cells
+      .join(broadcast(rt), "a").join(broadcast(ct), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("o").as("observed"),
+        r6(dbl("rt") * dbl("ct") / dbl("n")).as("expected"),
+        r6(num * num / (dbl("rt") * dbl("ct") * dbl("n"))).as("chi2_contrib"))
+  }
+
+  private def chi2Q(s: SparkSession, dir: String): DataFrame =
+    chi2Cells(graft.Tables(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_linestatus"))
+      .withColumnRenamed("a", "l_returnflag")
+      .withColumnRenamed("b", "l_linestatus")
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // --------------------------------------------------------- winsorize
+
+  /** Winsorized summary per group: clip `value` at the exact DISCRETE
+    * p-low/p-high percentiles (value at rank ceil(p·n/100) — an actual
+    * data value, so clipped values keep the source's 2-decimal scale and
+    * the mean accumulates in EXACT decimal, partition-order-free) and
+    * report the bounds + winsorized mean — the robust-mean companion to
+    * rel_outliers_mad. One keyed sort window ranks the rows (the same
+    * exact-percentile trade rel_percentile documents: swap in
+    * approx_percentile bounds at 100 TB, the clip/mean plan unchanged). */
+  def winsorize(d: DataFrame, group: Column, value: Column,
+                pLow: Int = 5, pHigh: Int = 95): DataFrame = {
+    val base = d.select(group.as("grp"), value.as("v"))
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val bounds = ranked.groupBy(col("grp")).agg(
+      max(col("n")).as("n"),
+      max(when(col("rn") === expr(s"($pLow * n + 99) div 100"), col("v")))
+        .as("p_lo"),
+      max(when(col("rn") === expr(s"($pHigh * n + 99) div 100"), col("v")))
+        .as("p_hi"))
+    base.join(broadcast(bounds), "grp")
+      .select(col("grp"), col("n"), col("p_lo"), col("p_hi"),
+        least(greatest(col("v"), col("p_lo")), col("p_hi"))
+          .cast("decimal(15,2)").as("cv"))
+      .groupBy(col("grp"), col("n"), col("p_lo"), col("p_hi"))
+      .agg(r6(sum(col("cv")).cast("double") / col("n").cast("double"))
+        .as("wins_mean"))
+  }
+
+  private def winsorizeQ(s: SparkSession, dir: String): DataFrame =
+    winsorize(graft.Tables(s, dir, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"))
+      .withColumnRenamed("grp", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+
+  // ------------------------------------------------- sequence matching
+
+  /** Ordered event-sequence matching (the MATCH_RECOGNIZE / funnel-regex
+    * shape, restricted to CONSECUTIVE rows): find every occurrence of the
+    * exact step sequence `pattern` in each key's event stream. One keyed
+    * window (lead per step) — a single shuffle on the key, no self-join,
+    * no path explosion; the per-row state is |pattern| lookahead values.
+    * Emits (key, start/end ids, span in µs). */
+  def sequenceMatch(d: DataFrame, key: Column, order: Seq[Column],
+                    step: Column, id: Column, ts: Column,
+                    pattern: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    val steps = pattern.zipWithIndex.map { case (p, i) =>
+      (if (i == 0) step else lead(step, i).over(w)) === lit(p)
+    }.reduce(_ && _)
+    d.select(key.as("key"), id.as("start_id"), unix_micros(ts).as("t0"),
+        lead(id, pattern.size - 1).over(w).as("end_id"),
+        lead(unix_micros(ts), pattern.size - 1).over(w).as("t1"),
+        steps.as("hit"))
+      .filter(col("hit"))
+      .select(col("key"), col("start_id"), col("end_id"),
+        (col("t1") - col("t0")).as("span_us"))
+  }
+
+  private val FUNNEL = Seq("view", "click", "purchase")
+
+  private def seqMatchQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+    sequenceMatch(ev, col("user_id"),
+        Seq(col("ts"), col("event_id")),
+        col("event_type"), col("event_id"), col("ts"), FUNNEL)
+      .withColumnRenamed("key", "user_id")
+      .orderBy(col("user_id"), col("start_id"))
+  }
+
+  // ------------------------------------------------------------ wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_mode_stat" -> modeQ,
+    "rel_corr_regr" -> corrRegrQ,
+    "rel_gini_impurity" -> giniQ,
+    "rel_chi2_cells" -> chi2Q,
+    "rel_sequence_match" -> seqMatchQ,
+    "rel_winsorize" -> winsorizeQ,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_mode_stat" ->
+      s"""WITH c AS (
+         |  SELECT o_orderpriority, o_orderstatus AS mode_value,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM orders GROUP BY 1, 2
+         |), r AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY cnt DESC, mode_value ASC) AS rk,
+         |    CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_rows
+         |  FROM c
+         |)
+         |SELECT o_orderpriority, mode_value, cnt AS mode_cnt, n_rows,
+         |  ${r6Sql("CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)")} AS mode_share
+         |FROM r WHERE rk = 1 ORDER BY o_orderpriority""".stripMargin,
+    "rel_corr_regr" ->
+      s"""WITH xy AS (
+         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+         |  FROM lineitem
+         |), m AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM xy GROUP BY 1
+         |), f AS (
+         |  SELECT l_returnflag, n,
+         |    CAST(n AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+         |  FROM m
+         |)
+         |SELECT l_returnflag, n,
+         |  ${r6Sql("cov / varx")} AS slope,
+         |  ${r6Sql("(syd - (cov / varx) * sxd) / nd")} AS intercept,
+         |  ${r6Sql("cov / sqrt(varx * vary)")} AS corr
+         |FROM f ORDER BY l_returnflag""".stripMargin,
+    "rel_gini_impurity" ->
+      s"""WITH c AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1, 2
+         |), r AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, lang ASC) AS rk,
+         |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n,
+         |    CAST(SUM(cnt * cnt) OVER (PARTITION BY source) AS BIGINT) AS sc2,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_classes
+         |  FROM c
+         |)
+         |SELECT source, n, n_classes,
+         |  ${r6Sql("1.0 - CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")} AS gini,
+         |  lang AS top_class,
+         |  ${r6Sql("CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)")} AS top_share
+         |FROM r WHERE rk = 1 ORDER BY source""".stripMargin,
+    "rel_chi2_cells" ->
+      s"""WITH cells AS (
+         |  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS o
+         |  FROM lineitem GROUP BY 1, 2
+         |), rt AS (
+         |  SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+         |), ct AS (
+         |  SELECT l_linestatus, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+         |), nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+         |f AS (
+         |  SELECT c.l_returnflag, c.l_linestatus, c.o,
+         |    CAST(c.o AS DOUBLE) AS od, CAST(r.rt AS DOUBLE) AS rtd,
+         |    CAST(t.ct AS DOUBLE) AS ctd, CAST(nn.n AS DOUBLE) AS nd
+         |  FROM cells c JOIN rt r USING (l_returnflag)
+         |    JOIN ct t USING (l_linestatus) CROSS JOIN nn
+         |)
+         |SELECT l_returnflag, l_linestatus, o AS observed,
+         |  ${r6Sql("rtd * ctd / nd")} AS expected,
+         |  ${r6Sql("(od * nd - rtd * ctd) * (od * nd - rtd * ctd) / (rtd * ctd * nd)")} AS chi2_contrib
+         |FROM f ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_winsorize" ->
+      s"""WITH b AS (
+         |  SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem
+         |), r AS (
+         |  SELECT grp, v,
+         |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+         |  FROM b
+         |), k AS (
+         |  SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+         |    MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN v END) AS p_lo,
+         |    MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS p_hi
+         |  FROM r GROUP BY grp
+         |), c AS (
+         |  SELECT b.grp, k.n, k.p_lo, k.p_hi,
+         |    CAST(least(greatest(b.v, k.p_lo), k.p_hi) AS DECIMAL(15,2)) AS cv
+         |  FROM b JOIN k USING (grp)
+         |)
+         |SELECT grp AS l_returnflag, n, p_lo, p_hi,
+         |  ${r6Sql("CAST(SUM(cv) AS DOUBLE) / CAST(n AS DOUBLE)")} AS wins_mean
+         |FROM c GROUP BY grp, n, p_lo, p_hi ORDER BY l_returnflag""".stripMargin,
+    "rel_sequence_match" ->
+      s"""WITH led AS (
+         |  SELECT user_id, event_id AS start_id, epoch_us(ts) AS t0,
+         |    event_type AS s0,
+         |    lead(event_type, 1) OVER w AS s1,
+         |    lead(event_type, 2) OVER w AS s2,
+         |    lead(event_id, 2) OVER w AS end_id,
+         |    lead(epoch_us(ts), 2) OVER w AS t1
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |)
+         |SELECT user_id, start_id, end_id, t1 - t0 AS span_us
+         |FROM led
+         |WHERE s0 = '${FUNNEL(0)}' AND s1 = '${FUNNEL(1)}' AND s2 = '${FUNNEL(2)}'
+         |ORDER BY user_id, start_id""".stripMargin,
+  )
+}

@@ -536,7 +536,56 @@ object TimeSeriesOps {
         "user_id", "ts", "event_id", "value")
       .orderBy(col("user_id"), col("event_id"))
 
+  private val TS_W = 40 // Theil-Sen sample: first W observations per key
+
+  /** Theil-Sen robust trend slope per series: the median of all pairwise
+    * slopes over the series' first `TS_W` observations — the
+    * breakdown-resistant trend estimate (up to ~29% outliers) a
+    * monitoring pipeline prefers over OLS. The pairwise set is BOUNDED
+    * (W·(W-1)/2 per key, a constant) by sampling the series head with a
+    * keyed row_number, so the self-join fan-out is capped regardless of
+    * series length — the standard scale trick for superlinear per-key
+    * kernels. Median = average of the (⌈n/2⌉, ⌈(n+1)/2⌉) order
+    * statistics under a deterministic (slope, i, j) order; slopes are
+    * single IEEE divisions of exact (double-diff, integer-µs) inputs, so
+    * both engines sort identical values. Zero-dt pairs (timestamp ties)
+    * are excluded in both engines. */
+  def theilSen(df: DataFrame, key: String, ts: String, ord: String,
+               value: String, w: Int = TS_W): DataFrame = {
+    val wk = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+    val head = df.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= w)
+      .select(col(key).as("__k"), col("rn"),
+        unix_micros(col(ts)).as("tus"), col(value).as("v"))
+    val a = head.select(col("__k"), col("rn").as("ra"),
+      col("tus").as("ta"), col("v").as("va"))
+    val b = head.select(col("__k").as("kb"), col("rn").as("rb"),
+      col("tus").as("tb"), col("v").as("vb"))
+    val pairs = a.join(b, col("__k") === col("kb") && col("ra") < col("rb"))
+      .filter(col("tb") > col("ta"))
+      .select(col("__k"), col("ra"), col("rb"),
+        ((col("vb") - col("va")) /
+          ((col("tb") - col("ta")).cast("double") / lit(1e6))).as("slope"))
+    val wOrd = Window.partitionBy(col("__k"))
+      .orderBy(col("slope"), col("ra"), col("rb"))
+    val wAll = Window.partitionBy(col("__k"))
+    pairs
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("rk") === expr("(np + 1) div 2") ||
+        col("rk") === expr("(np + 2) div 2"))
+      .groupBy(col("__k").as(key))
+      .agg(max(col("np")).as("n_pairs"),
+        r6(avg(col("slope"))).as("ts_slope"))
+  }
+
+  private def tsTheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSen(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value", TS_W)
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_theil_sen" -> tsTheilSen,
     "ts_subseq_topk" -> tsSubseqTopk,
     "ts_resample_ffill" -> tsResampleFfill,
     "ts_resample_aligned" -> tsResampleAligned,
@@ -586,6 +635,33 @@ object TimeSeriesOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical pairwise-slope set (head sample, zero-dt excluded),
+    // identical (slope, i, j) median order, avg of the middle one/two
+    "ts_theil_sen" ->
+      s"""WITH head AS (
+         |  SELECT user_id, rn, tus, v FROM (
+         |    SELECT user_id, epoch_us(ts) AS tus, "value" AS v,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |        AS rn
+         |    FROM events
+         |  ) WHERE rn <= $TS_W
+         |), pairs AS (
+         |  SELECT a.user_id, a.rn AS ra, b.rn AS rb,
+         |    (b.v - a.v) / (CAST(b.tus - a.tus AS DOUBLE) / 1e6) AS slope
+         |  FROM head a JOIN head b
+         |    ON a.user_id = b.user_id AND a.rn < b.rn AND b.tus > a.tus
+         |), rk AS (
+         |  SELECT user_id, slope,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY slope, ra, rb)
+         |      AS rk,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS np
+         |  FROM pairs
+         |)
+         |SELECT user_id, CAST(MAX(np) AS BIGINT) AS n_pairs,
+         |  CAST(floor(AVG(slope) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ts_slope
+         |FROM rk
+         |WHERE rk = (np + 1) // 2 OR rk = (np + 2) // 2
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the same trailing windows, z-norm, and in-order folds in SQL
     "ts_subseq_topk" ->
       s"""WITH $scoredSql

@@ -480,6 +480,46 @@ object StreamOps {
       .orderBy(col("user_id"), col("end_event_id"))
   }
 
+  /** STREAMING sequence match: the rel_sequence_match funnel (consecutive
+    * view→click→purchase per user) detected over the live stream with
+    * flatMapGroupsWithState — per-key state is the last |pattern|−1
+    * (step, id, ts) tuples, CONSTANT regardless of stream length, the
+    * same discipline as stream_ts_match's M−1 tail. Each match emits as
+    * soon as its closing event arrives; the batch operator is the oracle,
+    * so a dropped or duplicated match breaks the hash. Timestamps ride as
+    * exact unix micros (converted IN-PLAN — java.sql.Timestamp.getTime
+    * would truncate to millis). */
+  def funnelStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val pattern = Vector("view", "click", "purchase")
+    val matches = eventsStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[List[(String, Long, Long)]]) => {
+          var tail = state.getOption.getOrElse(Nil) // last ≤2 (step, id, tus)
+          val out = List.newBuilder[(Long, Long, Long, Long)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tus, eid, typ) =>
+            tail match {
+              case (s0, id0, t0) :: (s1, _, _) :: Nil
+                if s0 == pattern(0) && s1 == pattern(1) && typ == pattern(2) =>
+                out += ((user, id0, eid, tus - t0))
+              case _ =>
+            }
+            tail = (tail :+ ((typ, eid, tus))).takeRight(pattern.size - 1)
+          }
+          state.update(tail)
+          out.result().iterator
+        })
+      .toDF("user_id", "start_id", "end_id", "span_us")
+    runToMemory(matches, "append")
+      .orderBy(col("user_id"), col("start_id"))
+  }
+
   /** TEMPORAL TABLE JOIN (Flink's "join the dimension AS OF event time"):
     * each streaming event is enriched with the dimension VERSION that was
     * valid at the event's effective time — not the current version, which
@@ -1250,6 +1290,7 @@ object StreamOps {
     "stream_static_join" -> streamStaticJoinQ,
     "stream_temporal_join" -> temporalJoinQ,
     "stream_ts_match" -> tsMatchStreamQ,
+    "stream_funnel" -> funnelStreamQ,
     "stream_checked_sink" -> checkedSinkQ,
     "stream_stream_join" -> streamStreamJoinQ,
     "stream_outer_join" -> streamOuterJoinQ,
@@ -1283,6 +1324,8 @@ object StreamOps {
          |  ${graft.ops.Exact.sumSql("v")} AS sum_value, nq.n_quarantined
          |FROM feed CROSS JOIN nq WHERE v >= 0
          |GROUP BY event_type, nq.n_quarantined ORDER BY event_type""".stripMargin,
+    // the stream must emit exactly the batch sequence-matcher's rows
+    "stream_funnel" -> graft.ops.StatOps.oracles("rel_sequence_match"),
     // every trailing window under the threshold — the stream must emit
     // exactly the batch operator's matches
     "stream_ts_match" ->

@@ -216,4 +216,26 @@ class ApiSpec extends SparkSpec {
     val lfRef = graft.ops.TimeSeriesOps.queries("ts_lag_features")(spark, sf)
     assert(lf.exceptAll(lfRef).count() == 0 && lf.count() == lfRef.count())
   }
+
+  test("round-11 stat/corpus wrappers agree with the corpus queries") {
+    val ev = graft.Tables(spark, sf, "events")
+    val tsn = ev.theilSen("user_id", "ts", "event_id", "value")
+    val tsnRef = graft.ops.TimeSeriesOps.queries("ts_theil_sen")(spark, sf)
+    assert(tsn.exceptAll(tsnRef).count() == 0 && tsn.count() == tsnRef.count())
+    val sm = ev.sequenceMatch(col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"),
+        col("event_id"), col("ts"), Seq("view", "click", "purchase"))
+      .withColumnRenamed("key", "user_id")
+    val smRef = graft.ops.StatOps.queries("rel_sequence_match")(spark, sf)
+    assert(sm.exceptAll(smRef).count() == 0 && sm.count() == smRef.count())
+    val docs = graft.Tables(spark, sf, "documents")
+    val cs = docs.select(col("doc_id"), col("n_chars"))
+      .curriculumShards("n_chars", "doc_id", 64L)
+    val csRef = graft.ops.CorpusOps.queries("text_curriculum_shards")(spark, sf)
+    assert(cs.exceptAll(csRef).count() == 0 && cs.count() == csRef.count())
+    val md = graft.Tables(spark, sf, "orders")
+      .modeBy(col("o_orderpriority"), col("o_orderstatus"))
+    assert(md.count() == graft.Tables(spark, sf, "orders")
+      .select("o_orderpriority").distinct().count())
+  }
 }

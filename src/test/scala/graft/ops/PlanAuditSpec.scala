@@ -80,7 +80,16 @@ class PlanAuditSpec extends SparkSpec {
     "ts_resample_ffill", "ts_resample_aligned",
     // the global-prior fallback is a BROADCAST 1-row aggregate riding a
     // cross join; the encoding itself is one category-keyed window
-    "rel_target_encode")
+    "rel_target_encode",
+    // χ² cells cross-join the BROADCAST 1-row grand total onto the
+    // category-product-sized cell table
+    "rel_chi2_cells",
+    // zipf's own 1-row-total broadcast pattern, bigram vocabulary
+    "text_bigram_topk",
+    // brute-force MIPS scores candidates against the BROADCAST query set
+    // — bounded by design; the IVF serve (post magnitude augmentation)
+    // is the unbounded-scale path, as with sim_cosine_topk
+    "sim_mips_topk")
 
   // queries whose factory launches jobs at plan build (streams, write-
   // then-read lifecycles, training loops) — the documented contract

@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Math pins for the round-11 statistical operators — hand-computed
+  * fixtures, independent of the DuckDB oracle. */
+class StatOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("mode: deterministic tie-break picks the smaller value") {
+    val d = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
+      .toDF("grp", "v")
+    val row = StatOps.mode(d, col("grp"), col("v")).collect().head
+    assert(row.getAs[String]("mode_value") == "a") // a and b both count 2
+    assert(row.getAs[Long]("mode_cnt") == 2L)
+    assert(row.getAs[Long]("n_rows") == 5L)
+    assert(math.abs(row.getAs[Double]("mode_share") - 0.4) < 1e-9)
+  }
+
+  test("corrRegr: perfect line recovers slope/intercept/corr exactly") {
+    // y = 3x + 7 over x = 1..10 — integral, so the exact-sum path is exact
+    val d = (1 to 10).map(x => ("g", x.toDouble, (3 * x + 7).toDouble))
+      .toDF("grp", "x", "y")
+    val row = StatOps.corrRegr(d, col("grp"), col("x"), col("y"))
+      .collect().head
+    assert(row.getAs[Long]("n") == 10L)
+    assert(row.getAs[Double]("slope") == 3.0)
+    assert(row.getAs[Double]("intercept") == 7.0)
+    assert(row.getAs[Double]("corr") == 1.0)
+  }
+
+  test("corrRegr: anti-correlated data gives corr = -1") {
+    val d = (1 to 8).map(x => ("g", x.toDouble, (100 - 2 * x).toDouble))
+      .toDF("grp", "x", "y")
+    val row = StatOps.corrRegr(d, col("grp"), col("x"), col("y"))
+      .collect().head
+    assert(row.getAs[Double]("slope") == -2.0)
+    assert(row.getAs[Double]("corr") == -1.0)
+  }
+
+  test("giniImpurity: pure group 0, uniform 2-class 0.5, majority pinned") {
+    val d = (Seq.fill(4)(("pure", "en")) ++
+      Seq(("mix", "en"), ("mix", "de"), ("mix", "en"), ("mix", "de")))
+      .toDF("grp", "cls")
+    val got = StatOps.giniImpurity(d, col("grp"), col("cls"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("pure").getAs[Double]("gini") == 0.0)
+    assert(got("pure").getAs[String]("top_class") == "en")
+    assert(got("mix").getAs[Double]("gini") == 0.5)
+    // tie at 2/2 -> smaller class wins deterministically
+    assert(got("mix").getAs[String]("top_class") == "de")
+    assert(got("mix").getAs[Long]("n_classes") == 2L)
+  }
+
+  test("chi2Cells: independent table has zero contribution everywhere") {
+    // P(a)P(b) factorizes exactly: counts 10/20 x 30/60 pattern
+    val rows = for {
+      (a, na) <- Seq(("a1", 1), ("a2", 2)); (b, nb) <- Seq(("b1", 1), ("b2", 3))
+      _ <- 1 to na * nb * 5
+    } yield (a, b)
+    val got = StatOps.chi2Cells(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getAs[Double]("chi2_contrib") == 0.0,
+        s"independent cell must contribute 0: $r")
+      assert(r.getAs[Double]("expected") == r.getAs[Long]("observed").toDouble)
+    }
+  }
+
+  test("chi2Cells: known 2x2 dependence matches the hand formula") {
+    // cells: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=30; n=80, all marginals 40
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val got = StatOps.chi2Cells(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // expected each cell = 40*40/80 = 20; contrib = (30-20)^2/20 = 5
+    got.values.foreach { r =>
+      assert(r.getAs[Double]("expected") == 20.0)
+      assert(r.getAs[Double]("chi2_contrib") == 5.0)
+    }
+  }
+
+  private def ts(m: Int) = Timestamp.valueOf(
+    java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(m.toLong))
+
+  test("sequenceMatch: consecutive-only, per-key, ordered by ts") {
+    val d = Seq(
+      // user 1: view,click,purchase consecutive -> one match
+      (1L, ts(0), 10L, "view"), (1L, ts(1), 11L, "click"),
+      (1L, ts(2), 12L, "purchase"),
+      // user 2: gap (error between click and purchase) -> no match
+      (2L, ts(0), 20L, "view"), (2L, ts(1), 21L, "click"),
+      (2L, ts(2), 22L, "error"), (2L, ts(3), 23L, "purchase"),
+      // user 3: two overlapping funnels share the middle? no — pattern is
+      // consecutive triples: v,c,p,c,p gives exactly one match at 30
+      (3L, ts(0), 30L, "view"), (3L, ts(1), 31L, "click"),
+      (3L, ts(2), 32L, "purchase"), (3L, ts(3), 33L, "click"),
+      (3L, ts(4), 34L, "purchase"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = StatOps.sequenceMatch(d, col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"),
+        col("event_id"), col("ts"), Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSet == Set((1L, 10L, 12L, 120000000L),
+      (3L, 30L, 32L, 120000000L)))
+  }
+
+  test("theilSen: exact slope on a linear series, robust to one outlier") {
+    // user 1: v = 2 * hours -> every pairwise slope = 2/3600 per second...
+    // use values per second: ts spaced 1 minute, v = 120*t_minutes so the
+    // slope per SECOND is exactly 2.0
+    val lin = (0 until 9).map(i => (1L, ts(i), i.toLong, 120.0 * i))
+    // user 2: same line but one wild outlier at the end; the MEDIAN slope
+    // stays 2.0 (OLS would not)
+    val out = (0 until 8).map(i => (2L, ts(i), 100L + i, 120.0 * i)) :+
+      (2L, ts(8), 108L, 100000.0)
+    val d = (lin ++ out).toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeriesOps.theilSen(d, "user_id", "ts", "event_id", "value", 40)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ts_slope")).toMap
+    assert(got(1L) == 2.0)
+    assert(got(2L) == 2.0, s"median slope must shrug off the outlier: $got")
+  }
+
+  test("bigrams: adjacency only, single-token docs dropped") {
+    val d = Seq("a b c", "x", "b c").toDF("text")
+    val got = CorpusOps.bigrams(d, col("text"))
+      .groupBy("bigram").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a b" -> 1L, "b c" -> 2L))
+  }
+
+  test("curriculumShards: contiguous shards along the score order") {
+    val d = (1L to 10L).map(i => (i, 11L - i)).toDF("doc_id", "n_chars")
+    val got = CorpusOps.curriculumShards(d, "n_chars", "doc_id", 4L)
+      .collect()
+    assert(got.length == 3)
+    val s0 = got.find(_.getLong(0) == 0L).get
+    // lowest scores first: n_chars 1..4 = doc_ids 10..7
+    assert(s0.getAs[Long]("n_docs") == 4L)
+    assert(s0.getAs[Long]("min_chars") == 1L)
+    assert(s0.getAs[Long]("max_chars") == 4L)
+    assert(s0.getAs[Long]("first_doc") == 10L)
+    assert(s0.getAs[Long]("last_doc") == 7L)
+    val s2 = got.find(_.getLong(0) == 2L).get
+    assert(s2.getAs[Long]("n_docs") == 2L)
+    assert(s2.getAs[Long]("last_doc") == 1L)
+  }
+
+  test("winsorize: bounds are data values, mean clips the outliers") {
+    // 20 values 1..19 + one wild 1000: p5 = value at rank ceil(20/20)=1,
+    // p95 = value at rank ceil(19*20/20)=19 -> bounds 1.0 and 19.0; the
+    // 1000 clips to 19, so the winsorized mean = (190 + 19)/20 = 10.45
+    val d = ((1 to 19).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("grp", "v")
+    val row = StatOps.winsorize(d, col("grp"), col("v")).collect().head
+    assert(row.getAs[Long]("n") == 20L)
+    assert(row.getAs[Double]("p_lo") == 1.0)
+    assert(row.getAs[Double]("p_hi") == 19.0)
+    assert(row.getAs[Double]("wins_mean") == 10.45)
+  }
+
+  test("labelPropagate: two cliques joined by one bridge keep two communities") {
+    // triangles {0,1,2} and {10,11,12} + bridge 2-10: after sync rounds
+    // each triangle coheres on its min label; the bridge endpoints see a
+    // within-clique majority (2 neighbors) vs one cross edge
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagate(e, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 1L, 2L).map(got) == Set(0L))
+    // the right clique coheres on label 2 (the bridge endpoint's round-1
+    // min-label leaked across and won the tie) — communities are still
+    // exactly the two cliques, which is the property that matters
+    assert(Set(10L, 11L, 12L).map(got).size == 1)
+    assert(got(10L) != got(0L), "the bridge must not merge the cliques")
+  }
+
+  test("ngram novelty query: first doc fully novel, shares monotone sane") {
+    val out = CorpusOps.queries("text_ngram_novelty")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val first = out.minBy(_.getLong(0))
+    assert(first.getAs[Double]("novelty") == 1.0,
+      "the earliest doc's bigrams are all first occurrences by definition")
+    out.foreach { r =>
+      val nv = r.getAs[Long]("n_novel"); val ng = r.getAs[Long]("n_grams")
+      assert(nv >= 0 && nv <= ng)
+    }
+  }
+
+  test("kcore: pendant and tail peel away, the clique survives") {
+    // 4-clique {0,1,2,3} + tail 3-4-5: k=3 keeps exactly the clique with
+    // core degree 3 each; the tail needs two peel rounds (5 first, then 4)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphOps.kcore(e, 3, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("kcore: non-convergence within the round budget fails loudly") {
+    // a 10-node path peels one layer per round from each end: k=2 empties
+    // it in ~5 rounds; budget 2 must throw, not return a half-peeled graph
+    val e = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.kcore(e, 2, 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+}
