@@ -50,7 +50,8 @@ object SparkEntry {
     "stream_static_join", "stream_stream_join", "stream_outer_join",
     "stream_txn_sink", "stream_change_feed", "stream_running_counts",
     "stream_lsh_neardup", "stream_watermark_dedup", "stream_bloom_dedup",
-    "stream_geo_proximity", "stream_funnel", "stream_checked_sink",
+    "stream_geo_proximity", "stream_funnel", "stream_sliding_window",
+    "stream_checked_sink",
     "stream_heavy_hitters", "stream_incremental_merge", "stream_ivm",
     "stream_log_source", "stream_temporal_join", "stream_ts_match",
     "stream_versioned_sink",

@@ -450,5 +450,15 @@ package object api {
     def winsorize(group: Column, value: Column, pLow: Int = 5,
         pHigh: Int = 95): DataFrame =
       ops.StatOps.winsorize(df, group, value, pLow, pHigh)
+
+    /** Gaps-and-islands: top-k longest contiguous runs of a sparse
+      * integer key + the island count — see rel_gaps_islands. */
+    def gapsIslands(key: Column, topK: Int = 20): DataFrame =
+      ops.StatOps.gapsIslands(df, key, topK)
+
+    /** Gains table: 10 score-ordered deciles with cumulative capture and
+      * lift — see rel_decile_lift. */
+    def decileLift(score: Column, id: Column, pos: Column): DataFrame =
+      ops.StatOps.decileLift(df, score, id, pos)
   }
 }

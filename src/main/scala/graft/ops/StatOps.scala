@@ -231,6 +231,75 @@ object StatOps {
       .orderBy(col("user_id"), col("start_id"))
   }
 
+  // ------------------------------------------------- gaps and islands
+
+  /** Gaps-and-islands over a sparse integer key sequence: contiguous runs
+    * of PRESENT keys (islands) via the classic rank-difference trick —
+    * key − global_rank is constant exactly within an island. The global
+    * rank rides `Relational2.globalRank` (one range exchange + narrow
+    * per-partition arithmetic, no single-partition window), the island
+    * fold is one hash aggregate on the constant, and only the top-`topK`
+    * longest islands (len desc, start asc — deterministic) are emitted
+    * with the island count alongside. The audit shape for sequence
+    * completeness checks (missing orderkey ranges, log-offset holes). */
+  def gapsIslands(keys: DataFrame, key: Column, topK: Int = 20): DataFrame = {
+    val ranked = Relational2.globalRank(keys.select(key.as("k")).distinct(),
+      col("k"))
+    val islands = ranked
+      .withColumn("grp", col("k") - col("__rank"))
+      .groupBy(col("grp"))
+      .agg(min(col("k")).as("start_key"), max(col("k")).as("end_key"),
+        count(lit(1)).as("len"))
+    val n = islands.agg(count(lit(1)).as("n_islands"))
+    islands.orderBy(col("len").desc, col("start_key").asc).limit(topK)
+      .crossJoin(broadcast(n))
+      .select(col("start_key"), col("end_key"), col("len"), col("n_islands"))
+  }
+
+  private def gapsIslandsQ(s: SparkSession, dir: String): DataFrame =
+    gapsIslands(graft.Tables(s, dir, "lineitem"), col("l_orderkey"))
+      .orderBy(col("len").desc, col("start_key"))
+
+  // ------------------------------------------------------- decile lift
+
+  /** Model-evaluation gains table: rows ranked by `score` descending,
+    * cut into 10 closed-form deciles (decile = (rank−1)·10 div n + 1 —
+    * uniform, deterministic, spelled identically in the oracle), then
+    * per-decile positives and the CUMULATIVE capture rate and lift a
+    * campaign/classifier eval reads. The rank is `globalRank` (range
+    * exchange, no global-sort funnel); cumulation happens on the 10-row
+    * decile aggregate via a broadcast ≤ self-join — decile² = 100
+    * pairs, metadata-scale. */
+  def decileLift(d: DataFrame, score: Column, id: Column,
+                 pos: Column): DataFrame = {
+    val ranked = Relational2.globalRank(
+      d.select(score.as("s"), id.as("i"),
+        when(pos, 1L).otherwise(0L).as("p")),
+      col("s").desc, col("i"))
+    val dec = ranked
+      .withColumn("decile", expr("(__rank - 1) * 10 div __n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("p")).as("n_pos"))
+    val tot = dec.agg(sum(col("n_rows")).as("tn"), sum(col("n_pos")).as("tp"))
+    val cum = dec.select(col("decile").as("d2"), col("n_rows").as("nr2"),
+      col("n_pos").as("np2"))
+    dec.join(broadcast(cum), col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_rows"), col("n_pos"))
+      .agg(sum(col("nr2")).as("cum_n"), sum(col("np2")).as("cum_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        r6(col("cum_pos").cast("double") / col("tp").cast("double"))
+          .as("capture"),
+        r6((col("cum_pos").cast("double") / col("cum_n").cast("double"))
+          / (col("tp").cast("double") / col("tn").cast("double")))
+          .as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  private def decileLiftQ(s: SparkSession, dir: String): DataFrame =
+    decileLift(graft.Tables(s, dir, "orders"), col("o_totalprice"),
+      col("o_orderkey"), col("o_orderstatus") === "F")
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,6 +309,8 @@ object StatOps {
     "rel_chi2_cells" -> chi2Q,
     "rel_sequence_match" -> seqMatchQ,
     "rel_winsorize" -> winsorizeQ,
+    "rel_gaps_islands" -> gapsIslandsQ,
+    "rel_decile_lift" -> decileLiftQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,6 +396,45 @@ object StatOps {
          |  ${r6Sql("rtd * ctd / nd")} AS expected,
          |  ${r6Sql("(od * nd - rtd * ctd) * (od * nd - rtd * ctd) / (rtd * ctd * nd)")} AS chi2_contrib
          |FROM f ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_gaps_islands" ->
+      """WITH k AS (
+        |  SELECT DISTINCT l_orderkey AS k FROM lineitem
+        |), r AS (
+        |  SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM k
+        |), isl AS (
+        |  SELECT MIN(k) AS start_key, MAX(k) AS end_key,
+        |    CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM r GROUP BY grp
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_islands FROM isl)
+        |SELECT start_key, end_key, len, n_islands
+        |FROM (SELECT * FROM isl ORDER BY len DESC, start_key LIMIT 20)
+        |CROSS JOIN n ORDER BY len DESC, start_key""".stripMargin,
+    "rel_decile_lift" ->
+      s"""WITH r AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p,
+         |    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM orders
+         |), dec AS (
+         |  SELECT (rn - 1) * 10 // n + 1 AS decile,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(p) AS BIGINT) AS n_pos
+         |  FROM r GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(n_rows) AS BIGINT) AS tn,
+         |    CAST(SUM(n_pos) AS BIGINT) AS tp FROM dec
+         |), cum AS (
+         |  SELECT a.decile, a.n_rows, a.n_pos,
+         |    CAST(SUM(b.n_rows) AS BIGINT) AS cum_n,
+         |    CAST(SUM(b.n_pos) AS BIGINT) AS cum_pos
+         |  FROM dec a JOIN dec b ON b.decile <= a.decile
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT decile, n_rows, n_pos,
+         |  ${r6Sql("CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE)")} AS capture,
+         |  ${r6Sql("(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))")} AS lift
+         |FROM cum CROSS JOIN tot ORDER BY decile""".stripMargin,
     "rel_winsorize" ->
       s"""WITH b AS (
          |  SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem

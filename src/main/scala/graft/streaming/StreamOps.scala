@@ -95,6 +95,24 @@ object StreamOps {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Sliding-window streaming aggregate (2 h windows, 1 h slide) in
+    * complete mode — every event lands in exactly TWO overlapping windows,
+    * the standard smoothing shape for rate dashboards; complete mode
+    * emits all windows so the final state is oracle-checkable (the
+    * append-mode watermark variant, which withholds the unclosed tail, is
+    * `watermarkedWindow` under StreamingSpec). State is window-count
+    * sized, not event sized. */
+  def slidingWindowQ(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour")
+          .getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Exact.sumD(col("value")).as("sum_value"))
+    runToMemory(agg, "complete")
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** Streaming last-wins dedup: the reference's D1 as a streaming stateful
     * aggregate — max_by(event_id) per user in complete mode matches the
     * batch Dedup.lastWins exactly. */
@@ -1291,6 +1309,7 @@ object StreamOps {
     "stream_temporal_join" -> temporalJoinQ,
     "stream_ts_match" -> tsMatchStreamQ,
     "stream_funnel" -> funnelStreamQ,
+    "stream_sliding_window" -> slidingWindowQ,
     "stream_checked_sink" -> checkedSinkQ,
     "stream_stream_join" -> streamStreamJoinQ,
     "stream_outer_join" -> streamOuterJoinQ,
@@ -1326,6 +1345,19 @@ object StreamOps {
          |GROUP BY event_type, nq.n_quarantined ORDER BY event_type""".stripMargin,
     // the stream must emit exactly the batch sequence-matcher's rows
     "stream_funnel" -> graft.ops.StatOps.oracles("rel_sequence_match"),
+    // every event contributes to exactly its two enclosing 2h/1h windows
+    "stream_sliding_window" ->
+      s"""WITH x AS (
+         |  SELECT date_trunc('hour', ts) AS h, event_type, "value" AS v
+         |  FROM events
+         |), w AS (
+         |  SELECT h AS w_start, event_type, v FROM x
+         |  UNION ALL
+         |  SELECT h - INTERVAL 1 HOUR, event_type, v FROM x
+         |)
+         |SELECT w_start, event_type, COUNT(*) AS n,
+         |  ${graft.ops.Exact.sumSql("v")} AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     // every trailing window under the threshold — the stream must emit
     // exactly the batch operator's matches
     "stream_ts_match" ->

@@ -89,7 +89,12 @@ class PlanAuditSpec extends SparkSpec {
     // brute-force MIPS scores candidates against the BROADCAST query set
     // — bounded by design; the IVF serve (post magnitude augmentation)
     // is the unbounded-scale path, as with sim_cosine_topk
-    "sim_mips_topk")
+    "sim_mips_topk",
+    // top-20 islands cross-join the BROADCAST 1-row island count
+    "rel_gaps_islands",
+    // decile-sized (10-row) broadcast <= self-join cumulates the gains
+    // table; the 1-row totals cross-join onto it — both metadata-scale
+    "rel_decile_lift")
 
   // queries whose factory launches jobs at plan build (streams, write-
   // then-read lifecycles, training loops) — the documented contract

@@ -192,6 +192,32 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("gapsIslands: rank-difference islands, gaps between them") {
+    // keys: 1,2,3  7,8  10 — three islands, lengths 3/2/1
+    val d = Seq(1L, 2L, 3L, 7L, 8L, 10L).toDF("k")
+    val got = StatOps.gapsIslands(d, col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSet == Set((1L, 3L, 3L, 3L), (7L, 8L, 2L, 3L),
+      (10L, 10L, 1L, 3L)))
+  }
+
+  test("decileLift: perfectly score-separated positives max out early lift") {
+    // 100 rows, score = id, positives = the 10 HIGHEST scores -> decile 1
+    // captures all positives: capture(1) = 1.0, lift(1) = 10.0, and the
+    // remaining deciles stay at capture 1.0 with lift decaying as 10/d
+    val d = (1L to 100L).map(i => (i.toDouble, i, i > 90L)).toDF("s", "i", "p")
+    val got = StatOps.decileLift(d, col("s"), col("i"), col("p"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_rows") == 10L)
+    assert(got(1L).getAs[Long]("n_pos") == 10L)
+    assert(got(1L).getAs[Double]("capture") == 1.0)
+    assert(got(1L).getAs[Double]("lift") == 10.0)
+    assert(got(5L).getAs[Double]("capture") == 1.0)
+    assert(got(5L).getAs[Double]("lift") == 2.0)
+    assert(got(10L).getAs[Double]("lift") == 1.0)
+  }
+
   test("kcore: pendant and tail peel away, the clique survives") {
     // 4-clique {0,1,2,3} + tail 3-4-5: k=3 keeps exactly the clique with
     // core degree 3 each; the tail needs two peel rounds (5 first, then 4)

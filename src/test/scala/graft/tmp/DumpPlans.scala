@@ -36,7 +36,10 @@ object DumpPlans {
       "rel_fuzzy_match_ed1" -> "PassJoin segment pigeonhole: balanced probe scan (single-split corpus would serialize the per-row probe work), catalog segments broadcast, first-agreeing-segment dedup — no distinct shuffle, no all-pairs",
       "sim_knn_graph" -> "salted per-cell self-join: b-side bucketed hash(vec_id)%8, a-side exploded over buckets — every cell-pair met once at 8x the task width of the plain cell join",
       "rel_rank_quantiles" -> "exact global quantiles via globalRank: ONE range exchange (inside the Scan ExistingRDD — counts job + rank job share the pinned InternalRow lineage, so the shuffle runs once), then narrow per-partition rank arithmetic; no single-partition global window anywhere",
-      "ts_resample_ffill" -> "per-key grid: keyed min-aggregate start bucket exploded (narrow) against the broadcast 1-row global end; keyed last-obs dedup + ignoreNulls fill windows — shuffle only on the series key, no dead leading spans")
+      "ts_resample_ffill" -> "per-key grid: keyed min-aggregate start bucket exploded (narrow) against the broadcast 1-row global end; keyed last-obs dedup + ignoreNulls fill windows — shuffle only on the series key, no dead leading spans",
+      "rel_sequence_match" -> "MATCH_RECOGNIZE shape: |pattern| lead columns in ONE keyed window — single shuffle on the key, no self-join, no path enumeration",
+      "text_ngram_novelty" -> "first-occurrence novelty: staged distinct (doc, gram) set consumed by BOTH the vocabulary-keyed min aggregate and the join-back — corpus tokenized once, no pairwise comparison anywhere",
+      "rel_corr_regr" -> "exact BIGINT moment sums with map-side partial aggregation (6 longs per group per task cross the wire); the IEEE formula runs once per group row")
     val sb = new StringBuilder
     sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
     sb ++= "Regenerate with `sbt \"Test/runMain graft.tmp.DumpPlans\"`.\n"
