@@ -460,5 +460,10 @@ package object api {
       * lift — see rel_decile_lift. */
     def decileLift(score: Column, id: Column, pos: Column): DataFrame =
       ops.StatOps.decileLift(df, score, id, pos)
+
+    /** Link prediction over an (src, dst) edge frame: top-k non-adjacent
+      * pairs by neighborhood Jaccard — see graph_link_predict. */
+    def linkPredict(topK: Int = 50): DataFrame =
+      ops.GraphOps.linkPredict(df, topK)
   }
 }

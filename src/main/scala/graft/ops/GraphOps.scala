@@ -282,6 +282,49 @@ object GraphOps {
   private def kcoreQ(s: SparkSession, dir: String): DataFrame =
     kcore(edges(s, dir), KCORE_K, KCORE_ROUNDS).orderBy(col("node"))
 
+  private val LP_TOPK = 50
+
+  /** PUBLIC: link prediction by neighborhood overlap — for every
+    * NON-adjacent pair sharing at least one neighbor, the Jaccard score
+    * |N(a)∩N(b)| / |N(a)∪N(b)| (common neighbors from ONE wedge
+    * equi-join on the middle vertex — the triangle-counting shape, never
+    * all-pairs; the union from exact degrees: da + db − cn). Existing
+    * edges anti-join away; emits the `topK` strongest predicted links
+    * under a deterministic (score, a, b) order. For heavy-tailed degree
+    * distributions the wedge join skews on hubs — orient/salt by degree
+    * exactly as the triangles operator documents. */
+  def linkPredict(e: DataFrame, topK: Int): DataFrame = {
+    // materialized once (three consumers: wedges twice + the anti join);
+    // same eager-localCheckpoint discipline as bfs/sssp/kcore
+    val undS = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = undS.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // wedges pivot on the middle vertex m: a -- m -- b with a < b
+    val cn = undS.select(col("v").as("m"), col("u").as("a"))
+      .join(undS.select(col("v").as("m2"), col("u").as("b")),
+        col("m") === col("m2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val nonAdj = cn.join(
+      undS.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
+      "left_anti")
+    nonAdj
+      .join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        (col("da") + col("db") - col("cn")).as("un"))
+      .select(col("a"), col("b"), col("cn"),
+        (floor(col("cn").cast("double") / col("un").cast("double")
+          * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
+  private def linkPredictQ(s: SparkSession, dir: String): DataFrame =
+    linkPredict(edges(s, dir), LP_TOPK)
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+
   private val LPA_ROUNDS = 4
 
   /** PUBLIC: synchronous label propagation (community detection) for a
@@ -332,6 +375,7 @@ object GraphOps {
     "graph_sssp" -> ssspQ,
     "graph_kcore" -> kcoreQ,
     "graph_label_prop" -> labelPropQ,
+    "graph_link_predict" -> linkPredictQ,
   )
 
   /** Unrolled synchronous LPA rounds; MATERIALIZED for the same
@@ -443,6 +487,31 @@ object GraphOps {
     "graph_pagerank" -> pagerankSql,
     "graph_kcore" -> kcoreSql,
     "graph_label_prop" -> labelPropSql,
+    "graph_link_predict" ->
+      s"""WITH $edgesSql,
+         |und AS MATERIALIZED (
+         |  SELECT src AS u, dst AS v FROM edges
+         |  UNION SELECT dst, src FROM edges
+         |), deg AS (
+         |  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u
+         |), cn AS (
+         |  SELECT x.u AS a, y.u AS b, CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM und x JOIN und y ON x.v = y.v AND x.u < y.u
+         |  GROUP BY 1, 2
+         |), nonadj AS (
+         |  SELECT cn.* FROM cn
+         |  LEFT JOIN und ON cn.a = und.u AND cn.b = und.v
+         |  WHERE und.u IS NULL
+         |), scored AS (
+         |  SELECT n.a, n.b, n.cn,
+         |    CAST(floor(CAST(n.cn AS DOUBLE)
+         |      / CAST(da.deg + db.deg - n.cn AS DOUBLE) * 1e6 + 0.5)
+         |      AS DOUBLE) / 1e6 AS jaccard
+         |  FROM nonadj n
+         |  JOIN deg da ON n.a = da.u JOIN deg db ON n.b = db.u
+         |)
+         |SELECT a, b, cn, jaccard FROM scored
+         |ORDER BY jaccard DESC, a, b LIMIT $LP_TOPK""".stripMargin,
     // min-label fixpoint == min reachable node over the undirected graph
     "graph_components" ->
       s"""WITH RECURSIVE $edgesSql,

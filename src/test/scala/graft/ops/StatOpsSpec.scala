@@ -228,6 +228,17 @@ class StatOpsSpec extends SparkSpec {
     assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("linkPredict: wedge-only candidates, existing edges excluded") {
+    // square 1-2-3-4-1: the two diagonals are the only non-adjacent
+    // pairs, each sharing BOTH its neighbors -> jaccard 1.0; adjacent
+    // pairs must not appear
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = GraphOps.linkPredict(e, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Double]("jaccard"))).toMap
+    assert(got == Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)))
+  }
+
   test("kcore: non-convergence within the round budget fails loudly") {
     // a 10-node path peels one layer per round from each end: k=2 empties
     // it in ~5 rounds; budget 2 must throw, not return a half-peeled graph
