@@ -387,6 +387,84 @@ object Relational2 {
               org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** PER-GROUP scalable rank — `globalRank`'s grouped sibling. A keyed
+    * sort window (`row_number over partitionBy(grp)`) funnels each group
+    * through ONE task, which stops scaling exactly when groups are few
+    * and fat (the rel_percentile trade, measured at 4.8× on the 10×
+    * rehearsal for rel_winsorize's 3-group sort). Here each group spans
+    * MANY range partitions: range-repartition on (grp, keys...), count
+    * rows per (partition, group) in one narrow job (the collect is
+    * |partitions|×|groups| — metadata), then assign ranks per partition
+    * from broadcast prefix offsets. Appends `__grank` (1-based within
+    * group) and `__gn` (group total). Rows stay sorted by (grp, keys)
+    * within partitions, groups contiguous across the range order.
+    * Ties broken by the trailing keys — pass enough for a total order
+    * when rank identity matters (for order STATISTICS, value ties make
+    * any tie order equivalent). */
+  private[graft] def groupedRank(df: DataFrame, grpField: String,
+                                 keys: Column*): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = df.sparkSession
+    val grpIdx = df.schema.fieldIndex(grpField)
+    val grpType = df.schema(grpField).dataType
+    val rdd = rangedByKeys(df, (col(grpField) +: keys): _*)
+      .queryExecution.toRdd                       // ONE plan, ONE shuffle dep
+    def keyOf(row: InternalRow): Any = row.get(grpIdx, grpType) match {
+      case u: UTF8String => u.copy() // unsafe rows reuse the buffer
+      case x => x
+    }
+    // sentinel distinct from any data value (null is a legal group key)
+    val Unset: Any = GroupedRankUnset
+    val counts = rdd.mapPartitionsWithIndex((pid, it) => {
+      // partition is sorted by (grp, keys): runs per group are contiguous
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+      var cur: Any = Unset; var n = 0L
+      while (it.hasNext) {
+        val k = keyOf(it.next())
+        if (cur == Unset || k != cur) {
+          if (cur != Unset) acc += ((cur, n)); cur = k; n = 0L
+        }
+        n += 1L
+      }
+      if (cur != Unset) acc += ((cur, n))
+      Iterator(pid -> acc.toSeq)                  // job 1: counts only
+    }, preservesPartitioning = true).collect().sortBy(_._1)
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+    val totals = scala.collection.mutable.HashMap.empty[Any, Long]
+    counts.foreach { case (pid, seq) => seq.foreach { case (k, c) =>
+      offsets((pid, k)) = totals.getOrElse(k, 0L)
+      totals(k) = totals.getOrElse(k, 0L) + c
+    } }
+    val bOff = spark.sparkContext.broadcast(offsets.toMap)
+    val bTot = spark.sparkContext.broadcast(totals.toMap)
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>  // job 2: reuses
+      var cur: Any = GroupedRankUnset                       // job 1's shuffle
+      var rank = 0L; var total = 0L
+      val extra = new GenericInternalRow(2)
+      val joined = new JoinedRow
+      it.map { row =>
+        val k = row.get(grpIdx, grpType)
+        if (cur == GroupedRankUnset || k != cur) {
+          cur = k match { case u: UTF8String => u.copy(); case x => x }
+          rank = bOff.value.getOrElse((pid, cur), 0L)
+          total = bTot.value(cur)
+        }
+        rank += 1L
+        extra.update(0, rank); extra.update(1, total)
+        joined(row, extra): InternalRow
+      }
+    }
+    org.apache.spark.sql.classic.GraftSqlInternals.internalCreateDataFrame(
+      spark, ranked, org.apache.spark.sql.types.StructType(
+        df.schema.fields
+          :+ org.apache.spark.sql.types.StructField("__grank",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          :+ org.apache.spark.sql.types.StructField("__gn",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Equi-DEPTH histogram (the fixed-width one is rel_histogram):
     * equal-population buckets, then per-bucket bounds/mass — the binning a
     * quantile-aware optimizer or a feature-bucketizer wants. Bucket
@@ -1271,3 +1349,7 @@ object Relational2 {
         |FROM sums ORDER BY l_returnflag""".stripMargin,
   )
 }
+
+/** Serializable sentinel for [[Relational2.groupedRank]]'s "no current
+  * group yet" state — distinct from every data value including null. */
+private[graft] case object GroupedRankUnset

@@ -255,44 +255,102 @@ object Similarity {
     * encode pass is a broadcast-codebook map-side join; the ADC scan
     * shuffles only (q_id, vec_id, partial) into a PQ_SUBSPACES-way sum —
     * per-candidate work is O(PQ_SUBSPACES), independent of dimension. */
-  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).drop("label")
-    // long form: one row per (vector, subspace) sub-vector
-    val sub = (0 until PQ_SUBSPACES).map(sp =>
+  /** Long form: one row per (vector, subspace) sub-vector. */
+  private def pqSub(e: DataFrame): DataFrame =
+    (0 until PQ_SUBSPACES).map(sp =>
       e.select(col("vec_id"), lit(sp).as("sp"),
         slice(col("v"), sp * PQ_SUBDIM + 1, PQ_SUBDIM).as("sv")))
       .reduce(_ unionByName _)
-    // deterministic init: sub-slices of the first PQ_K vectors
+
+  /** Nearest codebook entry per (subspace, vector) — broadcast codebook,
+    * deterministic (distance, cid) tie order. */
+  private def pqAssign(sub: DataFrame, c: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sp"), col("vec_id"))
+      .orderBy(col("d").asc, col("cid").asc)
+    sub.join(broadcast(c), "sp")
+      .withColumn("d", sqdist(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("sp"), col("vec_id"), col("cid"), col("sv"), col("d"))
+  }
+
+  /** Per-subspace Lloyd codebooks (deterministic init = the first PQ_K
+    * vectors' sub-slices; exact-decimal means). */
+  private def pqCodebooks(sub: DataFrame): DataFrame = {
     var cents = sub.filter(col("vec_id") < PQ_K)
       .select(col("sp"), col("vec_id").as("cid"), col("sv").as("cv"))
-    def assign(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("sp"), col("vec_id"))
-        .orderBy(col("d").asc, col("cid").asc)
-      sub.join(broadcast(c), "sp")
-        .withColumn("d", sqdist(col("sv"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("sp"), col("vec_id"), col("cid"), col("sv"), col("d"))
-    }
     for (_ <- 1 to PQ_ITERS)
-      cents = assign(cents)
+      cents = pqAssign(sub, cents)
         .select(col("sp"), col("cid"), posexplode(col("sv")).as(Seq("dim", "val")))
         .groupBy(col("sp"), col("cid"), col("dim"))
         .agg((sum(col("val").cast(Exact.dec)).cast("double") / count(lit(1))).as("c"))
         .groupBy(col("sp"), col("cid"))
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
           x => x.getField("c")).as("cv"))
-    // encode: every CANDIDATE vector → its per-subspace nearest code
-    val codes = assign(cents).filter(col("vec_id") >= N_QUERIES)
-      .select(col("sp"), col("vec_id"), col("cid"))
-    // per-query ADC lookup table: exact sub-distance to every codebook
-    // entry (PQ_SUBSPACES × PQ_K rows per query — broadcast)
-    val lut = sub.filter(col("vec_id") < N_QUERIES)
+    cents
+  }
+
+  /** Per-query ADC lookup table: exact sub-distance to every codebook
+    * entry (PQ_SUBSPACES × PQ_K rows per query — broadcast). */
+  private def pqLut(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < N_QUERIES)
       .select(col("sp"), col("vec_id").as("q_id"), col("sv").as("qv"))
       .join(broadcast(cents), "sp")
       .select(col("sp"), col("q_id"), col("cid"),
         sqdist(col("qv"), col("cv")).as("d"))
-    val adc = codes.join(broadcast(lut), Seq("sp", "cid"))
+
+  private def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).drop("label")
+    val sub = pqSub(e)
+    val cents = pqCodebooks(sub)
+    // encode: every CANDIDATE vector → its per-subspace nearest code
+    val codes = pqAssign(sub, cents).filter(col("vec_id") >= N_QUERIES)
+      .select(col("sp"), col("vec_id"), col("cid"))
+    val adc = codes.join(broadcast(pqLut(sub, cents)), Seq("sp", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d").cast(Exact.dec)).cast("double").as("adc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** IVF-PQ SERVE — the full Jégou et al. memory path, composed end to
+    * end: the persisted index stores each candidate's coarse CELL (IVF)
+    * and its PQ CODES (2×2 bits here) — never the vectors — partitioned
+    * by cell; a query batch (1) ranks cells against the broadcast coarse
+    * quantizer, (2) reads back ONLY its probed cells through the
+    * plan-pinned partition-pruned scan, and (3) scores those candidates
+    * by ADC: a broadcast per-query (subspace, code) → sub-distance table
+    * built against the codebooks, candidate distance = the sum of its
+    * code's entries. This is the billion-vector production shape: the
+    * serve path touches nprobe/n_cells of an index whose rows are a few
+    * BYTES each, and per-candidate work is O(subspaces), independent of
+    * dimension. Training (codebooks) and the index build are staged —
+    * one O(corpus) pass per corpus version, amortized over query
+    * batches. Oracle: the IVF cell CTEs composed with the PQ
+    * train/encode/ADC CTEs, per-query candidates restricted to probed
+    * cells. */
+  private def annPqServe(s: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfRanked(s, dir)
+    val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("cell_label").as("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val sub = pqSub(emb(s, dir).drop("label"))
+    val cents = Staging.staged(s, dir, "annpq_cents")(pqCodebooks(sub))
+    val cand = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
+      .select(col("vec_id"), col("cell_label").as("cell"))
+    // postings = codes + coarse cell only: (sp, vec_id, cid, cell)
+    val index = servePrunedIndex(s, dir, "annpq",
+      pqAssign(sub, cents).filter(col("vec_id") >= N_QUERIES)
+        .select(col("sp"), col("vec_id"), col("cid"))
+        .join(cand, "vec_id"),
+      probedCells)
+    val adc = index.join(broadcast(probes), "cell")
+      .join(broadcast(pqLut(sub, cents)), Seq("sp", "q_id", "cid"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d").cast(Exact.dec)).cast("double").as("adc"))
     val w = Window.partitionBy(col("q_id"))
@@ -813,6 +871,7 @@ object Similarity {
     "sim_centroid_cohesion" -> centroidCohesion,
     "sim_kmeans_train" -> kmeansTrain,
     "sim_pq_adc" -> pqAdc,
+    "sim_ann_pq_serve" -> annPqServe,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -1280,6 +1339,70 @@ object Similarity {
     },
     // PQ replay: same sub-slicing, same deterministic init, one Lloyd
     // round per subspace, same codes and ADC lookup-table sums
+    // the composed IVF-PQ serve: the IVF cell CTEs pick each query's
+    // probed cells and each candidate's home cell; the PQ CTEs replay
+    // train/encode/LUT; a candidate scores for a query iff its cell is
+    // probed BY THAT QUERY — exactly the partition-pruned serve join
+    "sim_ann_pq_serve" -> {
+      def sq(a: String, b: String) =
+        s"round(list_reduce(list_transform(generate_series(1, len($a)), " +
+          s"i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc,x) -> acc+x), 6)"
+      s"""WITH $eCte,
+         |${quantizerRankedCtesSql},
+         |qp AS (
+         |  SELECT vec_id AS q_id, label AS cell FROM qranked
+         |  WHERE vec_id < $N_QUERIES AND crk <= $NPROBE
+         |), cand AS (
+         |  SELECT vec_id, label AS cell FROM qranked
+         |  WHERE crk = 1 AND vec_id >= $N_QUERIES
+         |),
+         |sub AS (
+         |  SELECT vec_id, 0 AS sp, v[1:${PQ_SUBDIM}] AS sv FROM e
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS sp, v[${PQ_SUBDIM + 1}:${2 * PQ_SUBDIM}] AS sv FROM e
+         |),
+         |c0 AS (SELECT sp, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PQ_K),
+         |a1 AS (
+         |  SELECT sp, vec_id, cid, sv FROM (
+         |    SELECT s.sp, s.vec_id, c.cid, s.sv,
+         |      row_number() OVER (PARTITION BY s.sp, s.vec_id
+         |        ORDER BY ${sq("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
+         |    FROM sub s JOIN c0 c ON s.sp = c.sp) WHERE rk = 1
+         |),
+         |c1 AS (
+         |  SELECT sp, cid, list(m ORDER BY dim) AS cv FROM (
+         |    SELECT sp, cid, i AS dim,
+         |      CAST(SUM(CAST(sv[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+         |    FROM a1, unnest(generate_series(1, len(sv))) AS t(i)
+         |    GROUP BY 1, 2, 3) GROUP BY sp, cid
+         |),
+         |codes AS (
+         |  SELECT sp, vec_id, cid FROM (
+         |    SELECT s.sp, s.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY s.sp, s.vec_id
+         |        ORDER BY ${sq("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
+         |    FROM sub s JOIN c1 c ON s.sp = c.sp) WHERE rk = 1 AND vec_id >= $N_QUERIES
+         |),
+         |lut AS (
+         |  SELECT q.sp, q.vec_id AS q_id, c.cid, ${sq("q.sv", "c.cv")} AS d
+         |  FROM sub q JOIN c1 c ON q.sp = c.sp WHERE q.vec_id < $N_QUERIES
+         |),
+         |pairs AS (
+         |  SELECT qp.q_id, c.vec_id FROM qp JOIN cand c ON qp.cell = c.cell
+         |),
+         |adcs AS (
+         |  SELECT p.q_id, p.vec_id,
+         |    CAST(SUM(CAST(l.d AS DECIMAL(30,6))) AS DOUBLE) AS adc
+         |  FROM pairs p
+         |  JOIN codes k ON k.vec_id = p.vec_id
+         |  JOIN lut l ON l.sp = k.sp AND l.cid = k.cid AND l.q_id = p.q_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT q_id, rk, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc ASC, vec_id ASC) AS rk FROM adcs
+         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+    },
     "sim_pq_adc" -> {
       def sq(a: String, b: String) =
         s"round(list_reduce(list_transform(generate_series(1, len($a)), " +

@@ -66,4 +66,44 @@ class GlobalRankSpec extends SparkSpec {
         agg.getLong(2) == n, s"ranks not a dense 1..$n permutation: $agg")
     } finally ranked.unpersist()
   }
+
+  test("groupedRank ≡ row_number() over (partition by flag order by price, keys)") {
+    val df = graft.Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = Relational2.groupedRank(df, "l_returnflag",
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val truth = df.withColumn("rn",
+      row_number().over(Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))).cast("long"))
+      .withColumn("gn", count(lit(1))
+        .over(Window.partitionBy(col("l_returnflag"))))
+    val n = df.count()
+    val joined = ranked.join(truth,
+      Seq("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"))
+      .cache()
+    try {
+      assert(joined.count() == n, "grouped rank join lost rows")
+      assert(joined.filter(col("__grank") =!= col("rn")).count() == 0,
+        "grouped ranks differ from the keyed row_number()")
+      assert(joined.filter(col("__gn") =!= col("gn")).count() == 0,
+        "group totals differ from the keyed count()")
+    } finally joined.unpersist()
+  }
+
+  test("groupedRank: null group keys rank as their own contiguous group") {
+    import spark.implicits._
+    val df = Seq((Option("a"), 3L), (None, 1L), (Option("a"), 1L),
+      (None, 2L), (Option("b"), 5L)).toDF("g", "v")
+      .repartition(4) // force multi-partition input
+    val got = Relational2.groupedRank(df, "g", col("v"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (Option("a"), 1L) -> (1L, 2L), (Option("a"), 3L) -> (2L, 2L),
+      (None, 1L) -> (1L, 2L), (None, 2L) -> (2L, 2L),
+      (Option("b"), 5L) -> (1L, 1L)))
+  }
 }
