@@ -102,6 +102,14 @@ class PlanAuditSpec extends SparkSpec {
   // would be vacuous or impossible
   private val skip = graft.SparkEntry.eagerQueries
 
+  test("eagerQueries and allowNestedLoop only name real queries") {
+    // a typo'd or stale name in either set silently widens/narrows the
+    // audit instead of failing it
+    val known = graft.SparkEntry.queries.keySet
+    val ghosts = (skip ++ allowNestedLoop).filterNot(known.contains)
+    assert(ghosts.isEmpty, s"unknown query names: $ghosts")
+  }
+
   test("no unplanned CartesianProduct / BroadcastNestedLoopJoin anywhere") {
     val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(skip.contains)
