@@ -361,6 +361,43 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** PQ recall pinning — the quantization losses of the PQ family,
+    * measured against the exact L2 top-K (brute force, full-vector
+    * squared distance): `pq_adc` isolates pure code-book loss (ADC over
+    * ALL candidates), `ivf_pq` compounds it with the cell-pruning loss
+    * of the composed serve. The approximation quality of the memory
+    * path is a FIRST-CLASS output — indexes that silently degrade
+    * recall are the classic ANN production failure. Same plan shape as
+    * sim_ann_recall: staged exact truth, left join per arm, per-query
+    * hit counts. */
+  private def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cand = e.filter(col("vec_id") >= N_QUERIES)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val exact = Staging.staged(s, dir, "pq_exact_l2") {
+      cand.join(broadcast(q))
+        .withColumn("d", sqdist(col("v"), col("qv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("vec_id"))
+    }
+    def recallOf(method: String, ann: DataFrame): DataFrame = {
+      val a = ann.select(col("q_id").as("aq"), col("vec_id").as("av"))
+      exact.join(a, col("q_id") === col("aq") && col("vec_id") === col("av"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("aq")).as("n_hits"))
+        .select(lit(method).as("method"), col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / K, 6).as("recall"))
+    }
+    recallOf("pq_adc", pqAdc(s, dir))
+      .unionByName(recallOf("ivf_pq", annPqServe(s, dir)))
+      .orderBy(col("method"), col("q_id"))
+  }
+
   /** IVF ANN — the inverted-file scale path: a coarse quantizer (per-label
     * centroids standing in for k-means cells, so the oracle reproduces
     * them) assigns every candidate to its nearest cell ONCE; each query
@@ -872,6 +909,7 @@ object Similarity {
     "sim_kmeans_train" -> kmeansTrain,
     "sim_pq_adc" -> pqAdc,
     "sim_ann_pq_serve" -> annPqServe,
+    "sim_pq_recall" -> pqRecall,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -883,6 +921,87 @@ object Similarity {
     "sqrt(list_reduce(list_transform(v, x -> x*x), (a,x) -> a+x))"
   private val bucketSql = LSH_DIMS.map(d =>
     s"(CASE WHEN v[$d] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  private def sqSql(a: String, b: String) =
+    s"round(list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc,x) -> acc+x), 6)"
+
+  /** Shared PQ CTE ladder (expects an `e(vec_id, v)` CTE in scope):
+    * sub-vectors → deterministic-init codebooks (one Lloyd step) →
+    * candidate codes → per-query ADC lookup table. */
+  private lazy val pqCtesSql: String =
+    s"""sub AS (
+       |  SELECT vec_id, 0 AS sp, v[1:${PQ_SUBDIM}] AS sv FROM e
+       |  UNION ALL
+       |  SELECT vec_id, 1 AS sp, v[${PQ_SUBDIM + 1}:${2 * PQ_SUBDIM}] AS sv FROM e
+       |),
+       |c0 AS (SELECT sp, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PQ_K),
+       |a1 AS (
+       |  SELECT sp, vec_id, cid, sv FROM (
+       |    SELECT s.sp, s.vec_id, c.cid, s.sv,
+       |      row_number() OVER (PARTITION BY s.sp, s.vec_id
+       |        ORDER BY ${sqSql("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
+       |    FROM sub s JOIN c0 c ON s.sp = c.sp) WHERE rk = 1
+       |),
+       |c1 AS (
+       |  SELECT sp, cid, list(m ORDER BY dim) AS cv FROM (
+       |    SELECT sp, cid, i AS dim,
+       |      CAST(SUM(CAST(sv[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+       |    FROM a1, unnest(generate_series(1, len(sv))) AS t(i)
+       |    GROUP BY 1, 2, 3) GROUP BY sp, cid
+       |),
+       |codes AS (
+       |  SELECT sp, vec_id, cid FROM (
+       |    SELECT s.sp, s.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY s.sp, s.vec_id
+       |        ORDER BY ${sqSql("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
+       |    FROM sub s JOIN c1 c ON s.sp = c.sp) WHERE rk = 1 AND vec_id >= $N_QUERIES
+       |),
+       |lut AS (
+       |  SELECT q.sp, q.vec_id AS q_id, c.cid, ${sqSql("q.sv", "c.cv")} AS d
+       |  FROM sub q JOIN c1 c ON q.sp = c.sp WHERE q.vec_id < $N_QUERIES
+       |)""".stripMargin
+
+  private lazy val pqAdcSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$pqCtesSql,
+       |adc AS (
+       |  SELECT l.q_id, k.vec_id,
+       |    CAST(SUM(CAST(l.d AS DECIMAL(30,6))) AS DOUBLE) AS adc
+       |  FROM codes k JOIN lut l ON k.sp = l.sp AND k.cid = l.cid
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, rk, vec_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc ASC, vec_id ASC) AS rk FROM adc
+       |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  private lazy val annPqServeSql: String =
+    s"""WITH $eCte,
+       |${quantizerRankedCtesSql},
+       |qp AS (
+       |  SELECT vec_id AS q_id, label AS cell FROM qranked
+       |  WHERE vec_id < $N_QUERIES AND crk <= $NPROBE
+       |), cand AS (
+       |  SELECT vec_id, label AS cell FROM qranked
+       |  WHERE crk = 1 AND vec_id >= $N_QUERIES
+       |),
+       |$pqCtesSql,
+       |pairs AS (
+       |  SELECT qp.q_id, c.vec_id FROM qp JOIN cand c ON qp.cell = c.cell
+       |),
+       |adcs AS (
+       |  SELECT p.q_id, p.vec_id,
+       |    CAST(SUM(CAST(l.d AS DECIMAL(30,6))) AS DOUBLE) AS adc
+       |  FROM pairs p
+       |  JOIN codes k ON k.vec_id = p.vec_id
+       |  JOIN lut l ON l.sp = k.sp AND l.cid = k.cid AND l.q_id = p.q_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT q_id, rk, vec_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc ASC, vec_id ASC) AS rk FROM adcs
+       |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
 
   private val eCte =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -1343,112 +1462,35 @@ object Similarity {
     // probed cells and each candidate's home cell; the PQ CTEs replay
     // train/encode/LUT; a candidate scores for a query iff its cell is
     // probed BY THAT QUERY — exactly the partition-pruned serve join
-    "sim_ann_pq_serve" -> {
-      def sq(a: String, b: String) =
-        s"round(list_reduce(list_transform(generate_series(1, len($a)), " +
-          s"i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc,x) -> acc+x), 6)"
+    "sim_ann_pq_serve" -> annPqServeSql,
+    "sim_pq_adc" -> pqAdcSql,
+    // exact L2 truth vs the replayed PQ arms; same left-join hit-count
+    // shape as sim_ann_recall's oracle
+    "sim_pq_recall" ->
       s"""WITH $eCte,
-         |${quantizerRankedCtesSql},
-         |qp AS (
-         |  SELECT vec_id AS q_id, label AS cell FROM qranked
-         |  WHERE vec_id < $N_QUERIES AND crk <= $NPROBE
-         |), cand AS (
-         |  SELECT vec_id, label AS cell FROM qranked
-         |  WHERE crk = 1 AND vec_id >= $N_QUERIES
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqSql("c.v", "q.v")} ASC, c.vec_id ASC) AS rk
+         |    FROM e c CROSS JOIN e q
+         |    WHERE q.vec_id < $N_QUERIES AND c.vec_id >= $N_QUERIES
+         |  ) WHERE rk <= $K
          |),
-         |sub AS (
-         |  SELECT vec_id, 0 AS sp, v[1:${PQ_SUBDIM}] AS sv FROM e
+         |adcr AS (SELECT q_id, vec_id FROM ($pqAdcSql)),
+         |srvr AS (SELECT q_id, vec_id FROM ($annPqServeSql)),
+         |hits AS (
+         |  SELECT 'pq_adc' AS method, e.q_id, COUNT(a.q_id) AS n_hits
+         |  FROM exact e LEFT JOIN adcr a
+         |    ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+         |  GROUP BY e.q_id
          |  UNION ALL
-         |  SELECT vec_id, 1 AS sp, v[${PQ_SUBDIM + 1}:${2 * PQ_SUBDIM}] AS sv FROM e
-         |),
-         |c0 AS (SELECT sp, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PQ_K),
-         |a1 AS (
-         |  SELECT sp, vec_id, cid, sv FROM (
-         |    SELECT s.sp, s.vec_id, c.cid, s.sv,
-         |      row_number() OVER (PARTITION BY s.sp, s.vec_id
-         |        ORDER BY ${sq("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
-         |    FROM sub s JOIN c0 c ON s.sp = c.sp) WHERE rk = 1
-         |),
-         |c1 AS (
-         |  SELECT sp, cid, list(m ORDER BY dim) AS cv FROM (
-         |    SELECT sp, cid, i AS dim,
-         |      CAST(SUM(CAST(sv[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
-         |    FROM a1, unnest(generate_series(1, len(sv))) AS t(i)
-         |    GROUP BY 1, 2, 3) GROUP BY sp, cid
-         |),
-         |codes AS (
-         |  SELECT sp, vec_id, cid FROM (
-         |    SELECT s.sp, s.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY s.sp, s.vec_id
-         |        ORDER BY ${sq("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
-         |    FROM sub s JOIN c1 c ON s.sp = c.sp) WHERE rk = 1 AND vec_id >= $N_QUERIES
-         |),
-         |lut AS (
-         |  SELECT q.sp, q.vec_id AS q_id, c.cid, ${sq("q.sv", "c.cv")} AS d
-         |  FROM sub q JOIN c1 c ON q.sp = c.sp WHERE q.vec_id < $N_QUERIES
-         |),
-         |pairs AS (
-         |  SELECT qp.q_id, c.vec_id FROM qp JOIN cand c ON qp.cell = c.cell
-         |),
-         |adcs AS (
-         |  SELECT p.q_id, p.vec_id,
-         |    CAST(SUM(CAST(l.d AS DECIMAL(30,6))) AS DOUBLE) AS adc
-         |  FROM pairs p
-         |  JOIN codes k ON k.vec_id = p.vec_id
-         |  JOIN lut l ON l.sp = k.sp AND l.cid = k.cid AND l.q_id = p.q_id
-         |  GROUP BY 1, 2
+         |  SELECT 'ivf_pq' AS method, e.q_id, COUNT(s.q_id) AS n_hits
+         |  FROM exact e LEFT JOIN srvr s
+         |    ON e.q_id = s.q_id AND e.vec_id = s.vec_id
+         |  GROUP BY e.q_id
          |)
-         |SELECT q_id, rk, vec_id, adc FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY adc ASC, vec_id ASC) AS rk FROM adcs
-         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
-    },
-    "sim_pq_adc" -> {
-      def sq(a: String, b: String) =
-        s"round(list_reduce(list_transform(generate_series(1, len($a)), " +
-          s"i -> ($a[i]-$b[i])*($a[i]-$b[i])), (acc,x) -> acc+x), 6)"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |sub AS (
-         |  SELECT vec_id, 0 AS sp, v[1:${PQ_SUBDIM}] AS sv FROM e
-         |  UNION ALL
-         |  SELECT vec_id, 1 AS sp, v[${PQ_SUBDIM + 1}:${2 * PQ_SUBDIM}] AS sv FROM e
-         |),
-         |c0 AS (SELECT sp, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PQ_K),
-         |a1 AS (
-         |  SELECT sp, vec_id, cid, sv FROM (
-         |    SELECT s.sp, s.vec_id, c.cid, s.sv,
-         |      row_number() OVER (PARTITION BY s.sp, s.vec_id
-         |        ORDER BY ${sq("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
-         |    FROM sub s JOIN c0 c ON s.sp = c.sp) WHERE rk = 1
-         |),
-         |c1 AS (
-         |  SELECT sp, cid, list(m ORDER BY dim) AS cv FROM (
-         |    SELECT sp, cid, i AS dim,
-         |      CAST(SUM(CAST(sv[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
-         |    FROM a1, unnest(generate_series(1, len(sv))) AS t(i)
-         |    GROUP BY 1, 2, 3) GROUP BY sp, cid
-         |),
-         |codes AS (
-         |  SELECT sp, vec_id, cid FROM (
-         |    SELECT s.sp, s.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY s.sp, s.vec_id
-         |        ORDER BY ${sq("s.sv", "c.cv")} ASC, c.cid ASC) AS rk
-         |    FROM sub s JOIN c1 c ON s.sp = c.sp) WHERE rk = 1 AND vec_id >= $N_QUERIES
-         |),
-         |lut AS (
-         |  SELECT q.sp, q.vec_id AS q_id, c.cid, ${sq("q.sv", "c.cv")} AS d
-         |  FROM sub q JOIN c1 c ON q.sp = c.sp WHERE q.vec_id < $N_QUERIES
-         |),
-         |adc AS (
-         |  SELECT l.q_id, k.vec_id,
-         |    CAST(SUM(CAST(l.d AS DECIMAL(30,6))) AS DOUBLE) AS adc
-         |  FROM codes k JOIN lut l ON k.sp = l.sp AND k.cid = l.cid
-         |  GROUP BY 1, 2
-         |)
-         |SELECT q_id, rk, vec_id, adc FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY adc ASC, vec_id ASC) AS rk FROM adc
-         |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
-    },
+         |SELECT method, q_id, n_hits, round(n_hits / $K.0, 6) AS recall
+         |FROM hits ORDER BY method, q_id""".stripMargin,
   )
 }
