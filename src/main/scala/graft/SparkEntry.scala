@@ -77,8 +77,13 @@ object SparkEntry {
     "text_bpe_train", "text_bpe_roundtrip",
     // iterative peeling: per-round convergence counts run at plan build
     "graph_kcore",
-    // globalRank's per-partition offset pass runs at plan build
-    "text_curriculum_shards")
+    // globalRank/groupedRank's per-partition offset pass runs at plan
+    // build — every rider of the rank substrate is eager, including the
+    // groupedRank-based exact-percentile family
+    "text_curriculum_shards", "rel_winsorize", "rel_gaps_islands",
+    "rel_decile_lift", "rel_equidepth_hist", "rel_rank_quantiles",
+    "rel_percentile", "rel_impute_median", "rel_outliers_mad",
+    "rel_approx_percentile")
 
   def oracleSql: Map[String, String] =
     CotQueries.oracles ++ Relational.oracles ++ Relational2.oracles ++

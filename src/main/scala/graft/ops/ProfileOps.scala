@@ -38,21 +38,27 @@ object ProfileOps {
 
   /** Robust outlier detection via median absolute deviation — the
     * anomaly screen that, unlike z-scores, a few extreme rows cannot
-    * drag. Two grouped exact-percentile passes (median, then MAD of the
+    * drag. Two grouped exact-median passes (median, then MAD of the
     * deviations) with the group constants BROADCAST back between them,
-    * then a conditional count of |x - med| > 3 * MAD. Exact percentiles
-    * sort within each group — at 100 TB swap in approx_percentile
-    * (same shape, documented at rel_percentile) and the pipeline loses
-    * the sorts; the exact form here is what the oracle can hash. */
+    * then a conditional count of |x - med| > 3 * MAD. Both medians ride
+    * `Relational2.groupedQuantiles` — a range exchange that spreads each
+    * group across the cluster plus a boundary-row filter, never Spark's
+    * whole-group-in-one-buffer `percentile` aggregate (the few-fat-groups
+    * funnel at 100×); the kernel arithmetic is pinned bit-equal to
+    * DuckDB's quantile_cont at rel_percentile, so the oracle is
+    * unchanged. */
   private def outliersMadQ(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables(s, dir, "events")
       .select(col("event_type"), col("value"))
-    val med = ev.groupBy(col("event_type"))
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val med = Relational2.groupedQuantiles(ev, "event_type", "value",
+        Seq(("med", 0.5)))
+      .select(col("event_type"), col("med"))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    val mad = Relational2.groupedQuantiles(
+        dev.select(col("event_type"), col("adev")), "event_type", "adev",
+        Seq(("mad", 0.5)))
+      .select(col("event_type"), col("mad"))
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))
       .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),

@@ -301,18 +301,21 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
-  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
-    * `quantile_cont`). At 100 TB you would reach for approx_percentile
-    * (t-digest-style sketch) — kept exact here so the oracle hash-matches;
-    * the approximate path is rel_approx_distinct's territory. */
+  /** Exact interpolated percentiles (≡ Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) WITHOUT the whole-group buffer: Spark's exact
+    * `percentile` is an ImperativeAggregate that holds every group value
+    * in one task's aggregation buffer — with 3 fat groups at 100× that is
+    * a single-task funnel plus an OOM cliff. `Relational2.groupedQuantiles`
+    * computes the identical values from the groupedRank range exchange
+    * (each group spread across the whole cluster) plus a boundary-row
+    * filter; the interpolation arithmetic reproduces Percentile's kernel
+    * bit-for-bit, so the quantile_cont oracle is unchanged. */
   private def percentileQ(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-        percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("p99"),
-        count(lit(1)).as("n"))
+    Relational2.groupedQuantiles(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice",
+        Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)))
+      .withColumnRenamed("__n", "n")
       .orderBy(col("l_returnflag"))
 
   /** Global ORDER BY + LIMIT — planned as TakeOrderedAndProject: each

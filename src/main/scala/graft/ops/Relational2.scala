@@ -465,6 +465,59 @@ object Relational2 {
               org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Exact INTERPOLATED per-group percentiles on the `groupedRank`
+    * substrate — the scalable replacement for Spark's `percentile`
+    * aggregate, which is an ImperativeAggregate holding EVERY group value
+    * in one aggregation buffer: with few fat groups that is a single-task
+    * funnel plus an OOM cliff at 100× (the shape `rel_winsorize` escaped
+    * via groupedRank, measured 4.8×→2.18× on the 10× rehearsal).
+    *
+    * Here each group spans many range partitions: one range exchange
+    * assigns every non-null value its in-group rank, a filter keeps ONLY
+    * the ≤2 boundary rows per (group, percentile), and a tiny hash
+    * aggregate interpolates. The arithmetic reproduces Spark's
+    * `Percentile.getPercentile` bit-for-bit (position = p·(n−1);
+    * result = (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi, with both
+    * integral-position and equal-key short-circuits), which is the kernel
+    * rel_percentile pinned equal to DuckDB's `quantile_cont` — so oracles
+    * keep hashing quantile_cont unchanged.
+    *
+    * Returns one row per group: `grp`, one DOUBLE column per (name, p),
+    * and `__n` (the group's non-null count). EAGER: groupedRank's
+    * per-(partition, group) offset pass runs at plan build (metadata
+    * collect) — riders must appear in SparkEntry.eagerQueries. */
+  private[graft] def groupedQuantiles(df: DataFrame, grp: String,
+      value: String, ps: Seq[(String, Double)]): DataFrame = {
+    val ranked = groupedRank(df.filter(col(value).isNotNull), grp, col(value))
+    val r0 = col("__grank") - 1L              // 0-based in-group rank
+    def pos(p: Double, n: Column): Column = lit(p) * (n - 1L).cast("double")
+    val needed = ps.map { case (_, p) =>
+      val pp = pos(p, col("__gn"))
+      r0 === floor(pp).cast("long") || r0 === ceil(pp).cast("long")
+    }.reduce(_ || _)
+    val aggs = ps.flatMap { case (name, p) =>
+      val pp = pos(p, col("__gn"))
+      Seq(
+        max(when(r0 === floor(pp).cast("long"), col(value).cast("double")))
+          .as(s"__lo_$name"),
+        max(when(r0 === ceil(pp).cast("long"), col(value).cast("double")))
+          .as(s"__hi_$name"))
+    } :+ max(col("__gn")).as("__n")
+    val agged = ranked.filter(needed)
+      .groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.map { case (name, p) =>
+      val pp = pos(p, col("__n"))
+      val lo = floor(pp)
+      val hi = ceil(pp)
+      when(lo === hi, col(s"__lo_$name"))
+        .when(col(s"__lo_$name") === col(s"__hi_$name"), col(s"__lo_$name"))
+        .otherwise((hi - pp) * col(s"__lo_$name") +
+          (pp - lo) * col(s"__hi_$name"))
+        .as(name)
+    }
+    agged.select((col(grp) +: outs) :+ col("__n"): _*)
+  }
+
   /** Equi-DEPTH histogram (the fixed-width one is rel_histogram):
     * equal-population buckets, then per-bucket bounds/mass — the binning a
     * quantile-aware optimizer or a feature-bucketizer wants. Bucket
@@ -569,19 +622,25 @@ object Relational2 {
     * `within_p50`/`within_p99` = relative error <= 1% (accuracy 10000 ⇒
     * rank error <= 1e-4, far inside 1% in value on this distribution) and
     * the oracle expects TRUE — a drifting sketch fails the hash check. */
-  private def approxPercentileQ(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  private def approxPercentileQ(s: SparkSession, dir: String): DataFrame = {
+    val sketch = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
         approx_percentile(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("p99"),
         count(lit(1)).as("n"))
+    // the exact twins ride groupedQuantiles (range exchange, no
+    // whole-group buffer — rel_percentile documents the substrate); the
+    // 3-row sketch aggregate broadcast-joins onto them
+    val exact = groupedQuantiles(
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", Seq(("p50", 0.5), ("p99", 0.99)))
+    exact.join(broadcast(sketch), "l_returnflag")
       .select(col("l_returnflag"), col("p50"), col("p99"), col("n"),
         (abs(col("ap50") - col("p50")) / col("p50") <= 0.01).as("within_p50"),
         (abs(col("ap99") - col("p99")) / col("p99") <= 0.01).as("within_p99"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** NULL-ordering semantics: Spark sorts nulls FIRST ascending by
     * default, DuckDB sorts them LAST — portable plans must say which.
@@ -855,18 +914,19 @@ object Relational2 {
 
   /** Group-median null imputation — the standard data-repair op: missing
     * values (synthesized deterministically: every 97th key) fill with the
-    * EXACT interpolated median of their group's non-null values. Two hash
-    * aggregates + a group-cardinality broadcast-back; the median is the
-    * same `percentile` kernel rel_percentile pins bit-equal to DuckDB's
-    * `quantile_cont`, so the imputed sum is engine-exact. At scale the
-    * exact median swaps for `approx_percentile` with the same plan
-    * (documented trade, as rel_outliers_mad). */
+    * EXACT interpolated median of their group's non-null values. The
+    * median rides `groupedQuantiles` (range exchange + boundary-row
+    * filter — no whole-group aggregation buffer; the kernel arithmetic
+    * rel_percentile pins bit-equal to DuckDB's `quantile_cont`), then the
+    * 3-row median table broadcasts back and the imputed sum is
+    * engine-exact decimal. */
   private def imputeMedian(s: SparkSession, dir: String): DataFrame = {
     val t0 = t(s, dir, "orders").select(col("o_orderstatus").as("st"),
       when(col("o_orderkey") % 97 === 0, lit(null).cast("double"))
         .otherwise(col("o_totalprice")).as("p"))
-    val med = t0.filter(col("p").isNotNull).groupBy(col("st"))
-      .agg(expr("percentile(p, 0.5d)").as("med"))
+    val med = groupedQuantiles(t0.filter(col("p").isNotNull), "st", "p",
+        Seq(("med", 0.5)))
+      .select(col("st"), col("med"))
     t0.join(broadcast(med), "st")
       .groupBy(col("st"))
       .agg(sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_imputed"),

@@ -62,6 +62,34 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** ONE brute-force exact-truth pass per corpus per pass: every corpus
+    * vector scored against each of the N_QUERIES broadcast query vectors,
+    * BOTH metrics in one projection — rounded cosine (what ann_exact and
+    * the hybrid family's exact semantic arm rank by) and rounded squared
+    * L2 (the PQ family's truth) — plus the label column the filtered-ANN
+    * truth predicates on. Staged under a single key: sim_ann_recall,
+    * sim_pq_recall and text_hybrid_recall all derive their ground truth
+    * from THIS frame, so the O(corpus × queries) scoring scan runs once
+    * per verify/bench pass instead of once per recall pin (it was three
+    * separate stagings computing the same pair family; text_hybrid_recall
+    * was the suite's most expensive steady query largely for that
+    * reason). Candidate-set and metric selection stay per-consumer:
+    * filters and K-windows over the staged pairs are cheap next to the
+    * dot-product scan they used to repeat. */
+  private[ops] def exactScoredPairs(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "exact_truth_pairs") {
+      val e = withNorm(emb(s, dir))
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      e.join(broadcast(q))
+        .withColumn("sim",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+        .withColumn("d", sqdist(col("v"), col("qv")))
+        .select(col("q_id"), col("vec_id"), col("label"), col("sim"),
+          col("d"))
+    }
+
   /** Sign-LSH bucket: concat of sign bits of 4 fixed dimensions (stand-ins
     * for random hyperplanes — fixed so the oracle reproduces them). */
   private def bucket(v: Column): Column =
@@ -371,19 +399,15 @@ object Similarity {
     * sim_ann_recall: staged exact truth, left join per arm, per-query
     * hit counts. */
   private def pqRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = e.filter(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val cand = e.filter(col("vec_id") >= N_QUERIES)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("d").asc, col("vec_id").asc)
-    val exact = Staging.staged(s, dir, "pq_exact_l2") {
-      cand.join(broadcast(q))
-        .withColumn("d", sqdist(col("v"), col("qv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-        .select(col("q_id"), col("vec_id"))
-    }
+    // L2 truth = a K-window over the SHARED exact-truth pairs (one
+    // brute-force scan per pass, split across all recall pins)
+    val exact = exactScoredPairs(s, dir)
+      .filter(col("vec_id") >= N_QUERIES)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id"))
     def recallOf(method: String, ann: DataFrame): DataFrame = {
       val a = ann.select(col("q_id").as("aq"), col("vec_id").as("av"))
       exact.join(a, col("q_id") === col("aq") && col("vec_id") === col("av"),
@@ -774,30 +798,26 @@ object Similarity {
   /** Recall@K of both ANN paths against the exact brute-force top-k — the
     * number an embedding pipeline actually tunes (more LSH planes / more
     * IVF probes trade recall for candidate volume). All three rankings are
-    * deterministic, so recall itself is oracle-checkable. The exact top-k
-    * is staged: both union branches probe it, and Catalyst would otherwise
-    * recompute the full brute-force scan per branch. */
+    * deterministic, so recall itself is oracle-checkable. BOTH truths
+    * (unfiltered and pre-filtered) are K-windows over the shared staged
+    * [[exactScoredPairs]] frame — the brute-force scoring scan runs once
+    * per pass for every recall pin in the suite, and Catalyst can't
+    * recompute it per union branch. */
   private def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val exact = Staging.staged(s, dir, "ann_exact") {
-      cosineTopK(s, dir).select(col("q_id"), col("vec_id"))
-    }
+    val wSim = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = exactScoredPairs(s, dir)
+      .filter(col("vec_id") >= N_QUERIES)
+      .withColumn("rk", row_number().over(wSim))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id"))
     // ground truth for the FILTERED path: brute-force top-K among
     // predicate survivors only (the pre-filter semantics' exact answer)
-    val exactFil = {
-      val e = withNorm(emb(s, dir))
-      val q = e.filter(col("vec_id") < N_QUERIES)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val cand = e.filter(col("vec_id") >= N_QUERIES &&
-        col("label") % FILTER_MOD === 0)
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id").asc)
-      cand.join(broadcast(q))
-        .withColumn("sim",
-          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= K)
-        .select(col("q_id"), col("vec_id"))
-    }
+    val exactFil = exactScoredPairs(s, dir)
+      .filter(col("vec_id") >= N_QUERIES && col("label") % FILTER_MOD === 0)
+      .withColumn("rk", row_number().over(wSim))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id"))
     def recallOf(method: String, truth: DataFrame, ann: DataFrame): DataFrame = {
       val a = ann.select(col("q_id").as("aq"), col("vec_id").as("av"))
       truth.join(a, col("q_id") === col("aq") && col("vec_id") === col("av"),

@@ -61,22 +61,28 @@ object StatOps {
 
   // ------------------------------------------------- correlation + OLS
 
-  /** Pearson correlation + least-squares line per group from exact BIGINT
+  /** Pearson correlation + least-squares line per group from exact integer
     * moment sums (n, Σx, Σy, Σx², Σy², Σxy). x = quantity (integral),
-    * y = extendedprice rounded to whole units — y² ≤ 1.1e10 keeps Σy²
-    * inside BIGINT beyond sf100. The double formula runs once per GROUP
-    * (5 rows), never per row; map-side partial aggregation makes the
-    * moment pass one reduced shuffle of 6 longs per group per task. */
+    * y = extendedprice rounded to whole units. The second-order moments
+    * accumulate in DECIMAL(38,0), not BIGINT: Spark's non-ANSI long sum
+    * silently WRAPS on overflow while DuckDB promotes to HUGEINT, so a
+    * user-supplied y large enough to push Σy² past 2⁶³ would make the two
+    * engines silently diverge — decimal sums are exact to 10³⁸ and a true
+    * overflow surfaces as NULL (a loud hash-gate failure), never a wrapped
+    * number. The double formula runs once per GROUP (5 rows), never per
+    * row; map-side partial aggregation makes the moment pass one reduced
+    * shuffle of 6 narrow values per group per task. */
   def corrRegr(d: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val mdec = org.apache.spark.sql.types.DecimalType(18, 0)
     val agg = d
       .select(group.as("grp"), x.cast("long").as("x"),
         floor(y + lit(0.5d)).cast("long").as("y"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x").cast(mdec) * col("x").cast(mdec)).as("sxx"),
+        sum(col("y").cast(mdec) * col("y").cast(mdec)).as("syy"),
+        sum(col("x").cast(mdec) * col("y").cast(mdec)).as("sxy"))
     val nd = col("n").cast("double")
     def dbl(c: String) = col(c).cast("double")
     val cov = nd * dbl("sxy") - dbl("sx") * dbl("sy")
@@ -173,6 +179,13 @@ object StatOps {
     * groups; groupedRank spreads each group across the whole cluster). */
   def winsorize(d: DataFrame, group: Column, value: Column,
                 pLow: Int = 5, pHigh: Int = 95): DataFrame = {
+    // pLow = 0 would compute bound rank ceil(0·n/100) = 0, matching no
+    // row: p_lo comes out NULL and the low-side clip silently no-ops
+    // (and Spark/DuckDB least/greatest null handling has differed across
+    // versions). Reject the degenerate bounds loudly instead.
+    require(pLow >= 1 && pHigh <= 100 && pLow <= pHigh,
+      s"winsorize percentile bounds must satisfy 1 <= pLow <= pHigh <= 100" +
+        s" (got pLow=$pLow, pHigh=$pHigh)")
     val base = d.select(group.as("grp"), value.as("v"))
     val ranked = Relational2.groupedRank(base, "grp", col("v"))
       .withColumnRenamed("__grank", "rn").withColumnRenamed("__gn", "n")

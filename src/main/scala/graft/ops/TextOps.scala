@@ -581,24 +581,18 @@ object TextOps {
   /** The EXACT semantic scan (full-corpus cosine vs each batch query) —
     * kept as the ground truth text_hybrid_recall measures the ANN arm
     * against; the serving query itself (text_hybrid_rrf) never runs
-    * this. */
-  private def semArmExactScored(s: SparkSession, dir: String): DataFrame = {
-    val e = graft.Tables.balanced(s, dir, "embeddings", "vec_id")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-    def nrm(c: Column): Column =
-      sqrt(aggregate(transform(c, x => x * x), lit(0.0d), (a, x) => a + x))
-    val q = e.filter(col("vec_id") < HYBRID_Q)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        nrm(col("v")).as("qn"))
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(
-        aggregate(zip_with(col("v"), col("qv"), (x, y) => x * y),
-          lit(0.0d), (a, x) => a + x) / (nrm(col("v")) * col("qn")), 6)
-        + lit(0.0d))
-      .select(col("q_id"), col("vec_id"), col("sim"))
-  }
+    * this. The scored pairs come from the SHARED staged
+    * `Similarity.exactScoredPairs` frame (one brute-force scan per pass
+    * across every recall pin in the suite — this query was the most
+    * expensive steady query while it paid its own private scan); the
+    * query batch here is the first HYBRID_Q ≤ N_QUERIES docs, self-hits
+    * dropped, and the rounded cosine gets the same `+0.0` −0.0-folding
+    * the ANN arm applies so the two rankings share one sort-key
+    * convention. */
+  private def semArmExactScored(s: SparkSession, dir: String): DataFrame =
+    Similarity.exactScoredPairs(s, dir)
+      .filter(col("q_id") < HYBRID_Q && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), (col("sim") + lit(0.0d)).as("sim"))
 
   /** Per-query RRF fusion of two attached-rank arm lists: within each
     * query, docs score Σ 1/(K + rank) over the arms they appear in — no

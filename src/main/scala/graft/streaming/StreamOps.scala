@@ -83,33 +83,48 @@ object StreamOps {
     out
   }
 
-  /** Streaming hourly tumbling-window aggregation; complete mode so the
-    * final state equals the batch result (oracle: rel_hourly_window SQL). */
+  /** Streaming hourly tumbling-window aggregation in APPEND mode with a
+    * 1-hour watermark — the scale shape: a window's state is EVICTED (and
+    * its final row emitted exactly once) when the watermark passes its
+    * end, so state holds only the open tail instead of growing with every
+    * window ever seen (complete mode re-emits all windows per batch and
+    * never evicts — fine for a bounded demo, wrong at 100×; the
+    * complete-mode form lives in StreamingSpec as a semantics demo).
+    *
+    * The eviction rule itself is oracle-pinned: Spark's watermark after
+    * the data batch is floor(max(ts) in ms) − delay, and a window emits
+    * iff window.end <= watermark (measured empirically — AvailableNow
+    * runs a final no-data batch that flushes every closed window). The
+    * DuckDB oracle reproduces exactly that predicate, so late-data
+    * eviction semantics — not just the aggregate values — sit behind the
+    * hash gate. */
   def hourlyWindowQ(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
-        col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.ops.Exact.sumD(col("value")).as("sum_value"))
-    runToMemory(agg, "complete")
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    runToMemory(agg, "append")
       .orderBy(col("w_start"), col("event_type"))
   }
 
   /** Sliding-window streaming aggregate (2 h windows, 1 h slide) in
-    * complete mode — every event lands in exactly TWO overlapping windows,
-    * the standard smoothing shape for rate dashboards; complete mode
-    * emits all windows so the final state is oracle-checkable (the
-    * append-mode watermark variant, which withholds the unclosed tail, is
-    * `watermarkedWindow` under StreamingSpec). State is window-count
-    * sized, not event sized. */
+    * APPEND mode with a 1-hour watermark — every event lands in exactly
+    * TWO overlapping windows, the standard smoothing shape for rate
+    * dashboards. Same watermark-eviction contract as [[hourlyWindowQ]]
+    * (emit iff window.end <= final watermark, pinned by the oracle);
+    * state is open-window sized, not all-windows sized. */
   def slidingWindowQ(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)
-      .groupBy(window(col("ts"), "2 hours", "1 hour")
-          .getField("start").as("w_start"),
-        col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.ops.Exact.sumD(col("value")).as("sum_value"))
-    runToMemory(agg, "complete")
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    runToMemory(agg, "append")
       .orderBy(col("w_start"), col("event_type"))
   }
 
@@ -1319,12 +1334,20 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
-    // identical final state to the batch operators — same SQL shape as
-    // rel_hourly_window / rel_dedup_lastwins
+    // append-mode + watermark: the oracle replays the EVICTION RULE, not
+    // just the aggregate — watermark = floor(max(ts) to ms) − 1 h, and a
+    // window row exists iff its end <= watermark (the unclosed tail is
+    // withheld). epoch_ms truncates like Spark's event-time stats.
     "stream_hourly_window" ->
-      s"""SELECT date_trunc('hour', ts) AS w_start, event_type, COUNT(*) AS n,
-         |  ${graft.ops.Exact.sumSql("value")} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+      s"""WITH wm AS (
+         |  SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events
+         |)
+         |SELECT date_trunc('hour', ts) AS w_start, event_type,
+         |  COUNT(*) AS n, ${graft.ops.Exact.sumSql("value")} AS sum_value
+         |FROM events, wm
+         |GROUP BY 1, 2, wm_ms
+         |HAVING epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= wm_ms
+         |ORDER BY w_start, event_type""".stripMargin,
     "stream_dedup_lastwins" ->
       """SELECT user_id, arg_max(ts, event_id) AS ts,
         |  arg_max(event_type, event_id) AS event_type,
@@ -1345,7 +1368,9 @@ object StreamOps {
          |GROUP BY event_type, nq.n_quarantined ORDER BY event_type""".stripMargin,
     // the stream must emit exactly the batch sequence-matcher's rows
     "stream_funnel" -> graft.ops.StatOps.oracles("rel_sequence_match"),
-    // every event contributes to exactly its two enclosing 2h/1h windows
+    // every event contributes to exactly its two enclosing 2h/1h windows;
+    // append mode withholds windows not yet closed by the watermark
+    // (end = w_start + 2 h must be <= floor(max(ts) to ms) − 1 h)
     "stream_sliding_window" ->
       s"""WITH x AS (
          |  SELECT date_trunc('hour', ts) AS h, event_type, "value" AS v
@@ -1354,10 +1379,14 @@ object StreamOps {
          |  SELECT h AS w_start, event_type, v FROM x
          |  UNION ALL
          |  SELECT h - INTERVAL 1 HOUR, event_type, v FROM x
+         |), wm AS (
+         |  SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events
          |)
          |SELECT w_start, event_type, COUNT(*) AS n,
          |  ${graft.ops.Exact.sumSql("v")} AS sum_value
-         |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+         |FROM w, wm GROUP BY 1, 2, wm_ms
+         |HAVING epoch_ms(w_start + INTERVAL 2 HOUR) <= wm_ms
+         |ORDER BY w_start, event_type""".stripMargin,
     // every trailing window under the threshold — the stream must emit
     // exactly the batch operator's matches
     "stream_ts_match" ->
