@@ -29,7 +29,7 @@ object SparkEntry {
       KmvOps.queries ++
       SplitOps.queries ++ FuzzyMatch.queries ++ GeoOps.queries ++ HistoryOps.queries ++
       GraphOps.queries ++ ContractOps.queries ++ TimeSeriesOps.queries ++
-      StatOps.queries ++ CorpusOps.queries ++
+      StatOps.queries ++ CorpusOps.queries ++ TrainOps.queries ++
       graft.streaming.StreamOps.queries
 
   /** EAGER-EXECUTION CONTRACT: every `queries` factory returns a lazy
@@ -71,10 +71,12 @@ object SparkEntry {
     "text_hybrid_rrf", "text_hybrid_recall",
     // executes DROP TABLE + two bucketed writes at plan build
     "rel_bucketed_join",
-    // runs the whole training loop at plan build (per-step argmax
-    // collects ONE row; the returned frame is the driver-sized
-    // learned-merge LocalRelation)
-    "text_bpe_train", "text_bpe_roundtrip",
+    // runs the whole training loop at plan build (per-step collects are
+    // model-sized; the returned frame is a driver-sized LocalRelation)
+    "text_bpe_train", "text_bpe_roundtrip", "text_quality_train",
+    // trains, commits the merge table through the log, and loads it back
+    // at plan build
+    "text_bpe_artifact",
     // iterative peeling: per-round convergence counts run at plan build
     "graph_kcore",
     // globalRank/groupedRank's per-partition offset pass runs at plan
@@ -94,6 +96,6 @@ object SparkEntry {
       KmvOps.oracles ++
       SplitOps.oracles ++ FuzzyMatch.oracles ++ GeoOps.oracles ++ HistoryOps.oracles ++
       GraphOps.oracles ++ ContractOps.oracles ++ TimeSeriesOps.oracles ++
-      StatOps.oracles ++ CorpusOps.oracles ++
+      StatOps.oracles ++ CorpusOps.oracles ++ TrainOps.oracles ++
       graft.streaming.StreamOps.oracles
 }

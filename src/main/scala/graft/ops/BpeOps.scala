@@ -297,9 +297,18 @@ object BpeOps {
     * DuckDB oracle replays training AND application, so a drift in
     * either half breaks the hash. */
   private def bpeRoundtripQ(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val rank = trainMerges(s, dir, TRAIN_STEPS)
       .map { case (step, l, r, _) => (l, r) -> step.toInt }.toMap
+    tokenizeWithRank(s, dir, rank).orderBy(col("source"))
+  }
+
+  /** APPLY a merge-rank table to the corpus: per-distinct-word kernel +
+    * broadcast join back, per-source token totals — the serving half
+    * shared by text_bpe_roundtrip (in-session table) and
+    * text_bpe_artifact (table loaded from the commit log). */
+  private def tokenizeWithRank(s: SparkSession, dir: String,
+      rank: Map[(String, String), Int]): DataFrame = {
+    import s.implicits._
     val words = graft.Tables.balanced(s, dir, "documents", "doc_id")
       .select(col("doc_id"), col("source"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
@@ -314,6 +323,48 @@ object BpeOps {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         sum(col("n_tok")).as("bpe_tokens"),
         count(lit(1)).as("n_words"))
+  }
+
+  /** The tokenizer-ARTIFACT lifecycle production actually runs: train
+    * once, PERSIST the merge table as a versioned artifact, then
+    * tokenize from the LOADED table in a fresh read path — never from
+    * in-session state. The merge table is committed through the OCC
+    * CommitLog (CAS pointer advance, same log the lakehouse tier uses),
+    * read back via the log's version resolution, and only the loaded
+    * copy feeds the tokenize kernel. A `require` proves the loaded
+    * artifact reproduces the trained one row-for-row; the DuckDB oracle
+    * replays train AND apply end-to-end, so a drift anywhere in
+    * train → commit → load → tokenize breaks the hash. Emits the
+    * roundtrip aggregate plus the artifact facts (artifact_ok,
+    * n_merges) the lifecycle pins. */
+  private def bpeArtifactQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val learned = trainMerges(s, dir, TRAIN_STEPS)
+    val base = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_bpe_artifact_" +
+      s"${s.sparkContext.applicationId}_${math.abs(dir.hashCode).toHexString}"
+    // once per pass: write the merge table and CAS-advance the pointer
+    // (a re-run within a session publishes the next version, exactly like
+    // a production tokenizer refresh)
+    val version = Staging.stagedValue(s, dir, "bpe_artifact_version") {
+      val v0 = CommitLog.latest(base).map(_.version).getOrElse(0L)
+      val dataDir = s"$base/merges_v${v0 + 1}"
+      learned.toDF("step", "l", "r", "pair_count")
+        .coalesce(1).write.mode("overwrite").parquet(dataDir)
+      CommitLog.commit(base, v0, dataDir).version
+    }
+    // FRESH read path: the model used below exists only as the log's
+    // committed parquet, resolved by version
+    val loaded = CommitLog.read(s, base, version)
+      .select(col("step"), col("l"), col("r"), col("pair_count"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    require(loaded == learned.sortBy(_._1),
+      s"artifact v$version read back from $base does not reproduce the " +
+        s"trained merge table (${loaded.size} vs ${learned.size} rows)")
+    val rank = loaded.map { case (step, l, r, _) => (l, r) -> step.toInt }.toMap
+    tokenizeWithRank(s, dir, rank)
+      .select(col("source"), col("n_docs"), col("bpe_tokens"), col("n_words"),
+        lit(version >= 1L).as("artifact_ok"),
+        lit(loaded.size.toLong).as("n_merges"))
       .orderBy(col("source"))
   }
 
@@ -322,6 +373,7 @@ object BpeOps {
     "text_bpe_pack" -> bpePackQ,
     "text_bpe_train" -> bpeTrainQ,
     "text_bpe_roundtrip" -> bpeRoundtripQ,
+    "text_bpe_artifact" -> bpeArtifactQ,
   )
 
   private def mergesListSql: String =
@@ -433,9 +485,29 @@ object BpeOps {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // artifact: identical train+apply replay — the lifecycle's claim is
+  // exactly "the loaded artifact tokenizes like the in-session model" —
+  // plus the artifact facts as literals (a failed commit/load can't reach
+  // the emit: the query's require throws first, and a silent drift in the
+  // loaded table changes bpe_tokens and breaks the hash)
+  private val bpeArtifactSql: String = {
+    val learnedRows = (1 to TRAIN_STEPS).map(k =>
+      s"SELECT $k AS step, l, r FROM b$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $bpeTrainCtes,
+       |${bpeCountCtes(
+            s"SELECT list(l || ' ' || r ORDER BY step) AS ms FROM ($learnedRows)")}
+       |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  TRUE AS artifact_ok, CAST($TRAIN_STEPS AS BIGINT) AS n_merges
+       |FROM words JOIN ntok USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_roundtrip" -> bpeRoundtripSql,
+    "text_bpe_artifact" -> bpeArtifactSql,
     "text_bpe_count" ->
       s"""WITH RECURSIVE $bpeCtes
          |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,

@@ -1,0 +1,327 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Model TRAINING as iterative Spark dataflow — the step a production
+  * quality gate has that text_quality_classifier (apply-only) does not:
+  * the weight vector is LEARNED from the corpus, here by full-batch
+  * gradient descent on ridge-regularized least squares over hashed
+  * bag-of-words features, distilling the heuristic quality score
+  * (text_stats' formula) into a text-only linear model.
+  *
+  * Discipline (the sim_kmeans_train / text_bpe_train contract):
+  *   - the model (64 weights + bias) is BROADCAST each step; the corpus
+  *     never shuffles for scoring — per-step work is one scoring pass and
+  *     one gradient pass, both map-side joined against the tiny model;
+  *   - every cross-engine-visible sum is quantized to DECIMAL(30,6)
+  *     before aggregation (order-free, partitioning-independent), every
+  *     scalar update is spelled identically in Scala and in the oracle's
+  *     unrolled SQL, so DuckDB REPLAYS the whole training run and the
+  *     per-step separation metrics hash-match;
+  *   - the pinned output is the LEARNING CURVE: per-step class-mean gap
+  *     (mean predicted score of keep-labeled docs minus drop-labeled) and
+  *     threshold accuracy — a training run that stops separating the
+  *     classes breaks the hash, not just a unit test.
+  *
+  * Features are per-doc bucket frequencies (bucket = first 4 md5 hex
+  * digits of the token, the CleanOps.linearScore scheme), STANDARDIZED
+  * per bucket (z = (x − μ)/σ). Standardization is not cosmetic: the raw
+  * frequencies have curvature ~1e-4 while the bias coordinate has
+  * curvature 1, so no single learning rate converges (measured: lr big
+  * enough to move the weights diverges through the bias term). With unit
+  * curvature everywhere, lr = 0.5 converges in a handful of steps.
+  * Sparsity is preserved: z-scores of ABSENT (doc, bucket) pairs are
+  * handled in closed form — Σ_j w_j·z_dj = Σ_present (w_j·x_dj)/σ_j − C
+  * where C = Σ_j w_j·μ_j/σ_j is a model-sized constant, so the scoring
+  * join only ever touches present pairs (the corpus-sized frame stays
+  * exactly as sparse as the tokenizer made it).
+  *
+  * Scale posture: per step, ONE pass over the sparse feature frame for
+  * scores (join with the broadcast model, per-doc partial-aggregated
+  * sum) and ONE for the gradient (per-bucket sum — 64 cells); the
+  * collected state per step is the 64-weight gradient, metadata-sized.
+  * The feature frame is staged once per pass; per-step scored frames are
+  * persisted for their two consumers and dropped. 100 TB changes the
+  * feature-build cost, not the loop's shape.
+  */
+object TrainOps {
+
+  private val B = 64          // feature buckets (CleanOps.linearScore scheme)
+  private val STEPS = 4       // gradient steps the oracle replays
+  private val LR = 0.5
+  private val LAMBDA = 0.001
+  private val QTH = 0.6       // heuristic-quality threshold for the label
+  private val dec = Exact.dec // DECIMAL(30,6) quantization point
+
+  private val stopwords = Seq("the", "a", "of", "to", "and")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The text_stats quality heuristic as a column (the weak label's
+    * teacher): ttr·0.5 + min(1, n_tokens/100)·0.3 + (1 − stop_ratio)·0.2. */
+  private def qualityScore(text: Column): Column = {
+    val t = Tokens.toks(text)
+    val nTok = size(t).cast("long")
+    val ttr = size(array_distinct(t)).cast("double") / nTok.cast("double")
+    val stopRatio = size(filter(t, w => w.isin(stopwords.map(lit): _*)))
+      .cast("double") / nTok.cast("double")
+    ttr * 0.5 + least(lit(1.0), nTok.cast("double") / 100.0) * 0.3 +
+      (lit(1.0) - stopRatio) * 0.2
+  }
+
+  /** Sparse standardizable features: one row per PRESENT (doc, bucket),
+    * x = bucket token share of the doc. Staged once per pass — every
+    * training step re-reads this frame, never the corpus. */
+  private def feats(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "qtrain_feats") {
+      val d = graft.Tables.balanced(s, dir, "documents", "doc_id")
+        .select(col("doc_id"), col("text"),
+          when(qualityScore(col("text")) >= QTH, 1.0d).otherwise(0.0d).as("y"))
+      d.select(col("doc_id"), col("y"),
+          explode(Tokens.toks(col("text"))).as("w"))
+        .withColumn("bucket",
+          conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10)
+            .cast("long") % B)
+        .groupBy(col("doc_id"), col("y"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("x", col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+            .cast("double"))
+        .select(col("doc_id"), col("y"), col("bucket"), col("x"))
+    }
+
+  /** One training run: returns the per-step learning curve (the pinned
+    * artifact). Model state lives on the driver (64 + 1 doubles); all
+    * corpus-sized arithmetic happens in Spark jobs with decimal-exact
+    * sums, so the run is bit-reproducible under any partitioning — which
+    * is what lets the oracle's unrolled SQL replay hash-match it. */
+  private[ops] def ridgeTrainCurve(s: SparkSession, dir: String): DataFrame = {
+    val f = feats(s, dir)
+    val n = f.select(col("doc_id")).distinct().count().toDouble
+
+    // per-bucket standardization constants from decimal-exact moments;
+    // absent buckets (possible at tiny SFs) default to (μ=0, σ=1)
+    val statRows = f.groupBy(col("bucket"))
+      .agg(sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      .collect()
+    val mu = Array.fill(B)(0.0)
+    val sd = Array.fill(B)(1.0)
+    statRows.foreach { r =>
+      val j = r.getLong(0).toInt
+      val m = r.getDouble(1) / n
+      val ex2 = r.getDouble(2) / n
+      val v = ex2 - m * m
+      mu(j) = m
+      sd(j) = if (v <= 0.0) 1.0 else math.sqrt(v)
+    }
+    val statsDf = s.createDataFrame(
+      (0 until B).map(j => (j.toLong, mu(j), sd(j)))).toDF("bucket", "mu", "sd")
+
+    val w = Array.fill(B)(0.0)
+    var bias = 0.0
+    val curve = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Double, Double, Double, Double)]
+    for (k <- 0 to STEPS) {
+      val wDf = s.createDataFrame(
+        (0 until B).map(j => (j.toLong, w(j)))).toDF("bucket", "wgt")
+      val model = broadcast(wDf.join(statsDf, "bucket"))
+      // C = Σ_j w_j·μ_j/σ_j — the closed-form absent-pair correction
+      val c = wDf.join(statsDf, "bucket")
+        .agg(sum(((col("wgt") * col("mu")) / col("sd")).cast(dec))
+          .cast("double")).collect()(0).getDouble(0)
+      val scored = f.join(model, "bucket")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(((col("wgt") * col("x")) / col("sd")).cast(dec))
+          .cast("double").as("sw"))
+        .select(col("doc_id"), col("y"),
+          (col("sw") - lit(c) + lit(bias)).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = scored.agg(
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("y") === 1.0, col("s").cast(dec))).cast("double").as("sp"),
+        sum(when(col("y") === 0.0, col("s").cast(dec))).cast("double").as("sn"),
+        sum(when((col("s") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+          .as("hits"),
+        sum((col("s") - col("y")).cast(dec)).cast("double").as("gb"))
+        .collect()(0)
+      val (nPos, nNeg) = (m.getLong(0), m.getLong(1))
+      val meanPos = m.getDouble(2) / nPos.toDouble
+      val meanNeg = m.getDouble(3) / nNeg.toDouble
+      val acc = m.getLong(4).toDouble / n
+      val gb = m.getDouble(5)
+      curve += ((k.toLong, nPos, nNeg, meanPos, meanNeg, meanPos - meanNeg,
+        acc, bias))
+      if (k < STEPS) {
+        // per-bucket sparse gradient; the dense correction −(μ_j/σ_j)·gb
+        // is model-sized driver arithmetic (identically spelled in SQL)
+        val gsp = f.join(scored.select(col("doc_id"), col("s")), "doc_id")
+          .join(broadcast(statsDf), "bucket")
+          .groupBy(col("bucket"))
+          .agg(sum((((col("s") - col("y")) * col("x")) / col("sd")).cast(dec))
+            .cast("double").as("g"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        for (j <- 0 until B) {
+          val gFull = gsp.getOrElse(j.toLong, 0.0) - mu(j) / sd(j) * gb
+          w(j) = w(j) - LR * (gFull / n + LAMBDA * w(j))
+        }
+        bias = bias - LR * (gb / n)
+      }
+      scored.unpersist()
+    }
+    s.createDataFrame(curve.toSeq).toDF("step", "n_pos", "n_neg",
+      "mean_pos", "mean_neg", "sep_gap", "acc", "bias")
+      .orderBy(col("step"))
+  }
+
+  // ------------------------------------------------------------ oracle
+
+  // the quality-heuristic label in DuckDB (the text_stats formula)
+  private val labSql =
+    s"""lab AS MATERIALIZED (
+       |  SELECT doc_id, text, CASE WHEN
+       |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |       / CAST(len(string_split(text,' ')) AS BIGINT)) * 0.5
+       |    + least(1.0, CAST(len(string_split(text,' ')) AS BIGINT) / 100.0) * 0.3
+       |    + (1.0 - CAST(len(list_filter(string_split(text,' '),
+       |        w -> w IN ($stopList))) AS DOUBLE)
+       |       / CAST(len(string_split(text,' ')) AS BIGINT)) * 0.2
+       |    >= $QTH THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents
+       |)""".stripMargin
+
+  private def stepSql(k: Int): String = {
+    val wPrev = s"w$k"
+    s""", c$k AS (
+       |  SELECT CAST(SUM(CAST((w.wgt * st.mu) / st.sd AS DECIMAL(30,6)))
+       |    AS DOUBLE) AS c
+       |  FROM $wPrev w JOIN stats st USING (bucket)
+       |), s$k AS MATERIALIZED (
+       |  SELECT f.doc_id, f.y,
+       |    CAST(SUM(CAST((w.wgt * f.x) / st.sd AS DECIMAL(30,6))) AS DOUBLE)
+       |      - c.c + b.b AS s
+       |  FROM feats f JOIN $wPrev w USING (bucket)
+       |    JOIN stats st USING (bucket)
+       |    CROSS JOIN c$k c CROSS JOIN b$k b
+       |  GROUP BY f.doc_id, f.y, c.c, b.b
+       |), m$k AS (
+       |  SELECT CAST($k AS BIGINT) AS step,
+       |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |    CAST(SUM(CASE WHEN y = 1.0 THEN CAST(s AS DECIMAL(30,6)) END) AS DOUBLE)
+       |      / CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) AS mean_pos,
+       |    CAST(SUM(CASE WHEN y = 0.0 THEN CAST(s AS DECIMAL(30,6)) END) AS DOUBLE)
+       |      / CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS DOUBLE) AS mean_neg,
+       |    CAST(SUM(CASE WHEN y = 1.0 THEN CAST(s AS DECIMAL(30,6)) END) AS DOUBLE)
+       |      / CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    - CAST(SUM(CASE WHEN y = 0.0 THEN CAST(s AS DECIMAL(30,6)) END) AS DOUBLE)
+       |      / CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS DOUBLE) AS sep_gap,
+       |    CAST(SUM(CASE WHEN (s >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / (SELECT n FROM nn) AS acc,
+       |    (SELECT b FROM b$k) AS bias
+       |  FROM s$k
+       |), gb$k AS (
+       |  SELECT CAST(SUM(CAST(s - y AS DECIMAL(30,6))) AS DOUBLE) AS gb
+       |  FROM s$k
+       |), g$k AS (
+       |  SELECT f.bucket,
+       |    CAST(SUM(CAST(((s.s - f.y) * f.x) / st.sd AS DECIMAL(30,6)))
+       |      AS DOUBLE) AS g
+       |  FROM feats f JOIN s$k s USING (doc_id)
+       |    JOIN stats st USING (bucket)
+       |  GROUP BY f.bucket
+       |), w${k + 1} AS (
+       |  SELECT w.bucket,
+       |    w.wgt - $LR * ((coalesce(g.g, 0.0) - st.mu / st.sd * gb.gb)
+       |      / nn.n + $LAMBDA * w.wgt) AS wgt
+       |  FROM w$k w LEFT JOIN g$k g USING (bucket)
+       |    JOIN stats st USING (bucket)
+       |    CROSS JOIN gb$k gb CROSS JOIN nn
+       |), b${k + 1} AS (
+       |  SELECT b.b - $LR * (gb.gb / nn.n) AS b
+       |  FROM b$k b CROSS JOIN gb$k gb CROSS JOIN nn
+       |)""".stripMargin
+  }
+
+  private val trainSql: String = {
+    val steps = (0 until STEPS).map(stepSql).mkString
+    // the final model's metrics (step = STEPS) reuse the same block shape
+    // minus the gradient CTEs
+    val last =
+      s""", c$STEPS AS (
+         |  SELECT CAST(SUM(CAST((w.wgt * st.mu) / st.sd AS DECIMAL(30,6)))
+         |    AS DOUBLE) AS c
+         |  FROM w$STEPS w JOIN stats st USING (bucket)
+         |), s$STEPS AS MATERIALIZED (
+         |  SELECT f.doc_id, f.y,
+         |    CAST(SUM(CAST((w.wgt * f.x) / st.sd AS DECIMAL(30,6))) AS DOUBLE)
+         |      - c.c + b.b AS s
+         |  FROM feats f JOIN w$STEPS w USING (bucket)
+         |    JOIN stats st USING (bucket)
+         |    CROSS JOIN c$STEPS c CROSS JOIN b$STEPS b
+         |  GROUP BY f.doc_id, f.y, c.c, b.b
+         |), m$STEPS AS (
+         |  SELECT CAST($STEPS AS BIGINT) AS step,
+         |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |    CAST(SUM(CASE WHEN y = 1.0 THEN CAST(s AS DECIMAL(30,6)) END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) AS mean_pos,
+         |    CAST(SUM(CASE WHEN y = 0.0 THEN CAST(s AS DECIMAL(30,6)) END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS DOUBLE) AS mean_neg,
+         |    CAST(SUM(CASE WHEN y = 1.0 THEN CAST(s AS DECIMAL(30,6)) END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    - CAST(SUM(CASE WHEN y = 0.0 THEN CAST(s AS DECIMAL(30,6)) END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS DOUBLE) AS sep_gap,
+         |    CAST(SUM(CASE WHEN (s >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / (SELECT n FROM nn) AS acc,
+         |    (SELECT b FROM b$STEPS) AS bias
+         |  FROM s$STEPS
+         |)""".stripMargin
+    val out = (0 to STEPS).map(k => s"SELECT * FROM m$k")
+      .mkString("\n UNION ALL ")
+    s"""WITH $labSql,
+       |tok AS (SELECT doc_id, y, unnest(string_split(text, ' ')) AS w FROM lab),
+       |tb AS (
+       |  SELECT doc_id, y,
+       |    CAST(CAST('0x' || substr(md5(w), 1, 4) AS UBIGINT) % $B AS BIGINT)
+       |      AS bucket
+       |  FROM tok
+       |), cnts AS (
+       |  SELECT doc_id, y, bucket, COUNT(*) AS cnt FROM tb GROUP BY 1, 2, 3
+       |), feats AS MATERIALIZED (
+       |  SELECT doc_id, y, bucket,
+       |    CAST(cnt AS DOUBLE)
+       |      / CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS x
+       |  FROM cnts
+       |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab),
+       |buckets AS (SELECT CAST(unnest(range(0, $B)) AS BIGINT) AS bucket),
+       |st0 AS (
+       |  SELECT bucket,
+       |    CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+       |  FROM feats GROUP BY bucket
+       |), st1 AS (
+       |  SELECT bucket, sx / nn.n AS mu, sxx / nn.n AS ex2
+       |  FROM st0 CROSS JOIN nn
+       |), stats AS MATERIALIZED (
+       |  SELECT b.bucket, coalesce(s.mu, 0.0) AS mu,
+       |    coalesce(CASE WHEN s.ex2 - s.mu * s.mu <= 0.0 THEN 1.0
+       |             ELSE sqrt(s.ex2 - s.mu * s.mu) END, 1.0) AS sd
+       |  FROM buckets b LEFT JOIN st1 s USING (bucket)
+       |), w0 AS (SELECT bucket, 0.0 AS wgt FROM buckets),
+       |b0 AS (SELECT 0.0 AS b)
+       |$steps$last
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_train" -> ridgeTrainCurve,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_quality_train" -> trainSql,
+  )
+}

@@ -905,25 +905,44 @@ object StreamOps {
     val cut1 = lit("1997-07-01").cast("timestamp")
     val cut2 = lit("1998-01-01").cast("timestamp")
     val bumped = when(col("k") % 7 === 0, col("p") * 1.1).otherwise(col("p"))
-    def change(ct: String, rows: DataFrame, pOld: Column, pNew: Column) =
-      rows.select(lit(ct).as("change_type"), col("k"), col("st"),
-        pOld.cast(dec).as("p_old"), pNew.cast(dec).as("p_new"))
-    val feed = Seq(
-      // v1: initial load; v2: late-1997 append; v3: price bump; v4: GDPR
-      change("insert", orders.filter(col("d") < cut1),
+    // ONE scan, ONE write: each order row expands to the (version,
+    // change) entries it participates in — v1: initial load; v2:
+    // late-1997 append; v3: price bump; v4: GDPR delete — and the single
+    // job writes all four deltas partitioned by version (one
+    // _changes/v=K dir each), then the log publishes the dirs in order.
+    // Staging the feed was 4 separate scan+write jobs (~60% of this
+    // query family's wall) over the same table.
+    def change(v: Int, cond: Column, ct: String, pOld: Column, pNew: Column) =
+      when(cond, struct(lit(v).as("v"), lit(ct).as("change_type"),
+        pOld.cast(dec).as("p_old"), pNew.cast(dec).as("p_new")))
+    val entries = array(
+      change(1, col("d") < cut1, "insert", lit(null), col("p")),
+      change(2, col("d") >= cut1 && col("d") < cut2, "insert",
         lit(null), col("p")),
-      change("insert", orders.filter(col("d") >= cut1 && col("d") < cut2),
-        lit(null), col("p")),
-      change("update", orders.filter(col("d") < cut2 && col("k") % 7 === 0),
+      change(3, col("d") < cut2 && col("k") % 7 === 0, "update",
         col("p"), col("p") * 1.1),
-      change("delete", orders.filter(col("d") < cut2 && col("k") % 13 === 0),
+      change(4, col("d") < cut2 && col("k") % 13 === 0, "delete",
         bumped, lit(null)))
-    feed.zipWithIndex.foreach { case (delta, i) =>
-      val cdir = s"$path/_changes/v${i + 1}"
-      delta.coalesce(1).write.mode("overwrite").parquet(cdir)
-      CommitLog.commit(path, i.toLong, cdir)
+    orders
+      .select(col("k"), col("st"), explode(entries).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("c.v").as("v"), col("c.change_type").as("change_type"),
+        col("k"), col("st"), col("c.p_old").as("p_old"),
+        col("c.p_new").as("p_new"))
+      .coalesce(1).write.mode("overwrite")
+      .partitionBy("v").parquet(s"$path/_changes")
+    (1 to 4).foreach { v =>
+      CommitLog.commit(path, (v - 1).toLong, s"$path/_changes/v=$v")
     }
-    feed.head.schema
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("st",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p_old", dec),
+      org.apache.spark.sql.types.StructField("p_new", dec)))
   }
 
   private def changeFeedStreamQ(s: SparkSession, dir: String): DataFrame = {
@@ -1010,7 +1029,7 @@ object StreamOps {
             // own delta (≤ 1 change file) + the previous MV — never the
             // accumulated feed, never a base-table snapshot
             val scans = refreshed.queryExecution.executedPlan.toString
-            val changeRefs = "_changes/v(\\d+)".r
+            val changeRefs = "_changes/v=(\\d+)".r
               .findAllMatchIn(scans).map(_.group(1)).toSet
             require(changeRefs.size <= 1,
               s"MV refresh must not rescan the feed; it scans $changeRefs")
@@ -1161,12 +1180,19 @@ object StreamOps {
     // subscriber's per-commit batching is unchanged
     val orders = graft.Tables.balanced(s, dir, "orders", "o_orderkey")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    for (i <- 0 until 4) {
-      val chunk = s"$table/chunk_v${i + 1}"
-      orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
-        .toJSON.write.mode("overwrite").text(chunk)
-      CommitLog.commit(table, i.toLong, chunk)
-    }
+    // ONE pass publishes all four chunks: serialize each row once and
+    // write partitioned by its chunk id (4 separate filter+toJSON+write
+    // jobs re-scanned and re-serialized the table per chunk — same
+    // bytes, 4x the jobs); every writer task emits into each chunk dir,
+    // so a chunk still holds MANY files and the writer keeps its natural
+    // parallelism (the source reads one partition per chunk FILE)
+    orders
+      .select((pmod(col("o_orderkey"), lit(4)) + 1).as("v"),
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))).as("line"))
+      .write.mode("overwrite").partitionBy("v").text(s"$table/chunks")
+    for (i <- 0 until 4)
+      CommitLog.commit(table, i.toLong, s"$table/chunks/v=${i + 1}")
     val payload = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("o_orderkey",
         org.apache.spark.sql.types.LongType),
@@ -1243,13 +1269,22 @@ object StreamOps {
         .parquet(stage)
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val chunk = s"$root/clean_b$id"
+          // ONE write per batch: the constraint split rides a partition
+          // column (ok=true → the publishable chunk dir, ok=false → that
+          // batch's quarantine dir) instead of two filtered write jobs
+          // re-reading the batch
+          val bdir = s"$root/b$id"
+          val chunk = s"$bdir/ok=true"
           val replayed = CommitLog.entries(root)
             .exists(c => CommitLog.payloadDirs(c.dataDir).contains(chunk))
           if (!batch.isEmpty && !replayed) {
-            batch.filter(!rule).write.mode("overwrite")
-              .parquet(s"$root/quarantine/b$id")
-            batch.filter(rule).write.mode("overwrite").parquet(chunk)
+            batch.withColumn("ok", rule)
+              .write.mode("overwrite").partitionBy("ok").parquet(bdir)
+            // an all-violating batch writes no ok=true partition; the
+            // committed chunk must still exist (empty) for readers
+            if (!java.nio.file.Files.exists(java.nio.file.Paths.get(chunk)))
+              batch.filter(rule).drop("ok")
+                .write.mode("overwrite").parquet(chunk)
             val base = CommitLog.latest(root).map(_.version).getOrElse(0L)
             try CommitLog.commit(root, base, chunk)
             catch {
@@ -1265,12 +1300,19 @@ object StreamOps {
     val chunks = CommitLog.entries(root)
       .flatMap(c => CommitLog.payloadDirs(c.dataDir))
     val published = s.read.parquet(chunks: _*)
-    val quarantined = s.read.option("recursiveFileLookup", "true")
-      .parquet(s"$root/quarantine")
-    require(published.filter(!rule).count() == 0,
-      "no violating row may be published")
+    // a batch with no violations writes no ok=false dir — read only the
+    // quarantine dirs that exist
+    val qDirs = chunks.map(c => c.stripSuffix("ok=true") + "ok=false")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+    val quarantined =
+      if (qDirs.isEmpty) published.limit(0) else s.read.parquet(qDirs: _*)
+    // contract checks in ONE scan of the published table (violation count
+    // + row count together) plus metadata-only counts
+    val pubStats = published.agg(count(lit(1)).as("n"),
+      sum(when(!rule, 1L).otherwise(0L)).as("viol")).collect()(0)
+    require(pubStats.getLong(1) == 0, "no violating row may be published")
     val staged = s.read.parquet(stage).count()
-    require(published.count() + quarantined.count() == staged,
+    require(pubStats.getLong(0) + quarantined.count() == staged,
       "committed + quarantined must partition the input")
     val nq = quarantined.agg(count(lit(1)).as("n_quarantined"))
     published.groupBy(col("event_type"))
