@@ -465,5 +465,26 @@ package object api {
       * pairs by neighborhood Jaccard — see graph_link_predict. */
     def linkPredict(topK: Int = 50): DataFrame =
       ops.GraphOps.linkPredict(df, topK)
+
+    /** Exact interpolated per-group percentiles on the scalable rank
+      * substrate (range exchange + boundary-row interpolation — never
+      * Spark's whole-group-in-one-buffer `percentile` aggregate); `ps`
+      * maps output column name → percentile in [0, 1]. EAGER: the rank
+      * substrate's offset pass runs at plan build — see rel_percentile. */
+    def groupedQuantiles(grp: String, value: String,
+        ps: Seq[(String, Double)]): DataFrame =
+      ops.Relational2.groupedQuantiles(df, grp, value, ps)
+
+    /** Train a ridge linear keep/drop classifier over hashed bag-of-words
+      * features of (`idCol`, `textCol`) against the boolean `label` by
+      * full-batch gradient descent; returns the per-step learning curve
+      * (sep_gap, acc, bias, class means) — deterministic under any
+      * partitioning. EAGER: runs the training loop — see
+      * text_quality_train. */
+    def ridgeTrain(idCol: String, textCol: String, label: Column,
+        steps: Int = 4, lr: Double = 0.5, lambda: Double = 0.001,
+        nBuckets: Int = 64): DataFrame =
+      ops.TrainOps.ridgeTrain(df, idCol, textCol, label, steps, lr,
+        lambda, nBuckets)
   }
 }

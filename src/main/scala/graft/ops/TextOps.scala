@@ -206,7 +206,15 @@ object TextOps {
     *
     * Every trigram's context necessarily exists in the context table (it
     * contributes to it), so the model joins are total — including the
-    * short-doc edge where the "trigram" is a truncated prefix. */
+    * short-doc edge where the "trigram" is a truncated prefix.
+    *
+    * 10×-rehearsal note (the r11 suite-worst flag, 3.67×): the sf1
+    * corpus's per-word replica prefixes LENGTHEN every word, so gram
+    * rows grow 13.3× (1.48M → 19.6M measured), not 10×, while vocab
+    * stays bounded (377 → 836 trigrams). Wall grows ~3× for 13.3× the
+    * scored rows — SUBLINEAR in actual work units; the ratio is pure
+    * candidate volume from the synthetic corpus's construction, not a
+    * worsening constant. */
   private def lmScore(s: SparkSession, dir: String): DataFrame = {
     // NOT staged: persisting the exploded (doc, gram) table materializes
     // corpus × gram rows — the one thing in this query that grows with

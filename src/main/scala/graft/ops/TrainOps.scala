@@ -71,33 +71,59 @@ object TrainOps {
   }
 
   /** Sparse standardizable features: one row per PRESENT (doc, bucket),
-    * x = bucket token share of the doc. Staged once per pass — every
-    * training step re-reads this frame, never the corpus. */
-  private def feats(s: SparkSession, dir: String): DataFrame =
-    Staging.staged(s, dir, "qtrain_feats") {
-      val d = graft.Tables.balanced(s, dir, "documents", "doc_id")
-        .select(col("doc_id"), col("text"),
-          when(qualityScore(col("text")) >= QTH, 1.0d).otherwise(0.0d).as("y"))
-      d.select(col("doc_id"), col("y"),
-          explode(Tokens.toks(col("text"))).as("w"))
-        .withColumn("bucket",
-          conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10)
-            .cast("long") % B)
-        .groupBy(col("doc_id"), col("y"), col("bucket"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("x", col("cnt").cast("double") /
-          sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
-            .cast("double"))
-        .select(col("doc_id"), col("y"), col("bucket"), col("x"))
-    }
+    * x = bucket token share of the doc. */
+  private def featsOf(d: DataFrame, idCol: String, textCol: String,
+      label: Column, nBuckets: Int): DataFrame =
+    d.select(col(idCol).as("doc_id"),
+        when(label, 1.0d).otherwise(0.0d).as("y"),
+        explode(Tokens.toks(col(textCol))).as("w"))
+      .withColumn("bucket",
+        conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % nBuckets)
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("x", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+          .cast("double"))
+      .select(col("doc_id"), col("y"), col("bucket"), col("x"))
 
-  /** One training run: returns the per-step learning curve (the pinned
-    * artifact). Model state lives on the driver (64 + 1 doubles); all
-    * corpus-sized arithmetic happens in Spark jobs with decimal-exact
-    * sums, so the run is bit-reproducible under any partitioning — which
-    * is what lets the oracle's unrolled SQL replay hash-match it. */
-  private[ops] def ridgeTrainCurve(s: SparkSession, dir: String): DataFrame = {
-    val f = feats(s, dir)
+  /** PUBLIC: train a ridge-regularized linear keep/drop classifier over
+    * hashed bag-of-words features of (`idCol`, `textCol`) against the
+    * boolean `label`, by `steps` full-batch gradient-descent steps, and
+    * return the per-step learning curve (step, n_pos, n_neg, mean_pos,
+    * mean_neg, sep_gap, acc, bias). Deterministic under any partitioning
+    * (decimal-exact sums, broadcast model per step) — the training run
+    * itself is reproducible, not just its final weights. `stage` hooks
+    * the feature-frame materialization (every step re-reads it). */
+  def ridgeTrain(d: DataFrame, idCol: String, textCol: String,
+      label: Column, steps: Int = STEPS, lr: Double = LR,
+      lambda: Double = LAMBDA, nBuckets: Int = B,
+      stage: DataFrame => DataFrame = _.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val s = d.sparkSession
+    val f = stage(featsOf(d, idCol, textCol, label, nBuckets))
+    trainCurve(s, f, steps, lr, lambda, nBuckets)
+  }
+
+  /** The oracle-checked query: distill the text_stats quality heuristic
+    * into the learned gate over the documents corpus. Feature frame
+    * staged once per pass. */
+  private[ops] def ridgeTrainCurve(s: SparkSession, dir: String): DataFrame =
+    ridgeTrain(graft.Tables.balanced(s, dir, "documents", "doc_id"),
+      "doc_id", "text", qualityScore(col("text")) >= QTH,
+      stage = df => Staging.staged(s, dir, "qtrain_feats")(df))
+
+  /** One training run over a prepared sparse feature frame: model state
+    * lives on the driver (nBuckets + 1 doubles); all corpus-sized
+    * arithmetic happens in Spark jobs with decimal-exact sums, so the
+    * run is bit-reproducible under any partitioning — which is what lets
+    * the oracle's unrolled SQL replay hash-match it. */
+  private def trainCurve(s: SparkSession, f: DataFrame, steps: Int,
+      lr: Double, lambda: Double, nBuckets: Int): DataFrame = {
+    val B = nBuckets
+    val STEPS = steps
+    val LR = lr
+    val LAMBDA = lambda
     val n = f.select(col("doc_id")).distinct().count().toDouble
 
     // per-bucket standardization constants from decimal-exact moments;
