@@ -74,6 +74,7 @@ object SparkEntry {
     // runs the whole training loop at plan build (per-step collects are
     // model-sized; the returned frame is a driver-sized LocalRelation)
     "text_bpe_train", "text_bpe_roundtrip", "text_quality_train",
+    "text_quality_apply", "rel_ks_drift", "rel_psi_drift",
     // trains, commits the merge table through the log, and loads it back
     // at plan build
     "text_bpe_artifact",

@@ -475,6 +475,20 @@ package object api {
         ps: Seq[(String, Double)]): DataFrame =
       ops.Relational2.groupedQuantiles(df, grp, value, ps)
 
+    /** Exact two-sample Kolmogorov–Smirnov drift statistic between the
+      * rows where `inRef` holds and the rest, over `value`; `id` breaks
+      * ties into a total order. One row: (ks_stat, at_value, n_ref,
+      * n_cur). EAGER (rank substrate) — see rel_ks_drift. */
+    def ksDrift(inRef: Column, value: Column, id: Column): DataFrame =
+      ops.StatOps.ksDrift(df, inRef, value, id)
+
+    /** Population Stability Index between the `inRef` sample and the
+      * rest: reference-decile bins, per-bin shares and terms, exact
+      * decimal total riding each row. EAGER — see rel_psi_drift. */
+    def psiDrift(inRef: Column, value: Column, id: Column,
+        bins: Int = 10): DataFrame =
+      ops.StatOps.psiDrift(df, inRef, value, id, bins)
+
     /** Train a ridge linear keep/drop classifier over hashed bag-of-words
       * features of (`idCol`, `textCol`) against the boolean `label` by
       * full-batch gradient descent; returns the per-step learning curve

@@ -314,9 +314,114 @@ object StatOps {
     decileLift(graft.Tables(s, dir, "orders"), col("o_totalprice"),
       col("o_orderkey"), col("o_orderstatus") === "F")
 
+  // ------------------------------------------------- distribution drift
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-drift monitor a continuously-fed training pipeline runs
+    * between corpus versions / time windows / sources: D = sup|F̂₁ − F̂₂|
+    * over the two empirical CDFs, computed exactly at every jump point.
+    *
+    * Scalable shape — NO prefix-scan, NO single-partition window: rank
+    * every row globally by value (`globalRank`, one range exchange) AND
+    * within its sample (`groupedRank`, one more); for any row, the count
+    * of sample-1 values ≤ it is its in-group rank if it IS sample 1, else
+    * global − in-group — so both CDFs fall out of two rank columns joined
+    * on the row id. Tied values are absorbed per value block (max of the
+    * monotone cumulative counts per distinct value) so the sup is
+    * evaluated only AFTER each tie group, exactly like the textbook
+    * definition. Everything is exact integer counts until two final
+    * divisions — bit-identical in any engine, under any partitioning.
+    * EAGER (rank substrate). Returns ONE row:
+    * (ks_stat, at_value, n_ref, n_cur). */
+  def ksDrift(d: DataFrame, inRef: Column, value: Column,
+              id: Column): DataFrame = {
+    val base = d.select(value.as("v"),
+        when(inRef, 1L).otherwise(0L).as("grp"), id.as("i"))
+      .filter(col("v").isNotNull)
+    val r = Relational2.globalRank(base, col("v"), col("i"))
+    val g = Relational2.groupedRank(base, "grp", col("v"), col("i"))
+    val joined = r.select(col("v"), col("grp"), col("i"), col("__rank"))
+      .join(g.select(col("i").as("gi"), col("__grank")),
+        col("i") === col("gi"))
+    val c1 = when(col("grp") === 1L, col("__grank"))
+      .otherwise(col("__rank") - col("__grank"))
+    val pv = joined
+      .groupBy(col("v"))
+      .agg(max(c1).as("c1"), max(col("__rank")).as("rr"))
+    val tot = pv.agg(max(col("c1")).as("n1"),
+      max(col("rr") - col("c1")).as("n2"))
+    pv.crossJoin(broadcast(tot))
+      .select(
+        abs(col("c1").cast("double") / col("n1").cast("double") -
+          (col("rr") - col("c1")).cast("double") / col("n2").cast("double"))
+          .as("ks_stat"),
+        col("v").as("at_value"), col("n1").as("n_ref"), col("n2").as("n_cur"))
+      .orderBy(col("ks_stat").desc, col("at_value").asc)
+      .limit(1)
+  }
+
+  private def ksDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+    ksDrift(ev, col("event_type") === "click", col("value"), col("event_id"))
+  }
+
+  /** Population Stability Index between a reference and a current sample
+    * — the binned drift score model-monitoring dashboards alert on:
+    * deciles of the REFERENCE distribution (exact, via `globalRank` —
+    * no whole-column sort funnel) become the bins, both samples count
+    * into them, PSI = Σ (q−p)·ln(q/p) with the standard 1e-6 floor on
+    * empty-bin shares. Per-bin terms are rounded 6 dp before the exact
+    * decimal total (ln is 1-ulp engine-dependent — the text_lm_score
+    * contract); counts and shares are exact. EAGER (rank substrate +
+    * boundary collect — bins−1 doubles, metadata). Emits one row per
+    * bin plus the riding total. */
+  def psiDrift(d: DataFrame, inRef: Column, value: Column, id: Column,
+               bins: Int = 10): DataFrame = {
+    val base = d.select(value.as("v"),
+        when(inRef, 1L).otherwise(0L).as("grp"), id.as("i"))
+      .filter(col("v").isNotNull)
+    val ranked = Relational2.globalRank(base.filter(col("grp") === 1L),
+      col("v"), col("i"))
+    val isBound = (1 until bins).map(k =>
+      col("__rank") === expr(s"($k * __n + ${bins - 1}) div $bins"))
+      .reduce(_ || _)
+    val bounds = ranked.filter(isBound)
+      .select(col("v")).distinct().collect().map(_.getDouble(0)).sorted
+    // bin = 1 + |{boundaries strictly below v}| (upper-inclusive bins)
+    val binOf = (lit(1) + size(filter(
+      array(bounds.map(lit(_)): _*), b => b < col("v")))).cast("long")
+    val perBin = base.withColumn("bin", binOf)
+      .groupBy(col("bin"))
+      .agg(sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("n_cur"))
+    val tot = base.agg(
+      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("t1"),
+      sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("t2"))
+    val p = col("n_ref").cast("double") / col("t1").cast("double")
+    val q = col("n_cur").cast("double") / col("t2").cast("double")
+    val pf = greatest(p, lit(1e-6))
+    val qf = greatest(q, lit(1e-6))
+    val scored = perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        p.as("p_ref"), q.as("p_cur"),
+        round((qf - pf) * log(qf / pf), 6).as("psi_term"))
+    val total = scored.agg(
+      sum(col("psi_term").cast(Exact.dec)).cast("double").as("psi_total"))
+    scored.crossJoin(broadcast(total)).orderBy(col("bin"))
+  }
+
+  private def psiDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+    psiDrift(ev, col("event_type") === "click", col("value"), col("event_id"))
+  }
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_ks_drift" -> ksDriftQ,
+    "rel_psi_drift" -> psiDriftQ,
     "rel_mode_stat" -> modeQ,
     "rel_corr_regr" -> corrRegrQ,
     "rel_gini_impurity" -> giniQ,
@@ -328,6 +433,78 @@ object StatOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same two-rank construction in window SQL: global row_number +
+    // per-sample row_number give both cumulative counts, tie blocks
+    // absorbed per distinct value, exact-integer until the final divisions
+    "rel_ks_drift" ->
+      """WITH x AS (
+        |  SELECT "value" AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp,
+        |    event_id AS i
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), rk AS (
+        |  SELECT v,
+        |    row_number() OVER (ORDER BY v, i) AS r,
+        |    CASE WHEN grp = 1
+        |      THEN row_number() OVER (PARTITION BY grp ORDER BY v, i)
+        |      ELSE r - row_number() OVER (PARTITION BY grp ORDER BY v, i)
+        |    END AS c1
+        |  FROM x
+        |), pv AS (
+        |  SELECT v, MAX(c1) AS c1, MAX(r) AS rr FROM rk GROUP BY v
+        |), tot AS (
+        |  SELECT MAX(c1) AS n1, MAX(rr - c1) AS n2 FROM pv
+        |)
+        |SELECT abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |         - CAST(rr - c1 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS ks_stat,
+        |  v AS at_value, n1 AS n_ref, n2 AS n_cur
+        |FROM pv CROSS JOIN tot
+        |ORDER BY ks_stat DESC, at_value ASC LIMIT 1""".stripMargin,
+    // reference deciles via ranks, upper-inclusive bins via a correlated
+    // boundary count, 1e-6 floors, 6 dp terms, exact decimal total
+    "rel_psi_drift" ->
+      """WITH x AS (
+        |  SELECT "value" AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp,
+        |    event_id AS i
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), ref AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, i) AS r,
+        |    COUNT(*) OVER () AS n
+        |  FROM x WHERE grp = 1
+        |), bnd AS (
+        |  SELECT DISTINCT ref.v AS b
+        |  FROM ref JOIN range(1, 10) t(k) ON ref.r = (t.k * ref.n + 9) // 10
+        |), withbin AS (
+        |  SELECT grp,
+        |    CAST(1 + (SELECT COUNT(*) FROM bnd WHERE b < x.v) AS BIGINT) AS bin
+        |  FROM x
+        |), perbin AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM withbin GROUP BY bin
+        |), tot AS (
+        |  SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+        |  FROM x
+        |), scored AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    CAST(n_ref AS DOUBLE) / CAST(t1 AS DOUBLE) AS p_ref,
+        |    CAST(n_cur AS DOUBLE) / CAST(t2 AS DOUBLE) AS p_cur,
+        |    round((greatest(CAST(n_cur AS DOUBLE) / CAST(t2 AS DOUBLE), 1e-6)
+        |         - greatest(CAST(n_ref AS DOUBLE) / CAST(t1 AS DOUBLE), 1e-6))
+        |      * ln(greatest(CAST(n_cur AS DOUBLE) / CAST(t2 AS DOUBLE), 1e-6)
+        |         / greatest(CAST(n_ref AS DOUBLE) / CAST(t1 AS DOUBLE), 1e-6)), 6)
+        |      AS psi_term
+        |  FROM perbin CROSS JOIN tot
+        |), total AS (
+        |  SELECT CAST(SUM(CAST(psi_term AS DECIMAL(30,6))) AS DOUBLE)
+        |    AS psi_total
+        |  FROM scored
+        |)
+        |SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi_total
+        |FROM scored CROSS JOIN total ORDER BY bin""".stripMargin,
     "rel_mode_stat" ->
       s"""WITH c AS (
          |  SELECT o_orderpriority, o_orderstatus AS mode_value,

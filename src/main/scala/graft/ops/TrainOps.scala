@@ -102,16 +102,66 @@ object TrainOps {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val s = d.sparkSession
     val f = stage(featsOf(d, idCol, textCol, label, nBuckets))
-    trainCurve(s, f, steps, lr, lambda, nBuckets)
+    trainCurve(s, f, steps, lr, lambda, nBuckets).curve
   }
 
+  /** A completed training run: the learning curve plus the final model
+    * (weights, bias, and the standardization constants scoring needs). */
+  private[ops] final case class TrainResult(curve: DataFrame,
+      w: Array[Double], bias: Double, mu: Array[Double], sd: Array[Double])
+
+  /** The quality-gate training run over the documents corpus, ONE per
+    * (session, corpus) pass — text_quality_train reports its curve,
+    * text_quality_apply serves its final model (production trains once
+    * and gates every downstream read). */
+  private def trainedQuality(s: SparkSession, dir: String): TrainResult =
+    Staging.stagedValue(s, dir, "qtrain_model") {
+      val f = Staging.staged(s, dir, "qtrain_feats")(featsOf(
+        graft.Tables.balanced(s, dir, "documents", "doc_id"),
+        "doc_id", "text", qualityScore(col("text")) >= QTH, B))
+      trainCurve(s, f, STEPS, LR, LAMBDA, B)
+    }
+
   /** The oracle-checked query: distill the text_stats quality heuristic
-    * into the learned gate over the documents corpus. Feature frame
-    * staged once per pass. */
+    * into the learned gate over the documents corpus. */
   private[ops] def ridgeTrainCurve(s: SparkSession, dir: String): DataFrame =
-    ridgeTrain(graft.Tables.balanced(s, dir, "documents", "doc_id"),
-      "doc_id", "text", qualityScore(col("text")) >= QTH,
-      stage = df => Staging.staged(s, dir, "qtrain_feats")(df))
+    trainedQuality(s, dir).curve
+
+  /** TRAIN → SERVE composition: gate the corpus with the model the
+    * training loop just learned — per-source keep counts and rates from
+    * the FINAL weights, the decision a mixture builder consumes. Scoring
+    * is the training loop's own spelled form (decimal-quantized sparse
+    * dot − absent-pair constant + bias), so the DuckDB replay of training
+    * composes directly with a scoring CTE and the hash gate pins the
+    * whole train→apply path (the text_bpe_roundtrip contract, for the
+    * learned classifier). */
+  private[ops] def qualityApplyQ(s: SparkSession, dir: String): DataFrame = {
+    val m = trainedQuality(s, dir)
+    val f = Staging.staged(s, dir, "qtrain_feats")(featsOf(
+      graft.Tables.balanced(s, dir, "documents", "doc_id"),
+      "doc_id", "text", qualityScore(col("text")) >= QTH, B))
+    val wDf = s.createDataFrame((0 until B).map(j =>
+      (j.toLong, m.w(j), m.mu(j), m.sd(j)))).toDF("bucket", "wgt", "mu", "sd")
+    val c = wDf
+      .agg(sum(((col("wgt") * col("mu")) / col("sd")).cast(dec))
+        .cast("double")).collect()(0).getDouble(0)
+    val scored = f.join(broadcast(wDf), "bucket")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(((col("wgt") * col("x")) / col("sd")).cast(dec))
+        .cast("double").as("sw"))
+      .select(col("doc_id"),
+        (col("sw") - lit(c) + lit(m.bias)).as("s"))
+    scored
+      .join(graft.Tables.balanced(s, dir, "documents", "doc_id")
+        .select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") >= 0.5, 1L).otherwise(0L)).as("n_keep"))
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"))
+      .orderBy(col("source"))
+  }
 
   /** One training run over a prepared sparse feature frame: model state
     * lives on the driver (nBuckets + 1 doubles); all corpus-sized
@@ -119,7 +169,7 @@ object TrainOps {
     * run is bit-reproducible under any partitioning — which is what lets
     * the oracle's unrolled SQL replay hash-match it. */
   private def trainCurve(s: SparkSession, f: DataFrame, steps: Int,
-      lr: Double, lambda: Double, nBuckets: Int): DataFrame = {
+      lr: Double, lambda: Double, nBuckets: Int): TrainResult = {
     val B = nBuckets
     val STEPS = steps
     val LR = lr
@@ -197,9 +247,11 @@ object TrainOps {
       }
       scored.unpersist()
     }
-    s.createDataFrame(curve.toSeq).toDF("step", "n_pos", "n_neg",
-      "mean_pos", "mean_neg", "sep_gap", "acc", "bias")
-      .orderBy(col("step"))
+    TrainResult(
+      s.createDataFrame(curve.toSeq).toDF("step", "n_pos", "n_neg",
+        "mean_pos", "mean_neg", "sep_gap", "acc", "bias")
+        .orderBy(col("step")),
+      w.clone(), bias, mu.clone(), sd.clone())
   }
 
   // ------------------------------------------------------------ oracle
@@ -271,24 +323,29 @@ object TrainOps {
        |)""".stripMargin
   }
 
+  // final-model scoring (c_N + s_N) — shared by the train oracle's last
+  // metrics row and the apply oracle's corpus gating
+  private val finalScoreCtes: String =
+    s""", c$STEPS AS (
+       |  SELECT CAST(SUM(CAST((w.wgt * st.mu) / st.sd AS DECIMAL(30,6)))
+       |    AS DOUBLE) AS c
+       |  FROM w$STEPS w JOIN stats st USING (bucket)
+       |), s$STEPS AS MATERIALIZED (
+       |  SELECT f.doc_id, f.y,
+       |    CAST(SUM(CAST((w.wgt * f.x) / st.sd AS DECIMAL(30,6))) AS DOUBLE)
+       |      - c.c + b.b AS s
+       |  FROM feats f JOIN w$STEPS w USING (bucket)
+       |    JOIN stats st USING (bucket)
+       |    CROSS JOIN c$STEPS c CROSS JOIN b$STEPS b
+       |  GROUP BY f.doc_id, f.y, c.c, b.b
+       |)""".stripMargin
+
   private val trainSql: String = {
     val steps = (0 until STEPS).map(stepSql).mkString
     // the final model's metrics (step = STEPS) reuse the same block shape
     // minus the gradient CTEs
-    val last =
-      s""", c$STEPS AS (
-         |  SELECT CAST(SUM(CAST((w.wgt * st.mu) / st.sd AS DECIMAL(30,6)))
-         |    AS DOUBLE) AS c
-         |  FROM w$STEPS w JOIN stats st USING (bucket)
-         |), s$STEPS AS MATERIALIZED (
-         |  SELECT f.doc_id, f.y,
-         |    CAST(SUM(CAST((w.wgt * f.x) / st.sd AS DECIMAL(30,6))) AS DOUBLE)
-         |      - c.c + b.b AS s
-         |  FROM feats f JOIN w$STEPS w USING (bucket)
-         |    JOIN stats st USING (bucket)
-         |    CROSS JOIN c$STEPS c CROSS JOIN b$STEPS b
-         |  GROUP BY f.doc_id, f.y, c.c, b.b
-         |), m$STEPS AS (
+    val last = finalScoreCtes +
+      s""", m$STEPS AS (
          |  SELECT CAST($STEPS AS BIGINT) AS step,
          |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
          |    CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
@@ -307,7 +364,16 @@ object TrainOps {
          |)""".stripMargin
     val out = (0 to STEPS).map(k => s"SELECT * FROM m$k")
       .mkString("\n UNION ALL ")
-    s"""WITH $labSql,
+    s"""WITH $headerCtes
+       |$steps$last
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  // features, standardization constants, and the zero model — the replay
+  // prelude both oracles open with
+  private lazy val headerCtes: String =
+    s"""$labSql,
        |tok AS (SELECT doc_id, y, unnest(string_split(text, ' ')) AS w FROM lab),
        |tb AS (
        |  SELECT doc_id, y,
@@ -337,17 +403,30 @@ object TrainOps {
        |             ELSE sqrt(s.ex2 - s.mu * s.mu) END, 1.0) AS sd
        |  FROM buckets b LEFT JOIN st1 s USING (bucket)
        |), w0 AS (SELECT bucket, 0.0 AS wgt FROM buckets),
-       |b0 AS (SELECT 0.0 AS b)
-       |$steps$last
-       |$out
-       |ORDER BY step""".stripMargin
+       |b0 AS (SELECT 0.0 AS b)""".stripMargin
+
+  // apply: the same training replay, then the FINAL model gates the
+  // corpus — per-source keep counts off s_N
+  private lazy val applySql: String = {
+    val steps = (0 until STEPS).map(stepSql).mkString
+    s"""WITH $headerCtes
+       |$steps$finalScoreCtes
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN s.s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  CAST(CAST(SUM(CASE WHEN s.s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+       |FROM s$STEPS s JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_train" -> ridgeTrainCurve,
+    "text_quality_apply" -> qualityApplyQ,
   )
 
   val oracles: Map[String, String] = Map(
     "text_quality_train" -> trainSql,
+    "text_quality_apply" -> applySql,
   )
 }
