@@ -53,8 +53,13 @@ object ProfileOps {
     val med = Relational2.groupedQuantiles(ev, "event_type", "value",
         Seq(("med", 0.5)))
       .select(col("event_type"), col("med"))
-    val dev = ev.join(broadcast(med), "event_type")
-      .withColumn("adev", abs(col("value") - col("med")))
+    // dev feeds the MAD rank pass (its range sampler + its shuffle) AND
+    // the final outlier count — staged so the broadcast join runs once
+    // per pass instead of three times
+    val dev = Staging.staged(s, dir, "mad_dev") {
+      ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+    }
     val mad = Relational2.groupedQuantiles(
         dev.select(col("event_type"), col("adev")), "event_type", "adev",
         Seq(("mad", 0.5)))

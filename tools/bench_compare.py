@@ -59,6 +59,13 @@ def main():
     # normalized ratio: (new/new_calib) / (old/old_calib) = (new/old)/host
     ratios = {q: (nq[q] / oq[q]) / host for q in common if oq[q] > 0}
     med = sorted(ratios.values())[len(ratios) // 2] if ratios else float("nan")
+    # raw per-query median alongside: the calib job is pure-CPU, most
+    # suite queries are orchestration-bound, so when calib moves but the
+    # raw median over UNCHANGED queries sits at ~1.0 the calib delta is a
+    # calibration artifact, not a real host-speed change — report both and
+    # let the reader pick the one the evidence supports
+    raw_ratios = sorted(nq[q] / oq[q] for q in common if oq[q] > 0)
+    med_raw = raw_ratios[len(raw_ratios) // 2] if raw_ratios else float("nan")
     out = {
         "old": old_path,
         "new": new_path,
@@ -69,6 +76,7 @@ def main():
         "raw_ratio": round(raw_new / raw_old, 3) if raw_old else None,
         "normalized_ratio": round(raw_new / raw_old / host, 3) if raw_old else None,
         "median_query_ratio": round(med, 3),
+        "median_query_ratio_raw": round(med_raw, 3),
         "added": added,
         "removed": removed,
         "regressions": {
