@@ -54,7 +54,7 @@ object SparkEntry {
     "stream_checked_sink",
     "stream_heavy_hitters", "stream_incremental_merge", "stream_ivm",
     "stream_log_source", "stream_temporal_join", "stream_ts_match",
-    "stream_versioned_sink",
+    "stream_versioned_sink", "stream_quality_gate",
     // write-then-read roundtrips execute a write action at plan build
     "src_csv_roundtrip", "src_jsonl_roundtrip", "src_partitioned_pruned",
     "src_sorted_skipping", "src_orc_roundtrip", "src_zorder_skipping",

@@ -489,6 +489,18 @@ package object api {
         bins: Int = 10): DataFrame =
       ops.StatOps.psiDrift(df, inRef, value, id, bins)
 
+    /** Per-label embedding drift between the `inRef` slice and the rest:
+      * cosine between the two half-centroids (decimal-exact per-dim
+      * means), plus centroid norms and slice sizes — see
+      * sim_embedding_drift. */
+    def embeddingDrift(label: Column, inRef: Column, vec: Column): DataFrame =
+      ops.Similarity.embeddingDrift(df, label, inRef, vec)
+
+    /** Degree distribution power-law fit over an (src, dst) edge frame:
+      * OLS through the (ln degree, ln count) histogram points, exact
+      * decimal moments — see graph_degree_powerlaw. */
+    def degreePowerlaw(): DataFrame = ops.GraphOps.degreePowerlaw(df)
+
     /** Train a ridge linear keep/drop classifier over hashed bag-of-words
       * features of (`idCol`, `textCol`) against the boolean `label` by
       * full-batch gradient descent; returns the per-step learning curve

@@ -367,6 +367,48 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("community_id"))
 
+  /** Degree distribution + power-law fit — the first structural health
+    * check run on a crawl/link graph (a degree histogram that is NOT
+    * heavy-tailed usually means the extraction is broken). Total degree
+    * per node (one union + hash aggregate), histogram over the degree
+    * values (degree-cardinality-sized — tiny at any scale), then an OLS
+    * line through the (ln degree, ln count) points with the exact-moment
+    * discipline of rel_corr_regr: each log is rounded 6 dp (ln is 1-ulp
+    * engine-dependent), moments accumulate in exact decimal, the IEEE
+    * formula runs once on the single result row. Heavy-tailed graphs fit
+    * a clearly negative slope. */
+  def degreePowerlaw(e: DataFrame): DataFrame = {
+    val dec = Exact.dec
+    val hist = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    val pts = hist.select(
+      round(log(col("deg").cast("double")), 6).as("x"),
+      round(log(col("n_nodes").cast("double")), 6).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+      sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    def dbl(c: String) = col(c)
+    val cov = nd * dbl("sxy") - dbl("sx") * dbl("sy")
+    val varx = nd * dbl("sxx") - dbl("sx") * dbl("sx")
+    val vary = nd * dbl("syy") - dbl("sy") * dbl("sy")
+    val slope = cov / varx
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+    m.select(col("n").as("n_points"),
+      r6(slope).as("slope"),
+      r6((dbl("sy") - slope * dbl("sx")) / nd).as("intercept"),
+      r6(cov / sqrt(varx * vary)).as("corr"))
+  }
+
+  private def degreePowerlawQ(s: SparkSession, dir: String): DataFrame =
+    degreePowerlaw(edges(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerankQ,
     "graph_triangles" -> trianglesQ,
@@ -376,6 +418,7 @@ object GraphOps {
     "graph_kcore" -> kcoreQ,
     "graph_label_prop" -> labelPropQ,
     "graph_link_predict" -> linkPredictQ,
+    "graph_degree_powerlaw" -> degreePowerlawQ,
   )
 
   /** Unrolled synchronous LPA rounds; MATERIALIZED for the same
@@ -459,6 +502,43 @@ object GraphOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same histogram + rounded-log OLS, decimal moments, identical
+    // IEEE formula spelling (the rel_corr_regr discipline)
+    "graph_degree_powerlaw" ->
+      s"""WITH RECURSIVE $edgesSql,
+         |nd AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION ALL SELECT dst AS node FROM edges
+         |  ) GROUP BY node
+         |), hist AS (
+         |  SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nd GROUP BY deg
+         |), pts AS (
+         |  SELECT round(ln(CAST(deg AS DOUBLE)), 6) AS x,
+         |    round(ln(CAST(n_nodes AS DOUBLE)), 6) AS y
+         |  FROM hist
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+         |  FROM pts
+         |), f AS (
+         |  SELECT n, CAST(n AS DOUBLE) AS nd, sx AS sxd, sy AS syd,
+         |    CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+         |    CAST(n AS DOUBLE) * sxx - sx * sx AS varx,
+         |    CAST(n AS DOUBLE) * syy - sy * sy AS vary
+         |  FROM m
+         |)
+         |SELECT n AS n_points,
+         |  CAST(floor((cov / varx) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS slope,
+         |  CAST(floor(((syd - (cov / varx) * sxd) / nd) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         |    AS intercept,
+         |  CAST(floor((cov / sqrt(varx * vary)) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         |    AS corr
+         |FROM f""".stripMargin,
     // hop-bounded path enumeration + MIN — the formulation the frontier
     // relaxation avoids (exponential in path multiplicity); integer
     // weights make every path sum exact in both engines

@@ -834,6 +834,46 @@ object Similarity {
       .orderBy(col("method"), col("q_id"))
   }
 
+  /** EMBEDDING DRIFT between two corpus slices — the vector-space
+    * companion to rel_ks_drift: when an embedding model is retrained or
+    * the upstream corpus shifts, per-label centroids move, and a serving
+    * index built on yesterday's geometry quietly degrades. Split = even
+    * vs odd vec_id (the deterministic stand-in for time halves); per
+    * (label, half, dim) the centroid coordinate is an exact decimal mean
+    * (one shuffle of label×half×dim cells — dimension-sized, never
+    * vector-count-sized), and the per-label drift measure is the cosine
+    * between the two half-centroids with dot/norms as decimal sums over
+    * the d cells (order-free, engine-exact; rounded 6 dp for emission).
+    * Identical halves ⇒ cos 1.0; a drifted label shows directly. */
+  def embeddingDrift(d: DataFrame, label: Column, inRef: Column,
+      vec: Column): DataFrame = {
+    val ex = d
+      .select(label.as("label"),
+        when(inRef, 0).otherwise(1).as("half"),
+        posexplode(transform(vec, x => x.cast("double")))
+          .as(Seq("dim", "x")))
+    val cen = ex.groupBy(col("label"), col("half"), col("dim"))
+      .agg(avgD(col("x")).as("m"), count(lit(1)).as("nv"))
+    val a = cen.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("m").as("ma"), col("nv").as("na"))
+    val b = cen.filter(col("half") === 1)
+      .select(col("label").as("lb"), col("dim").as("db"),
+        col("m").as("mb"), col("nv").as("nb"))
+    a.join(b, col("label") === col("lb") && col("dim") === col("db"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum((col("ma") * col("mb")).cast(Exact.dec)).cast("double").as("dp"),
+        sum((col("ma") * col("ma")).cast(Exact.dec)).cast("double").as("qa"),
+        sum((col("mb") * col("mb")).cast(Exact.dec)).cast("double").as("qb"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dp") / (sqrt(col("qa")) * sqrt(col("qb"))), 6)
+          .as("centroid_cos"),
+        round(sqrt(col("qa")), 6).as("norm_a"),
+        round(sqrt(col("qb")), 6).as("norm_b"))
+      .orderBy(col("label"))
+  }
+
   /** Per-label embedding stats (norm distribution). */
   private def embedStats(s: SparkSession, dir: String): DataFrame =
     withNorm(emb(s, dir))
@@ -921,6 +961,9 @@ object Similarity {
     "sim_ann_multiprobe" -> annMultiprobe,
     "sim_quantize_i8" -> quantizeI8,
     "sim_embed_stats" -> embedStats,
+    "sim_embedding_drift" -> ((s, dir) => embeddingDrift(
+      graft.Tables.balanced(s, dir, "embeddings", "vec_id"),
+      col("label"), pmod(col("vec_id"), lit(2)) === 0, col("embedding"))),
     "dedup_embed_cosine" -> embedCosineNearDup,
     "dedup_semantic" -> semanticDedup,
     "sim_knn_graph" -> knnGraph,
@@ -1418,6 +1461,33 @@ object Similarity {
          |SELECT label, COUNT(*) AS n, ${avgSql("nrm_r")} AS avg_norm,
          |  MIN(nrm_r) AS min_norm, MAX(nrm_r) AS max_norm
          |FROM r GROUP BY label ORDER BY label""".stripMargin,
+    // per-(label, half, dim) decimal-exact centroid means, then the
+    // per-label cosine between half-centroids from decimal dot/norm sums
+    // over the d cells — order-free in both engines
+    "sim_embedding_drift" ->
+      s"""WITH ex AS (
+         |  SELECT label, vec_id % 2 AS half, t.i AS dim,
+         |    CAST(embedding[t.i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+         |), cen AS (
+         |  SELECT label, half, dim, ${avgSql("x")} AS m,
+         |    CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM ex GROUP BY 1, 2, 3
+         |), j AS (
+         |  SELECT a.label, a.m AS ma, b.m AS mb, a.nv AS na, b.nv AS nb
+         |  FROM cen a JOIN cen b ON a.label = b.label AND a.dim = b.dim
+         |  WHERE a.half = 0 AND b.half = 1
+         |)
+         |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+         |  round(CAST(SUM(CAST(ma * mb AS DECIMAL(30,6))) AS DOUBLE)
+         |    / (sqrt(CAST(SUM(CAST(ma * ma AS DECIMAL(30,6))) AS DOUBLE))
+         |     * sqrt(CAST(SUM(CAST(mb * mb AS DECIMAL(30,6))) AS DOUBLE))), 6)
+         |    AS centroid_cos,
+         |  round(sqrt(CAST(SUM(CAST(ma * ma AS DECIMAL(30,6))) AS DOUBLE)), 6)
+         |    AS norm_a,
+         |  round(sqrt(CAST(SUM(CAST(mb * mb AS DECIMAL(30,6))) AS DOUBLE)), 6)
+         |    AS norm_b
+         |FROM j GROUP BY label ORDER BY label""".stripMargin,
     "sim_centroid_cohesion" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |ex AS (

@@ -48,7 +48,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object TrainOps {
 
-  private val B = 64          // feature buckets (CleanOps.linearScore scheme)
+  private[graft] val B = 64   // feature buckets (CleanOps.linearScore scheme)
   private val STEPS = 4       // gradient steps the oracle replays
   private val LR = 0.5
   private val LAMBDA = 0.001
@@ -107,14 +107,14 @@ object TrainOps {
 
   /** A completed training run: the learning curve plus the final model
     * (weights, bias, and the standardization constants scoring needs). */
-  private[ops] final case class TrainResult(curve: DataFrame,
+  private[graft] final case class TrainResult(curve: DataFrame,
       w: Array[Double], bias: Double, mu: Array[Double], sd: Array[Double])
 
   /** The quality-gate training run over the documents corpus, ONE per
     * (session, corpus) pass — text_quality_train reports its curve,
     * text_quality_apply serves its final model (production trains once
     * and gates every downstream read). */
-  private def trainedQuality(s: SparkSession, dir: String): TrainResult =
+  private[graft] def trainedQuality(s: SparkSession, dir: String): TrainResult =
     Staging.stagedValue(s, dir, "qtrain_model") {
       val f = Staging.staged(s, dir, "qtrain_feats")(featsOf(
         graft.Tables.balanced(s, dir, "documents", "doc_id"),
@@ -126,6 +126,17 @@ object TrainOps {
     * into the learned gate over the documents corpus. */
   private[ops] def ridgeTrainCurve(s: SparkSession, dir: String): DataFrame =
     trainedQuality(s, dir).curve
+
+  /** The model's absent-pair correction C = Σ_j w_j·μ_j/σ_j, computed by
+    * the SAME decimal pipeline as training's per-step constant — shared
+    * by the batch and streaming serve paths so their scores are
+    * bit-identical. */
+  private[graft] def absentPairConstant(s: SparkSession,
+      m: TrainResult): Double =
+    s.createDataFrame((0 until B).map(j =>
+        (j.toLong, m.w(j), m.mu(j), m.sd(j)))).toDF("bucket", "wgt", "mu", "sd")
+      .agg(sum(((col("wgt") * col("mu")) / col("sd")).cast(dec))
+        .cast("double")).collect()(0).getDouble(0)
 
   /** TRAIN → SERVE composition: gate the corpus with the model the
     * training loop just learned — per-source keep counts and rates from
@@ -142,9 +153,7 @@ object TrainOps {
       "doc_id", "text", qualityScore(col("text")) >= QTH, B))
     val wDf = s.createDataFrame((0 until B).map(j =>
       (j.toLong, m.w(j), m.mu(j), m.sd(j)))).toDF("bucket", "wgt", "mu", "sd")
-    val c = wDf
-      .agg(sum(((col("wgt") * col("mu")) / col("sd")).cast(dec))
-        .cast("double")).collect()(0).getDouble(0)
+    val c = absentPairConstant(s, m)
     val scored = f.join(broadcast(wDf), "bucket")
       .groupBy(col("doc_id"), col("y"))
       .agg(sum(((col("wgt") * col("x")) / col("sd")).cast(dec))

@@ -1321,6 +1321,54 @@ object StreamOps {
       .orderBy(col("event_type"))
   }
 
+  /** The LEARNED quality gate serving under Structured Streaming — the
+    * deployment shape of text_quality_train/apply: documents arrive as a
+    * stream, each is scored ENTIRELY MAP-SIDE against the broadcast-
+    * literal model (no shuffle touches the corpus before the gate
+    * decides), and only the bounded per-source keep counts are stateful.
+    *
+    * The in-row score is bit-identical to the batch serve path: the
+    * per-distinct-bucket terms ((w_b · x_b)/σ_b, exactly the training
+    * loop's spelling) are quantized to DECIMAL(30,6) and folded with
+    * decimal addition — exact and associative, so an in-row fold in
+    * bucket-array order equals the batch path's shuffled decimal sum —
+    * then the same absent-pair constant and bias apply. The oracle is
+    * therefore text_quality_apply's: the full DuckDB training replay
+    * composed with the scoring CTE, now also pinning stream ≡ batch. */
+  def qualityGateStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Exact, TrainOps}
+    val m = TrainOps.trainedQuality(s, dir)
+    val c = TrainOps.absentPairConstant(s, m)
+    val wMap = map((0 until TrainOps.B).flatMap(j =>
+      Seq(lit(j.toLong), lit(m.w(j)))): _*)
+    val sdMap = map((0 until TrainOps.B).flatMap(j =>
+      Seq(lit(j.toLong), lit(m.sd(j)))): _*)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val toks = split(col("text"), " ")
+    val bkts = transform(toks, w =>
+      conv(substring(md5(w.cast("binary")), 1, 4), 16, 10)
+        .cast("long") % TrainOps.B)
+    val ntok = size(bkts).cast("double")
+    val zeroDec = lit(0).cast(Exact.dec)
+    val swDec = aggregate(array_distinct(bkts), zeroDec, (acc, bk) => {
+      val x = size(filter(bkts, t => t === bk)).cast("double") / ntok
+      (acc + ((element_at(wMap, bk) * x) / element_at(sdMap, bk))
+        .cast(Exact.dec)).cast(Exact.dec)
+    })
+    val scored = docs.select(col("source"),
+      (swDec.cast("double") - lit(c) + lit(m.bias)).as("s"))
+    val agg = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") >= 0.5, 1L).otherwise(0L)).as("n_keep"))
+    runToMemory(agg, "complete")
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"))
+      .orderBy(col("source"))
+  }
+
   /** The custom Count-Min aggregate under Structured Streaming: the
     * sketch's constant-size buffer is exactly what a streaming stateful
     * aggregate wants (64 KiB of state TOTAL for unbounded key
@@ -1351,6 +1399,7 @@ object StreamOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_heavy_hitters" -> heavyHittersStreamQ,
+    "stream_quality_gate" -> qualityGateStreamQ,
     "stream_versioned_sink" -> versionedSinkQ,
     "stream_txn_sink" -> txnSinkQ,
     "stream_change_feed" -> changeFeedStreamQ,
@@ -1493,6 +1542,9 @@ object StreamOps {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // streaming sketch == batch sketch over the same rows; exact top keys
     // are the hashed content, sketch-guarantee booleans must be TRUE
+    // the batch train->apply replay IS the streaming gate's oracle:
+    // map-side decimal scoring makes stream == batch bit-for-bit
+    "stream_quality_gate" -> graft.ops.TrainOps.oracles("text_quality_apply"),
     "stream_heavy_hitters" ->
       """WITH c AS (
         |  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1
