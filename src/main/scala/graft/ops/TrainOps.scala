@@ -138,6 +138,35 @@ object TrainOps {
       .agg(sum(((col("wgt") * col("mu")) / col("sd")).cast(dec))
         .cast("double")).collect()(0).getDouble(0)
 
+  /** Score arbitrary (`idCol`, `textCol`) rows with a trained model —
+    * the serve kernel shared by the batch apply and the streaming gate
+    * (each micro-batch is a bounded frame, so the identical plan runs
+    * per batch): hashed-bucket shares, broadcast (wgt, sd) join,
+    * per-doc decimal sum, − C + bias. Spelling matches the training
+    * loop's scoring exactly, so every serve path is bit-identical to
+    * the oracle's replay. Returns (doc_id, s). */
+  private[graft] def scoreWithModel(d: DataFrame, idCol: String,
+      textCol: String, m: TrainResult, c: Double): DataFrame = {
+    val s = d.sparkSession
+    val wDf = s.createDataFrame((0 until B).map(j =>
+      (j.toLong, m.w(j), m.sd(j)))).toDF("bucket", "wgt", "sd")
+    d.select(col(idCol).as("doc_id"),
+        explode(Tokens.toks(col(textCol))).as("w"))
+      .withColumn("bucket",
+        conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % B)
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("x", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+          .cast("double"))
+      .join(broadcast(wDf), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(((col("wgt") * col("x")) / col("sd")).cast(dec))
+        .cast("double").as("sw"))
+      .select(col("doc_id"), (col("sw") - lit(c) + lit(m.bias)).as("s"))
+  }
+
   /** TRAIN → SERVE composition: gate the corpus with the model the
     * training loop just learned — per-source keep counts and rates from
     * the FINAL weights, the decision a mixture builder consumes. Scoring

@@ -1323,46 +1323,53 @@ object StreamOps {
 
   /** The LEARNED quality gate serving under Structured Streaming — the
     * deployment shape of text_quality_train/apply: documents arrive as a
-    * stream, each is scored ENTIRELY MAP-SIDE against the broadcast-
-    * literal model (no shuffle touches the corpus before the gate
-    * decides), and only the bounded per-source keep counts are stateful.
-    *
-    * The in-row score is bit-identical to the batch serve path: the
-    * per-distinct-bucket terms ((w_b · x_b)/σ_b, exactly the training
-    * loop's spelling) are quantized to DECIMAL(30,6) and folded with
-    * decimal addition — exact and associative, so an in-row fold in
-    * bucket-array order equals the batch path's shuffled decimal sum —
-    * then the same absent-pair constant and bias apply. The oracle is
-    * therefore text_quality_apply's: the full DuckDB training replay
-    * composed with the scoring CTE, now also pinning stream ≡ batch. */
+    * stream; each micro-batch (a bounded frame) is gated by the SAME
+    * serve kernel the batch apply runs (`TrainOps.scoreWithModel` —
+    * hashed shares, broadcast model join, per-doc decimal sum), so the
+    * stream's scores are bit-identical to the batch path by construction
+    * (a first cut scored in-row with interpreted higher-order functions:
+    * correct, but HOFs skip whole-stage codegen and the per-doc cost was
+    * O(tokens × distinct buckets) — 7× the batch kernel at sf1).
+    * Per-batch per-source keep counts — bounded metadata — accumulate on
+    * the driver keyed by batch id (replay-safe: a re-delivered batch
+    * overwrites its own entry, never double-counts). Micro-batches hold
+    * disjoint documents, so per-source totals are additive across
+    * batches. The oracle is text_quality_apply's full train→apply
+    * replay, pinning stream ≡ batch through the hash gate. */
   def qualityGateStreamQ(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.{Exact, TrainOps}
+    import graft.ops.TrainOps
     val m = TrainOps.trainedQuality(s, dir)
     val c = TrainOps.absentPairConstant(s, m)
-    val wMap = map((0 until TrainOps.B).flatMap(j =>
-      Seq(lit(j.toLong), lit(m.w(j)))): _*)
-    val sdMap = map((0 until TrainOps.B).flatMap(j =>
-      Seq(lit(j.toLong), lit(m.sd(j)))): _*)
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val docs = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val toks = split(col("text"), " ")
-    val bkts = transform(toks, w =>
-      conv(substring(md5(w.cast("binary")), 1, 4), 16, 10)
-        .cast("long") % TrainOps.B)
-    val ntok = size(bkts).cast("double")
-    val zeroDec = lit(0).cast(Exact.dec)
-    val swDec = aggregate(array_distinct(bkts), zeroDec, (acc, bk) => {
-      val x = size(filter(bkts, t => t === bk)).cast("double") / ntok
-      (acc + ((element_at(wMap, bk) * x) / element_at(sdMap, bk))
-        .cast(Exact.dec)).cast(Exact.dec)
-    })
-    val scored = docs.select(col("source"),
-      (swDec.cast("double") - lit(c) + lit(m.bias)).as("s"))
-    val agg = scored.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("s") >= 0.5, 1L).otherwise(0L)).as("n_keep"))
-    runToMemory(agg, "complete")
+    val perBatch = scala.collection.concurrent.TrieMap
+      .empty[Long, Array[(String, Long, Long)]]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = docs.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val scored = TrainOps.scoreWithModel(batch.toDF(), "doc_id", "text", m, c)
+          perBatch(id) = scored
+            .join(batch.select(col("doc_id").as("sd_id"), col("source")),
+              col("doc_id") === col("sd_id"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("s") >= 0.5, 1L).otherwise(0L)).as("n_keep"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val totals = perBatch.values.flatten
+      .groupBy(_._1).toSeq
+      .map { case (src, rows) =>
+        (src, rows.map(_._2).sum, rows.map(_._3).sum) }
+    import s.implicits._
+    totals.toDF("source", "n_docs", "n_keep")
       .select(col("source"), col("n_docs"), col("n_keep"),
         (col("n_keep").cast("double") / col("n_docs").cast("double"))
           .as("keep_rate"))
