@@ -465,6 +465,88 @@ object Relational2 {
               org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Global AND per-group rank in ONE range exchange — the fused kernel
+    * for consumers that need both CDFs of the same value order (ksDrift
+    * paid globalRank + groupedRank — two range exchanges over the same
+    * (v, i) order — plus a row-id join to recombine them). Range-partition
+    * on `keys` ONLY (groups interleave within partitions, unlike
+    * groupedRank's (grp, keys) range); job 1 scans each sorted partition
+    * once counting total rows AND per-group rows (a hash per partition,
+    * |groups| entries — the collect is |partitions|×|groups| metadata,
+    * exactly what groupedRank already collects); the driver prefixes both
+    * count families into offsets; job 2 reuses job 1's shuffle files and
+    * attaches `__rank` (global, 1-based) and `__grank` (in-group, 1-based)
+    * from broadcast offsets plus running per-group counters. For any row,
+    * in-group rank under the restriction of the (keys) total order to its
+    * group is identical to groupedRank's (grp, keys) rank — same value,
+    * one exchange fewer and no join. EAGER (job 1 collect at plan build —
+    * riders must appear in SparkEntry.eagerQueries). */
+  private[graft] def globalGroupedRank(df: DataFrame, grpField: String,
+                                       keys: Column*): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = df.sparkSession
+    val grpIdx = df.schema.fieldIndex(grpField)
+    val grpType = df.schema(grpField).dataType
+    val rdd = rangedByKeys(df, keys: _*)
+      .queryExecution.toRdd                     // ONE plan, ONE shuffle dep
+    def keyOf(row: InternalRow): Any = row.get(grpIdx, grpType) match {
+      case u: UTF8String => u.copy() // unsafe rows reuse the buffer
+      case x => x
+    }
+    val counts = rdd.mapPartitionsWithIndex((pid, it) => {
+      // groups interleave: count into a hash, not contiguous runs
+      val byGrp = scala.collection.mutable.HashMap.empty[Any, Long]
+      var n = 0L
+      while (it.hasNext) {
+        val k = keyOf(it.next())
+        byGrp(k) = byGrp.getOrElse(k, 0L) + 1L
+        n += 1L
+      }
+      Iterator((pid, n, byGrp.toSeq))           // job 1: counts only
+    }, preservesPartitioning = true).collect().sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val gOffsets = counts.map(_._2).scanLeft(0L)(_ + _)
+    val grpOffsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+    val grpTotals = scala.collection.mutable.HashMap.empty[Any, Long]
+    counts.foreach { case (pid, _, seq) => seq.foreach { case (k, c) =>
+      grpOffsets((pid, k)) = grpTotals.getOrElse(k, 0L)
+      grpTotals(k) = grpTotals.getOrElse(k, 0L) + c
+    } }
+    val bG = spark.sparkContext.broadcast(gOffsets)
+    val bOff = spark.sparkContext.broadcast(grpOffsets.toMap)
+    val bTot = spark.sparkContext.broadcast(grpTotals.toMap)
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>  // job 2: reuses
+      var rank = bG.value(pid)                              // job 1's shuffle
+      val grkOf = scala.collection.mutable.HashMap.empty[Any, Long]
+      val extra = new GenericInternalRow(4)
+      extra.update(1, total)
+      val joined = new JoinedRow
+      it.map { row =>
+        val k = keyOf(row)
+        rank += 1L
+        val grank = grkOf.getOrElse(k, bOff.value.getOrElse((pid, k), 0L)) + 1L
+        grkOf(k) = grank
+        extra.update(0, rank)
+        extra.update(2, grank)
+        extra.update(3, bTot.value(k))
+        joined(row, extra): InternalRow
+      }
+    }
+    org.apache.spark.sql.classic.GraftSqlInternals.internalCreateDataFrame(
+      spark, ranked, org.apache.spark.sql.types.StructType(
+        df.schema.fields
+          :+ org.apache.spark.sql.types.StructField("__rank",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          :+ org.apache.spark.sql.types.StructField("__n",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          :+ org.apache.spark.sql.types.StructField("__grank",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          :+ org.apache.spark.sql.types.StructField("__gn",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Exact INTERPOLATED per-group percentiles on the `groupedRank`
     * substrate — the scalable replacement for Spark's `percentile`
     * aggregate, which is an ImperativeAggregate holding EVERY group value

@@ -65,8 +65,9 @@ object Similarity {
   /** ONE brute-force exact-truth pass per corpus per pass: every corpus
     * vector scored against each of the N_QUERIES broadcast query vectors,
     * BOTH metrics in one projection — rounded cosine (what ann_exact and
-    * the hybrid family's exact semantic arm rank by) and rounded squared
-    * L2 (the PQ family's truth) — plus the label column the filtered-ANN
+    * the hybrid family's exact semantic arm rank by) and UNROUNDED squared
+    * L2 (the PQ family's truth ranks on full-precision d; cosine is the
+    * only rounded metric) — plus the label column the filtered-ANN
     * truth predicates on. Staged under a single key: sim_ann_recall,
     * sim_pq_recall and text_hybrid_recall all derive their ground truth
     * from THIS frame, so the O(corpus × queries) scoring scan runs once

@@ -63,23 +63,28 @@ object StatOps {
 
   /** Pearson correlation + least-squares line per group from exact integer
     * moment sums (n, Σx, Σy, Σx², Σy², Σxy). x = quantity (integral),
-    * y = extendedprice rounded to whole units. The second-order moments
-    * accumulate in DECIMAL(38,0), not BIGINT: Spark's non-ANSI long sum
-    * silently WRAPS on overflow while DuckDB promotes to HUGEINT, so a
-    * user-supplied y large enough to push Σy² past 2⁶³ would make the two
-    * engines silently diverge — decimal sums are exact to 10³⁸ and a true
+    * y = extendedprice rounded to whole units. ALL moments (first- and
+    * second-order) accumulate in decimal, not BIGINT: Spark's non-ANSI
+    * long sum silently WRAPS on overflow while DuckDB promotes to HUGEINT,
+    * so a user-supplied y large enough to push Σy or Σy² past 2⁶³ would
+    * make the two engines silently diverge. The per-row cast is
+    * DECIMAL(19,0) — lossless for every long (max |long| ≈ 9.2e18 < 1e19),
+    * so the cast itself can never null; the product precision 19+19+1=39
+    * caps to Spark's max 38, and max |long·long| ≈ 8.5e37 still fits in
+    * 38 digits, so only the final SUM can overflow — and a decimal sum
     * overflow surfaces as NULL (a loud hash-gate failure), never a wrapped
-    * number. The double formula runs once per GROUP (5 rows), never per
-    * row; map-side partial aggregation makes the moment pass one reduced
-    * shuffle of 6 narrow values per group per task. */
+    * or silently-dropped number. The double formula runs once per GROUP
+    * (5 rows), never per row; map-side partial aggregation makes the
+    * moment pass one reduced shuffle of 6 narrow values per group per
+    * task. */
   def corrRegr(d: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
-    val mdec = org.apache.spark.sql.types.DecimalType(18, 0)
+    val mdec = org.apache.spark.sql.types.DecimalType(19, 0)
     val agg = d
       .select(group.as("grp"), x.cast("long").as("x"),
         floor(y + lit(0.5d)).cast("long").as("y"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(mdec)).as("sx"), sum(col("y").cast(mdec)).as("sy"),
         sum(col("x").cast(mdec) * col("x").cast(mdec)).as("sxx"),
         sum(col("y").cast(mdec) * col("y").cast(mdec)).as("syy"),
         sum(col("x").cast(mdec) * col("y").cast(mdec)).as("sxy"))
@@ -321,41 +326,53 @@ object StatOps {
     * between corpus versions / time windows / sources: D = sup|F̂₁ − F̂₂|
     * over the two empirical CDFs, computed exactly at every jump point.
     *
-    * Scalable shape — NO prefix-scan, NO single-partition window: rank
-    * every row globally by value (`globalRank`, one range exchange) AND
-    * within its sample (`groupedRank`, one more); for any row, the count
-    * of sample-1 values ≤ it is its in-group rank if it IS sample 1, else
-    * global − in-group — so both CDFs fall out of two rank columns joined
-    * on the row id. Tied values are absorbed per value block (max of the
-    * monotone cumulative counts per distinct value) so the sup is
-    * evaluated only AFTER each tie group, exactly like the textbook
-    * definition. Everything is exact integer counts until two final
-    * divisions — bit-identical in any engine, under any partitioning.
-    * EAGER (rank substrate). Returns ONE row:
+    * Scalable shape — NO prefix-scan, NO single-partition window, ONE
+    * range exchange: `globalGroupedRank` attaches the global rank AND the
+    * in-sample rank to every row in a single fused pass (r12 paid
+    * globalRank + groupedRank — two range exchanges over the same (v, i)
+    * order — plus a row-id join to recombine them; the fused kernel's
+    * job 1 already counts per (partition, group), so the global offset is
+    * a prefix over the same metadata). For any row, the count of sample-1
+    * values ≤ it is its in-group rank if it IS sample 1, else
+    * global − in-group — so both CDFs fall out of the two rank columns.
+    * Tied values are absorbed per value block (max of the monotone
+    * cumulative counts per distinct value) so the sup is evaluated only
+    * AFTER each tie group, exactly like the textbook definition.
+    * Everything is exact integer counts until two final divisions —
+    * bit-identical in any engine, under any partitioning. An EMPTY sample
+    * (n_ref or n_cur = 0) makes those divisions engine-dependent
+    * NaN/∞ noise, so it raises in-plan instead of returning a
+    * meaningless top row. EAGER (rank substrate). Returns ONE row:
     * (ks_stat, at_value, n_ref, n_cur). */
   def ksDrift(d: DataFrame, inRef: Column, value: Column,
               id: Column): DataFrame = {
     val base = d.select(value.as("v"),
         when(inRef, 1L).otherwise(0L).as("grp"), id.as("i"))
       .filter(col("v").isNotNull)
-    val r = Relational2.globalRank(base, col("v"), col("i"))
-    val g = Relational2.groupedRank(base, "grp", col("v"), col("i"))
-    val joined = r.select(col("v"), col("grp"), col("i"), col("__rank"))
-      .join(g.select(col("i").as("gi"), col("__grank")),
-        col("i") === col("gi"))
+    val rg = Relational2.globalGroupedRank(base, "grp", col("v"), col("i"))
     val c1 = when(col("grp") === 1L, col("__grank"))
       .otherwise(col("__rank") - col("__grank"))
-    val pv = joined
+    // the sample sizes are RIDER columns — every row carries its group's
+    // total (__gn) and the pooled total (__n), so n1 is a per-row
+    // constant (its group total if sample 1, pooled − group total if
+    // sample 0) and no second aggregate + cross join is needed
+    val n1Row = when(col("grp") === 1L, col("__gn"))
+      .otherwise(col("__n") - col("__gn"))
+    val pv = rg
       .groupBy(col("v"))
-      .agg(max(c1).as("c1"), max(col("__rank")).as("rr"))
-    val tot = pv.agg(max(col("c1")).as("n1"),
-      max(col("rr") - col("c1")).as("n2"))
-    pv.crossJoin(broadcast(tot))
-      .select(
-        abs(col("c1").cast("double") / col("n1").cast("double") -
-          (col("rr") - col("c1")).cast("double") / col("n2").cast("double"))
+      .agg(max(c1).as("c1"), max(col("__rank")).as("rr"),
+        max(n1Row).as("n1"), max(col("__n")).as("nn"))
+    val emptySample = col("n1") === 0L || col("n1") === col("nn")
+    pv.select(
+        when(emptySample, raise_error(lit(
+          "ksDrift: empty reference or current sample — KS undefined")))
+          .otherwise(
+            abs(col("c1").cast("double") / col("n1").cast("double") -
+              (col("rr") - col("c1")).cast("double") /
+                (col("nn") - col("n1")).cast("double")))
           .as("ks_stat"),
-        col("v").as("at_value"), col("n1").as("n_ref"), col("n2").as("n_cur"))
+        col("v").as("at_value"), col("n1").as("n_ref"),
+        (col("nn") - col("n1")).as("n_cur"))
       .orderBy(col("ks_stat").desc, col("at_value").asc)
       .limit(1)
   }

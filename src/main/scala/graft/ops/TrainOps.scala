@@ -102,7 +102,8 @@ object TrainOps {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val s = d.sparkSession
     val f = stage(featsOf(d, idCol, textCol, label, nBuckets))
-    trainCurve(s, f, steps, lr, lambda, nBuckets).curve
+    trainCurve(s, f, steps, lr, lambda, nBuckets,
+      d.select(col(idCol)).distinct().count().toDouble).curve
   }
 
   /** A completed training run: the learning curve plus the final model
@@ -116,10 +117,11 @@ object TrainOps {
     * and gates every downstream read). */
   private[graft] def trainedQuality(s: SparkSession, dir: String): TrainResult =
     Staging.stagedValue(s, dir, "qtrain_model") {
+      val docs = graft.Tables.balanced(s, dir, "documents", "doc_id")
       val f = Staging.staged(s, dir, "qtrain_feats")(featsOf(
-        graft.Tables.balanced(s, dir, "documents", "doc_id"),
-        "doc_id", "text", qualityScore(col("text")) >= QTH, B))
-      trainCurve(s, f, STEPS, LR, LAMBDA, B)
+        docs, "doc_id", "text", qualityScore(col("text")) >= QTH, B))
+      trainCurve(s, f, STEPS, LR, LAMBDA, B,
+        docs.select(col("doc_id")).distinct().count().toDouble)
     }
 
   /** The oracle-checked query: distill the text_stats quality heuristic
@@ -133,7 +135,7 @@ object TrainOps {
     * bit-identical. */
   private[graft] def absentPairConstant(s: SparkSession,
       m: TrainResult): Double =
-    s.createDataFrame((0 until B).map(j =>
+    s.createDataFrame((0 until m.w.length).map(j =>
         (j.toLong, m.w(j), m.mu(j), m.sd(j)))).toDF("bucket", "wgt", "mu", "sd")
       .agg(sum(((col("wgt") * col("mu")) / col("sd")).cast(dec))
         .cast("double")).collect()(0).getDouble(0)
@@ -148,13 +150,16 @@ object TrainOps {
   private[graft] def scoreWithModel(d: DataFrame, idCol: String,
       textCol: String, m: TrainResult, c: Double): DataFrame = {
     val s = d.sparkSession
-    val wDf = s.createDataFrame((0 until B).map(j =>
+    // the serve kernel follows the TRAINED model's dimensionality — a
+    // model trained with nBuckets != 64 must hash into its own table
+    val nB = m.w.length
+    val wDf = s.createDataFrame((0 until nB).map(j =>
       (j.toLong, m.w(j), m.sd(j)))).toDF("bucket", "wgt", "sd")
     d.select(col(idCol).as("doc_id"),
         explode(Tokens.toks(col(textCol))).as("w"))
       .withColumn("bucket",
         conv(substring(md5(col("w").cast("binary")), 1, 4), 16, 10)
-          .cast("long") % B)
+          .cast("long") % nB)
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("x", col("cnt").cast("double") /
@@ -207,12 +212,16 @@ object TrainOps {
     * run is bit-reproducible under any partitioning — which is what lets
     * the oracle's unrolled SQL replay hash-match it. */
   private def trainCurve(s: SparkSession, f: DataFrame, steps: Int,
-      lr: Double, lambda: Double, nBuckets: Int): TrainResult = {
+      lr: Double, lambda: Double, nBuckets: Int, nDocs: Double): TrainResult = {
     val B = nBuckets
     val STEPS = steps
     val LR = lr
     val LAMBDA = lambda
-    val n = f.select(col("doc_id")).distinct().count().toDouble
+    // n is the SOURCE frame's distinct doc count (the oracle's lab CTE
+    // counts every document) — NOT the feature frame's, which would
+    // silently drop null-text docs (explode of a null token array emits
+    // no rows) and diverge acc / the gradient divisor between engines
+    val n = nDocs
 
     // per-bucket standardization constants from decimal-exact moments;
     // absent buckets (possible at tiny SFs) default to (μ=0, σ=1)

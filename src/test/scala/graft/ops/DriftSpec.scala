@@ -54,4 +54,31 @@ class DriftSpec extends SparkSpec {
     val r = StatOps.ksDrift(d, col("ref"), col("v"), col("i")).collect()(0)
     assert(r.getLong(2) + r.getLong(3) == 999L)
   }
+
+  test("KS raises loudly on an empty sample instead of emitting NaN") {
+    // all rows in the reference: n_cur = 0, the CDF divisions are
+    // engine-dependent NaN/∞ — the operator must fail, not rank noise
+    val d = sameLaw(100).select(col("v"), lit(true).as("ref"), col("i"))
+    val ex = intercept[Exception] {
+      StatOps.ksDrift(d, col("ref"), col("v"), col("i")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("empty reference or current sample")),
+      s"expected the ksDrift guard, got: $ex")
+  }
+
+  test("ksDrift plan: one fused rank substrate, no row-id join") {
+    // r12 paid two range exchanges (globalRank + groupedRank) and a
+    // SortMergeJoin to recombine them; the fused kernel must leave the
+    // plan with exactly ONE rank-substrate scan and NO join
+    val d = sameLaw(100)
+    val p = StatOps.ksDrift(d, col("ref"), col("v"), col("i"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("Join"), s"join survived the fusion:\n$p")
+    val substrateScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(substrateScans == 1,
+      s"expected 1 fused rank substrate, got $substrateScans:\n$p")
+  }
 }

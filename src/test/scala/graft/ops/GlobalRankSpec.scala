@@ -92,6 +92,64 @@ class GlobalRankSpec extends SparkSpec {
     } finally joined.unpersist()
   }
 
+  test("globalGroupedRank fused ≡ global row_number AND keyed row_number") {
+    // the fused kernel (one range exchange on the keys, groups interleaved
+    // within partitions) must agree with BOTH window truths at once —
+    // exactly what ksDrift consumed as two separate kernels plus a join
+    val df = graft.Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ranked = Relational2.globalGroupedRank(df, "l_returnflag",
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ord = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"))
+    val grp = Window.partitionBy(col("l_returnflag"))
+    val truth = df
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("grn", row_number().over(grp.orderBy(
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+        .cast("long"))
+      .withColumn("gn", count(lit(1)).over(grp))
+    val n = df.count()
+    val joined = ranked.join(truth,
+      Seq("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"))
+      .cache()
+    try {
+      assert(joined.count() == n, "fused rank join lost rows")
+      assert(joined.filter(col("__rank") =!= col("rn")).count() == 0,
+        "fused global ranks differ from row_number()")
+      assert(joined.filter(col("__grank") =!= col("grn")).count() == 0,
+        "fused grouped ranks differ from the keyed row_number()")
+      assert(joined.filter(col("__n") =!= lit(n)).count() == 0,
+        "__n must equal the total row count on every row")
+      assert(joined.filter(col("__gn") =!= col("gn")).count() == 0,
+        "__gn differs from the keyed count()")
+    } finally joined.unpersist()
+  }
+
+  test("globalGroupedRank: string + null group keys, uneven partitions") {
+    import spark.implicits._
+    // unique values — the range keys must be a total order for rank
+    // identity (the globalRank contract); groups interleave in the order
+    val df = Seq((Option("a"), 3L), (None, 1L), (Option("a"), 4L),
+      (None, 2L), (Option("b"), 5L), (Option("a"), 6L)).toDF("g", "v")
+      .repartition(4) // force multi-partition input
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try for (parts <- Seq("1", "3", "32")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val got = Relational2.globalGroupedRank(df, "g", col("v"))
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+      // global order by v: 1(null) 2(null) 3(a) 4(a) 5(b) 6(a)
+      assert(got == Map(
+        (None, 1L) -> (1L, 1L, 2L), (None, 2L) -> (2L, 2L, 2L),
+        (Option("a"), 3L) -> (3L, 1L, 3L), (Option("a"), 4L) -> (4L, 2L, 3L),
+        (Option("b"), 5L) -> (5L, 1L, 1L), (Option("a"), 6L) -> (6L, 3L, 3L)),
+        s"at shuffle.partitions=$parts: $got")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("groupedRank: null group keys rank as their own contiguous group") {
     import spark.implicits._
     val df = Seq((Option("a"), 3L), (None, 1L), (Option("a"), 1L),
