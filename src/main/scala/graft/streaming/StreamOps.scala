@@ -128,10 +128,44 @@ object StreamOps {
       .orderBy(col("w_start"), col("event_type"))
   }
 
-  /** Streaming last-wins dedup: the reference's D1 as a streaming stateful
-    * aggregate — max_by(event_id) per user in complete mode matches the
-    * batch Dedup.lastWins exactly. */
+  /** Streaming last-wins dedup, the SCALE shape: the reference's D1
+    * (max_by per key) as a watermarked APPEND-mode aggregate over a
+    * 1-hour tumbling dedup horizon. Retransmissions/corrections arrive
+    * close to the original, so last-wins within the horizon is the
+    * production contract — and it is the shape whose state is BOUNDED:
+    * one row per (open window, key), EVICTED (and its final winner
+    * emitted exactly once) when the watermark passes the window end.
+    * The complete-mode all-time form (one state row per key forever +
+    * full re-emission per batch — unbounded on an unbounded id space)
+    * survives only as [[dedupLastWinsCompleteQ]], a semantics demo for
+    * StreamingSpec; it is NOT the oracle-checked query.
+    *
+    * The eviction rule itself sits behind the hash gate, exactly like
+    * the r12 windows: a (window, key) winner is emitted iff
+    * window.end <= floor(max ts to ms) − delay (AvailableNow runs the
+    * final no-data flush batch), and the DuckDB oracle reproduces that
+    * predicate — so late-data semantics, not just the winners, are
+    * pinned. */
   def dedupLastWinsQ(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_type"), col("value"), col("props")),
+        col("event_id")).as("_r"))
+      .select(col("window.start").as("w_start"), col("user_id"),
+        col("_r.ts").as("ts"),
+        col("_r.event_type").as("event_type"), col("_r.value").as("value"),
+        col("_r.props").as("props"))
+    runToMemory(agg, "append").orderBy(col("w_start"), col("user_id"))
+  }
+
+  /** The all-time complete-mode sibling of [[dedupLastWinsQ]] — kept as a
+    * bounded-corpus semantics demo ONLY (per-key state never evicts and
+    * complete mode re-emits the whole result table every micro-batch;
+    * both grow with key cardinality, the wrong trade at 100×). Matches
+    * the batch Dedup.lastWins exactly; exercised by StreamingSpec under
+    * the RocksDB state backend. */
+  def dedupLastWinsCompleteQ(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)
       .groupBy(col("user_id"))
       .agg(max_by(struct(col("ts"), col("event_type"), col("value"), col("props")),
@@ -1446,12 +1480,23 @@ object StreamOps {
          |GROUP BY 1, 2, wm_ms
          |HAVING epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= wm_ms
          |ORDER BY w_start, event_type""".stripMargin,
+    // last-wins within the 1h dedup horizon, and ONLY horizons already
+    // closed by the final watermark (end = w_start + 1 h must be
+    // <= floor(max(ts) to ms) − 1 h) — the append-mode eviction rule is
+    // part of the pinned contract, not just the per-window winners
     "stream_dedup_lastwins" ->
-      """SELECT user_id, arg_max(ts, event_id) AS ts,
+      """WITH wm AS (
+        |  SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events
+        |)
+        |SELECT date_trunc('hour', ts) AS w_start, user_id,
+        |  arg_max(ts, event_id) AS ts,
         |  arg_max(event_type, event_id) AS event_type,
         |  arg_max(value, event_id) AS value,
         |  arg_max(props, event_id) AS props
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events, wm
+        |GROUP BY 1, 2, wm_ms
+        |HAVING epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR) <= wm_ms
+        |ORDER BY w_start, user_id""".stripMargin,
     // the published table is exactly the constraint-satisfying subset;
     // the quarantine count is the complement
     "stream_checked_sink" ->

@@ -227,6 +227,29 @@ class StreamingSpec extends SparkSpec {
       "a re-seen key leaked through the cross-batch bloom state")
   }
 
+  test("append-mode last-wins dedup ≡ batch per-horizon winner + eviction rule") {
+    // the oracle pins this at sf0.01 through DuckDB; this pins the same
+    // contract against Spark's own batch engine at sf0.001 — per (1h
+    // horizon, user) the max_by(event_id) winner, emitted iff the horizon
+    // closed under the final watermark (end <= floor(max ts to ms) − 1h)
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamOps.dedupLastWinsQ(spark, dir)
+      .select(col("w_start"), col("user_id"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val ev = graft.Tables(spark, dir, "events")
+    val wmMs = ev.agg((floor(unix_millis(max(col("ts")))) - 3600000L)
+      .as("wm")).collect()(0).getLong(0)
+    val exp = ev
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("user_id"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+      .filter(unix_millis(col("w_start")) + 3600000L <= wmMs)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(exp.nonEmpty, "fixture produced no closed dedup horizon")
+    assert(got == exp)
+  }
+
   test("stateful aggregation on the RocksDB state store (100 TB state backend)") {
     // HDFSBackedStateStore keeps every key on the executor heap — at
     // production state sizes the JVM dies long before 100 TB of input.
@@ -239,7 +262,9 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val got = StreamOps.dedupLastWinsQ(spark, dir)
+      // the complete-mode all-time demo (per-key state, never evicted) —
+      // exercised here deliberately: it is the state-heaviest dedup shape
+      val got = StreamOps.dedupLastWinsCompleteQ(spark, dir)
         .select(col("user_id"), col("value"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
       val exp = graft.Tables(spark, dir, "events")
