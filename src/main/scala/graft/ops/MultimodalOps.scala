@@ -150,6 +150,106 @@ object MultimodalOps {
       .withColumn("cross_source", col("n_sources") > 1)
       .orderBy(col("fp"))
 
+  /** PERCEPTUAL near-dup over the decoded pixel grid — the pass exact
+    * content-hash dedup (mm_dedup) cannot do: a re-encoded / brightness-
+    * shifted / locally-retouched image has different BYTES but the same
+    * perceptual structure. The operator is dHash: average-pool the
+    * grayscale into an 8×9 grid, one bit per horizontal neighbor
+    * comparison (row r: pooled(r,c) > pooled(r,c+1)), 63 bits kept so the
+    * fingerprint stays a positive BIGINT both engines agree on (the
+    * simhash64 precedent; bit 64 — the last row's last comparison — is
+    * dropped). dHash is invariant to any monotone per-pixel luma scaling
+    * (comparisons survive), which is exactly why re-encodes collide.
+    *
+    * The "decoded grayscale" here is the payload byte sequence (the raw
+    * rendition of the mm_image_meta fixture family; a real pipeline
+    * plugs the pixel rows of the actual decode into the SAME pooling).
+    * Pooling is position-partitioned: byte i of an n-byte payload lands
+    * in cell (i·72) div n; neighbor comparison uses exact integer
+    * cross-multiplication (sum_a·cnt_b > sum_b·cnt_a), so both engines
+    * agree bit-for-bit with no division. Payloads shorter than 72 bytes
+    * leave cells empty — a bit is emitted only when the NEXT populated
+    * cell is exactly cell+1, identically in both engines.
+    *
+    * Each doc contributes TWO renditions: the original payload and a
+    * planted "re-encode" (every luma ×2 — a no-wrap brightness scale the
+    * hash must survive — plus two artifact bytes at positions n/2 and
+    * n−1, the local-retouch case that flips at most the few bits whose
+    * cells the artifacts touch). The query must find every such pair
+    * WITHOUT an all-pairs stage: candidates come only from the 3×21-bit
+    * pigeonhole chunk index (any pair within Hamming distance ≤ 2 agrees
+    * on at least one chunk — the dedup_simhash64_pairs contract), each
+    * pair emitted once from its first agreeing chunk. The oracle is the
+    * BRUTE-FORCE all-pairs Hamming join over the same fingerprints, so a
+    * hash match proves both the bit-exact dHash construction AND the
+    * chunk index's completeness. At 100 TB: fingerprints are 8 bytes/
+    * image, candidates stay near-linear (2M distinct values per chunk);
+    * only (id, fingerprint) pairs ever shuffle — never pixels. */
+  private def phashNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("text"))
+    val items = base.select((col("doc_id") * 2).as("item_id"),
+        lit(0).as("rend"), col("text"))
+      .unionAll(base.select((col("doc_id") * 2 + 1).as("item_id"),
+        lit(1).as("rend"), col("text")))
+    val pix = items
+      .select(col("item_id"), col("rend"),
+        length(col("text")).cast("long").as("n"),
+        posexplode(split(col("text"), "")))
+      .select(col("item_id"),
+        expr("(CAST(pos AS BIGINT) * 72) div n").as("cell"),
+        when(col("rend") === 1,
+          when(col("pos") === col("n") - 1 ||
+               col("pos") === expr("n div 2"),
+            lit(255)).otherwise(ascii(col("col")) * 2))
+          .otherwise(ascii(col("col"))).cast("long").as("v"))
+    val cells = pix.groupBy(col("item_id"), col("cell"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("item_id")).orderBy(col("cell"))
+    val adj = cells
+      .withColumn("nc", lead(col("cell"), 1).over(w))
+      .withColumn("ns", lead(col("s"), 1).over(w))
+      .withColumn("ncnt", lead(col("c"), 1).over(w))
+    val fp = Staging.staged(s, dir, "mm_phash_fp") {
+      adj.groupBy(col("item_id"))
+        .agg(sum(when(
+          col("cell") % 9 < 8 && col("cell") < 70 &&
+            col("nc") === col("cell") + 1 &&
+            col("s") * col("ncnt") > col("ns") * col("c"),
+          expr("shiftleft(1L, CAST((cell div 9) * 8 + cell % 9 AS INT))"))
+          .otherwise(0L)).as("ph"))
+    }
+    // 3×21-bit pigeonhole chunk index; first-agreeing-chunk dedup is a
+    // codegen'd join predicate, not a distinct shuffle
+    val chunked = fp.select(col("item_id"), col("ph"),
+      expr("ph % 2097152").as("c0"),
+      expr("(ph div 2097152) % 2097152").as("c1"),
+      expr("ph div 4398046511104").as("c2"))
+    val chunks = chunked.select(col("item_id"), col("ph"),
+      col("c0"), col("c1"), col("c2"),
+      explode(array(
+        struct(lit(0).as("ci"), col("c0").as("cv")),
+        struct(lit(1).as("ci"), col("c1").as("cv")),
+        struct(lit(2).as("ci"), col("c2").as("cv")))).as("c"))
+      .select(col("item_id"), col("ph"), col("c0"), col("c1"), col("c2"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.item_id") < col("b.item_id") &&
+          (col("a.ci") === 0 ||
+            (col("a.ci") === 1 && col("a.c0") =!= col("b.c0")) ||
+            (col("a.ci") === 2 && col("a.c0") =!= col("b.c0") &&
+              col("a.c1") =!= col("b.c1"))))
+      .select(col("a.item_id").as("d1"), col("b.item_id").as("d2"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("long")
+          .as("hamming"),
+        (expr("a.item_id div 2") === expr("b.item_id div 2")).as("same_doc"))
+      .filter(col("hamming") <= 2)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   final case class ImageMeta(doc_id: Long, format: String,
       width: Option[Int], height: Option[Int], n_bytes: Long)
 
@@ -269,6 +369,7 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup" -> mmDedupQ,
+    "mm_phash_neardup" -> phashNearDupQ,
     "mm_decode_meta" -> decodeMetaQ,
     "mm_image_meta" -> imageMetaQ,
     "mm_strip_meta" -> stripMetaQ,
@@ -288,6 +389,53 @@ object MultimodalOps {
         |  COUNT(DISTINCT source) > 1 AS cross_source
         |FROM documents GROUP BY 1
         |ORDER BY fp""".stripMargin,
+    // BRUTE-FORCE all-pairs Hamming join over the same 63-bit dHash
+    // fingerprints: a hash match proves the bit-exact pooled-comparison
+    // construction AND that the Spark side's 3×21 chunk index found
+    // EVERY pair within distance 2 (pigeonhole completeness — the
+    // quadratic scan lives only in the test-scale oracle)
+    "mm_phash_neardup" ->
+      """WITH src AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)) AS cs
+        |  FROM documents
+        |),
+        |items AS (
+        |  SELECT doc_id*2 AS item_id, 0 AS rend, cs FROM src
+        |  UNION ALL
+        |  SELECT doc_id*2+1, 1, cs FROM src
+        |),
+        |pix AS (
+        |  SELECT item_id, t.i - 1 AS pos, len(cs) AS n,
+        |    CASE WHEN rend = 1 THEN
+        |      CASE WHEN t.i - 1 = len(cs) - 1 OR t.i - 1 = len(cs) // 2
+        |           THEN 255 ELSE cs[t.i] * 2 END
+        |    ELSE cs[t.i] END AS v
+        |  FROM items, unnest(generate_series(1, len(cs))) AS t(i)
+        |),
+        |cells AS (
+        |  SELECT item_id, (pos * 72) // n AS cell,
+        |    SUM(v)::BIGINT AS s, COUNT(*)::BIGINT AS c
+        |  FROM pix GROUP BY 1, 2
+        |),
+        |adj AS (
+        |  SELECT item_id, cell, s, c,
+        |    lead(cell) OVER w AS nc, lead(s) OVER w AS ns, lead(c) OVER w AS ncnt
+        |  FROM cells WINDOW w AS (PARTITION BY item_id ORDER BY cell)
+        |),
+        |fp AS (
+        |  SELECT item_id,
+        |    SUM(CASE WHEN cell % 9 < 8 AND cell < 70 AND nc = cell + 1
+        |             AND s * ncnt > ns * c
+        |        THEN 1::BIGINT << ((cell // 9) * 8 + cell % 9)
+        |        ELSE 0::BIGINT END)::BIGINT AS ph
+        |  FROM adj GROUP BY 1
+        |)
+        |SELECT a.item_id AS d1, b.item_id AS d2,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming,
+        |  (a.item_id // 2 = b.item_id // 2) AS same_doc
+        |FROM fp a JOIN fp b ON a.item_id < b.item_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 2
+        |ORDER BY d1, d2""".stripMargin,
     "mm_decode_meta" ->
       s"""SELECT doc_id, source,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

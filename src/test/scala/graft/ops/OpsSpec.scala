@@ -178,4 +178,21 @@ class OpsSpec extends SparkSpec {
       .join(frames.groupBy("doc_id").agg(count(lit(1)).as("nf")), "doc_id")
     assert(j.filter(col("n_frames") =!= col("nf")).count() == 0)
   }
+
+  test("mm_phash_neardup: every planted re-encode found; dHash survives the retouch") {
+    // every doc's two renditions (item ids 2d and 2d+1) must pair within
+    // hamming <= 2 — dHash is invariant to the x2 brightness scale, and
+    // the two artifact bytes can flip at most the few bits whose pooled
+    // cells they touch. Exact content hashing (mm_dedup) finds NONE of
+    // these pairs — that gap is the operator's reason to exist.
+    val pairs = MultimodalOps.queries("mm_phash_neardup")(spark, sf).cache()
+    try {
+      val nDocs = graft.Tables(spark, sf, "documents").count()
+      val planted = pairs.filter(col("same_doc") &&
+        col("d2") === col("d1") + 1 && col("d1") % 2 === 0)
+      assert(planted.count() == nDocs,
+        s"expected all $nDocs planted re-encode pairs within hamming 2")
+      assert(pairs.filter(col("hamming") > 2).count() == 0)
+    } finally pairs.unpersist()
+  }
 }
