@@ -67,7 +67,7 @@ object SparkEntry {
     // persisted-index lifecycle: the factory writes the cell-partitioned
     // index and collects the probed-cell list before returning
     "sim_ann_index_serve", "sim_ann_refresh", "sim_ann_pq_serve",
-    "sim_pq_recall",
+    "sim_ann_delete", "sim_pq_recall",
     "text_hybrid_rrf", "text_hybrid_recall",
     // executes DROP TABLE + two bucketed writes at plan build
     "rel_bucketed_join",

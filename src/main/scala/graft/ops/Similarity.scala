@@ -643,6 +643,126 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** ANN index DELETES — the lifecycle step `sim_ann_refresh` leaves out:
+    * production vector stores must also FORGET vectors (GDPR erasure,
+    * content takedowns, stale embeddings) without rewriting a 100 TB
+    * index. The composition is src_delete_vectors' merge-on-read
+    * deletion vectors applied to the IVF posting index:
+    *
+    *   v1  the cell-partitioned posting index (the one O(corpus) build);
+    *   v2  the DELETE COMMIT is METADATA-ONLY — one scan folds doomed
+    *       row positions into word-wise bitmaps keyed by
+    *       (file, rid div 64); a file-state require proves no posting
+    *       file was rewritten, appended, or touched;
+    *   serve  partition-pruned read of the probed cells only (the
+    *       PartitionFilters require, the servePrunedIndex contract) +
+    *       broadcast DV anti-mask + exact rerank — the mask costs one
+    *       broadcast join against bitmap rows, never an index rewrite;
+    *   v3  COMPACTION folds the DV into rewritten postings and drops
+    *       it; a require pins serve(v3) row-identical to the DV-masked
+    *       serve (merge-on-read ≡ copy-on-write, the Delta/Iceberg
+    *       equivalence), so readers may compact whenever amortization
+    *       says so without a semantic diff.
+    *
+    * The oracle is sim_ann_ivf's SQL minus the deleted ids — the pinned
+    * semantics are "serve ≡ a full rebuild that never had the deleted
+    * vectors" (the delete predicate removes 3 of the 40 undeleted top-K
+    * slots at sf0.01, so the anti-mask itself sits behind the hash
+    * gate). At 100 TB: the delete writes bitmap bytes proportional to
+    * doomed rows; the serve still reads nprobe/n_cells of the index;
+    * compaction here rewrites the fixture-sized index in full — a
+    * production manifest scopes it to DV-touched file groups. */
+  private def annDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_anndel_" +
+      s.sparkContext.applicationId
+    CommitLog.reset(path)
+    val ranked = ivfRanked(s, dir)
+    val postings = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
+      .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
+    postings.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/post_v1")
+    CommitLog.commitTables(path, 0, Seq("post" -> s"$path/post_v1"))
+    def fileState() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(s"$path/post_v1"))
+        .map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val before = fileState()
+    // the delete commit: doomed row positions -> word-wise bitmaps
+    val bit = expr("shiftleft(1L, cast(rid % 64 AS INT))")
+    s.read.parquet(s"$path/post_v1")
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("rid"), col("vec_id"))
+      .filter(col("vec_id") % 17 === 0)
+      .groupBy(col("f"), floor(col("rid") / 64).as("w"))
+      .agg(bit_or(bit).as("dmask"))
+      .write.mode("overwrite").parquet(s"$path/dv_v2")
+    CommitLog.commitTables(path, 1,
+      Seq("post" -> s"$path/post_v1", "dv" -> s"$path/dv_v2"))
+    require(fileState() == before,
+      "a DV delete commit must not rewrite, append, or touch posting files")
+    // serve: probed cells only, DV anti-masked
+    val probes = ranked.filter(col("crk") <= NPROBE && col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("cell_label").as("cell"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val t2 = CommitLog.tableDirs(path, 2)
+    def serveFrom(postDir: String, dv: Option[DataFrame]): DataFrame = {
+      val idx0 = s.read.parquet(postDir)
+        .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      val planStr = idx0.queryExecution.executedPlan.toString
+      val start = planStr.indexOf("PartitionFilters: [")
+      val filters = if (start < 0) "" else {
+        val body = planStr.substring(start + "PartitionFilters: [".length)
+        body.take(math.max(0, body.indexOf(']')))
+      }
+      require(filters.contains("cell") &&
+        (filters.contains(" IN ") || filters.contains(" = ")),
+        s"delete serve must read the index partition-pruned " +
+          s"(PartitionFilters: [$filters])")
+      val live = dv match {
+        case Some(d) =>
+          idx0.select(col("*"), col("_metadata.file_path").as("f"),
+              col("_metadata.row_index").as("rid"))
+            .withColumn("w", floor(col("rid") / 64))
+            .join(broadcast(d), Seq("f", "w"), "left_outer")
+            .filter(coalesce(bit.bitwiseAND(col("dmask")), lit(0L)) === 0L)
+        case None => idx0
+      }
+      val scored = live.join(broadcast(probes), "cell")
+        .withColumn("sim",
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= K)
+        .select(col("q_id"), col("rk"), col("cell"), col("vec_id"), col("sim"))
+    }
+    val served = serveFrom(t2("post"), Some(s.read.parquet(t2("dv"))))
+    // compaction: fold the DV into rewritten postings, drop it, and pin
+    // merge-on-read == copy-on-write on the served result
+    s.read.parquet(t2("post"))
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"),
+        col("_metadata.file_path").as("f"), col("_metadata.row_index").as("rid"))
+      .withColumn("w", floor(col("rid") / 64))
+      .join(broadcast(s.read.parquet(t2("dv"))), Seq("f", "w"), "left_outer")
+      .filter(coalesce(bit.bitwiseAND(col("dmask")), lit(0L)) === 0L)
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/post_v3")
+    CommitLog.commitTables(path, 2, Seq("post" -> s"$path/post_v3"))
+    val t3 = CommitLog.tableDirs(path, 3)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4))
+    val mor = served.collect().map(key).toSet
+    val cow = serveFrom(t3("post"), None).collect().map(key).toSet
+    require(mor == cow,
+      "compacted serve must equal the DV-masked serve (MoR == CoW)")
+    served.orderBy(col("q_id"), col("rk"))
+  }
+
   /** Multi-probe sign-LSH ANN: each query probes its own bucket PLUS the
     * 4 buckets at Hamming distance 1 (one plane-sign flipped) — the
     * standard recall/cost dial: candidates grow ~5×/16 of the corpus
@@ -958,6 +1078,7 @@ object Similarity {
     "sim_ann_filtered" -> annFiltered,
     "sim_ann_index_serve" -> annIndexServe,
     "sim_ann_refresh" -> annRefresh,
+    "sim_ann_delete" -> annDeleteQ,
     "sim_ann_recall" -> annRecall,
     "sim_ann_multiprobe" -> annMultiprobe,
     "sim_quantize_i8" -> quantizeI8,
@@ -1142,7 +1263,11 @@ object Similarity {
          |  FROM scored
          |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
 
-  private val annIvfSql = {
+  /** sim_ann_ivf's oracle, with an optional extra predicate on the
+    * indexed candidates — `extraAssignedPred` (e.g. "AND vec_id % 17 <> 0")
+    * turns it into the 'full rebuild minus the deleted ids' truth that
+    * sim_ann_delete's merge-on-read serve must equal. */
+  private def annIvfSqlWhere(extraAssignedPred: String) = {
       val dotAC =
         "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
       val dotAQ =
@@ -1168,7 +1293,7 @@ object Similarity {
          |  FROM e CROSS JOIN centn c
          |), assigned AS (
          |  SELECT vec_id, label AS cell, v, nrm FROM ranked
-         |  WHERE crk = 1 AND vec_id >= $N_QUERIES
+         |  WHERE crk = 1 AND vec_id >= $N_QUERIES $extraAssignedPred
          |), probes AS (
          |  SELECT vec_id AS q_id, label AS cell, v AS qv, nrm AS qn FROM ranked
          |  WHERE crk <= $NPROBE AND vec_id < $N_QUERIES
@@ -1182,6 +1307,8 @@ object Similarity {
          |  FROM scored
          |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
   }
+
+  private val annIvfSql = annIvfSqlWhere("")
 
   // sim_ann_filtered: the IVF probe replayed with the vector's OWN label
   // carried as the index payload column; rk ranks predicate survivors only
@@ -1341,6 +1468,8 @@ object Similarity {
     // refreshed index must also answer identically (frozen quantizer)
     "sim_ann_index_serve" -> annIvfSql,
     "sim_ann_refresh" -> annIvfSql,
+    // serve ≡ a full rebuild that never had the deleted vectors
+    "sim_ann_delete" -> annIvfSqlWhere("AND vec_id % 17 <> 0"),
     "sim_ann_multiprobe" -> annMultiprobeSql,
     "sim_quantize_i8" -> {
       val sq = "(v[i] - round(v[i]/scale, 0)*scale) * (v[i] - round(v[i]/scale, 0)*scale)"
