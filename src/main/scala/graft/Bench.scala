@@ -56,24 +56,36 @@ object Bench {
     // session-level warmers (scheduler, codegen compiler, parquet reader)
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "region").count()
-    // Machine-speed calibration (r8): a fixed synthetic job — hash+sum
-    // over 200M longs, one task per executor thread, no I/O, no data
-    // dependence — timed alongside the queries. Round-over-round totals
-    // are only comparable when the host is equally fast; r8's VM ran
-    // identical untouched queries ~25% slower than r7's, which without
-    // this marker reads as a code regression. Divide totals by calib_sec
-    // to compare hosts out. Partition count tracks SPARK_GRAFT_CPUS (r9)
-    // so the calibration measures the same parallelism regime as the
-    // queries on any host; the cpus value rides in the JSON line.
+    // Machine-speed calibration (r8; resized r13): a fixed synthetic job —
+    // hash+xor over 13B longs, one task per executor thread, no I/O, no
+    // data dependence — timed alongside the queries. Round-over-round
+    // totals are only comparable when the host is equally fast; r8's VM
+    // ran identical untouched queries ~25% slower than r7's, which
+    // without this marker reads as a code regression. Divide totals by
+    // calib_sec to compare hosts out. Partition count tracks
+    // SPARK_GRAFT_CPUS (r9) so the calibration measures the same
+    // parallelism regime as the queries on any host. r13 rework: the
+    // 200M-row job ran 0.18–0.34 s on the SAME box — scheduler jitter was
+    // a double-digit share of the measurement and produced two rounds of
+    // artifact normalized ratios (r12: 1.488 on a parity run). Now ≥2 s
+    // CPU-bound and median-of-5, so jitter is a single-digit-percent
+    // term; bench_compare additionally headlines RAW ratios and treats
+    // the normalized ones as context.
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, cpus.toInt)
+      spark.range(0L, 13000000000L, 1L, cpus.toInt)
         .selectExpr("bit_xor(xxhash64(id))").collect() // xor: no ANSI overflow
       (System.nanoTime() - t0) / 1e9
     }
     calibOnce() // warm the calibration plan itself
-    val calibSec = Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)
+    val calibSec = Seq.fill(5)(calibOnce()).sorted.apply(2)
+    // SPARK_GRAFT_ONLY: comma-separated query subset for targeted runs
+    // (the sf10 spot rehearsal times 8 queries against a 100x corpus —
+    // running all 252 there would take hours for no added signal)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // measurement basis: .count(), deliberately — it lets Catalyst prune
     // unreferenced projections, but r1 and r2 were recorded on the same
     // basis, and cross-round comparability is what the record is for
@@ -84,13 +96,53 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Plan fingerprint (r13): a stable hash of each query's physical-plan
+    // SHAPE, so bench_compare flags plan regressions directly instead of
+    // inferring them from wall time (a broadcast that silently became a
+    // sort-merge join moves the 100 TB cost model even when the sf0.1
+    // timing hides it). Normalization strips everything legitimately
+    // run-variant — expression/plan ids, this app's scratch paths and id,
+    // listed-file counts/sizes, statistics — and keeps the operator tree.
+    // Captured INSIDE the warmup pass from the frame it already built:
+    // re-invoking an eager factory just to fingerprint it would re-run
+    // its side effects (index writes, commit logs, whole streams).
+    def shaOfPlan(df: org.apache.spark.sql.DataFrame): String = {
+      try {
+        val norm = df.queryExecution.executedPlan.toString
+          // typed-pipeline lambdas print their JVM identity
+          // (Foo$$$Lambda$2760/0x00007f..@189f9f9f) — run-variant
+          .replaceAll("\\${1,3}Lambda\\$?\\d*/0x[0-9a-f]+(@[0-9a-f]+)?",
+            "LAMBDA")
+          .replaceAll("#\\d+[A-Za-z]*", "#")
+          .replaceAll("plan_id=\\d+", "plan_id=")
+          .replaceAll("app(lication)?[-_][0-9]+", "app")
+          .replaceAll("local-\\d+", "local")
+          .replaceAll("graft_[a-z0-9_]*", "graft_scratch")
+          .replaceAll("/tmp/[^\\s,\\)\\]]*", "/tmp/_")
+          .replaceAll("\\d+ paths", "N paths")
+          .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
+          .replaceAll("size=[0-9.]+ [KMGT]?i?B", "size=")
+          .replaceAll("rows=\\d+", "rows=")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(norm.getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString
+      } catch { case scala.util.control.NonFatal(_) => "err" }
+    }
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(" ")
       catch { case scala.util.control.NonFatal(_) => "unavailable" }
     val wall0 = System.nanoTime()
     val loadBefore = loadavg()
-    names.foreach(run) // warmup pass (untimed)
+    // warmup pass (untimed) doubles as the fingerprint pass
+    val planShas = scala.collection.mutable.Map[String, String]()
+    names.foreach { n =>
+      try {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        planShas(n) = shaOfPlan(df)
+        df.count()
+      } catch { case scala.util.control.NonFatal(_) => planShas(n) = "err" }
+    }
     val PASSES = 3
     val passLoads = scala.collection.mutable.ArrayBuffer[String]()
     val passes = (1 to PASSES).map { _ =>
@@ -176,9 +228,11 @@ object Bench {
     val perPass = names.zipWithIndex.map { case (n, i) =>
       "\"" + n + "\":" + samples(i).map(v => f"$v%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val planShaJson = names.map(n =>
+      "\"" + n + "\":\"" + planShas(n) + "\"").mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_noisy":${noisy.size},"noisy":$noisyJson,"load_passes":$loadPasses,"queries":${dict(results)},"pass_secs":$perPass,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_noisy":${noisy.size},"noisy":$noisyJson,"load_passes":$loadPasses,"queries":${dict(results)},"pass_secs":$perPass,"plan_sha":$planShaJson,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
     catch { case scala.util.control.NonFatal(_) => () }
     // "queries" = the 15 slowest (the outlier-audit set); full map in the file
     val slowest = results.sortBy(-_._2).take(15)

@@ -129,16 +129,35 @@ object TrainOps {
   private[ops] def ridgeTrainCurve(s: SparkSession, dir: String): DataFrame =
     trainedQuality(s, dir).curve
 
-  /** The model's absent-pair correction C = Σ_j w_j·μ_j/σ_j, computed by
-    * the SAME decimal pipeline as training's per-step constant — shared
-    * by the batch and streaming serve paths so their scores are
-    * bit-identical. */
+  /** C = Σ_j w_j·μ_j/σ_j — the absent-pair correction, computed on the
+    * DRIVER from the model-sized arrays with EXACTLY the engine's decimal
+    * quantization: each double term goes through its shortest string form
+    * (Spark's Cast(double → DECIMAL(30,6)) spelling — `Decimal(BigDecimal
+    * (d))` is `valueOf(d)` is `new BigDecimal(Double.toString(d))`),
+    * rounds HALF_UP to 6 dp, and the terms sum exactly. Bit-identical to
+    * the former 64-row createDataFrame + agg + collect Spark job, minus
+    * the job — the training loop ran that job every step and the
+    * streaming gate's fixed floor paid it once more per serve (r13
+    * stream-floor item). The oracle's replay is unchanged: it quantizes
+    * the same doubles to the same 6 dp. */
+  private def absentConstOf(w: Array[Double], mu: Array[Double],
+      sd: Array[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    var j = 0
+    while (j < w.length) {
+      val t = w(j) * mu(j) / sd(j)
+      acc = acc.add(new java.math.BigDecimal(java.lang.Double.toString(t))
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+      j += 1
+    }
+    acc.doubleValue
+  }
+
+  /** The model's absent-pair correction — shared by the batch and
+    * streaming serve paths so their scores are bit-identical (and
+    * spelled identically to training's per-step constant). */
   private[graft] def absentPairConstant(s: SparkSession,
-      m: TrainResult): Double =
-    s.createDataFrame((0 until m.w.length).map(j =>
-        (j.toLong, m.w(j), m.mu(j), m.sd(j)))).toDF("bucket", "wgt", "mu", "sd")
-      .agg(sum(((col("wgt") * col("mu")) / col("sd")).cast(dec))
-        .cast("double")).collect()(0).getDouble(0)
+      m: TrainResult): Double = absentConstOf(m.w, m.mu, m.sd)
 
   /** Score arbitrary (`idCol`, `textCol`) rows with a trained model —
     * the serve kernel shared by the batch apply and the streaming gate
@@ -250,10 +269,9 @@ object TrainOps {
       val wDf = s.createDataFrame(
         (0 until B).map(j => (j.toLong, w(j)))).toDF("bucket", "wgt")
       val model = broadcast(wDf.join(statsDf, "bucket"))
-      // C = Σ_j w_j·μ_j/σ_j — the closed-form absent-pair correction
-      val c = wDf.join(statsDf, "bucket")
-        .agg(sum(((col("wgt") * col("mu")) / col("sd")).cast(dec))
-          .cast("double")).collect()(0).getDouble(0)
+      // C = Σ_j w_j·μ_j/σ_j — the closed-form absent-pair correction;
+      // model-sized driver arithmetic, decimal-quantized like the engine
+      val c = absentConstOf(w, mu, sd)
       val scored = f.join(model, "bucket")
         .groupBy(col("doc_id"), col("y"))
         .agg(sum(((col("wgt") * col("x")) / col("sd")).cast(dec))
@@ -261,7 +279,19 @@ object TrainOps {
         .select(col("doc_id"), col("y"),
           (col("sw") - lit(c) + lit(bias)).as("s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val m = scored.agg(
+      // The metric aggregate and the gradient pass both read `scored`
+      // and neither depends on the other — launch them as CONCURRENT
+      // Spark jobs (r13 stream-floor item: sequentially they cost
+      // ~scoring + metric + gradient per step; overlapped, the step's
+      // wall is ~max of the two consumers). Racing the persist is safe:
+      // the block manager keeps whichever copy of a partition lands
+      // first and the values are deterministic under any partitioning
+      // (decimal-exact sums), so duplicated first-touch work changes
+      // nothing but idle-core usage.
+      import scala.concurrent.{Await, Future, blocking}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val mF = Future(blocking { scored.agg(
         sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n_neg"),
         sum(when(col("y") === 1.0, col("s").cast(dec))).cast("double").as("sp"),
@@ -269,7 +299,18 @@ object TrainOps {
         sum(when((col("s") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
           .as("hits"),
         sum((col("s") - col("y")).cast(dec)).cast("double").as("gb"))
-        .collect()(0)
+        .collect()(0) })
+      // per-bucket sparse gradient; the dense correction −(μ_j/σ_j)·gb
+      // is model-sized driver arithmetic (identically spelled in SQL)
+      val gF = if (k < STEPS) Some(Future(blocking {
+        f.join(scored.select(col("doc_id"), col("s")), "doc_id")
+          .join(broadcast(statsDf), "bucket")
+          .groupBy(col("bucket"))
+          .agg(sum((((col("s") - col("y")) * col("x")) / col("sd")).cast(dec))
+            .cast("double").as("g"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      })) else None
+      val m = Await.result(mF, Duration.Inf)
       val (nPos, nNeg) = (m.getLong(0), m.getLong(1))
       val meanPos = m.getDouble(2) / nPos.toDouble
       val meanNeg = m.getDouble(3) / nNeg.toDouble
@@ -277,15 +318,8 @@ object TrainOps {
       val gb = m.getDouble(5)
       curve += ((k.toLong, nPos, nNeg, meanPos, meanNeg, meanPos - meanNeg,
         acc, bias))
-      if (k < STEPS) {
-        // per-bucket sparse gradient; the dense correction −(μ_j/σ_j)·gb
-        // is model-sized driver arithmetic (identically spelled in SQL)
-        val gsp = f.join(scored.select(col("doc_id"), col("s")), "doc_id")
-          .join(broadcast(statsDf), "bucket")
-          .groupBy(col("bucket"))
-          .agg(sum((((col("s") - col("y")) * col("x")) / col("sd")).cast(dec))
-            .cast("double").as("g"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      gF.foreach { fut =>
+        val gsp = Await.result(fut, Duration.Inf)
         for (j <- 0 until B) {
           val gFull = gsp.getOrElse(j.toLong, 0.0) - mu(j) / sd(j) * gb
           w(j) = w(j) - LR * (gFull / n + LAMBDA * w(j))

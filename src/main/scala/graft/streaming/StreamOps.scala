@@ -65,6 +65,18 @@ object StreamOps {
     // keys × state bytes instead)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    // Whole-stage codegen OFF for the micro-batch run (r13, measured):
+    // event-time watermark values are baked into the generated code as
+    // literals, so EVERY batch of a watermarked query is a codegen cache
+    // miss and pays a fresh janino compile — several hundred ms per
+    // batch against micro-batches whose actual row work is smaller than
+    // the compile (wm-window 2.2→1.4 s, stateless 0.9→0.55 s at sf0.1).
+    // This is a batch-size trade, not a scale heresy: a production
+    // deployment with multi-GB batches amortizes the compile and flips
+    // this back (the conf is per-session, restored on exit); the plan
+    // shape, state layout, and semantics are identical either way.
+    val prevCg = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
       val q = streamed.writeStream
         .format("memory").queryName(name)
@@ -72,7 +84,10 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevCg)
+    }
     // resolve the result (analysis is eager, so the frame keeps the sink's
     // relation), then UNREGISTER the sink's temp view: every stream run
     // creates a fresh sink table, and a long session that never drops the
@@ -750,9 +765,20 @@ object StreamOps {
     import graft.ops.GeoOps
     def pts() = GeoOps.derivePoints(eventsStream(s, dir))
       .filter(col("event_type") === "purchase")
+    // HALF-neighborhood (r13): 5 offsets instead of 9. The join matches
+    // a's exploded neighbor cell against b's home cell, so pair (a,b)
+    // surfaces iff cell(b) − cell(a) ∈ S; with S ∪ (−S) covering all 9
+    // offsets and S ∩ (−S) = {(0,0)}, every unordered pair within one
+    // cell of each other appears EXACTLY once (same-cell pairs twice,
+    // deduped on the tiny result table). This halves the exploded side —
+    // and in the streaming case the JOIN STATE — for identical output;
+    // the orientation of the surviving match is arbitrary, so the pair
+    // is normalized to (min id, max id) with the gap sign corrected on
+    // the sink side.
+    val halfOffsets = Seq((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
     val neighborhood = array(
-      (for (dx <- -1 to 1; dy <- -1 to 1)
-        yield struct((col("cx") + dx).as("x"), (col("cy") + dy).as("y"))): _*)
+      halfOffsets.map { case (dx, dy) =>
+        struct((col("cx") + dx).as("x"), (col("cy") + dy).as("y")) }: _*)
     // Threshold-sized cells (cellSize = PROX_T), matching the batch
     // operator: the 3x3 neighborhood stays complete while candidate pairs
     // shrink ~K^4 vs K-times-threshold cells — and in the streaming case
@@ -783,13 +809,21 @@ object StreamOps {
     // ONLY cell equality + the time range live in the join condition: any
     // other conjunct there (the distance predicate, even e1 < e2) breaks
     // StreamingJoinHelper's state-constraint extraction (WARN + no state
-    // watermark) and the join state would never evict. The exact distance
-    // and the ordered-pair dedup run on the RESULT table instead — the
-    // join's output is a tiny neighbor-cell + time-close alert stream, so
-    // the post-filter (and the 2x both-directions emission) is trivial.
+    // watermark) and the join state would never evict. The exact distance,
+    // the pair normalization (the half-neighborhood surfaces each pair in
+    // ONE arbitrary orientation), and the same-cell dedup run on the
+    // RESULT table instead — the join's output is a tiny neighbor-cell +
+    // time-close alert stream, so the post-processing is trivial.
     runToMemory(joined, "append")
-      .filter(col("e1") < col("e2") &&
-        col("dist2") < lit(GeoOps.PROX_T * GeoOps.PROX_T))
+      .filter(col("dist2") < lit(GeoOps.PROX_T * GeoOps.PROX_T) &&
+        col("e1") =!= col("e2"))
+      .select(least(col("e1"), col("e2")).as("p1"),
+        greatest(col("e1"), col("e2")).as("p2"), col("dist2"),
+        when(col("e1") < col("e2"), col("gap_us"))
+          .otherwise(-col("gap_us")).as("g"))
+      .dropDuplicates("p1", "p2") // same-cell pairs match in both orders
+      .select(col("p1").as("e1"), col("p2").as("e2"), col("dist2"),
+        col("g").as("gap_us"))
       .orderBy(col("e1"), col("e2"))
   }
 
@@ -1112,10 +1146,15 @@ object StreamOps {
     val txn = graft.ops.Fs.streamScratchDir(s, "graft_txnsink")
     CommitLog.reset(txn)
     val stage = s"$txn/stage"
+    // TWO staged files → two micro-batches: the minimum that still
+    // exercises the multi-batch transaction contract (rebase-on-latest,
+    // replay detection, MV delta merge across batches); r12 staged four
+    // and paid two more write+merge+commit rounds for no extra semantics
+    // (the r13 stream-floor item)
     graft.Tables(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
-      .repartition(4).write.mode("overwrite").parquet(stage)
+      .repartition(2).write.mode("overwrite").parquet(stage)
     val schema = s.read.parquet(stage).schema
     val emptyMv = s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -1289,11 +1328,13 @@ object StreamOps {
     val stage = s"$root/stage"
     // deterministically corrupted feed: every 13th event has a negated
     // value (violates value >= 0)
+    // two staged files → two micro-batches (see txnSinkQ: the minimum
+    // that still exercises the per-batch publish/quarantine contract)
     graft.Tables(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         when(col("event_id") % 13 === 0, -col("value"))
           .otherwise(col("value")).as("value"))
-      .repartition(4).write.mode("overwrite").parquet(stage)
+      .repartition(2).write.mode("overwrite").parquet(stage)
     val schema = s.read.parquet(stage).schema
     val rule = col("value") >= 0
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")

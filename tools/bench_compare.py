@@ -1,20 +1,25 @@
 #!/usr/bin/env python3
 """Mechanical round-over-round bench comparison.
 
-Joins two BENCH_LOCAL-format records (old, new), normalizes per-query
-times by each run's machine-speed calibration (`calib_sec`, the fixed
-xxhash64 job Bench times alongside the queries), and reports:
+Joins two BENCH_LOCAL-format records (old, new) and reports:
 
-  - host speed ratio (new calib / old calib) — how much of a raw total
-    delta is the MACHINE, not the code;
-  - raw and calib-normalized totals over the common query set;
-  - per-query normalized-ratio outliers beyond a threshold (default
-    1.3x / 0.7x) — the list worth reading for real regressions/wins;
+  - RAW ratios as the HEADLINE (r13: two rounds of sub-second calib jobs
+    produced artifact normalized ratios on parity runs; the calib job is
+    now >= 2 s median-of-5, but raw common-set ratios remain the number
+    to judge on — `raw_ratio` and `median_query_ratio_raw` lead);
+  - host speed ratio (new calib / old calib) and calib-normalized ratios
+    as CONTEXT — when they disagree with raw over unchanged queries, the
+    calibration moved, not the code;
+  - per-query raw-ratio outliers beyond a threshold (default 1.3x/0.7x)
+    — the list worth reading for real regressions/wins;
+  - plan-shape diffs: queries whose `plan_sha` changed between the
+    records (a plan regression shows here even when sf0.1 timing hides
+    it);
   - queries added/removed between the runs.
 
 Usage: bench_compare.py OLD.json NEW.json [threshold]
-A record without calib_sec (pre-round-8) degrades to raw ratios with a
-loud note. Exit code 0 always — this is a report, not a gate.
+A record without calib_sec degrades to raw-only with a note. Exit code
+0 always — this is a report, not a gate.
 """
 import json
 import sys
@@ -56,37 +61,47 @@ def main():
     removed = sorted(set(oq) - set(nq))
     raw_old = sum(oq[q] for q in common)
     raw_new = sum(nq[q] for q in common)
-    # normalized ratio: (new/new_calib) / (old/old_calib) = (new/old)/host
-    ratios = {q: (nq[q] / oq[q]) / host for q in common if oq[q] > 0}
-    med = sorted(ratios.values())[len(ratios) // 2] if ratios else float("nan")
-    # raw per-query median alongside: the calib job is pure-CPU, most
-    # suite queries are orchestration-bound, so when calib moves but the
-    # raw median over UNCHANGED queries sits at ~1.0 the calib delta is a
-    # calibration artifact, not a real host-speed change — report both and
-    # let the reader pick the one the evidence supports
-    raw_ratios = sorted(nq[q] / oq[q] for q in common if oq[q] > 0)
-    med_raw = raw_ratios[len(raw_ratios) // 2] if raw_ratios else float("nan")
+    # HEADLINE basis is RAW: regressions/wins are judged on raw per-query
+    # ratios. Normalized ratios ((new/old)/host) ride along as context —
+    # when they disagree with raw over unchanged queries, the calibration
+    # moved, not the code (the r12 lesson).
+    raw_r = {q: nq[q] / oq[q] for q in common if oq[q] > 0}
+    norm_r = {q: r / host for q, r in raw_r.items()}
+    raw_sorted = sorted(raw_r.values())
+    med_raw = raw_sorted[len(raw_sorted) // 2] if raw_sorted else float("nan")
+    norm_sorted = sorted(norm_r.values())
+    med = norm_sorted[len(norm_sorted) // 2] if norm_sorted else float("nan")
+    # plan-shape diffs (r13): flag every common query whose physical-plan
+    # fingerprint changed — the direct plan-regression signal
+    op, np_ = old.get("plan_sha", {}), new.get("plan_sha", {})
+    plan_common = sorted(set(op) & set(np_) & set(common))
+    plan_changed = [q for q in plan_common if op[q] != np_[q]]
     out = {
         "old": old_path,
         "new": new_path,
-        "host_speed_ratio": round(host, 3),
         "common_queries": len(common),
         "raw_total_old": round(raw_old, 2),
         "raw_total_new": round(raw_new, 2),
         "raw_ratio": round(raw_new / raw_old, 3) if raw_old else None,
-        "normalized_ratio": round(raw_new / raw_old / host, 3) if raw_old else None,
-        "median_query_ratio": round(med, 3),
         "median_query_ratio_raw": round(med_raw, 3),
+        "host_speed_ratio": round(host, 3),
+        "normalized_ratio": round(raw_new / raw_old / host, 3) if raw_old else None,
+        "median_query_ratio_norm": round(med, 3),
+        "plan_fingerprints_compared": len(plan_common),
+        "plan_changed": plan_changed,
         "added": added,
         "removed": removed,
         "regressions": {
-            q: {"old": oq[q], "new": nq[q], "norm_ratio": round(r, 2)}
-            for q, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+            q: {"old": oq[q], "new": nq[q], "raw_ratio": round(r, 2),
+                "norm_ratio": round(norm_r[q], 2),
+                "plan_changed": q in plan_changed}
+            for q, r in sorted(raw_r.items(), key=lambda kv: -kv[1])
             if r >= thr
         },
         "wins": {
-            q: {"old": oq[q], "new": nq[q], "norm_ratio": round(r, 2)}
-            for q, r in sorted(ratios.items(), key=lambda kv: kv[1])
+            q: {"old": oq[q], "new": nq[q], "raw_ratio": round(r, 2),
+                "norm_ratio": round(norm_r[q], 2)}
+            for q, r in sorted(raw_r.items(), key=lambda kv: kv[1])
             if r <= 1.0 / thr
         },
     }
