@@ -44,6 +44,10 @@ def replicate(name, key_shifts, per_replica=None, copies=R):
     print(f"{name}: {sum(p.num_rows for p in parts)} rows")
 
 
+# tiny fixed dims: graft.Bench's session warmer reads region
+for t in ["region", "nation"]:
+    write(t, [pq.read_table(f"{SRC}/{t}.parquet")])
+
 replicate("orders", ["o_orderkey", "o_custkey"])
 
 
