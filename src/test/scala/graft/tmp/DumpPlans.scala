@@ -39,7 +39,9 @@ object DumpPlans {
       "ts_resample_ffill" -> "per-key grid: keyed min-aggregate start bucket exploded (narrow) against the broadcast 1-row global end; keyed last-obs dedup + ignoreNulls fill windows — shuffle only on the series key, no dead leading spans",
       "rel_sequence_match" -> "MATCH_RECOGNIZE shape: |pattern| lead columns in ONE keyed window — single shuffle on the key, no self-join, no path enumeration",
       "text_ngram_novelty" -> "first-occurrence novelty: staged distinct (doc, gram) set consumed by BOTH the vocabulary-keyed min aggregate and the join-back — corpus tokenized once, no pairwise comparison anywhere",
-      "rel_corr_regr" -> "exact integer moment sums (second moments in DECIMAL(38,0) — overflow surfaces as NULL, never a silent wrap) with map-side partial aggregation; the IEEE formula runs once per group row",
+      "rel_corr_regr" -> "exact integer moment sums (every moment through decimal — DECIMAL(19,0) casts are lossless for any long, products cap at DECIMAL(38,0), overflow surfaces as NULL, never a silent wrap) with map-side partial aggregation; the IEEE formula runs once per group row",
+      "rel_ks_drift" -> "exact two-sample KS on the FUSED rank substrate (r13): ONE range exchange attaches global AND in-sample ranks as riders; sample sizes read from the rider columns, so no second aggregate, no cross join, no row-id join — one Scan ExistingRDD, one hash aggregate per value block, TakeOrdered(1)",
+      "mm_phash_neardup" -> "perceptual near-dup: 63-bit dHash from position-partitioned pooled cells (explode → two keyed aggregates + lead window), then candidates ONLY from the 3x21-bit pigeonhole chunk equi-self-join with first-agreeing-chunk dedup — never all-pairs; the staged fingerprint frame feeds both join sides",
       "rel_percentile" -> "exact interpolated percentiles on the groupedRank substrate: ONE range exchange spreads each group across the cluster (counts job + rank job share the pinned InternalRow lineage), a boundary-row filter keeps <=2 rows per (group, percentile), and a tiny hash aggregate interpolates — no whole-group-in-one-buffer ImperativeAggregate anywhere")
     val sb = new StringBuilder
     sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
