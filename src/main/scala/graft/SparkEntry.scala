@@ -68,6 +68,8 @@ object SparkEntry {
     // index and collects the probed-cell list before returning
     "sim_ann_index_serve", "sim_ann_refresh", "sim_ann_pq_serve",
     "sim_ann_delete", "sim_pq_recall",
+    // power iteration: cov-cell collect + driver iteration at plan build
+    "sim_pca_project",
     "text_hybrid_rrf", "text_hybrid_recall",
     // executes DROP TABLE + two bucketed writes at plan build
     "rel_bucketed_join",

@@ -1042,8 +1042,102 @@ object Similarity {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Staged covariance cells — the substrate sim_covariance emits and
+    * sim_pca_project iterates on; one O(corpus·d²) pass per verify/bench
+    * pass feeds both. */
+  private def covCells(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "cov_cells")(covariance(emb(s, dir), "v"))
+
   private def covarianceQ(s: SparkSession, dir: String): DataFrame =
-    covariance(emb(s, dir), "v")
+    covCells(s, dir).orderBy(col("i"), col("j"))
+
+  private val PCA_STEPS = 10
+
+  /** PCA TOP COMPONENT by power iteration — the embedding-compression /
+    * whitening step a training pipeline runs before storing or indexing
+    * vectors, built as oracle-replayable iterative dataflow (the
+    * sim_kmeans_train / text_quality_train discipline):
+    *
+    *   - the corpus-sized work is the ONE covariance pass (the staged
+    *     [[covCells]] substrate, map-side outer products, d(d+1)/2
+    *     partial-aggregate keys — corpus never shuffles) plus ONE
+    *     projection pass at the end;
+    *   - the iteration itself is d×d-matrix-by-d-vector arithmetic —
+    *     model-sized, driver-side — with every cross-engine-visible sum
+    *     quantized to DECIMAL(32,12) via the engine's own cast spelling
+    *     (shortest-string BigDecimal, HALF_UP — the absentConstOf
+    *     contract), each iterate renormalized and rounded 12 dp, so the
+    *     whole trajectory is bit-reproducible and DuckDB REPLAYS all
+    *     PCA_STEPS as unrolled CTEs over the same cov cells;
+    *   - the pinned output: per-label projection statistics onto the
+    *     learned component (the dot fold matches the oracle's in-order
+    *     list_reduce exactly — the sim_cosine contract), with the
+    *     eigenvalue estimate |C·v| and its share of trace(C) riding
+    *     along, so a drifted iteration breaks the hash, not a dashboard.
+    *
+    * The synthetic corpus is nearly isotropic (var_explained ≈ 1/38), so
+    * pc1 carries little variance here — the operator's value is the
+    * discipline: exact substrate, deterministic replayable training,
+    * served projection. A convergence require (λ moved < 5% on the last
+    * step) guards against shipping an unconverged component. EAGER (the
+    * cov-cell collect — 2080 cells, metadata — runs at plan build). */
+  private def q12(t: Double) =
+    new java.math.BigDecimal(java.lang.Double.toString(t))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  private def decSum12(ts: Iterator[Double]): Double =
+    ts.foldLeft(java.math.BigDecimal.ZERO)((a, t) => a.add(q12(t)))
+      .doubleValue
+
+  private def rnd(x: Double, sc: Int) =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** The deterministic power iteration itself (model-sized, driver-side;
+    * spelled identically in the oracle's unrolled CTEs). Returns the
+    * component, its eigenvalue estimate |C·v| after the final step, and
+    * the previous step's estimate (the convergence witness). */
+  private[ops] def powerIterate(c: Array[Array[Double]],
+      steps: Int = PCA_STEPS): (Array[Double], Double, Double) = {
+    val dim = c.length
+    var v = Array.fill(dim)(rnd(1.0 / math.sqrt(dim.toDouble), 12))
+    var lam = 0.0
+    var lamPrev = 0.0
+    for (_ <- 1 to steps) {
+      val u = Array.tabulate(dim)(i =>
+        decSum12((0 until dim).iterator.map(j => c(i)(j) * v(j))))
+      lamPrev = lam
+      lam = math.sqrt(decSum12(u.iterator.map(x => x * x)))
+      v = u.map(x => rnd(x / lam, 12))
+    }
+    (v, lam, lamPrev)
+  }
+
+  private def pcaProjectQ(s: SparkSession, dir: String): DataFrame = {
+    val cells = covCells(s, dir).select(col("i"), col("j"), col("cov"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getDouble(2)))
+    val dim = cells.map(_._2).max + 1
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach { case (i, j, v) => c(i)(j) = v; c(j)(i) = v }
+    val (v, lam, lamPrev) = powerIterate(c)
+    require(lamPrev > 0 && math.abs(lam - lamPrev) / lam < 0.05,
+      s"power iteration not converged after $PCA_STEPS steps: " +
+        s"lambda $lamPrev -> $lam")
+    val trace = decSum12((0 until dim).iterator.map(i => c(i)(i)))
+    val pv = array(v.map(lit(_)): _*)
+    emb(s, dir)
+      .select(col("label"), round(dot(col("v"), pv), 6).as("pc1"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(
+          sum(col("pc1").cast(Exact.dec)).cast("double") / count(lit(1)), 6)
+          .as("mean_pc1"),
+        min(col("pc1")).as("min_pc1"), max(col("pc1")).as("max_pc1"))
+      .withColumn("eig1", lit(rnd(lam, 6)))
+      .withColumn("var_explained", lit(rnd(lam / trace, 6)))
+      .orderBy(col("label"))
+  }
 
   /** Maximum-inner-product top-k (MIPS) — the retrieval objective when
     * embeddings encode magnitude (recommender scores, unnormalized BM25
@@ -1071,6 +1165,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_covariance" -> covarianceQ,
+    "sim_pca_project" -> pcaProjectQ,
     "sim_cosine_topk" -> cosineTopK,
     "sim_mips_topk" -> mipsTopK,
     "sim_ann_lsh" -> annLsh,
@@ -1447,6 +1542,57 @@ object Similarity {
         |    * (CAST(SUM(CAST(b.val AS DECIMAL(32,12))) AS DOUBLE) / COUNT(*)), 9) AS cov
         |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    // the full power-iteration trajectory unrolled as CTEs over the SAME
+    // covariance cells: every mat-vec sum decimal-quantized, every
+    // iterate renormalized and rounded 12 dp exactly like the driver-side
+    // Scala — so the oracle replays the training, not just the output
+    "sim_pca_project" -> {
+      val steps = (1 to PCA_STEPS).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""u$k AS MATERIALIZED (
+           |  SELECT s.i, CAST(SUM(CAST(s.cov * v.x AS DECIMAL(32,12))) AS DOUBLE) AS x
+           |  FROM sym s JOIN $prev v ON s.j = v.i GROUP BY s.i
+           |), l$k AS MATERIALIZED (
+           |  SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(32,12))) AS DOUBLE)) AS lam FROM u$k
+           |), v$k AS MATERIALIZED (
+           |  SELECT i, round(x / (SELECT lam FROM l$k), 12) AS x FROM u$k
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ex AS MATERIALIZED (
+         |  SELECT vec_id, label,
+         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+         |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+         |  FROM embeddings
+         |),
+         |cov AS MATERIALIZED (
+         |  SELECT a.dim AS i, b.dim AS j,
+         |    round(CAST(SUM(CAST(a.val * b.val AS DECIMAL(32,12))) AS DOUBLE) / COUNT(*)
+         |    - (CAST(SUM(CAST(a.val AS DECIMAL(32,12))) AS DOUBLE) / COUNT(*))
+         |      * (CAST(SUM(CAST(b.val AS DECIMAL(32,12))) AS DOUBLE) / COUNT(*)), 9) AS cov
+         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+         |  GROUP BY 1, 2
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT i, j, cov FROM cov
+         |  UNION ALL SELECT j, i, cov FROM cov WHERE i <> j
+         |),
+         |dims AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM cov WHERE i = j),
+         |v0 AS (SELECT DISTINCT i, round(1.0 / sqrt((SELECT d FROM dims)), 12) AS x FROM cov),
+         |$steps,
+         |trace AS (SELECT CAST(SUM(CAST(cov AS DECIMAL(32,12))) AS DOUBLE) AS tr FROM cov WHERE i = j),
+         |proj AS (
+         |  SELECT e.vec_id, any_value(e.label) AS label,
+         |    round(list_reduce(list(e.val * v.x ORDER BY e.dim), (a,b) -> a+b), 6) AS pc1
+         |  FROM ex e JOIN v$PCA_STEPS v ON e.dim = v.i
+         |  GROUP BY e.vec_id
+         |)
+         |SELECT label, COUNT(*) AS n,
+         |  round(CAST(SUM(CAST(pc1 AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS mean_pc1,
+         |  min(pc1) AS min_pc1, max(pc1) AS max_pc1,
+         |  round((SELECT lam FROM l$PCA_STEPS), 6) AS eig1,
+         |  round((SELECT lam FROM l$PCA_STEPS) / (SELECT tr FROM trace), 6) AS var_explained
+         |FROM proj GROUP BY label ORDER BY label""".stripMargin
+    },
     "sim_cosine_topk" -> cosineTopkSql,
     "sim_mips_topk" ->
       s"""WITH $eCte,
