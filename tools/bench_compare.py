@@ -14,7 +14,12 @@ Joins two BENCH_LOCAL-format records (old, new) and reports:
     — the list worth reading for real regressions/wins;
   - plan-shape diffs: queries whose `plan_sha` changed between the
     records (a plan regression shows here even when sf0.1 timing hides
-    it);
+    it). plan_sha is captured during the warmup pass WITH that run's
+    staged-cache state, so adding/removing queries (or re-keying a
+    staged frame) can legitimately shift cache substitution into
+    neighbors' captured plans — identical code + identical surface
+    hashes identically (verified back-to-back), but treat plan_changed
+    across code changes as a REVIEW list, not a failure;
   - queries added/removed between the runs.
 
 Usage: bench_compare.py OLD.json NEW.json [threshold]
