@@ -434,11 +434,56 @@ object StatOps {
     psiDrift(ev, col("event_type") === "click", col("value"), col("event_id"))
   }
 
+  /** CUSUM changepoint — the drift tier's TIME axis: ksDrift/psiDrift say
+    * WHETHER two populations differ; this says WHEN a metric's level
+    * shifted, per key. Classic cumulative-sum statistic over the hourly
+    * series: S_k = Σ_{i≤k}(x_i − x̄); the changepoint estimate is
+    * argmax |S_k| (earliest hour on ties) and max |S_k| is the alert
+    * magnitude.
+    *
+    * Scale shape: the CORPUS-sized work is ONE partial-aggregable groupBy
+    * to (key, hour) buckets with exact decimal sums; every window after
+    * that runs over the bucket frame — |keys| × |hours| rows, bounded by
+    * the time range, keys spread across the cluster (never a
+    * single-partition window). Exactness: bucket sums and the cumulative
+    * sum are decimal (associative, partitioning-proof); the only doubles
+    * are the mean division and the S_k subtraction, identical IEEE in
+    * both engines, rounded 6 dp as the comparison contract. */
+  def cusumChangepoint(d: DataFrame, key: Column, ts: Column,
+      value: Column): DataFrame = {
+    val hourly = d.groupBy(key.as("k"), date_trunc("hour", ts).as("h"))
+      .agg(sum(value.cast(graft.ops.Exact.dec)).as("x"))
+    val wAll = Window.partitionBy(col("k"))
+    val wCum = Window.partitionBy(col("k")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = hourly
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("x")).over(wAll).cast("double"))
+      .withColumn("cum", sum(col("x")).over(wCum).cast("double"))
+      .withColumn("kk", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("h"))).cast("long"))
+      .withColumn("sk",
+        round(col("cum") - col("kk") * (col("total") / col("n")), 6))
+    s.withColumn("rk", row_number().over(
+        Window.partitionBy(col("k")).orderBy(abs(col("sk")).desc,
+          col("h").asc)))
+      .filter(col("rk") === 1)
+      .select(col("k"), col("n").as("n_hours"), col("h").as("cp_hour"),
+        round(abs(col("sk")), 6).as("cusum_max"))
+  }
+
+  private def cusumQ(s: SparkSession, dir: String): DataFrame =
+    cusumChangepoint(graft.Tables(s, dir, "events"), col("event_type"),
+      col("ts"), col("value"))
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_ks_drift" -> ksDriftQ,
     "rel_psi_drift" -> psiDriftQ,
+    "ts_changepoint" -> cusumQ,
     "rel_mode_stat" -> modeQ,
     "rel_corr_regr" -> corrRegrQ,
     "rel_gini_impurity" -> giniQ,
@@ -479,6 +524,39 @@ object StatOps {
         |ORDER BY ks_stat DESC, at_value ASC LIMIT 1""".stripMargin,
     // reference deciles via ranks, upper-inclusive bins via a correlated
     // boundary count, 1e-6 floors, 6 dp terms, exact decimal total
+    // CUSUM: bucket sums and cumulative sums exact decimal; the mean
+    // division and S_k subtraction are IEEE-identical doubles, rounded
+    // 6 dp; argmax |S_k| with earliest-hour tie-break
+    "ts_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    SUM(CAST("value" AS DECIMAL(30,6))) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |st AS (
+        |  SELECT event_type,
+        |    COUNT(*) OVER w_all AS n,
+        |    CAST(SUM(x) OVER w_all AS DOUBLE) AS total,
+        |    CAST(SUM(x) OVER w_cum AS DOUBLE) AS cum,
+        |    row_number() OVER w_ord AS k, h
+        |  FROM hourly
+        |  WINDOW w_all AS (PARTITION BY event_type),
+        |         w_cum AS (PARTITION BY event_type ORDER BY h
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         w_ord AS (PARTITION BY event_type ORDER BY h)
+        |),
+        |s AS (
+        |  SELECT event_type, n, h, round(cum - k * (total / n), 6) AS sk
+        |  FROM st
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(sk) DESC, h ASC) AS rk
+        |  FROM s
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_hours, h AS cp_hour,
+        |  round(abs(sk), 6) AS cusum_max
+        |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "rel_psi_drift" ->
       """WITH x AS (
         |  SELECT "value" AS v,

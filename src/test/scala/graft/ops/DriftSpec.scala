@@ -68,6 +68,42 @@ class DriftSpec extends SparkSpec {
       s"expected the ksDrift guard, got: $ex")
   }
 
+  test("CUSUM changepoint lands on a planted level shift") {
+    import java.sql.Timestamp
+    // 200 hourly points per key: level 10 then 30 from hour 120 — the
+    // CUSUM argmax must sit exactly at the shift boundary (S_k peaks at
+    // the last pre-shift... for a step UP the |S| max is AT the step)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = for {
+      key <- Seq("a", "b"); i <- 0 until 200
+      lvl = if (i < 120) 10.0 else 30.0
+    } yield (key, new Timestamp(base + i * 3600L * 1000L), lvl)
+    val d = rows.toDF("k", "ts", "v")
+    val got = StatOps.cusumChangepoint(d, col("k"), col("ts"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getTimestamp(2), r.getDouble(3))).toMap
+    got.foreach { case (k, (n, cp, mx)) =>
+      assert(n == 200L, s"$k: n_hours $n")
+      // |S_k| is maximal at the last pre-shift hour (index 119)
+      assert(cp == new Timestamp(base + 119 * 3600L * 1000L),
+        s"$k: changepoint at $cp, expected hour 119")
+      // mean = (120*10 + 80*30)/200 = 18; S_119 = 120*(10-18) = -960
+      assert(mx == 960.0, s"$k: cusum magnitude, expected 960: $mx")
+    }
+  }
+
+  test("CUSUM on a constant series reports zero magnitude") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 50).map(i =>
+      ("c", new Timestamp(base + i * 3600L * 1000L), 7.5))
+    val r = StatOps.cusumChangepoint(rows.toDF("k", "ts", "v"),
+      col("k"), col("ts"), col("v")).collect()(0)
+    assert(r.getDouble(3) == 0.0, s"constant series must have S == 0: $r")
+    // tie on |S|: earliest hour wins deterministically
+    assert(r.getTimestamp(2) == new Timestamp(base))
+  }
+
   test("ksDrift plan: one fused rank substrate, no row-id join") {
     // r12 paid two range exchanges (globalRank + groupedRank) and a
     // SortMergeJoin to recombine them; the fused kernel must leave the
