@@ -410,6 +410,33 @@ package object api {
     def chi2Cells(a: Column, b: Column): DataFrame =
       ops.StatOps.chi2Cells(df, a, b)
 
+    /** Mutual information between two categoricals: per-cell PMI
+      * contribution + total MI in nats on every row — see
+      * rel_mutual_info. */
+    def mutualInfo(a: Column, b: Column): DataFrame =
+      ops.StatOps.mutualInfo(df, a, b)
+
+    /** First-order Markov transition counts + row-normalized
+      * probabilities over per-key event sequences — see
+      * rel_markov_transitions. */
+    def markovTransitions(key: Column, ts: Column, ord: Column,
+        state: Column): DataFrame =
+      ops.StatOps.markovTransitions(df, key, ts, ord, state)
+
+    /** Welch's unequal-variance two-sample t-test per group between arms
+      * `armA`/`armB` of `arm`: means, t statistic, Welch–Satterthwaite
+      * df — see rel_welch_ttest. */
+    def welchTTest(group: Column, arm: Column, armA: String, armB: String,
+        value: Column): DataFrame =
+      ops.StatOps.welchTTest(df, group, arm, armA, armB, value)
+
+    /** Double-exponential-smoothing (Brown) level/trend + h-step
+      * forecasts per series — see ts_des_forecast. */
+    def desForecast(key: String, ts: String, ord: String, value: String,
+        n: Int = 8, alpha: Double = 0.3, horizon: Int = 3): DataFrame =
+      ops.TimeSeriesOps.desForecast(df, key, ts, ord, value, n, alpha,
+        horizon)
+
     /** Consecutive step-sequence occurrences per key (MATCH_RECOGNIZE
       * shape) — see rel_sequence_match. */
     def sequenceMatch(key: Column, order: Seq[Column], step: Column,

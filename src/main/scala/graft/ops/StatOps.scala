@@ -169,6 +169,134 @@ object StatOps {
       .withColumnRenamed("b", "l_linestatus")
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  // ------------------------------------------------- Markov transitions
+
+  /** First-order Markov transition table over per-key event sequences:
+    * for each (state, next-state) pair, the observed transition count and
+    * the row-normalized probability — the behavior model a sessionized
+    * product funnel or a synthetic-data generator is fit from.
+    *
+    * Shape at scale: ONE keyed window (partition by the sequence key —
+    * millions of keys spread the sort across the cluster) produces the
+    * lead pairs; the transition aggregate shuffles on the (state, state)
+    * product — the category space, not the corpus — and the row
+    * normalization is a window over that tiny aggregate. Probabilities
+    * are a single exact-BIGINT ratio evaluated once in doubles. */
+  def markovTransitions(d: DataFrame, key: Column, ts: Column, ord: Column,
+                        state: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("o"))
+    val cells = d.select(key.as("k"), ts.as("t"), ord.as("o"), state.as("s"))
+      .withColumn("nxt", lead(col("s"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("s").as("from_state"), col("nxt").as("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+    val wRow = Window.partitionBy(col("from_state"))
+    cells
+      .withColumn("row_n", sum(col("cnt")).over(wRow))
+      .select(col("from_state"), col("to_state"), col("cnt"),
+        r6(col("cnt").cast("double") / col("row_n").cast("double")).as("p"))
+  }
+
+  private def markovQ(s: SparkSession, dir: String): DataFrame =
+    markovTransitions(graft.Tables(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy(col("from_state"), col("to_state"))
+
+  // ---------------------------------------------------- mutual information
+
+  /** Mutual information between two categorical columns, emitted per cell
+    * (observed count + the cell's PMI contribution p(a,b)·ln(p(a,b)/(p(a)
+    * p(b)))) with the total MI carried on every row — the
+    * feature-relevance score a mixture designer ranks metadata columns by
+    * (chi² asks "independent?"; MI answers "how many nats does knowing A
+    * tell you about B?").
+    *
+    * Same plan family as chi2Cells: one shuffle to the (a, b) cell
+    * aggregate, category-space marginals re-aggregated from the cells and
+    * joined back broadcast. Determinism: each cell term is ONE double
+    * expression over exact BIGINT counts — ln() at 6 dp is the
+    * established cross-engine contract (see PSI above) — and the total
+    * sums the ROUNDED terms in exact DECIMAL(18,6), so the Σ is
+    * order-free where a double Σ would be engine-dependent. */
+  def mutualInfo(d: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = d.groupBy(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    def dbl(c: String) = col(c).cast("double")
+    val contrib = r6((dbl("o") / dbl("n"))
+      * log(dbl("o") * dbl("n") / (dbl("rt") * dbl("ct"))))
+    val scored = cells
+      .join(broadcast(rt), "a").join(broadcast(ct), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("o").as("observed"),
+        contrib.as("pmi_contrib"))
+    val total = scored.agg(
+      sum(col("pmi_contrib").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("mi_total"))
+    scored.crossJoin(broadcast(total))
+  }
+
+  private def mutualInfoQ(s: SparkSession, dir: String): DataFrame =
+    mutualInfo(graft.Tables(s, dir, "documents"), col("lang"), col("source"))
+      .withColumnRenamed("a", "lang")
+      .withColumnRenamed("b", "source")
+      .orderBy(col("lang"), col("source"))
+
+  // -------------------------------------------------------- Welch t-test
+
+  /** Welch's unequal-variance two-sample t-test per group: the experiment
+    * readout (treatment vs control means differ?) that doesn't assume
+    * pooled variance. Per group, both samples' first/second moments
+    * accumulate as exact BIGINT sums (one corpus shuffle to the
+    * (group, arm) aggregate — category-space); mean, sample variance,
+    * the t statistic and the Welch–Satterthwaite df are then ONE double
+    * expression per output over those exact sums, spelled identically in
+    * both engines. Groups missing an arm or with n < 2 on either side
+    * are filtered out rather than emitting NULL/NaN mid-expression
+    * (double 0/0 semantics differ across engines). */
+  def welchTTest(d: DataFrame, group: Column, arm: Column, armA: String,
+                 armB: String, value: Column): DataFrame = {
+    val m = d.filter(arm.isin(armA, armB))
+      .select(group.as("grp"), when(arm === armA, lit(0)).otherwise(lit(1)).as("arm"),
+        value.as("x"))
+      .groupBy(col("grp"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val a0 = m.filter(col("arm") === 0).select(col("grp"),
+      col("n").as("n1"), col("sx").as("sx1"), col("sxx").as("sxx1"))
+    val b0 = m.filter(col("arm") === 1).select(col("grp"),
+      col("n").as("n2"), col("sx").as("sx2"), col("sxx").as("sxx2"))
+    def dbl(c: String) = col(c).cast("double")
+    // sample variance via the n·Σx² − (Σx)² spelling over exact ints
+    def meanOf(n: String, sx: String) = dbl(sx) / dbl(n)
+    def varOf(n: String, sx: String, sxx: String) =
+      (dbl(n) * dbl(sxx) - dbl(sx) * dbl(sx)) / (dbl(n) * (dbl(n) - lit(1.0d)))
+    val v1 = varOf("n1", "sx1", "sxx1")
+    val v2 = varOf("n2", "sx2", "sxx2")
+    val se1 = v1 / dbl("n1")
+    val se2 = v2 / dbl("n2")
+    a0.join(b0, "grp")
+      .filter(col("n1") >= 2 && col("n2") >= 2)
+      .select(col("grp"), col("n1"), col("n2"),
+        r6(meanOf("n1", "sx1")).as("mean_a"),
+        r6(meanOf("n2", "sx2")).as("mean_b"),
+        r6((meanOf("n1", "sx1") - meanOf("n2", "sx2"))
+          / sqrt(se1 + se2)).as("t_stat"),
+        r6((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (dbl("n1") - lit(1.0d))
+            + se2 * se2 / (dbl("n2") - lit(1.0d)))).as("df"))
+  }
+
+  private def welchQ(s: SparkSession, dir: String): DataFrame =
+    welchTTest(
+        graft.Tables(s, dir, "lineitem")
+          .withColumn("q", col("l_quantity").cast("long")),
+        col("l_returnflag"), col("l_linestatus"), "F", "O", col("q"))
+      .withColumnRenamed("grp", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+
   // --------------------------------------------------------- winsorize
 
   /** Winsorized summary per group: clip `value` at the exact DISCRETE
@@ -488,6 +616,9 @@ object StatOps {
     "rel_corr_regr" -> corrRegrQ,
     "rel_gini_impurity" -> giniQ,
     "rel_chi2_cells" -> chi2Q,
+    "rel_markov_transitions" -> markovQ,
+    "rel_mutual_info" -> mutualInfoQ,
+    "rel_welch_ttest" -> welchQ,
     "rel_sequence_match" -> seqMatchQ,
     "rel_winsorize" -> winsorizeQ,
     "rel_gaps_islands" -> gapsIslandsQ,
@@ -682,6 +813,78 @@ object StatOps {
          |  ${r6Sql("rtd * ctd / nd")} AS expected,
          |  ${r6Sql("(od * nd - rtd * ctd) * (od * nd - rtd * ctd) / (rtd * ctd * nd)")} AS chi2_contrib
          |FROM f ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_markov_transitions" ->
+      s"""WITH seq AS (
+         |  SELECT event_type AS s,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM events
+         |), cells AS (
+         |  SELECT s AS from_state, nxt AS to_state,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |), r AS (
+         |  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY from_state) AS BIGINT)
+         |    AS row_n
+         |  FROM cells
+         |)
+         |SELECT from_state, to_state, cnt,
+         |  ${r6Sql("CAST(cnt AS DOUBLE) / CAST(row_n AS DOUBLE)")} AS p
+         |FROM r ORDER BY from_state, to_state""".stripMargin,
+    "rel_mutual_info" ->
+      s"""WITH cells AS (
+         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+         |  FROM documents GROUP BY 1, 2
+         |), rt AS (
+         |  SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+         |), ct AS (
+         |  SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+         |), nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+         |scored AS (
+         |  SELECT c.lang, c.source, c.o AS observed,
+         |    ${r6Sql("(CAST(c.o AS DOUBLE) / CAST(nn.n AS DOUBLE))" +
+                      " * ln(CAST(c.o AS DOUBLE) * CAST(nn.n AS DOUBLE)" +
+                      " / (CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)))")}
+         |      AS pmi_contrib
+         |  FROM cells c JOIN rt r USING (lang)
+         |    JOIN ct t USING (source) CROSS JOIN nn
+         |), tot AS (
+         |  SELECT CAST(SUM(CAST(pmi_contrib AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS mi_total
+         |  FROM scored
+         |)
+         |SELECT lang, source, observed, pmi_contrib, mi_total
+         |FROM scored CROSS JOIN tot ORDER BY lang, source""".stripMargin,
+    "rel_welch_ttest" ->
+      s"""WITH m AS (
+         |  SELECT l_returnflag AS grp,
+         |    CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END AS arm,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+         |      AS BIGINT) AS sxx
+         |  FROM lineitem WHERE l_linestatus IN ('F', 'O') GROUP BY 1, 2
+         |), j AS (
+         |  SELECT a.grp,
+         |    a.n AS n1, CAST(a.sx AS DOUBLE) AS sx1, CAST(a.sxx AS DOUBLE) AS sxx1,
+         |    b.n AS n2, CAST(b.sx AS DOUBLE) AS sx2, CAST(b.sxx AS DOUBLE) AS sxx2,
+         |    CAST(a.n AS DOUBLE) AS n1d, CAST(b.n AS DOUBLE) AS n2d
+         |  FROM m a JOIN m b USING (grp)
+         |  WHERE a.arm = 0 AND b.arm = 1 AND a.n >= 2 AND b.n >= 2
+         |), f AS (
+         |  SELECT grp, n1, n2,
+         |    sx1 / n1d AS m1, sx2 / n2d AS m2,
+         |    ((n1d * sxx1 - sx1 * sx1) / (n1d * (n1d - 1.0))) / n1d AS se1,
+         |    ((n2d * sxx2 - sx2 * sx2) / (n2d * (n2d - 1.0))) / n2d AS se2,
+         |    n1d, n2d
+         |  FROM j
+         |)
+         |SELECT grp AS l_returnflag, n1, n2,
+         |  ${r6Sql("m1")} AS mean_a,
+         |  ${r6Sql("m2")} AS mean_b,
+         |  ${r6Sql("(m1 - m2) / sqrt(se1 + se2)")} AS t_stat,
+         |  ${r6Sql("(se1 + se2) * (se1 + se2) / (se1 * se1 / (n1d - 1.0) + se2 * se2 / (n2d - 1.0))")} AS df
+         |FROM f ORDER BY l_returnflag""".stripMargin,
     "rel_gaps_islands" ->
       """WITH k AS (
         |  SELECT DISTINCT l_orderkey AS k FROM lineitem

@@ -376,6 +376,94 @@ object TimeSeriesOps {
     ewma(graft.Tables(s, dir, "events"), "user_id", "ts", "event_id", "value")
       .orderBy(col("user_id"), col("event_id"))
 
+  private val DES_H = 3 // forecast horizon (steps ahead)
+
+  /** Double-exponential-smoothing forecast (Brown's linear method): the
+    * trend-aware sibling of ts_ewma. S1 smooths the series, S2 smooths
+    * S1 with the SAME truncated kernel; level = 2·S1 − S2 and trend =
+    * α/(1−α)·(S1 − S2) reconstruct the local linear state, and the
+    * h-step forecast is level + h·trend — the per-series short-horizon
+    * baseline a capacity planner or anomaly budget runs fleet-wide.
+    *
+    * Plan: BOTH smoothing passes are fixed-depth lag compositions over
+    * one keyed window — same partitioning, same order — so Catalyst
+    * plans ONE exchange + ONE sort and stacks the two Window operators
+    * on top (plan-pinned in TimeSeriesSpec). No per-key scan, no
+    * imperative state; at 100 TB this is a single shuffle on the series
+    * key, embarrassingly parallel across series.
+    *
+    * Determinism: S1 is quantized at 1e-6 (the r6 midpoint-safe
+    * spelling) BEFORE feeding S2, so the second kernel consumes
+    * identical doubles in both engines; the kernel weights and the
+    * trend coefficient α/(1−α) are computed ONCE driver-side and
+    * embedded as exact decimal literals in the plan and the oracle. */
+  def desForecast(d: DataFrame, key: String, ts: String, ord: String,
+                  value: String, n: Int = EW, alpha: Double = EALPHA,
+                  horizon: Int = DES_H): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+    val weights = ewmaWeights(n, alpha)
+    def smooth(src: String): Column = {
+      val lagged = (0 until n).map(i =>
+        if (i == 0) col(src) else lag(col(src), i).over(w))
+      val num = lagged.zip(weights).map { case (l, wt) =>
+        when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
+      val den = lagged.zip(weights).map { case (l, wt) =>
+        when(l.isNotNull, lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
+      r6(num / den)
+    }
+    val coef = alpha / (1.0 - alpha)
+    val level = lit(2.0d) * col("s1") - col("s2")
+    val trend = lit(coef) * (col("s1") - col("s2"))
+    val fcs = (1 to horizon).map(h =>
+      r6(level + lit(h.toDouble) * trend).as(s"fc$h"))
+    d.select(col(key), col(ts), col(ord), col(value))
+      .withColumn("s1", smooth(value))
+      .withColumn("s2", smooth("s1"))
+      .select(Seq(col(key), col(ord), col("s1"), col("s2")) ++ fcs: _*)
+  }
+
+  /** The ts_des_forecast oracle: the ewma kernel SQL applied twice (the
+    * second pass windows over the FIRST CTE's rounded s1), then the same
+    * level/trend/forecast doubles with the identical literal spelling. */
+  private def desOracleSql(n: Int, alpha: Double, horizon: Int): String = {
+    def dlit(x: Double) =
+      s"CAST('${new java.math.BigDecimal(x).toPlainString}' AS DOUBLE)"
+    val wts = ewmaWeights(n, alpha).map(dlit)
+    def r6s(x: String) = s"CAST(floor(($x) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    def kernel(v: String, win: String): String = {
+      def lagv(i: Int) = if (i == 0) v else s"lag($v, $i) OVER $win"
+      val terms = wts.zipWithIndex.map { case (wt, i) =>
+        s"CASE WHEN ${lagv(i)} IS NOT NULL THEN ${lagv(i)} * $wt " +
+          "ELSE CAST(0.0 AS DOUBLE) END" }
+      val dens = wts.zipWithIndex.map { case (wt, i) =>
+        s"CASE WHEN ${lagv(i)} IS NOT NULL THEN $wt " +
+          "ELSE CAST(0.0 AS DOUBLE) END" }
+      r6s(s"(${terms.mkString("\n    + ")})\n    / (${dens.mkString("\n    + ")})")
+    }
+    val coef = dlit(alpha / (1.0 - alpha))
+    val fcs = (1 to horizon).map(h =>
+      s"${r6s(s"(2.0 * s1 - s2) + $h.0 * ($coef * (s1 - s2))")} AS fc$h")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, "value" AS v FROM events
+       |), p1 AS (
+       |  SELECT user_id, ts, event_id, ${kernel("v", "w")} AS s1
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), p2 AS (
+       |  SELECT user_id, event_id, s1, ${kernel("s1", "w")} AS s2
+       |  FROM p1
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |)
+       |SELECT user_id, event_id, s1, s2,
+       |  ${fcs.mkString(",\n  ")}
+       |FROM p2 ORDER BY user_id, event_id""".stripMargin
+  }
+
+  private def tsDesForecast(s: SparkSession, dir: String): DataFrame =
+    desForecast(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
+
   private val ACF_LAGS = 3
 
   /** Per-series lag-k autocorrelation (the ACF head) — the seasonality /
@@ -593,6 +681,7 @@ object TimeSeriesOps {
     "ts_anomaly_zscore" -> tsAnomalyZscore,
     "ts_interp_linear" -> tsInterpLinear,
     "ts_ewma" -> tsEwma,
+    "ts_des_forecast" -> tsDesForecast,
     "ts_autocorr" -> tsAutocorr,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal_decompose" -> tsSeasonalDecompose,
@@ -783,6 +872,7 @@ object TimeSeriesOps {
     // strings cast to double (string→double parse recovers the bits); the
     // weighted sum folds left in both engines
     "ts_ewma" -> ewmaOracleSql(EW, EALPHA),
+    "ts_des_forecast" -> desOracleSql(EW, EALPHA, DES_H),
     // identical decimal-exact Pearson moments per (key, lag), identical
     // IEEE combination order, NULL on degenerate sides
     "ts_autocorr" -> {

@@ -239,6 +239,69 @@ class StatOpsSpec extends SparkSpec {
     assert(got == Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)))
   }
 
+  test("markovTransitions: probabilities row-normalize over lead pairs") {
+    // user 1: a->b->a->b (transitions ab, ba, ab); user 2: a->a
+    // from a: {b:2, a:1} -> p(a->b)=2/3; from b: {a:1} -> p=1
+    val d = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"))
+      .map { case (u, i, s) => (u, new Timestamp(i * 1000), i, s) }
+      .toDF("u", "t", "i", "s")
+    val got = StatOps.markovTransitions(d, col("u"), col("t"), col("i"), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("p"))).toMap
+    assert(got(("a", "b")) == (2L, 0.666667))
+    assert(got(("a", "a")) == (1L, 0.333333))
+    assert(got(("b", "a")) == (1L, 1.0))
+    assert(got.size == 3)
+  }
+
+  test("mutualInfo: independent factorized table has MI exactly 0") {
+    // counts = row_share x col_share x N exactly -> every PMI term ln(1)=0
+    val rows = for {
+      (a, ra) <- Seq(("x", 1), ("y", 3))
+      (b, cb) <- Seq(("u", 2), ("v", 1))
+      _ <- 1 to (ra * cb * 5)
+    } yield (a, b)
+    val got = StatOps.mutualInfo(rows.toDF("a", "b"), col("a"), col("b"))
+    val out = got.collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Double]("pmi_contrib") == 0.0))
+    assert(out.forall(_.getAs[Double]("mi_total") == 0.0))
+  }
+
+  test("mutualInfo: perfectly dependent 2x2 gives MI = ln 2") {
+    // a==b always, uniform: MI = H = ln 2 nats
+    val d = (Seq.fill(10)(("x", "x")) ++ Seq.fill(10)(("y", "y")))
+      .toDF("a", "b")
+    val out = StatOps.mutualInfo(d, col("a"), col("b")).collect()
+    assert(out.length == 2)
+    val mi = out.head.getAs[Double]("mi_total")
+    assert(math.abs(mi - math.log(2.0)) < 1e-6)
+  }
+
+  test("welchTTest: equal samples give t = 0; df matches hand formula") {
+    // arm F and arm O identical -> mean diff 0; var 2.5 each at n=5
+    val xs = Seq(1L, 2L, 3L, 4L, 6L)
+    val d = (xs.map(("g", "F", _)) ++ xs.map(("g", "O", _)))
+      .toDF("grp", "arm", "x")
+    val row = StatOps.welchTTest(d, col("grp"), col("arm"), "F", "O",
+      col("x")).collect().head
+    assert(row.getAs[Double]("t_stat") == 0.0)
+    assert(row.getAs[Double]("mean_a") == row.getAs[Double]("mean_b"))
+    // equal variances/sizes -> Welch df = 2(n-1) = 8
+    assert(math.abs(row.getAs[Double]("df") - 8.0) < 1e-6)
+  }
+
+  test("welchTTest: groups with an arm below n=2 are dropped, not NaN") {
+    val d = Seq(("g1", "F", 1L), ("g1", "F", 2L), ("g1", "O", 5L),
+      ("g2", "F", 1L), ("g2", "F", 3L), ("g2", "O", 5L), ("g2", "O", 9L))
+      .toDF("grp", "arm", "x")
+    val got = StatOps.welchTTest(d, col("grp"), col("arm"), "F", "O",
+      col("x")).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("g2"))
+  }
+
   test("kcore: non-convergence within the round budget fails loudly") {
     // a 10-node path peels one layer per round from each end: k=2 empties
     // it in ~5 rounds; budget 2 must throw, not return a half-peeled graph

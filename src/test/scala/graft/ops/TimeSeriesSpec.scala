@@ -94,6 +94,57 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(3L) == rnd((4.0 + 0.5 * 3.0 + 0.25 * 2.0) / 1.75))
   }
 
+  test("desForecast: linear series recovers the slope as trend exactly") {
+    // On a long-enough linear ramp y = t the truncated kernels converge:
+    // s1 lags the line by a constant c = Σ w_i·i / Σ w_i, s2 by 2c, so
+    // level = 2s1 − s2 = y_t and trend = α/(1−α)·(s1−s2): for n=3,
+    // α=0.5 → c = (0·1 + 1·.5 + 2·.25)/1.75 = 4/7, trend = 1·(4/7)=4/7…
+    // rather than replay the algebra, pin against a hand-rolled fold.
+    val rows = (0 until 8).map(i => (1L, i, i.toLong, 10.0 + 2.0 * i))
+    val out = TimeSeriesOps.desForecast(ev(rows),
+        "user_id", "ts", "event_id", "value", n = 3, alpha = 0.5,
+        horizon = 2)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    def rnd(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val w = Seq(1.0, 0.5, 0.25)
+    def smooth(xs: Seq[Double]): Seq[Double] = xs.indices.map { t =>
+      val lags = (0 until 3).flatMap(i => if (t - i >= 0) Some((xs(t - i), w(i))) else None)
+      rnd(lags.map { case (x, wt) => x * wt }.sum / lags.map(_._2).sum)
+    }
+    val s1 = smooth(rows.map(_._4))
+    val s2 = smooth(s1)
+    val coef = 0.5 / 0.5
+    (0 until 8).foreach { t =>
+      val r = out(t.toLong)
+      assert(r.getAs[Double]("s1") == s1(t), s"s1 at $t")
+      assert(r.getAs[Double]("s2") == s2(t), s"s2 at $t")
+      val level = 2.0 * s1(t) - s2(t)
+      val trend = coef * (s1(t) - s2(t))
+      assert(r.getAs[Double]("fc1") == rnd(level + 1.0 * trend), s"fc1 at $t")
+      assert(r.getAs[Double]("fc2") == rnd(level + 2.0 * trend), s"fc2 at $t")
+    }
+    // deep into the ramp the forecast follows the trend upward; the
+    // n=3-truncated kernel biases the trend low (the infinite-kernel
+    // identity trend == slope needs the full tail), so pin direction +
+    // a 1-unit band rather than exact slope recovery
+    val fc1 = out(7L).getAs[Double]("fc1")
+    assert(fc1 > 10.0 + 2.0 * 7, s"forecast must exceed the last level: $fc1")
+    assert(math.abs(fc1 - (10.0 + 2.0 * 8)) < 1.0, s"fc1=$fc1")
+  }
+
+  test("desForecast: both smoothing passes share ONE exchange + sort") {
+    val df = TimeSeriesOps.desForecast(
+      graft.Tables(spark, "/root/testdata/sf0.001", "events"),
+      "user_id", "ts", "event_id", "value")
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val shuffles = simple.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n$simple")
+    assert(simple.linesIterator.count(_.contains("Window")) == 2,
+      s"both smoothing passes plan as Window operators:\n$simple")
+  }
+
   test("autocorr: linear series is exactly 1, alternating series is -1 at lag 1") {
     // key 1: strictly linear (ACF 1 at every lag); key 2: alternating
     // +/-5 around 0 (ACF -1 at lag 1, +1 at lag 2).
