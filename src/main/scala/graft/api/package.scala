@@ -430,6 +430,13 @@ package object api {
         value: Column): DataFrame =
       ops.StatOps.welchTTest(df, group, arm, armA, armB, value)
 
+    /** Greedy maximal-marginal-relevance re-ranking of this candidate
+      * frame (q_id, vec_id, rel) against the directional pair-sim frame
+      * `pairs` (q_id, a_id, b_id, psim): K picks per query maximizing
+      * λ·rel − (1−λ)·max-sim-to-selected — see sim_mmr_rerank. */
+    def mmrSelect(pairs: DataFrame, k: Int, lam: Double): DataFrame =
+      ops.Similarity.mmrSelect(df, pairs, k, lam)
+
     /** Double-exponential-smoothing (Brown) level/trend + h-step
       * forecasts per series — see ts_des_forecast. */
     def desForecast(key: String, ts: String, ord: String, value: String,

@@ -91,6 +91,94 @@ object Similarity {
           col("d"))
     }
 
+  private val MMR_N = 20    // candidate pool per query (the ANN result size)
+  private val MMR_K = 6     // diversified picks per query
+  private val MMR_LAM = 0.7 // relevance weight; 1-λ penalizes redundancy
+
+  /** Maximal-marginal-relevance re-ranking: greedily pick K of the top-N
+    * candidates, each step maximizing λ·rel(c) − (1−λ)·max_{s∈selected}
+    * sim(c, s) — the diversification pass a retrieval stack runs between
+    * ANN candidate generation and the context window, so near-duplicate
+    * hits don't crowd out coverage.
+    *
+    * Shape at scale: the candidate pool is the ANN serve output — N per
+    * query, NEVER the corpus — so the pairwise-similarity frame is N²
+    * per query (bounded, embarrassingly parallel across queries) and
+    * each greedy step is a bounded join + per-query argmax window over
+    * query-count-sized frames. The selection is inherently sequential in
+    * K (each pick conditions the next) but K is a small constant; all
+    * queries advance through step t TOGETHER in one dataflow — no
+    * per-query driver loop, no collect. Candidates and the pair matrix
+    * are staged once and shared by all K steps (Catalyst doesn't dedupe
+    * common subtrees across the step lineage).
+    *
+    * Determinism: rel and pair sims are 6 dp-rounded cosines (the
+    * sim_cosine contract); the MMR score is ONE double expression over
+    * those rounded inputs with literal λ, bit-identical cross-engine, so
+    * the argmax (score desc, vec_id asc) picks identical rows; maxsim
+    * over rounded doubles is order-free. The oracle unrolls the K greedy
+    * steps as a generated CTE ladder from the SAME constants. */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val cand = Staging.staged(s, dir, "mmr_cand") {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      exactScoredPairs(s, dir).filter(col("vec_id") >= N_QUERIES)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= MMR_N)
+        .select(col("q_id"), col("vec_id"), col("sim").as("rel"))
+    }
+    val pairs = Staging.staged(s, dir, "mmr_pairs") {
+      val e = withNorm(emb(s, dir)).select(col("vec_id"), col("v"), col("nrm"))
+      val cv = cand.join(e, "vec_id")
+        .select(col("q_id"), col("vec_id"), col("v"), col("nrm"))
+      cv.as("a").join(cv.as("b"),
+          col("a.q_id") === col("b.q_id") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.q_id").as("q_id"), col("a.vec_id").as("a_id"),
+          col("b.vec_id").as("b_id"),
+          round(dot(col("a.v"), col("b.v"))
+            / (col("a.nrm") * col("b.nrm")), 6).as("psim"))
+    }
+    mmrSelect(cand, pairs, MMR_K, MMR_LAM)
+      .orderBy(col("q_id"), col("step"))
+  }
+
+  /** The greedy MMR core over a prepared candidate frame
+    * (q_id, vec_id, rel) and directional pair-sim frame
+    * (q_id, a_id, b_id, psim) — see mmrRerank for the contract. Exposed
+    * for spec-level semantics pins on hand fixtures. */
+  private[graft] def mmrSelect(cand: DataFrame, pairs: DataFrame, k: Int,
+                               lam: Double): DataFrame = {
+    val wPick = Window.partitionBy(col("q_id"))
+      .orderBy(col("mmr").desc, col("vec_id").asc)
+    def mmrCol: Column =
+      lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim")
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored.withColumn("rkp", row_number().over(wPick))
+        .filter(col("rkp") === 1)
+        .select(col("q_id"), lit(step.toLong).as("step"), col("vec_id"),
+          col("rel"), col("maxsim"), col("mmr"))
+    var sel = pick(cand.withColumn("maxsim", lit(0.0d))
+      .withColumn("mmr", mmrCol), 1)
+    for (t <- 2 to k) {
+      val remaining = cand.join(sel.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      // every candidate pairs with every OTHER candidate of its query, so
+      // the inner join loses no remaining candidate
+      val ms = pairs
+        .join(sel.select(col("q_id"), col("vec_id").as("b_id")),
+          Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("vec_id"))
+        .agg(max(col("psim")).as("maxsim"))
+      val scored = remaining.join(ms, Seq("q_id", "vec_id"))
+        .withColumn("mmr", mmrCol)
+      sel = sel.unionByName(pick(scored, t))
+    }
+    sel.select(col("q_id"), col("step"), col("vec_id"), col("rel"),
+      col("maxsim"),
+      (floor(col("mmr") * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6))
+        .as("mmr"))
+  }
+
   /** Sign-LSH bucket: concat of sign bits of 4 fixed dimensions (stand-ins
     * for random hyperplanes — fixed so the oracle reproduces them). */
   private def bucket(v: Column): Column =
@@ -1167,6 +1255,7 @@ object Similarity {
     "sim_covariance" -> covarianceQ,
     "sim_pca_project" -> pcaProjectQ,
     "sim_cosine_topk" -> cosineTopK,
+    "sim_mmr_rerank" -> mmrRerank,
     "sim_mips_topk" -> mipsTopK,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
@@ -1329,6 +1418,70 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
          |  FROM scored
          |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  /** The sim_mmr_rerank oracle: candidate + pairwise-sim CTEs, then the K
+    * greedy steps unrolled as a generated CTE ladder (sel_t picks the
+    * argmax over cand minus all_{t-1}; all_t accumulates) from the SAME
+    * constants the plan uses. λ and 1−λ are embedded as the exact decimal
+    * expansions of the plan's doubles (1−0.7 is NOT the double 0.3). */
+  private lazy val mmrRerankSql: String = {
+    def dlit(x: Double) =
+      s"CAST('${new java.math.BigDecimal(x).toPlainString}' AS DOUBLE)"
+    val lam = dlit(MMR_LAM)
+    val gam = dlit(1.0 - MMR_LAM)
+    val pairDot =
+      "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"
+    val steps = (2 to MMR_K).map { t =>
+      s"""sel$t AS (
+         |  SELECT q_id, CAST($t AS BIGINT) AS step, vec_id, rel, maxsim, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY mmr DESC, vec_id ASC) AS rk FROM (
+         |      SELECT c.q_id, c.vec_id, c.rel, m.maxsim,
+         |        $lam * c.rel - $gam * m.maxsim AS mmr
+         |      FROM cand c
+         |      JOIN (SELECT p.q_id, p.a_id, MAX(p.psim) AS maxsim
+         |            FROM pairs p JOIN all${t - 1} s
+         |              ON p.q_id = s.q_id AND p.b_id = s.vec_id
+         |            GROUP BY 1, 2) m
+         |        ON c.q_id = m.q_id AND c.vec_id = m.a_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM all${t - 1} s2
+         |        WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id)
+         |    )
+         |  ) WHERE rk = 1
+         |),
+         |all$t AS (SELECT * FROM all${t - 1} UNION ALL SELECT * FROM sel$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $eCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+       |cand AS (
+       |  SELECT q_id, vec_id, sim AS rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id ASC) AS rk FROM (
+       |      SELECT q.q_id, e.vec_id, round($dotSql / (e.nrm * q.qn), 6) AS sim
+       |      FROM e CROSS JOIN q WHERE e.vec_id >= $N_QUERIES)
+       |  ) WHERE rk <= $MMR_N
+       |),
+       |cv AS (SELECT c.q_id, c.vec_id, e.v, e.nrm FROM cand c JOIN e USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    round($pairDot / (a.nrm * b.nrm), 6) AS psim
+       |  FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+       |),
+       |sel1 AS (
+       |  SELECT q_id, CAST(1 AS BIGINT) AS step, vec_id, rel, maxsim, mmr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY mmr DESC, vec_id ASC) AS rk FROM (
+       |      SELECT q_id, vec_id, rel, CAST(0.0 AS DOUBLE) AS maxsim,
+       |        $lam * rel - $gam * CAST(0.0 AS DOUBLE) AS mmr FROM cand)
+       |  ) WHERE rk = 1
+       |),
+       |all1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT q_id, step, vec_id, rel, maxsim,
+       |  CAST(floor(mmr * 1e6 + 0.5) AS DOUBLE) / 1e6 AS mmr
+       |FROM all$MMR_K ORDER BY q_id, step""".stripMargin
+  }
 
   // exact filtered top-K: the brute-force scan with the predicate applied
   // BEFORE the per-query window — sim_ann_filtered's ground truth
@@ -1594,6 +1747,7 @@ object Similarity {
          |FROM proj GROUP BY label ORDER BY label""".stripMargin
     },
     "sim_cosine_topk" -> cosineTopkSql,
+    "sim_mmr_rerank" -> mmrRerankSql,
     "sim_mips_topk" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $N_QUERIES),

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the MMR diversified re-ranker — hand fixtures,
+  * independent of the DuckDB oracle (which replays the same greedy
+  * ladder; these pin that the ladder implements MMR). */
+class MmrSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // q 0 candidates: c1 most relevant; c2 nearly as relevant but almost
+  // identical to c1; c3 less relevant but diverse. λ=0.5 →
+  //   step 1: c1 (rel 0.9)
+  //   step 2: c2 scores .5·.88 − .5·.99 = −0.055; c3 scores
+  //           .5·.60 − .5·.10 = 0.25 → c3 wins despite lower relevance
+  //   step 3: only c2 remains
+  private def cand =
+    Seq((0L, 1L, 0.9), (0L, 2L, 0.88), (0L, 3L, 0.6))
+      .toDF("q_id", "vec_id", "rel")
+
+  private def pairs =
+    Seq((0L, 1L, 2L, 0.99), (0L, 2L, 1L, 0.99),
+      (0L, 1L, 3L, 0.10), (0L, 3L, 1L, 0.10),
+      (0L, 2L, 3L, 0.12), (0L, 3L, 2L, 0.12))
+      .toDF("q_id", "a_id", "b_id", "psim")
+
+  test("mmrSelect: redundancy penalty promotes the diverse candidate") {
+    val got = Similarity.mmrSelect(cand, pairs, 3, 0.5)
+      .orderBy(col("step")).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L))
+    val s2 = got(1)
+    assert(s2.getAs[Double]("maxsim") == 0.10) // to c1 only
+    assert(math.abs(s2.getAs[Double]("mmr") - 0.25) < 1e-9)
+    // step 3's maxsim is against BOTH selected: max(0.99 to c1... ) —
+    // c2's max sim over {c1, c3} = 0.99
+    assert(got(2).getAs[Double]("maxsim") == 0.99)
+  }
+
+  test("mmrSelect: λ=1 degenerates to pure relevance ranking") {
+    val got = Similarity.mmrSelect(cand, pairs, 3, 1.0)
+      .orderBy(col("step")).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("mmrSelect: per-query independence and the vec_id tie-break") {
+    // q 1: two candidates with equal rel and equal redundancy — the
+    // smaller vec_id must win step 2 deterministically
+    val c = cand.unionByName(
+      Seq((1L, 7L, 0.5), (1L, 9L, 0.8), (1L, 5L, 0.5))
+        .toDF("q_id", "vec_id", "rel"))
+    val p = pairs.unionByName(
+      Seq((1L, 7L, 9L, 0.2), (1L, 9L, 7L, 0.2),
+        (1L, 5L, 9L, 0.2), (1L, 9L, 5L, 0.2),
+        (1L, 5L, 7L, 0.0), (1L, 7L, 5L, 0.0))
+        .toDF("q_id", "a_id", "b_id", "psim"))
+    val got = Similarity.mmrSelect(c, p, 2, 0.5)
+      .filter(col("q_id") === 1L).orderBy(col("step")).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(9L, 5L))
+    // q 0's picks are unaffected by q 1's rows
+    val q0 = Similarity.mmrSelect(c, p, 2, 0.5)
+      .filter(col("q_id") === 0L).orderBy(col("step")).collect()
+    assert(q0.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L))
+  }
+}
