@@ -410,6 +410,15 @@ package object api {
     def chi2Cells(a: Column, b: Column): DataFrame =
       ops.StatOps.chi2Cells(df, a, b)
 
+    /** Benford first-significant-digit audit of a positive numeric
+      * column: observed share vs log10(1+1/d) expectation per digit —
+      * see rel_benford. */
+    def benford(value: Column): DataFrame = ops.StatOps.benford(df, value)
+
+    /** Per-node clustering coefficient over this undirected simple edge
+      * frame (u, v), u < v deduplicated — see graph_clustering_coeff. */
+    def clusteringCoeff(): DataFrame = ops.GraphOps.clusteringCoeff(df)
+
     /** Mutual information between two categoricals: per-cell PMI
       * contribution + total MI in nats on every row — see
       * rel_mutual_info. */

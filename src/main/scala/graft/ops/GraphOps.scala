@@ -114,6 +114,49 @@ object GraphOps {
       .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
   }
 
+  /** Per-node clustering coefficient: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    * over the undirected simple graph — the local-density profile that
+    * separates hub-and-spoke link farms from genuine communities. Nodes
+    * with deg < 2 are excluded (cc undefined), not emitted as 0/NULL.
+    *
+    * Shape: the SAME ordered wedge join as graph_triangles (u < v edges,
+    * two hash joins — never path enumeration); each found triangle
+    * (a < b < c) credits all three corners via a narrow 3-way explode,
+    * then a node-keyed count joins the degree aggregate. All shuffles key
+    * on node/edge ids; the staged edge table is scanned once. The
+    * standard further scale lever (degree-ordered wedge direction so high-
+    * degree nodes never anchor wedges) keeps this plan shape. */
+  private def clusteringCoeffQ(s: SparkSession, dir: String): DataFrame =
+    clusteringCoeff(Staging.staged(s, dir, "graph_und") {
+      edges(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+    }).orderBy(col("node"))
+
+  /** PUBLIC core over a prepared undirected simple edge frame (u, v)
+    * with u < v and no duplicates — see clusteringCoeffQ. */
+  def clusteringCoeff(und: DataFrame): DataFrame = {
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ab = und.select(col("u").as("a"), col("v").as("b"))
+    val bc = und.select(col("u").as("b2"), col("v").as("c"))
+    val ac = und.select(col("u").as("a3"), col("v").as("c3"))
+    val tris = ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+    val triPerNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        (floor(lit(2.0d) * coalesce(col("tri_cnt"), lit(0L)).cast("double")
+            / (col("deg").cast("double") * (col("deg").cast("double") - lit(1.0d)))
+          * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)).as("cc"))
+  }
+
   private val BFS_SOURCE = 0L
   private val BFS_HOPS = 4
 
@@ -412,6 +455,7 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerankQ,
     "graph_triangles" -> trianglesQ,
+    "graph_clustering_coeff" -> clusteringCoeffQ,
     "graph_bfs_layers" -> bfsQ,
     "graph_components" -> componentsQ,
     "graph_sssp" -> ssspQ,
@@ -617,5 +661,30 @@ object GraphOps {
          |        JOIN und bc ON ab.v = bc.u
          |        JOIN und ac ON ab.u = ac.u AND bc.v = ac.v) AS n_triangles,
          |       (SELECT COUNT(*) FROM und) AS n_edges""".stripMargin,
+    "graph_clustering_coeff" ->
+      s"""WITH $edgesSql,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges
+         |), deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+         |  ) GROUP BY node
+         |), tri AS (
+         |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+         |  FROM und ab JOIN und bc ON ab.v = bc.u
+         |    JOIN und ac ON ab.u = ac.u AND bc.v = ac.v
+         |), tpn AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+         |    SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+         |    UNION ALL SELECT c AS node FROM tri
+         |  ) GROUP BY node
+         |)
+         |SELECT d.node, d.deg, COALESCE(t.tri_cnt, 0) AS tri_cnt,
+         |  CAST(floor(2.0 * CAST(COALESCE(t.tri_cnt, 0) AS DOUBLE)
+         |      / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+         |    * 1e6 + 0.5) AS DOUBLE) / 1e6 AS cc
+         |FROM deg d LEFT JOIN tpn t USING (node)
+         |WHERE d.deg >= 2 ORDER BY d.node""".stripMargin,
   )
 }

@@ -169,6 +169,40 @@ object StatOps {
       .withColumnRenamed("b", "l_linestatus")
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  // ------------------------------------------------------ Benford audit
+
+  /** First-significant-digit distribution vs Benford's law — the
+    * fabricated-data / corruption screen an ingest pipeline runs over
+    * monetary or count columns. The digit is extracted from an EXACT
+    * integer (values scaled to cents and half-up-rounded to BIGINT, then
+    * first char of the decimal string — double→string formatting differs
+    * across engines, integer→string does not; scaling by 100 doesn't
+    * move the first significant digit). One corpus shuffle to the 9-row
+    * digit aggregate; expectations log10(1+1/d) are computed ONCE
+    * driver-side and embedded as exact decimal literals in plan and
+    * oracle. Emits observed count, share, expectation, and deviation. */
+  def benford(d: DataFrame, value: Column): DataFrame = {
+    val cents = floor(value * lit(100.0d) + lit(0.5d)).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = d.filter(value > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val n = counts.agg(sum(col("observed")).as("n"))
+    val expect = (1 to 9).map(dd =>
+        when(col("digit") === dd, lit(math.log10(1.0 + 1.0 / dd))): Column)
+      .reduceRight((a, b) => a.otherwise(b))
+    counts.crossJoin(broadcast(n))
+      .select(col("digit"), col("observed"),
+        r6(col("observed").cast("double") / col("n").cast("double")).as("share"),
+        expect.as("benford_expect"),
+        r6(col("observed").cast("double") / col("n").cast("double") - expect)
+          .as("deviation"))
+  }
+
+  private def benfordQ(s: SparkSession, dir: String): DataFrame =
+    benford(graft.Tables(s, dir, "orders"), col("o_totalprice"))
+      .orderBy(col("digit"))
+
   // ------------------------------------------------- Markov transitions
 
   /** First-order Markov transition table over per-key event sequences:
@@ -616,6 +650,7 @@ object StatOps {
     "rel_corr_regr" -> corrRegrQ,
     "rel_gini_impurity" -> giniQ,
     "rel_chi2_cells" -> chi2Q,
+    "rel_benford" -> benfordQ,
     "rel_markov_transitions" -> markovQ,
     "rel_mutual_info" -> mutualInfoQ,
     "rel_welch_ttest" -> welchQ,
@@ -624,6 +659,33 @@ object StatOps {
     "rel_gaps_islands" -> gapsIslandsQ,
     "rel_decile_lift" -> decileLiftQ,
   )
+
+  /** rel_benford's oracle, generated from the SAME log10 expectation
+    * doubles the plan embeds (exact decimal expansions round-trip). */
+  private def benfordOracleSql: String = {
+    def dlit(x: Double) =
+      s"CAST('${new java.math.BigDecimal(x).toPlainString}' AS DOUBLE)"
+    val expectCase = (1 to 9).map(d =>
+      s"WHEN digit = $d THEN ${dlit(math.log10(1.0 + 1.0 / d))}")
+      .mkString("\n    ")
+    s"""WITH c AS (
+       |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+       |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders WHERE o_totalprice > 0
+       |), g AS (
+       |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM c GROUP BY digit
+       |), nn AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM g),
+       |e AS (
+       |  SELECT digit, observed, n,
+       |    CASE $expectCase END AS expect
+       |  FROM g CROSS JOIN nn
+       |)
+       |SELECT digit, observed,
+       |  ${r6Sql("CAST(observed AS DOUBLE) / CAST(n AS DOUBLE)")} AS share,
+       |  expect AS benford_expect,
+       |  ${r6Sql("CAST(observed AS DOUBLE) / CAST(n AS DOUBLE) - expect")} AS deviation
+       |FROM e ORDER BY digit""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // the same two-rank construction in window SQL: global row_number +
@@ -813,6 +875,7 @@ object StatOps {
          |  ${r6Sql("rtd * ctd / nd")} AS expected,
          |  ${r6Sql("(od * nd - rtd * ctd) * (od * nd - rtd * ctd) / (rtd * ctd * nd)")} AS chi2_contrib
          |FROM f ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_benford" -> benfordOracleSql,
     "rel_markov_transitions" ->
       s"""WITH seq AS (
          |  SELECT event_type AS s,

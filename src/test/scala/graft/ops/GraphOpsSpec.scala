@@ -72,4 +72,25 @@ class GraphOpsSpec extends SparkSpec {
     val got = GraphOps.bfsLayers(e, 0L, hops = 3).collect()
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 0L)))
   }
+
+  test("clusteringCoeff: triangle 1, star hub 0, pendant excluded") {
+    // triangle {0,1,2} + hub 3 connected to 0,1,2 but its spokes don't
+    // interlink beyond the triangle; pendant 4-5 edge has deg-1 nodes
+    // except both ARE deg 1 -> excluded entirely
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), // triangle
+      (0L, 3L), (1L, 3L), (4L, 5L)).toDF("u", "v")
+    val got = GraphOps.clusteringCoeff(und)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("cc"))).toMap
+    // node 2: deg 2 (0,1), its neighbors connected -> cc 1
+    assert(got(2L) == (2L, 1L, 1.0))
+    // node 3: deg 2 (0,1), 0-1 edge exists -> triangle (0,1,3) -> cc 1
+    assert(got(3L) == (2L, 1L, 1.0))
+    // node 0: deg 3 (1,2,3); triangles (0,1,2) and (0,1,3) -> 2 of 3
+    // possible neighbor pairs -> cc 2/3
+    assert(got(0L)._1 == 3L && got(0L)._2 == 2L)
+    assert(got(0L)._3 == math.floor(2.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    // deg-1 nodes 4, 5 are absent, not emitted with NULL/0
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
 }

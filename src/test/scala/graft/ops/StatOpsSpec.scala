@@ -239,6 +239,24 @@ class StatOpsSpec extends SparkSpec {
     assert(got == Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)))
   }
 
+  test("benford: digit extraction survives cents scaling; shares sum to 1") {
+    // 0.19 -> 19 cents -> digit 1 (scaling by 100 keeps the first
+    // significant digit); 912.40 -> digit 9; non-positive rows dropped
+    val d = Seq(0.19, 912.40, 1.0, 25.5, 0.0, -3.0).toDF("v")
+    val got = StatOps.benford(d, col("v")).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == Set(1, 2, 9))
+    assert(got(1).getAs[Long]("observed") == 2L) // 0.19 and 1.0
+    assert(got(2).getAs[Long]("observed") == 1L)
+    assert(math.abs(got(1).getAs[Double]("benford_expect")
+      - math.log10(2.0)) < 1e-12)
+    assert(math.abs(got.values.map(_.getAs[Double]("share")).sum - 1.0) < 1e-5)
+    // deviation = share - expectation, 6 dp
+    val r9 = got(9)
+    val want = math.floor((0.25 - math.log10(1.0 + 1.0 / 9)) * 1e6 + 0.5) / 1e6
+    assert(r9.getAs[Double]("deviation") == want)
+  }
+
   test("markovTransitions: probabilities row-normalize over lead pairs") {
     // user 1: a->b->a->b (transitions ab, ba, ab); user 2: a->a
     // from a: {b:2, a:1} -> p(a->b)=2/3; from b: {a:1} -> p=1
