@@ -419,6 +419,15 @@ package object api {
       * frame (u, v), u < v deduplicated — see graph_clustering_coeff. */
     def clusteringCoeff(): DataFrame = ops.GraphOps.clusteringCoeff(df)
 
+    /** Degree assortativity of this undirected simple edge frame (u, v)
+      * — see graph_assortativity. */
+    def assortativity(): DataFrame = ops.GraphOps.assortativity(df)
+
+    /** Cramér's V association strength between two categoricals over
+      * the full r×c grid — see rel_cramers_v. */
+    def cramersV(a: Column, b: Column): DataFrame =
+      ops.StatOps.cramersV(df, a, b)
+
     /** Mutual information between two categoricals: per-cell PMI
       * contribution + total MI in nats on every row — see
       * rel_mutual_info. */

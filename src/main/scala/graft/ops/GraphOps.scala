@@ -157,6 +157,49 @@ object GraphOps {
           * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)).as("cc"))
   }
 
+  /** Degree assortativity: Pearson correlation of endpoint degrees over
+    * the symmetrized edge list — positive means hubs link to hubs
+    * (social-graph texture), negative means hub-and-spoke (the shape of
+    * scraped link farms and star botnets); the one-number companion to
+    * graph_degree_powerlaw. Plan: the staged undirected edge table joins
+    * the node-degree aggregate twice (node-keyed hash joins), each edge
+    * contributes both orientations, and the five Pearson moments
+    * accumulate as exact BIGINTs (degrees are small ints; Σxy ≤ E·deg²
+    * stays far inside 2^63) — ONE aggregate row, the IEEE combination
+    * evaluated once in corrRegr's exact spelling. */
+  private def assortativityQ(s: SparkSession, dir: String): DataFrame =
+    assortativity(Staging.staged(s, dir, "graph_und") {
+      edges(s, dir)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+    })
+
+  /** PUBLIC core over a prepared undirected simple edge frame (u, v)
+    * with u < v and no duplicates — see assortativityQ. */
+  def assortativity(und: DataFrame): DataFrame = {
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val sym = withDeg.select(col("du").as("x"), col("dv").as("y"))
+      .unionByName(withDeg.select(col("dv").as("x"), col("du").as("y")))
+    val m = sym.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    def dbl(c: String) = col(c).cast("double")
+    val cov = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    val varx = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    val vary = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    m.select((col("n") / 2).cast("long").as("n_edges"),
+      (floor(cov / sqrt(varx * vary) * lit(1e6) + lit(0.5d)).cast("double")
+        / lit(1e6)).as("assortativity"))
+  }
+
   private val BFS_SOURCE = 0L
   private val BFS_HOPS = 4
 
@@ -456,6 +499,7 @@ object GraphOps {
     "graph_pagerank" -> pagerankQ,
     "graph_triangles" -> trianglesQ,
     "graph_clustering_coeff" -> clusteringCoeffQ,
+    "graph_assortativity" -> assortativityQ,
     "graph_bfs_layers" -> bfsQ,
     "graph_components" -> componentsQ,
     "graph_sssp" -> ssspQ,
@@ -661,6 +705,43 @@ object GraphOps {
          |        JOIN und bc ON ab.v = bc.u
          |        JOIN und ac ON ab.u = ac.u AND bc.v = ac.v) AS n_triangles,
          |       (SELECT COUNT(*) FROM und) AS n_edges""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH $edgesSql,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM edges
+         |), deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+         |  ) GROUP BY node
+         |), wd AS (
+         |  SELECT du.deg AS du, dv.deg AS dv
+         |  FROM und JOIN deg du ON und.u = du.node
+         |    JOIN deg dv ON und.v = dv.node
+         |), sym AS (
+         |  SELECT du AS x, dv AS y FROM wd
+         |  UNION ALL SELECT dv AS x, du AS y FROM wd
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM sym
+         |), f AS (
+         |  SELECT n,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+         |  FROM m
+         |)
+         |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+         |  CAST(floor(cov / sqrt(varx * vary) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         |    AS assortativity
+         |FROM f""".stripMargin,
     "graph_clustering_coeff" ->
       s"""WITH $edgesSql,
          |und AS (

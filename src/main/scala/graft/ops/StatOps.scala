@@ -278,6 +278,54 @@ object StatOps {
       .withColumnRenamed("b", "source")
       .orderBy(col("lang"), col("source"))
 
+  // --------------------------------------------------------- Cramér's V
+
+  /** Cramér's V effect size between two categoricals — the bounded [0,1]
+    * association strength that makes chi² values comparable across
+    * tables of different size and shape: V = sqrt(χ²/n / (min(r,c)−1)).
+    * Same cell/marginal plan as chi2Cells; the scalar χ² is the exact
+    * DECIMAL(18,6) Σ of the 6 dp-rounded cell contributions (order-free
+    * — a double Σ would be engine-dependent), and the final sqrt runs
+    * once over that exact sum. Emits one row: n, r, c, chi2, v. */
+  def cramersV(d: DataFrame, a: Column, b: Column): DataFrame = {
+    val obs = d.groupBy(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("o"))
+    // χ² ranges over the FULL r×c grid: an unobserved cell still
+    // contributes (0−E)²/E = rt·ct/n — dropping zero cells understates
+    // the statistic exactly when association is strongest (a perfect
+    // 2×2 would read V = √½ instead of 1). The grid is the category
+    // product — metadata-scale — so the completion is a broadcast
+    // cross join + left join, never a corpus operation.
+    val cells = obs.select(col("a")).distinct()
+      .crossJoin(broadcast(obs.select(col("b")).distinct()))
+      .join(obs, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"))
+    val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    def dbl(c: String) = col(c).cast("double")
+    val num = dbl("o") * dbl("n") - dbl("rt") * dbl("ct")
+    val contrib = r6(num * num / (dbl("rt") * dbl("ct") * dbl("n")))
+    val dims = cells.agg(
+      count_distinct(col("a")).as("r"), count_distinct(col("b")).as("c"))
+    cells
+      .join(broadcast(rt), "a").join(broadcast(ct), "b")
+      .crossJoin(broadcast(n))
+      .select(contrib.as("contrib"), col("n"))
+      .groupBy(col("n"))
+      .agg(sum(col("contrib")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double").as("chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"), col("r"), col("c"), r6(col("chi2")).as("chi2"),
+        r6(sqrt(col("chi2") / col("n").cast("double")
+          / (least(col("r"), col("c")).cast("double") - lit(1.0d)))).as("v"))
+  }
+
+  private def cramersVQ(s: SparkSession, dir: String): DataFrame =
+    cramersV(graft.Tables(s, dir, "orders"),
+      col("o_orderpriority"), col("o_orderstatus"))
+
   // -------------------------------------------------------- Welch t-test
 
   /** Welch's unequal-variance two-sample t-test per group: the experiment
@@ -651,6 +699,7 @@ object StatOps {
     "rel_gini_impurity" -> giniQ,
     "rel_chi2_cells" -> chi2Q,
     "rel_benford" -> benfordQ,
+    "rel_cramers_v" -> cramersVQ,
     "rel_markov_transitions" -> markovQ,
     "rel_mutual_info" -> mutualInfoQ,
     "rel_welch_ttest" -> welchQ,
@@ -876,6 +925,40 @@ object StatOps {
          |  ${r6Sql("(od * nd - rtd * ctd) * (od * nd - rtd * ctd) / (rtd * ctd * nd)")} AS chi2_contrib
          |FROM f ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "rel_benford" -> benfordOracleSql,
+    "rel_cramers_v" ->
+      s"""WITH obs AS (
+         |  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS o
+         |  FROM orders GROUP BY 1, 2
+         |), cells AS (
+         |  SELECT ra.a, rb.b, COALESCE(obs.o, 0) AS o
+         |  FROM (SELECT DISTINCT a FROM obs) ra
+         |  CROSS JOIN (SELECT DISTINCT b FROM obs) rb
+         |  LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b
+         |), rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         |ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+         |dims AS (
+         |  SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+         |    CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+         |  FROM cells
+         |), f AS (
+         |  SELECT
+         |    ${r6Sql("(CAST(cl.o AS DOUBLE) * CAST(nn.n AS DOUBLE)" +
+                     " - CAST(rr.rt AS DOUBLE) * CAST(tt.ct AS DOUBLE))" +
+                     " * (CAST(cl.o AS DOUBLE) * CAST(nn.n AS DOUBLE)" +
+                     " - CAST(rr.rt AS DOUBLE) * CAST(tt.ct AS DOUBLE))" +
+                     " / (CAST(rr.rt AS DOUBLE) * CAST(tt.ct AS DOUBLE)" +
+                     " * CAST(nn.n AS DOUBLE))")} AS contrib
+         |  FROM cells cl JOIN rt rr USING (a) JOIN ct tt USING (b) CROSS JOIN nn
+         |), chi AS (
+         |  SELECT CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+         |  FROM f
+         |)
+         |SELECT n, r, c,
+         |  ${r6Sql("chi2")} AS chi2,
+         |  ${r6Sql("sqrt(chi2 / CAST(n AS DOUBLE) / (CAST(least(r, c) AS DOUBLE) - 1.0))")} AS v
+         |FROM chi CROSS JOIN nn CROSS JOIN dims""".stripMargin,
     "rel_markov_transitions" ->
       s"""WITH seq AS (
          |  SELECT event_type AS s,

@@ -93,4 +93,23 @@ class GraphOpsSpec extends SparkSpec {
     // deg-1 nodes 4, 5 are absent, not emitted with NULL/0
     assert(!got.contains(4L) && !got.contains(5L))
   }
+
+  test("assortativity: star is maximally disassortative (-1)") {
+    // hub 0 (deg 4) to four leaves (deg 1): every edge pairs (4,1) —
+    // after symmetrization the correlation of (x,y) with y = 5 - x over
+    // two point masses is exactly -1
+    val star = (1L to 4L).map(l => (0L, l)).toDF("u", "v")
+    val row = GraphOps.assortativity(star).collect().head
+    assert(row.getAs[Long]("n_edges") == 4L)
+    assert(row.getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("assortativity: two regular components correlate +1 by degree") {
+    // a triangle (all deg 2) plus a single edge (both deg 1): within each
+    // component x == y always -> perfect positive degree correlation
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L)).toDF("u", "v")
+    val row = GraphOps.assortativity(e).collect().head
+    assert(row.getAs[Long]("n_edges") == 4L)
+    assert(row.getAs[Double]("assortativity") == 1.0)
+  }
 }

@@ -84,6 +84,15 @@ class PlanAuditSpec extends SparkSpec {
     // χ² cells cross-join the BROADCAST 1-row grand total onto the
     // category-product-sized cell table
     "rel_chi2_cells",
+    // same 1-row-total broadcast pattern: MI joins the grand total and
+    // the exact-decimal MI total onto the cell table; Cramér's V folds
+    // the cell table to ONE row then cross-joins the 1-row dims/total;
+    // Benford cross-joins the 1-row count onto the 9-row digit table
+    "rel_mutual_info", "rel_cramers_v", "rel_benford",
+    // the greedy per-step argmax windows ride query-count-sized frames;
+    // the candidate pool staging cross-joins the broadcast query set
+    // like sim_mips_topk (bounded by design — N per query, never corpus)
+    "sim_mmr_rerank",
     // zipf's own 1-row-total broadcast pattern, bigram vocabulary
     "text_bigram_topk",
     // brute-force MIPS scores candidates against the BROADCAST query set

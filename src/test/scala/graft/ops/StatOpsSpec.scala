@@ -298,6 +298,24 @@ class StatOpsSpec extends SparkSpec {
     assert(math.abs(mi - math.log(2.0)) < 1e-6)
   }
 
+  test("cramersV: perfect association 1, independence 0") {
+    // a == b always, 2 classes balanced: chi2 = n, V = sqrt(n/n/1) = 1
+    val dep = (Seq.fill(10)(("x", "x")) ++ Seq.fill(10)(("y", "y")))
+      .toDF("a", "b")
+    val r1 = StatOps.cramersV(dep, col("a"), col("b")).collect().head
+    assert(r1.getAs[Long]("n") == 20L)
+    assert(r1.getAs[Long]("r") == 2L && r1.getAs[Long]("c") == 2L)
+    assert(r1.getAs[Double]("v") == 1.0)
+    // factorized counts: every cell's contribution is exactly 0
+    val ind = (for {
+      (a, ra) <- Seq(("x", 1), ("y", 3)); (b, cb) <- Seq(("u", 2), ("v", 1))
+      _ <- 1 to (ra * cb * 5)
+    } yield (a, b)).toDF("a", "b")
+    val r2 = StatOps.cramersV(ind, col("a"), col("b")).collect().head
+    assert(r2.getAs[Double]("chi2") == 0.0)
+    assert(r2.getAs[Double]("v") == 0.0)
+  }
+
   test("welchTTest: equal samples give t = 0; df matches hand formula") {
     // arm F and arm O identical -> mean diff 0; var 2.5 each at n=5
     val xs = Seq(1L, 2L, 3L, 4L, 6L)
