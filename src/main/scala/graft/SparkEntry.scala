@@ -82,6 +82,10 @@ object SparkEntry {
     "text_bpe_artifact",
     // iterative peeling: per-round convergence counts run at plan build
     "graph_kcore",
+    // MM iteration: per-step localCheckpoint cuts the doubling plan tree
+    // (the strength vector feeds BOTH sides of the pair join), so the
+    // item-sized steps execute at plan build
+    "rel_bradley_terry",
     // globalRank/groupedRank's per-partition offset pass runs at plan
     // build — every rider of the rank substrate is eager, including the
     // groupedRank-based exact-percentile family

@@ -428,6 +428,12 @@ package object api {
     def cramersV(a: Column, b: Column): DataFrame =
       ops.StatOps.cramersV(df, a, b)
 
+    /** Bradley–Terry strength fit over this head-to-head comparison
+      * frame (pa, pb, win_a ∈ {0,1}) — see rel_bradley_terry. EAGER:
+      * runs the MM iterations at call. */
+    def bradleyTerry(t: Int = 6): DataFrame =
+      ops.TrainOps.bradleyTerry(df, t)
+
     /** Mutual information between two categoricals: per-cell PMI
       * contribution + total MI in nats on every row — see
       * rel_mutual_info. */

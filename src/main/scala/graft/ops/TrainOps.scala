@@ -501,13 +501,155 @@ object TrainOps {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // ------------------------------------------------------ Bradley–Terry
+
+  private val BT_T = 6 // MM iterations — geometric convergence, 6 suffices
+                       // for 6-dp-stable strengths on this comparison graph
+
+  private def r6bt(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+
+  /** Bradley–Terry preference aggregation — the pairwise-comparison →
+    * latent-strength fit behind preference-data curation (which source /
+    * annotator / model variant wins head-to-heads): p(i beats j) =
+    * w_i/(w_i+w_j), fit by Hunter's MM iteration
+    * w_i ← W_i / Σ_j n_ij/(w_i+w_j), sum-normalized each step.
+    *
+    * Scale shape: ONE corpus pass builds the comparison aggregate (wins
+    * per item, symmetric game counts per pair — both category²-sized,
+    * NEVER corpus-sized); the T iterations then join only those tiny
+    * frames against the broadcast strength vector. Callers at corpus
+    * scale stage the aggregates once (see bradleyTerryQ) so the iteration
+    * replays no corpus work.
+    *
+    * Determinism: the per-item denominator Σ_j and the normalizer Σ w
+    * quantize each term to DECIMAL(28,12) before summing (exact,
+    * order-free — a double Σ over opponents would be engine- and
+    * partitioning-dependent); each update is then ONE double division.
+    * The oracle unrolls all T steps and replays the identical ladder.
+    *
+    * EAGER (SparkEntry.eagerQueries): the strength vector appears TWICE
+    * per step (w_i and w_j sides of the pair join), so an unbroken
+    * lineage doubles the plan tree per iteration — 2^T copies of the
+    * base aggregates by step T, which stalls the optimizer long before
+    * execution. localCheckpoint after each step cuts the growth (the
+    * kcore/BFS loop discipline); the checkpointed frame is item-count
+    * sized. */
+  def bradleyTerryCounts(games: DataFrame, items: DataFrame,
+                         t: Int = BT_T): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    var wcur = items.select(col("i"), lit(1.0d).as("w")).localCheckpoint(true)
+    for (_ <- 1 to t) {
+      val den = games
+        .join(wcur.select(col("i"), col("w").as("wi")), "i")
+        .join(wcur.select(col("i").as("j"), col("w").as("wj")), "j")
+        .groupBy(col("i"))
+        .agg(sum((col("n").cast("double") / (col("wi") + col("wj")))
+          .cast(dec)).cast("double").as("den"))
+      val upd = den.join(items.select(col("i"), col("wins")), "i")
+        .select(col("i"), (col("wins").cast("double") / col("den")).as("w"))
+      val ssum = upd.agg(sum(col("w").cast(dec)).cast("double").as("s"))
+      wcur = upd.crossJoin(broadcast(ssum))
+        .select(col("i"), (col("w") / col("s")).as("w"))
+        .localCheckpoint(true)
+    }
+    items.join(wcur, "i")
+      .select(col("i").as("item"), col("wins").as("n_wins"),
+        col("n_games"), r6bt(col("w")).as("strength"))
+  }
+
+  /** Comparison-frame front end: `comp` rows are (pa, pb, win_a ∈ {0,1})
+    * head-to-heads. Builds the symmetric game counts and win totals,
+    * then runs the MM iteration. */
+  def bradleyTerry(comp: DataFrame, t: Int = BT_T): DataFrame = {
+    val games = comp.select(col("pa").as("i"), col("pb").as("j"))
+      .unionByName(comp.select(col("pb").as("i"), col("pa").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+    val wins = comp
+      .select(when(col("win_a") === 1, col("pa")).otherwise(col("pb")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("wins"))
+    val items = games.groupBy(col("i")).agg(sum(col("n")).as("n_games"))
+      .join(wins, Seq("i"), "left")
+      .select(col("i"), col("n_games"), coalesce(col("wins"), lit(0L)).as("wins"))
+    bradleyTerryCounts(games, items, t)
+  }
+
+  /** Corpus query: consecutive same-customer orders contest their
+    * priorities, higher total price wins (ties to the earlier order) —
+    * a synthetic but shape-faithful preference stream. The comparison
+    * aggregates are STAGED so the T iterations replay no corpus work. */
+  private def bradleyTerryQ(s: SparkSession, dir: String): DataFrame = {
+    val comp = Staging.staged(s, dir, "bt_comp") {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      graft.Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderpriority").as("pa"), col("o_totalprice").as("va"))
+        .withColumn("pb", lead(col("pa"), 1).over(w))
+        .withColumn("vb", lead(col("va"), 1).over(w))
+        .filter(col("pb").isNotNull && col("pa") =!= col("pb"))
+        .select(col("pa"), col("pb"),
+          (col("va") >= col("vb")).cast("int").as("win_a"))
+    }
+    bradleyTerry(comp).orderBy(col("item"))
+  }
+
+  private def btStepSql(k: Int): String =
+    s"""den$k AS MATERIALIZED (
+       |  SELECT g.i, CAST(SUM(CAST(CAST(g.n AS DOUBLE) / (wi.w + wj.w)
+       |    AS DECIMAL(28,12))) AS DOUBLE) AS den
+       |  FROM games g JOIN it${k - 1} wi ON g.i = wi.i
+       |    JOIN it${k - 1} wj ON g.j = wj.i
+       |  GROUP BY g.i
+       |), upd$k AS MATERIALIZED (
+       |  SELECT d.i, CAST(it.wins AS DOUBLE) / d.den AS w
+       |  FROM den$k d JOIN items it USING (i)
+       |), s$k AS MATERIALIZED (
+       |  SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS s FROM upd$k
+       |), it$k AS MATERIALIZED (SELECT i, w / s AS w FROM upd$k CROSS JOIN s$k)"""
+      .stripMargin
+
+  private def bradleyTerrySql: String = {
+    val steps = (1 to BT_T).map(btStepSql).mkString(",\n")
+    s"""WITH comp AS MATERIALIZED (
+       |  SELECT pa, pb, CASE WHEN va >= vb THEN 1 ELSE 0 END AS win_a FROM (
+       |    SELECT o_orderpriority AS pa, o_totalprice AS va,
+       |      lead(o_orderpriority) OVER w AS pb,
+       |      lead(o_totalprice) OVER w AS vb
+       |    FROM orders
+       |    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       |  ) WHERE pb IS NOT NULL AND pa <> pb
+       |), games AS MATERIALIZED (
+       |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT pa AS i, pb AS j FROM comp
+       |    UNION ALL SELECT pb AS i, pa AS j FROM comp
+       |  ) GROUP BY i, j
+       |), winsT AS MATERIALIZED (
+       |  SELECT i, CAST(COUNT(*) AS BIGINT) AS wins FROM (
+       |    SELECT CASE WHEN win_a = 1 THEN pa ELSE pb END AS i FROM comp
+       |  ) GROUP BY i
+       |), items AS MATERIALIZED (
+       |  SELECT t.i, t.n_games, COALESCE(w.wins, 0) AS wins
+       |  FROM (SELECT i, CAST(SUM(n) AS BIGINT) AS n_games
+       |        FROM games GROUP BY i) t
+       |  LEFT JOIN winsT w USING (i)
+       |), it0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM items),
+       |$steps
+       |SELECT it.i AS item, it.wins AS n_wins, it.n_games,
+       |  CAST(floor(f.w * 1e6 + 0.5) AS DOUBLE) / 1e6 AS strength
+       |FROM it$BT_T f JOIN items it USING (i)
+       |ORDER BY item""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_train" -> ridgeTrainCurve,
     "text_quality_apply" -> qualityApplyQ,
+    "rel_bradley_terry" -> bradleyTerryQ,
   )
 
   val oracles: Map[String, String] = Map(
     "text_quality_train" -> trainSql,
     "text_quality_apply" -> applySql,
+    "rel_bradley_terry" -> bradleyTerrySql,
   )
 }
