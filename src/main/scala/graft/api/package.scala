@@ -461,6 +461,19 @@ package object api {
     def mmrSelect(pairs: DataFrame, k: Int, lam: Double): DataFrame =
       ops.Similarity.mmrSelect(df, pairs, k, lam)
 
+    /** Lagged cross-correlation between two named series of this event
+      * frame at lags 0..maxLag — see ts_cross_corr. */
+    def crossCorr(ts: String, series: Column, value: Column,
+        seriesX: String, seriesY: String, maxLag: Int = 3): DataFrame =
+      ops.TimeSeriesOps.crossCorr(df, ts, series, value, seriesX, seriesY,
+        maxLag)
+
+    /** Kaplan–Meier survival of per-key lifetime with right-censoring
+      * near the corpus end — see rel_survival_km. */
+    def survivalKm(key: Column, ts: Column, cohort: Column,
+        censorHours: Int = 24): DataFrame =
+      ops.StatOps.survivalKm(df, key, ts, cohort, censorHours)
+
     /** Double-exponential-smoothing (Brown) level/trend + h-step
       * forecasts per series — see ts_des_forecast. */
     def desForecast(key: String, ts: String, ord: String, value: String,

@@ -169,6 +169,66 @@ object StatOps {
       .withColumnRenamed("b", "l_linestatus")
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  // ----------------------------------------------- Kaplan–Meier survival
+
+  private val KM_CENSOR_H = 24 // lookback: users active this close to the
+                               // corpus end are censored, not churned
+
+  /** Kaplan–Meier survival estimate of user lifetime (first→last activity,
+    * in whole hours) with right-censoring — the retention curve read
+    * off an event stream: users whose last event falls within
+    * `censorHours` of the corpus end are censored (still alive), not
+    * counted as churn. S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over death times.
+    *
+    * Shape: one corpus shuffle to the per-user (first, last) aggregate,
+    * then every frame is lifetime-bucket sized — the at-risk counts are
+    * a DESCENDING cumulative window and the survival product an
+    * ascending one, both over the tiny (cohort, t) aggregate, never row
+    * data. Determinism: lifetimes are exact integer-microsecond
+    * divisions; the product is computed as exp(Σ terms) where each term
+    * ln(1 − d/n) is 6 dp-quantized and the Σ runs in exact
+    * DECIMAL(18,6) (order-free); a time where ALL remaining at-risk die
+    * (1 − d/n = 0) emits survival 0 directly instead of ln(0). */
+  def survivalKm(d: DataFrame, key: Column, ts: Column, cohort: Column,
+                 censorHours: Int = KM_CENSOR_H): DataFrame = {
+    val perUser = d.groupBy(key.as("k"))
+      .agg(max(cohort).as("cohort"),
+        min(unix_micros(ts)).as("first_us"),
+        max(unix_micros(ts)).as("last_us"))
+    val horizon = perUser.agg(
+      (max(col("last_us")) - lit(censorHours.toLong * 3600000000L))
+        .as("cut_us"))
+    val lives = perUser.crossJoin(broadcast(horizon))
+      .select(col("cohort"),
+        expr("(last_us - first_us) div 3600000000").as("t"),
+        when(col("last_us") < col("cut_us"), lit(1L)).otherwise(lit(0L))
+          .as("is_death"))
+    val byT = lives.groupBy(col("cohort"), col("t"))
+      .agg(count(lit(1)).as("cnt"), sum(col("is_death")).as("d"))
+    val wRisk = Window.partitionBy(col("cohort")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = byT.withColumn("n_risk", sum(col("cnt")).over(wRisk))
+      .filter(col("d") > 0)
+    val term = r6(log(lit(1.0d)
+      - col("d").cast("double") / col("n_risk").cast("double")))
+    val wSurv = Window.partitionBy(col("cohort")).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risked
+      .withColumn("lterm", when(col("d") < col("n_risk"), term))
+      .withColumn("csum",
+        sum(col("lterm").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(wSurv).cast("double"))
+      .select(col("cohort"), col("t").as("t_hours"), col("n_risk"),
+        col("d").as("n_deaths"),
+        when(col("d") === col("n_risk"), lit(0.0d))
+          .otherwise(r6(exp(col("csum")))).as("survival"))
+  }
+
+  private def survivalQ(s: SparkSession, dir: String): DataFrame =
+    survivalKm(graft.Tables(s, dir, "events"),
+        col("user_id"), col("ts"), pmod(col("user_id"), lit(2)))
+      .orderBy(col("cohort"), col("t_hours"))
+
   // ------------------------------------------------------ Benford audit
 
   /** First-significant-digit distribution vs Benford's law — the
@@ -700,6 +760,7 @@ object StatOps {
     "rel_chi2_cells" -> chi2Q,
     "rel_benford" -> benfordQ,
     "rel_cramers_v" -> cramersVQ,
+    "rel_survival_km" -> survivalQ,
     "rel_markov_transitions" -> markovQ,
     "rel_mutual_info" -> mutualInfoQ,
     "rel_welch_ttest" -> welchQ,
@@ -925,6 +986,43 @@ object StatOps {
          |  ${r6Sql("(od * nd - rtd * ctd) * (od * nd - rtd * ctd) / (rtd * ctd * nd)")} AS chi2_contrib
          |FROM f ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "rel_benford" -> benfordOracleSql,
+    "rel_survival_km" ->
+      s"""WITH pu AS (
+         |  SELECT user_id % 2 AS cohort,
+         |    MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY user_id
+         |), hz AS (
+         |  SELECT MAX(last_us) - ${KM_CENSOR_H.toLong * 3600000000L} AS cut_us
+         |  FROM pu
+         |), lives AS (
+         |  SELECT cohort, (last_us - first_us) // 3600000000 AS t,
+         |    CASE WHEN last_us < cut_us THEN 1 ELSE 0 END AS is_death
+         |  FROM pu CROSS JOIN hz
+         |), byt AS (
+         |  SELECT cohort, t, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(is_death) AS BIGINT) AS d
+         |  FROM lives GROUP BY 1, 2
+         |), risked AS (
+         |  SELECT *, CAST(SUM(cnt) OVER (PARTITION BY cohort ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_risk
+         |  FROM byt
+         |), terms AS (
+         |  SELECT *, CASE WHEN d < n_risk THEN
+         |    ${r6Sql("ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))")}
+         |  END AS lterm
+         |  FROM risked WHERE d > 0
+         |), cum AS (
+         |  SELECT *, CAST(SUM(CAST(lterm AS DECIMAL(18,6)))
+         |    OVER (PARTITION BY cohort ORDER BY t ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS csum
+         |  FROM terms
+         |)
+         |SELECT cohort, t AS t_hours, n_risk, d AS n_deaths,
+         |  CASE WHEN d = n_risk THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ${r6Sql("exp(csum)")} END AS survival
+         |FROM cum ORDER BY cohort, t""".stripMargin,
     "rel_cramers_v" ->
       s"""WITH obs AS (
          |  SELECT o_orderpriority AS a, o_orderstatus AS b,

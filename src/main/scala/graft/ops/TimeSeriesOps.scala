@@ -517,6 +517,61 @@ object TimeSeriesOps {
         "user_id", "ts", "event_id", "value")
       .orderBy(col("user_id"), col("k"))
 
+  private val XC_LAGS = 3
+
+  /** Lagged cross-correlation between two metric series (does series X
+    * lead series Y by k buckets?) — the lead/lag diagnostic behind
+    * leading-indicator discovery and causal-ordering hypotheses: Pearson
+    * correlation between X(h) and Y(h + k) for k = 0..`maxLag`, both
+    * series being hourly decimal-exact aggregates of the event stream.
+    *
+    * Shape: ONE corpus shuffle to the (hour, series) aggregate — the
+    * bucket space, not the corpus — then per-lag equi-joins on the
+    * SHIFTED hour key over that tiny frame (a join per lag, never a
+    * cross product; missing buckets pair with nothing rather than
+    * polluting the lag alignment the way a row-offset window would on
+    * gappy series).
+    *
+    * Determinism: hourly sums are exact DECIMAL(30,6), quantized to
+    * DECIMAL(15,2) (ties away from zero in both engines) so the five
+    * Pearson moments accumulate as exact decimals with in-range
+    * products; the IEEE combination runs once per lag in autocorr's
+    * exact spelling. Degenerate (constant) sides yield NULL. */
+  def crossCorr(d: DataFrame, ts: String, series: Column, value: Column,
+                seriesX: String, seriesY: String,
+                maxLag: Int = XC_LAGS): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(15, 2)
+    val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+    val hourly = d.filter(series.isin(seriesX, seriesY))
+      .groupBy(date_trunc("hour", col(ts)).as("h"), series.as("tp"))
+      .agg(sum(value.cast(dec6)).cast(dec2).as("v"))
+    val xs = hourly.filter(col("tp") === seriesX)
+      .select(col("h"), col("v").as("x"))
+    val ys = hourly.filter(col("tp") === seriesY)
+      .select(col("h").as("hy"), col("v").as("y"))
+    val pairs = (0 to maxLag).map { k =>
+      xs.join(ys, col("hy") === col("h") + expr(s"INTERVAL '$k' HOUR"))
+        .select(lit(k).as("k"), col("x"), col("y"))
+    }.reduce(_ unionByName _)
+    val m = pairs.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sx2"),
+      sum(col("y") * col("y")).cast("double").as("sy2"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("sy2") - col("sy") * col("sy"))
+    m.select(col("k"), col("n").as("n_pairs"),
+      when(den > 0.0d, round(num / den, 6)).as("xcorr"))
+  }
+
+  private def tsCrossCorr(s: SparkSession, dir: String): DataFrame =
+    crossCorr(graft.Tables(s, dir, "events"), "ts",
+        col("event_type"), col("value"), "click", "purchase")
+      .orderBy(col("k"))
+
   private val CPK = 12       // changepoint window: k rows each side
   private val CPTHRESH = 3.0d
 
@@ -683,6 +738,7 @@ object TimeSeriesOps {
     "ts_ewma" -> tsEwma,
     "ts_des_forecast" -> tsDesForecast,
     "ts_autocorr" -> tsAutocorr,
+    "ts_cross_corr" -> tsCrossCorr,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal_decompose" -> tsSeasonalDecompose,
   )
@@ -873,6 +929,35 @@ object TimeSeriesOps {
     // weighted sum folds left in both engines
     "ts_ewma" -> ewmaOracleSql(EW, EALPHA),
     "ts_des_forecast" -> desOracleSql(EW, EALPHA, DES_H),
+    "ts_cross_corr" -> {
+      val joins = (0 to XC_LAGS).map(k =>
+        s"""  SELECT $k AS k, x, y FROM xs JOIN ys
+           |    ON hy = h + INTERVAL '$k' HOUR""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS h, event_type AS tp,
+         |    CAST(SUM(CAST("value" AS DECIMAL(30,6))) AS DECIMAL(15,2)) AS v
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1, 2
+         |), xs AS (SELECT h, v AS x FROM hourly WHERE tp = 'click'),
+         |ys AS (SELECT h AS hy, v AS y FROM hourly WHERE tp = 'purchase'),
+         |pairs AS (
+         |$joins
+         |), m AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sx2,
+         |    CAST(SUM(y * y) AS DOUBLE) AS sy2
+         |  FROM pairs GROUP BY k
+         |)
+         |SELECT k, n AS n_pairs,
+         |  CASE WHEN sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy) > 0.0
+         |    THEN round((n * sxy - sx * sy)
+         |      / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+         |  END AS xcorr
+         |FROM m ORDER BY k""".stripMargin
+    },
     // identical decimal-exact Pearson moments per (key, lag), identical
     // IEEE combination order, NULL on degenerate sides
     "ts_autocorr" -> {

@@ -89,6 +89,8 @@ class PlanAuditSpec extends SparkSpec {
     // the cell table to ONE row then cross-joins the 1-row dims/total;
     // Benford cross-joins the 1-row count onto the 9-row digit table
     "rel_mutual_info", "rel_cramers_v", "rel_benford",
+    // the censor horizon is a BROADCAST 1-row max onto the per-user frame
+    "rel_survival_km",
     // the greedy per-step argmax windows ride query-count-sized frames;
     // the candidate pool staging cross-joins the broadcast query set
     // like sim_mips_topk (bounded by design — N per query, never corpus)

@@ -10,6 +10,10 @@ class StatOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  private def hourTs(h: Int): Timestamp =
+    Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h.toLong))
+
   test("mode: deterministic tie-break picks the smaller value") {
     val d = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
       .toDF("grp", "v")
@@ -237,6 +241,41 @@ class StatOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getAs[Double]("jaccard"))).toMap
     assert(got == Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)))
+  }
+
+  test("survivalKm: textbook curve with one censored survivor") {
+    // lifetimes 0h, 1h, 2h (deaths) + one user still active at corpus
+    // end (censored): S = 3/4, then 3/4·2/3 = 1/2, then 1/2·1/2 = 1/4
+    def ev(u: Long, h: Int) = (u, hourTs(h), 0.0)
+    val d = Seq(ev(0, 0), ev(0, 2), ev(2, 0), ev(2, 1), ev(4, 0),
+      ev(6, 0), ev(6, 100)).toDF("user_id", "ts", "value")
+    val got = StatOps.survivalKm(d, col("user_id"), col("ts"),
+        pmod(col("user_id"), lit(2)))
+      .collect().map(r => r.getAs[Long]("t_hours") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_deaths"),
+          r.getAs[Double]("survival"))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(0L)._1 == 4L && got(0L)._2 == 1L)
+    assert(math.abs(got(0L)._3 - 0.75) < 2e-6)
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._3 - 0.5) < 2e-6)
+    assert(got(2L)._1 == 2L)
+    assert(math.abs(got(2L)._3 - 0.25) < 2e-6)
+  }
+
+  test("survivalKm: a time where all remaining die emits exactly 0") {
+    // u0 and u2 both die at t=2; the horizon-defining user u4 is
+    // censored with lifetime 1 < 2, so it is NOT at risk at t=2:
+    // d == n_risk there -> survival must be exactly 0, not ln(0)
+    def ev(u: Long, h: Int) = (u, hourTs(h), 0.0)
+    val d = Seq(ev(0, 0), ev(0, 2), ev(2, 0), ev(2, 2),
+      ev(4, 199), ev(4, 200)).toDF("user_id", "ts", "value")
+    val got = StatOps.survivalKm(d, col("user_id"), col("ts"), lit(0L))
+      .collect().map(r => r.getAs[Long]("t_hours") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_deaths"),
+          r.getAs[Double]("survival"))).toMap
+    assert(got.keySet == Set(2L))
+    assert(got(2L) == (2L, 2L, 0.0))
   }
 
   test("benford: digit extraction survives cents scaling; shares sum to 1") {

@@ -145,6 +145,33 @@ class TimeSeriesSpec extends SparkSpec {
       s"both smoothing passes plan as Window operators:\n$simple")
   }
 
+  test("crossCorr: a shifted copy correlates 1 exactly at its lag") {
+    // y(h) = x(h - 2): lag-2 alignment is a perfect line; lag 0 pairs a
+    // rising ramp against its 2-shifted self (still positive, < 1)
+    val xs = (0 until 12).map(h => (1L, h, h.toLong, (h * h).toDouble))
+    val ys = (2 until 14).map(h => (1L, h, 100L + h,
+      ((h - 2) * (h - 2)).toDouble))
+    val d = ev(xs).withColumn("event_type", lit("click"))
+      .unionByName(ev(ys).withColumn("event_type", lit("purchase")))
+    val got = TimeSeriesOps.crossCorr(d, "ts", col("event_type"),
+        col("value"), "click", "purchase")
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("xcorr"))).toMap
+    assert(got(2) == (12L, 1.0))
+    assert(got(0)._2 < 1.0 && got(0)._2 > 0.9)
+  }
+
+  test("crossCorr: constant series yields NULL, not a crash") {
+    val xs = (0 until 6).map(h => (1L, h, h.toLong, 5.0))
+    val ys = (0 until 6).map(h => (1L, h, 100L + h, (h * 3).toDouble))
+    val d = ev(xs).withColumn("event_type", lit("click"))
+      .unionByName(ev(ys).withColumn("event_type", lit("purchase")))
+    val got = TimeSeriesOps.crossCorr(d, "ts", col("event_type"),
+        col("value"), "click", "purchase")
+      .collect().map(r => r.getInt(0) -> r.isNullAt(2)).toMap
+    assert(got(0), "constant x side must produce NULL xcorr")
+  }
+
   test("autocorr: linear series is exactly 1, alternating series is -1 at lag 1") {
     // key 1: strictly linear (ACF 1 at every lag); key 2: alternating
     // +/-5 around 0 (ACF -1 at lag 1, +1 at lag 2).
