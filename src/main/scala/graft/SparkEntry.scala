@@ -86,6 +86,9 @@ object SparkEntry {
     // (the strength vector feeds BOTH sides of the pair join), so the
     // item-sized steps execute at plan build
     "rel_bradley_terry",
+    // greedy MMR: per-pick localCheckpoint cuts the same doubling tree
+    // (the selected set feeds both the anti-join and the max-sim join)
+    "sim_mmr_rerank",
     // globalRank/groupedRank's per-partition offset pass runs at plan
     // build — every rider of the rank substrate is eager, including the
     // groupedRank-based exact-percentile family

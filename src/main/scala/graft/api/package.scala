@@ -468,6 +468,11 @@ package object api {
       ops.TimeSeriesOps.crossCorr(df, ts, series, value, seriesX, seriesY,
         maxLag)
 
+    /** Market-basket association per co-occurring item pair: support,
+      * confidence, lift from exact counts — see rel_basket_lift. */
+    def basketLift(basket: Column, item: Column): DataFrame =
+      ops.StatOps.basketLift(df, basket, item)
+
     /** Kaplan–Meier survival of per-key lifetime with right-censoring
       * near the corpus end — see rel_survival_km. */
     def survivalKm(key: Column, ts: Column, cohort: Column,

@@ -157,8 +157,14 @@ object Similarity {
         .filter(col("rkp") === 1)
         .select(col("q_id"), lit(step.toLong).as("step"), col("vec_id"),
           col("rel"), col("maxsim"), col("mmr"))
+    // localCheckpoint per step: sel feeds BOTH the anti-join and the
+    // max-sim join of the next step, so an unbroken lineage doubles the
+    // plan tree per pick — 2^K plan copies re-executing the window
+    // ladder (measured: 64 s at sf0.1 for K=6 before the cut, sub-second
+    // after). The checkpointed frame is (queries × step)-sized. EAGER —
+    // listed in SparkEntry.eagerQueries.
     var sel = pick(cand.withColumn("maxsim", lit(0.0d))
-      .withColumn("mmr", mmrCol), 1)
+      .withColumn("mmr", mmrCol), 1).localCheckpoint(true)
     for (t <- 2 to k) {
       val remaining = cand.join(sel.select(col("q_id"), col("vec_id")),
         Seq("q_id", "vec_id"), "left_anti")
@@ -171,7 +177,7 @@ object Similarity {
         .agg(max(col("psim")).as("maxsim"))
       val scored = remaining.join(ms, Seq("q_id", "vec_id"))
         .withColumn("mmr", mmrCol)
-      sel = sel.unionByName(pick(scored, t))
+      sel = sel.unionByName(pick(scored, t)).localCheckpoint(true)
     }
     sel.select(col("q_id"), col("step"), col("vec_id"), col("rel"),
       col("maxsim"),

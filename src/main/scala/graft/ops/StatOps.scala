@@ -169,6 +169,46 @@ object StatOps {
       .withColumnRenamed("b", "l_linestatus")
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  // --------------------------------------------------- basket lift
+
+  /** Market-basket association between items co-occurring in a basket
+    * (here: event types within a user-day): support, confidence and lift
+    * per ordered item pair — the co-occurrence view that complements
+    * rel_markov_transitions' sequence view ("what happens together"
+    * vs "what happens next").
+    *
+    * Shape: one corpus shuffle to the distinct (basket, item) frame;
+    * pairs form by a basket-keyed self-equi-join (bounded by items² per
+    * basket — the item space, never the corpus); item and basket totals
+    * are category-sized aggregates joined back broadcast. All three
+    * metrics are single exact-BIGINT ratios. */
+  def basketLift(d: DataFrame, basket: Column, item: Column): DataFrame = {
+    val bi = d.select(basket.as("bk"), item.as("it")).distinct()
+    val nb = bi.agg(count_distinct(col("bk")).as("n_baskets"))
+    val ni = bi.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val pairs = bi.as("l")
+      .join(bi.as("r"), col("l.bk") === col("r.bk") &&
+        col("l.it") < col("r.it"))
+      .groupBy(col("l.it").as("a"), col("r.it").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    def dbl(c: String) = col(c).cast("double")
+    pairs
+      .join(broadcast(ni.select(col("it").as("a"), col("n_item").as("n_a"))), "a")
+      .join(broadcast(ni.select(col("it").as("b"), col("n_item").as("n_b"))), "b")
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        r6(dbl("n_ab") / dbl("n_baskets")).as("support"),
+        r6(dbl("n_ab") / dbl("n_a")).as("confidence"),
+        r6(dbl("n_ab") * dbl("n_baskets") / (dbl("n_a") * dbl("n_b")))
+          .as("lift"))
+  }
+
+  private def basketLiftQ(s: SparkSession, dir: String): DataFrame =
+    basketLift(graft.Tables(s, dir, "events"),
+        concat_ws(":", col("user_id"), date_trunc("day", col("ts"))),
+        col("event_type"))
+      .orderBy(col("a"), col("b"))
+
   // ----------------------------------------------- Kaplan–Meier survival
 
   private val KM_CENSOR_H = 24 // lookback: users active this close to the
@@ -761,6 +801,7 @@ object StatOps {
     "rel_benford" -> benfordQ,
     "rel_cramers_v" -> cramersVQ,
     "rel_survival_km" -> survivalQ,
+    "rel_basket_lift" -> basketLiftQ,
     "rel_markov_transitions" -> markovQ,
     "rel_mutual_info" -> mutualInfoQ,
     "rel_welch_ttest" -> welchQ,
@@ -986,6 +1027,25 @@ object StatOps {
          |  ${r6Sql("(od * nd - rtd * ctd) * (od * nd - rtd * ctd) / (rtd * ctd * nd)")} AS chi2_contrib
          |FROM f ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "rel_benford" -> benfordOracleSql,
+    "rel_basket_lift" ->
+      s"""WITH bi AS (
+         |  SELECT DISTINCT user_id || ':' || date_trunc('day', ts) AS bk,
+         |    event_type AS it
+         |  FROM events
+         |), nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM bi),
+         |ni AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi GROUP BY it),
+         |p AS (
+         |  SELECT l.it AS a, r.it AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, n_ab, na.n_item AS n_a, nbm.n_item AS n_b,
+         |  ${r6Sql("CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE)")} AS support,
+         |  ${r6Sql("CAST(n_ab AS DOUBLE) / CAST(na.n_item AS DOUBLE)")} AS confidence,
+         |  ${r6Sql("CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)" +
+                   " / (CAST(na.n_item AS DOUBLE) * CAST(nbm.n_item AS DOUBLE))")} AS lift
+         |FROM p JOIN ni na ON p.a = na.it JOIN ni nbm ON p.b = nbm.it
+         |CROSS JOIN nb ORDER BY a, b""".stripMargin,
     "rel_survival_km" ->
       s"""WITH pu AS (
          |  SELECT user_id % 2 AS cohort,

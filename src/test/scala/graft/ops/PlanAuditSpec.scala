@@ -91,6 +91,8 @@ class PlanAuditSpec extends SparkSpec {
     "rel_mutual_info", "rel_cramers_v", "rel_benford",
     // the censor horizon is a BROADCAST 1-row max onto the per-user frame
     "rel_survival_km",
+    // the basket total is a BROADCAST 1-row count onto the item-pair table
+    "rel_basket_lift",
     // the greedy per-step argmax windows ride query-count-sized frames;
     // the candidate pool staging cross-joins the broadcast query set
     // like sim_mips_topk (bounded by design — N per query, never corpus)

@@ -243,6 +243,32 @@ class StatOpsSpec extends SparkSpec {
     assert(got == Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)))
   }
 
+  test("basketLift: co-occurring rares lift 2, ubiquitous partner lifts 1") {
+    // 4 baskets: {p,q,x} {p,q,x} {r,x} {r,x} — p and q always together
+    // (rare pair, lift 2·4/(2·2) = 2); x is in every basket so any pair
+    // with x reads lift 1 (ubiquity IS independence); q-r never co-occur
+    val rows = Seq(
+      (1, "p"), (1, "q"), (1, "x"), (2, "p"), (2, "q"), (2, "x"),
+      (3, "r"), (3, "x"), (4, "r"), (4, "x"))
+    val got = StatOps.basketLift(rows.toDF("bk", "it"), col("bk"), col("it"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val pq = got(("p", "q"))
+    assert(pq.getAs[Long]("n_ab") == 2L)
+    assert(pq.getAs[Double]("confidence") == 1.0)
+    assert(pq.getAs[Double]("lift") == 2.0)
+    assert(pq.getAs[Double]("support") == 0.5)
+    val px = got(("p", "x"))
+    assert(px.getAs[Double]("lift") == 1.0)
+    assert(!got.contains(("q", "r")))
+    // duplicate events in a basket must not inflate counts (distinct)
+    val dup = StatOps.basketLift(
+      (rows ++ Seq((1, "p"), (1, "p"))).toDF("bk", "it"),
+      col("bk"), col("it")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_ab"))
+      .toMap
+    assert(dup(("p", "q")) == 2L)
+  }
+
   test("survivalKm: textbook curve with one censored survivor") {
     // lifetimes 0h, 1h, 2h (deaths) + one user still active at corpus
     // end (censored): S = 3/4, then 3/4·2/3 = 1/2, then 1/2·1/2 = 1/4
