@@ -89,6 +89,9 @@ object SparkEntry {
     // greedy MMR: per-pick localCheckpoint cuts the same doubling tree
     // (the selected set feeds both the anti-join and the max-sim join)
     "sim_mmr_rerank",
+    // grid-density clustering: the components kernel iterates RDD
+    // supersteps at build (dedup_clusters/graph_components discipline)
+    "geo_cluster_grid",
     // globalRank/groupedRank's per-partition offset pass runs at plan
     // build — every rider of the rank substrate is eager, including the
     // groupedRank-based exact-percentile family

@@ -468,6 +468,12 @@ package object api {
       ops.TimeSeriesOps.crossCorr(df, ts, series, value, seriesX, seriesY,
         maxLag)
 
+    /** Grid-density spatial clustering of this frame's lat/lon columns
+      * (dense cells, 8-adjacency components) — see geo_cluster_grid.
+      * EAGER: iterates the components kernel at call. */
+    def clusterGrid(minPts: Long): DataFrame =
+      ops.GeoOps.clusterGrid(df, minPts)
+
     /** Market-basket association per co-occurring item pair: support,
       * confidence, lift from exact counts — see rel_basket_lift. */
     def basketLift(basket: Column, item: Column): DataFrame =

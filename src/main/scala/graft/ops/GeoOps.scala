@@ -261,8 +261,58 @@ object GeoOps {
     out
   }
 
+  private val DBSCAN_MINPTS = 30L
+
+  /** Grid-density spatial clustering (the scalable DBSCAN shape): cells
+    * with ≥ `minPts` points are dense, 8-adjacent dense cells connect,
+    * connected groups are clusters — reported as (cluster_id, n_cells,
+    * n_points). The per-point ε-neighborhood of textbook DBSCAN is
+    * replaced by the grid census, which is ONE hash aggregate on the
+    * cell key; adjacency forms by the SAME 3×3 neighbor-key explode +
+    * equi-join as geo_proximity_pairs (never a cells² join), and the
+    * components run on `DedupOps.clusterPairs`' pointer-doubling kernel
+    * over the dense-cell graph — a frame bounded by the occupied-grid
+    * size, not the corpus. Isolated dense cells are singleton clusters
+    * (left-anti against the edge set), not dropped.
+    *
+    * EAGER (SparkEntry.eagerQueries): the components kernel iterates
+    * RDD supersteps at build. */
+  private def clusterGridQ(s: SparkSession, dir: String): DataFrame =
+    clusterGrid(points(s, dir), DBSCAN_MINPTS)
+
+  /** PUBLIC core over any frame with `lat`/`lon` double columns — see
+    * clusterGridQ. EAGER: iterates the components kernel at call. */
+  def clusterGrid(pts: DataFrame, minPts: Long): DataFrame = {
+    val dense = pts
+      .groupBy(floor(col("lat")).cast("long").as("cla"),
+        floor(col("lon")).cast("long").as("clo"))
+      .agg(count(lit(1)).as("n_points"))
+      .filter(col("n_points") >= minPts)
+      // injective cell id: lat cell ∈ [-90, 89], lon cell ∈ [-180, 179]
+      .withColumn("cid", (col("cla") + 90L) * 1000L + (col("clo") + 180L))
+      .localCheckpoint(true) // read by explode side, home side, anti-join
+    val nbrKeys = array((for (dy <- -1 to 1; dx <- -1 to 1) yield
+      (col("cla") + dy + 90L) * 1000L + (col("clo") + dx + 180L)): _*)
+    val edges = dense
+      .select(col("cid").as("d1"), explode(nbrKeys).as("nkey"))
+      .join(dense.select(col("cid").as("d2")), col("nkey") === col("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+    val comps = DedupOps.clusterPairs(edges)
+      .select(col("doc_id").as("cid"), col("cluster_id"))
+    val singles = dense.select(col("cid"))
+      .join(comps.select(col("cid")), Seq("cid"), "left_anti")
+      .select(col("cid"), col("cid").as("cluster_id"))
+    comps.unionByName(singles)
+      .join(dense.select(col("cid"), col("n_points")), "cid")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_points")).as("n_points"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid_cells" -> gridCellsQ,
+    "geo_cluster_grid" -> clusterGridQ,
     "geo_proximity_pairs" -> proximityQ,
     "geo_join_rule" -> geoJoinRuleQ,
     "geo_knn_radius" -> knnRadiusQ,
@@ -271,6 +321,36 @@ object GeoOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "geo_cluster_grid" ->
+      s"""WITH RECURSIVE $pointsSql,
+         |dense AS (
+         |  SELECT CAST(floor(lat) AS BIGINT) AS cla,
+         |    CAST(floor(lon) AS BIGINT) AS clo,
+         |    CAST(COUNT(*) AS BIGINT) AS n_points
+         |  FROM pts GROUP BY 1, 2 HAVING COUNT(*) >= $DBSCAN_MINPTS
+         |), cells AS (
+         |  SELECT (cla + 90) * 1000 + (clo + 180) AS cid, cla, clo, n_points
+         |  FROM dense
+         |), und AS (
+         |  SELECT a.cid AS u, b.cid AS v FROM cells a JOIN cells b
+         |  ON abs(a.cla - b.cla) <= 1 AND abs(a.clo - b.clo) <= 1
+         |    AND a.cid <> b.cid
+         |), reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+         |  UNION
+         |  SELECT e.u, reach.r FROM und e JOIN reach ON e.v = reach.u
+         |), lab AS (
+         |  SELECT u AS cid, MIN(r) AS cluster_id FROM reach GROUP BY u
+         |), allLab AS (
+         |  SELECT cid, cluster_id FROM lab
+         |  UNION ALL
+         |  SELECT cid, cid FROM cells
+         |  WHERE cid NOT IN (SELECT u FROM und)
+         |)
+         |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(c.n_points) AS BIGINT) AS n_points
+         |FROM allLab JOIN cells c USING (cid)
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "geo_grid_cells" ->
       s"""WITH $pointsSql
          |SELECT CAST(floor(lat) AS BIGINT) AS cell_lat,

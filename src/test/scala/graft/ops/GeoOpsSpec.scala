@@ -88,6 +88,24 @@ class GeoOpsSpec extends SparkSpec {
     assert(df.count() == df.select("e1", "e2").distinct().count())
   }
 
+  test("clusterGrid: adjacent dense cells merge, diagonal counts, sparse drops") {
+    import spark.implicits._
+    // blob A: cells (0,0) + (0,1) + diagonal (1,2) — all dense, one
+    // cluster of 3 cells; blob B: isolated dense cell (5,5) — singleton;
+    // cell (9,9) has 2 points < minPts — excluded entirely
+    def cell(cla: Int, clo: Int, n: Int) =
+      (1 to n).map(i => (cla + 0.5, clo + (i % 7) / 10.0))
+    val pts = (cell(0, 0, 3) ++ cell(0, 1, 3) ++ cell(1, 2, 3) ++
+      cell(5, 5, 4) ++ cell(9, 9, 2)).toDF("lat", "lon")
+    val got = GeoOps.clusterGrid(pts, minPts = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_cells"), r.getAs[Long]("n_points"))).toMap
+    // ids: cid = (cla+90)*1000 + clo+180 → (0,0)=90180 is the min label
+    assert(got(90180L) == (3L, 9L), s"blob A: $got")
+    assert(got((5 + 90) * 1000L + 5 + 180) == (1L, 4L), s"blob B: $got")
+    assert(got.size == 2, s"sparse cell must not appear: $got")
+  }
+
   test("track distance: per-user path is non-negative with n-1 steps") {
     import spark.implicits._
     val out = GeoOps.queries("geo_track_distance")(spark, sf)
