@@ -468,6 +468,11 @@ package object api {
       ops.TimeSeriesOps.crossCorr(df, ts, series, value, seriesX, seriesY,
         maxLag)
 
+    /** Gini/Lorenz concentration of `value` mass across `key` — see
+      * rel_gini_concentration. EAGER: rank substrate runs at call. */
+    def giniConcentration(key: Column, value: Column): DataFrame =
+      ops.StatOps.giniConcentration(df, key, value)
+
     /** Grid-density spatial clustering of this frame's lat/lon columns
       * (dense cells, 8-adjacency components) — see geo_cluster_grid.
       * EAGER: iterates the components kernel at call. */

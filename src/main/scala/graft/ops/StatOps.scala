@@ -169,6 +169,40 @@ object StatOps {
       .withColumnRenamed("b", "l_linestatus")
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  // -------------------------------------------- Gini concentration
+
+  /** Gini coefficient of a nonnegative measure across keys (the Lorenz
+    * concentration: 0 = evenly spread, →1 = one key holds everything) —
+    * the mixture-design diagnostic for "how concentrated is revenue /
+    * token mass across customers / sources". Computed from the rank
+    * identity G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) over ascending-rank
+    * totals.
+    *
+    * Shape: one corpus shuffle to the per-key totals (exact DECIMAL
+    * sums of 2 dp-quantized values), then `Relational2.globalRank` —
+    * a range exchange, NOT a single-partition window — ranks the
+    * key-cardinality frame; the two moment sums are exact decimals and
+    * the G formula is ONE double expression. EAGER: the rank
+    * substrate's offset pass runs at plan build. */
+  def giniConcentration(d: DataFrame, key: Column, value: Column): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(15, 2)
+    val totals = d.select(key.as("k"), value.cast(dec2).as("x"))
+      .groupBy(col("k")).agg(sum(col("x")).as("x"))
+    val ranked = Relational2.globalRank(totals, col("x"), col("k"))
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("__rank")).as("srx"))
+    def dbl(c: String) = col(c).cast("double")
+    m.select(col("n").as("n_keys"),
+      r6((lit(2.0d) * dbl("srx") - (dbl("n") + lit(1.0d)) * dbl("sx"))
+        / (dbl("n") * dbl("sx"))).as("gini"))
+  }
+
+  private def giniConcQ(s: SparkSession, dir: String): DataFrame =
+    giniConcentration(graft.Tables(s, dir, "orders"),
+      col("o_custkey"), col("o_totalprice"))
+
   // --------------------------------------------------- basket lift
 
   /** Market-basket association between items co-occurring in a basket
@@ -802,6 +836,7 @@ object StatOps {
     "rel_cramers_v" -> cramersVQ,
     "rel_survival_km" -> survivalQ,
     "rel_basket_lift" -> basketLiftQ,
+    "rel_gini_concentration" -> giniConcQ,
     "rel_markov_transitions" -> markovQ,
     "rel_mutual_info" -> mutualInfoQ,
     "rel_welch_ttest" -> welchQ,
@@ -1027,6 +1062,23 @@ object StatOps {
          |  ${r6Sql("(od * nd - rtd * ctd) * (od * nd - rtd * ctd) / (rtd * ctd * nd)")} AS chi2_contrib
          |FROM f ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "rel_benford" -> benfordOracleSql,
+    "rel_gini_concentration" ->
+      s"""WITH t AS (
+         |  SELECT o_custkey AS k,
+         |    SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS x
+         |  FROM orders GROUP BY 1
+         |), r AS (
+         |  SELECT x, row_number() OVER (ORDER BY x, k) AS rnk FROM t
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+         |    SUM(x * rnk) AS srx
+         |  FROM r
+         |)
+         |SELECT n AS n_keys,
+         |  ${r6Sql("(2.0 * CAST(srx AS DOUBLE)" +
+                   " - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))" +
+                   " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))")} AS gini
+         |FROM m""".stripMargin,
     "rel_basket_lift" ->
       s"""WITH bi AS (
          |  SELECT DISTINCT user_id || ':' || date_trunc('day', ts) AS bk,

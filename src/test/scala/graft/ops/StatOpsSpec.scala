@@ -243,6 +243,27 @@ class StatOpsSpec extends SparkSpec {
     assert(got == Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)))
   }
 
+  test("giniConcentration: uniform 0, fully concentrated (n-1)/n") {
+    val uni = (1 to 10).map(k => (k.toLong, 5.0)).toDF("k", "v")
+    val g0 = StatOps.giniConcentration(uni, col("k"), col("v"))
+      .collect().head
+    assert(g0.getAs[Long]("n_keys") == 10L)
+    assert(g0.getAs[Double]("gini") == 0.0)
+    // one key holds everything: G = (n-1)/n = 0.9 (finite-population max)
+    val conc = ((1 to 9).map(k => (k.toLong, 0.0)) :+ (10L, 100.0))
+      .toDF("k", "v")
+    val g1 = StatOps.giniConcentration(conc, col("k"), col("v"))
+      .collect().head
+    assert(g1.getAs[Double]("gini") == 0.9)
+    // multiple rows per key aggregate before ranking
+    val multi = (uni.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      ++ Seq((1L, 5.0))).toSeq.toDF("k", "v")
+    val g2 = StatOps.giniConcentration(multi, col("k"), col("v"))
+      .collect().head
+    assert(g2.getAs[Long]("n_keys") == 10L)
+    assert(g2.getAs[Double]("gini") > 0.0)
+  }
+
   test("basketLift: co-occurring rares lift 2, ubiquitous partner lifts 1") {
     // 4 baskets: {p,q,x} {p,q,x} {r,x} {r,x} — p and q always together
     // (rare pair, lift 2·4/(2·2) = 2); x is in every basket so any pair
