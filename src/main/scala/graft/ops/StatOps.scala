@@ -239,7 +239,13 @@ object StatOps {
 
   private def basketLiftQ(s: SparkSession, dir: String): DataFrame =
     basketLift(graft.Tables(s, dir, "events"),
-        concat_ws(":", col("user_id"), date_trunc("day", col("ts"))),
+        // numeric basket key (user, epoch-day): a LONG shuffles, hashes
+        // and compares for a fraction of the string-concat form's cost,
+        // and the key is engine-internal — only the grouping semantics
+        // must agree with the oracle, not the key's spelling
+        col("user_id") * lit(1000000L)
+          + (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+            .cast("long"),
         col("event_type"))
       .orderBy(col("a"), col("b"))
 

@@ -44,6 +44,42 @@ class MmrSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mmrSelect: matches a brute-force greedy reference on hash data") {
+    // deterministic pseudo-random pools (no RNG — hash arithmetic), 3
+    // queries x 12 candidates, full pair matrix; the dataflow must pick
+    // exactly what a sequential in-memory greedy picks
+    def rel(q: Long, c: Long): Double = ((q * 31 + c * 17) % 97) / 97.0
+    def psim(q: Long, a: Long, b: Long): Double =
+      (((q * 7 + a * 13 + b * 13) % 89) / 89.0 + 0.0) // symmetric in (a,b)
+    val qs = 0L until 3L
+    val cs = 0L until 12L
+    val cand = (for (q <- qs; c <- cs) yield (q, c, rel(q, c)))
+      .toDF("q_id", "vec_id", "rel")
+    val pairs = (for (q <- qs; a <- cs; b <- cs if a != b)
+      yield (q, a, b, psim(q, a, b))).toDF("q_id", "a_id", "b_id", "psim")
+    val lam = 0.7
+    val k = 5
+    val got = Similarity.mmrSelect(cand, pairs, k, lam)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // in-memory greedy reference
+    for (q <- qs) {
+      var selected = Vector.empty[Long]
+      for (step <- 1 to k) {
+        val remaining = cs.filterNot(selected.contains)
+        val best = remaining.minBy { c =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(s => psim(q, c, s)).max
+          val score = lam * rel(q, c) - (1.0 - lam) * ms
+          (-score, c) // max score, then min vec_id
+        }
+        assert(got((q, step.toLong)) == best,
+          s"q=$q step=$step: dataflow ${got((q, step.toLong))} vs ref $best")
+        selected :+= best
+      }
+    }
+  }
+
   test("mmrSelect: per-query independence and the vec_id tie-break") {
     // q 1: two candidates with equal rel and equal redundancy — the
     // smaller vec_id must win step 2 deterministically

@@ -42,7 +42,11 @@ object DumpPlans {
       "rel_corr_regr" -> "exact integer moment sums (every moment through decimal — DECIMAL(19,0) casts are lossless for any long, products cap at DECIMAL(38,0), overflow surfaces as NULL, never a silent wrap) with map-side partial aggregation; the IEEE formula runs once per group row",
       "rel_ks_drift" -> "exact two-sample KS on the FUSED rank substrate (r13): ONE range exchange attaches global AND in-sample ranks as riders; sample sizes read from the rider columns, so no second aggregate, no cross join, no row-id join — one Scan ExistingRDD, one hash aggregate per value block, TakeOrdered(1)",
       "mm_phash_neardup" -> "perceptual near-dup: 63-bit dHash from position-partitioned pooled cells (explode → two keyed aggregates + lead window), then candidates ONLY from the 3x21-bit pigeonhole chunk equi-self-join with first-agreeing-chunk dedup — never all-pairs; the staged fingerprint frame feeds both join sides",
-      "rel_percentile" -> "exact interpolated percentiles on the groupedRank substrate: ONE range exchange spreads each group across the cluster (counts job + rank job share the pinned InternalRow lineage), a boundary-row filter keeps <=2 rows per (group, percentile), and a tiny hash aggregate interpolates — no whole-group-in-one-buffer ImperativeAggregate anywhere")
+      "rel_percentile" -> "exact interpolated percentiles on the groupedRank substrate: ONE range exchange spreads each group across the cluster (counts job + rank job share the pinned InternalRow lineage), a boundary-row filter keeps <=2 rows per (group, percentile), and a tiny hash aggregate interpolates — no whole-group-in-one-buffer ImperativeAggregate anywhere",
+      "ts_des_forecast" -> "double exponential smoothing (r14): BOTH truncated smoothing kernels stack as Window operators over ONE exchange + sort — same partitioning, same order, the second pass lags the first's rounded output; forecast arithmetic is a narrow projection",
+      "rel_survival_km" -> "Kaplan-Meier: one corpus shuffle to the per-user (first, last) aggregate, broadcast 1-row censor horizon, then DESC-cumulative at-risk and ASC-cumulative exact-decimal ln-sum windows over the lifetime-bucket-sized frame — row data is never windowed",
+      "rel_basket_lift" -> "market-basket lift: distinct (basket, item) on a NUMERIC composite key, pairs from a basket-keyed self-equi-join (bounded by items^2 per basket), category-sized item totals broadcast back with the 1-row basket count",
+      "ts_cross_corr" -> "lagged cross-correlation: one corpus shuffle to the (hour, series) decimal aggregate, per-lag equi-joins on the SHIFTED hour key over that tiny frame (gap-correct), exact-decimal Pearson moments per lag")
     val sb = new StringBuilder
     sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
     sb ++= "Regenerate with `sbt \"Test/runMain graft.tmp.DumpPlans\"`.\n"
