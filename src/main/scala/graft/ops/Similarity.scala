@@ -1049,6 +1049,60 @@ object Similarity {
       .orderBy(col("method"), col("q_id"))
   }
 
+  private val MAT_DIMS = Seq(8, 16, 32)
+
+  /** Matryoshka truncation-recall curve: recall@K of top-K search run on
+    * only the FIRST d dimensions (d = 8/16/32 of 64) against the
+    * full-dimension exact truth — the serving-cost dial modern
+    * nested-representation embeddings expose (truncate → smaller index,
+    * cheaper dot products; this query measures what that buys/costs on
+    * THIS corpus, the number an index planner reads before picking d).
+    *
+    * Plan: truncated norms are precomputed ONCE per side (three extra
+    * columns in the scan projection — never per pair), the broadcast
+    * query join scores all three truncations in one candidate pass, and
+    * the per-(d, query) top-K is a WindowGroupLimit over the scored
+    * stream. Truth comes from the SHARED staged exact-truth frame. */
+  private def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val wSim = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truth = exactScoredPairs(s, dir)
+      .filter(col("vec_id") >= N_QUERIES)
+      .withColumn("rk", row_number().over(wSim))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id"))
+    def withTruncNorms(d: DataFrame): DataFrame =
+      MAT_DIMS.foldLeft(d)((acc, dd) =>
+        acc.withColumn(s"n$dd", norm(slice(col("v"), 1, dd))))
+    val e = withTruncNorms(emb(s, dir))
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id") +: col("v").as("qv") +:
+        MAT_DIMS.map(dd => col(s"n$dd").as(s"qn$dd")): _*)
+    val scored = e.filter(col("vec_id") >= N_QUERIES).join(broadcast(q))
+    val perD = MAT_DIMS.map { dd =>
+      scored.select(lit(dd).as("dims"), col("q_id"), col("vec_id"),
+        round(dot(slice(col("v"), 1, dd), slice(col("qv"), 1, dd))
+          / (col(s"n$dd") * col(s"qn$dd")), 6).as("sim"))
+    }.reduce(_ unionByName _)
+    val wD = Window.partitionBy(col("dims"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val approx = perD.withColumn("rk", row_number().over(wD))
+      .filter(col("rk") <= K)
+      .select(col("dims").as("adims"), col("q_id").as("aq"),
+        col("vec_id").as("av"))
+    import s.implicits._
+    val dimsDf = MAT_DIMS.toDF("dims")
+    truth.crossJoin(broadcast(dimsDf))
+      .join(approx,
+        col("dims") === col("adims") && col("q_id") === col("aq")
+          && col("vec_id") === col("av"), "left")
+      .groupBy(col("dims"), col("q_id"))
+      .agg(count(col("aq")).as("n_hits"))
+      .select(col("dims"), col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / K, 6).as("recall"))
+      .orderBy(col("dims"), col("q_id"))
+  }
+
   /** EMBEDDING DRIFT between two corpus slices — the vector-space
     * companion to rel_ks_drift: when an embedding model is retrained or
     * the upstream corpus shifts, per-label centroids move, and a serving
@@ -1262,6 +1316,7 @@ object Similarity {
     "sim_pca_project" -> pcaProjectQ,
     "sim_cosine_topk" -> cosineTopK,
     "sim_mmr_rerank" -> mmrRerank,
+    "sim_matryoshka_recall" -> matryoshkaRecall,
     "sim_mips_topk" -> mipsTopK,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
@@ -1754,6 +1809,39 @@ object Similarity {
     },
     "sim_cosine_topk" -> cosineTopkSql,
     "sim_mmr_rerank" -> mmrRerankSql,
+    "sim_matryoshka_recall" -> {
+      def truncSel(dd: Int) = {
+        val dotT =
+          s"list_reduce(list_transform(generate_series(1, $dd), i -> e.v[i]*qq.qv[i]), (a,x) -> a+x)"
+        val nc =
+          s"sqrt(list_reduce(list_transform(e.v[1:$dd], x -> x*x), (a,x) -> a+x))"
+        val nq =
+          s"sqrt(list_reduce(list_transform(qq.qv[1:$dd], x -> x*x), (a,x) -> a+x))"
+        s"""  SELECT $dd AS dims, qq.q_id, e.vec_id,
+           |    round($dotT / ($nc * $nq), 6) AS sim
+           |  FROM e CROSS JOIN qq WHERE e.vec_id >= $N_QUERIES""".stripMargin
+      }
+      s"""WITH $eCte,
+         |qq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $N_QUERIES),
+         |truth AS (SELECT q_id, vec_id FROM ($cosineTopkSql)),
+         |perd AS (
+         |${MAT_DIMS.map(truncSel).mkString("\n  UNION ALL\n")}
+         |), approx AS (
+         |  SELECT dims, q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY dims, q_id
+         |      ORDER BY sim DESC, vec_id ASC) AS rk FROM perd
+         |  ) WHERE rk <= $K
+         |), expected AS (
+         |  SELECT d.dims, t.q_id, t.vec_id
+         |  FROM truth t CROSS JOIN
+         |    (SELECT unnest([${MAT_DIMS.mkString(", ")}]) AS dims) d
+         |)
+         |SELECT x.dims, x.q_id, CAST(COUNT(a.q_id) AS BIGINT) AS n_hits,
+         |  round(COUNT(a.q_id) / $K.0, 6) AS recall
+         |FROM expected x LEFT JOIN approx a
+         |  ON x.dims = a.dims AND x.q_id = a.q_id AND x.vec_id = a.vec_id
+         |GROUP BY x.dims, x.q_id ORDER BY x.dims, x.q_id""".stripMargin
+    },
     "sim_mips_topk" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $N_QUERIES),

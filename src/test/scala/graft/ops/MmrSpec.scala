@@ -80,6 +80,22 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("matryoshka recall: bounded, K-capped, more dims no worse on average") {
+    val got = Similarity.queries("sim_matryoshka_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(got.length == 24) // 3 truncations x 8 queries
+    got.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hits") <= 5L)
+    }
+    def mean(d: Int) = got.filter(_.getInt(0) == d)
+      .map(_.getAs[Double]("recall")).sum / 8.0
+    // on the deterministic corpus the curve is monotone in expectation
+    assert(mean(32) >= mean(8),
+      s"mean recall should not degrade with more dims: ${mean(8)} vs ${mean(32)}")
+  }
+
   test("mmrSelect: per-query independence and the vec_id tie-break") {
     // q 1: two candidates with equal rel and equal redundancy — the
     // smaller vec_id must win step 2 deterministically

@@ -97,6 +97,10 @@ class PlanAuditSpec extends SparkSpec {
     // the candidate pool staging cross-joins the broadcast query set
     // like sim_mips_topk (bounded by design — N per query, never corpus)
     "sim_mmr_rerank",
+    // candidates cross the BROADCAST query set (the brute-force recall
+    // contract, as sim_mips_topk); the truth frame crosses the 3-row
+    // broadcast dims literal
+    "sim_matryoshka_recall",
     // zipf's own 1-row-total broadcast pattern, bigram vocabulary
     "text_bigram_topk",
     // brute-force MIPS scores candidates against the BROADCAST query set
