@@ -461,6 +461,17 @@ package object api {
     def mmrSelect(pairs: DataFrame, k: Int, lam: Double): DataFrame =
       ops.Similarity.mmrSelect(df, pairs, k, lam)
 
+    /** Dominant ACF period per series of this event frame (lag ≥ 2
+      * argmax over the hourly aggregate) — see ts_dominant_period. */
+    def dominantPeriod(series: String, ts: String, value: String,
+        maxLag: Int = 26, minLag: Int = 2): DataFrame =
+      ops.TimeSeriesOps.dominantPeriod(df, series, ts, value, maxLag, minLag)
+
+    /** Per-group Shannon entropy (+ normalized H/ln k) of a categorical
+      * — see rel_entropy. */
+    def entropyBy(group: Column, cls: Column): DataFrame =
+      ops.StatOps.entropyBy(df, group, cls)
+
     /** Lagged cross-correlation between two named series of this event
       * frame at lags 0..maxLag — see ts_cross_corr. */
     def crossCorr(ts: String, series: Column, value: Column,

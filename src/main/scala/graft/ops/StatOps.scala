@@ -169,6 +169,42 @@ object StatOps {
       .withColumnRenamed("b", "l_linestatus")
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  // ---------------------------------------------------- Shannon entropy
+
+  /** Per-group Shannon entropy of a categorical column (nats) plus the
+    * [0,1]-normalized form H/ln(k) — the diversity gauge that reads the
+    * opposite end from gini_impurity's purity and makes groups with
+    * different class counts comparable. Same plan family: ONE shuffle to
+    * the (group, class) aggregate, marginals broadcast back, each term
+    * (c/n)·ln(c/n) 6 dp-quantized (the PSI ln contract) and Σ'd in exact
+    * DECIMAL(18,6) — order-free. Single-class groups emit norm_entropy 0
+    * directly (ln(1) = 0 denominators never divide). */
+  def entropyBy(d: DataFrame, group: Column, cls: Column): DataFrame = {
+    val counts = d.groupBy(group.as("grp"), cls.as("cls"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_classes"))
+    def dbl(c: String) = col(c).cast("double")
+    val p = dbl("cnt") / dbl("n")
+    val term = r6(p * log(p))
+    counts.join(broadcast(tot), "grp")
+      .select(col("grp"), col("n"), col("n_classes"), term.as("t"))
+      .groupBy(col("grp"), col("n"), col("n_classes"))
+      .agg((-sum(col("t")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double")).as("entropy"))
+      .select(col("grp"), col("n"), col("n_classes"),
+        r6(col("entropy")).as("entropy"),
+        when(col("n_classes") === 1, lit(0.0d))
+          .otherwise(r6(col("entropy")
+            / log(col("n_classes").cast("double")))).as("norm_entropy"))
+  }
+
+  private def entropyQ(s: SparkSession, dir: String): DataFrame =
+    entropyBy(graft.Tables(s, dir, "documents"), col("source"), col("lang"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+
   // -------------------------------------------- Gini concentration
 
   /** Gini coefficient of a nonnegative measure across keys (the Lorenz
@@ -843,6 +879,7 @@ object StatOps {
     "rel_survival_km" -> survivalQ,
     "rel_basket_lift" -> basketLiftQ,
     "rel_gini_concentration" -> giniConcQ,
+    "rel_entropy" -> entropyQ,
     "rel_markov_transitions" -> markovQ,
     "rel_mutual_info" -> mutualInfoQ,
     "rel_welch_ttest" -> welchQ,
@@ -1068,6 +1105,30 @@ object StatOps {
          |  ${r6Sql("(od * nd - rtd * ctd) * (od * nd - rtd * ctd) / (rtd * ctd * nd)")} AS chi2_contrib
          |FROM f ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "rel_benford" -> benfordOracleSql,
+    "rel_entropy" ->
+      s"""WITH c AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS n_classes
+         |  FROM c GROUP BY 1
+         |), terms AS (
+         |  SELECT c.source, t.n, t.n_classes,
+         |    ${r6Sql("(CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE))" +
+                     " * ln(CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE))")} AS trm
+         |  FROM c JOIN tot t USING (source)
+         |), h AS (
+         |  SELECT source, n, n_classes,
+         |    -CAST(SUM(CAST(trm AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+         |  FROM terms GROUP BY 1, 2, 3
+         |)
+         |SELECT source, n, n_classes,
+         |  ${r6Sql("entropy")} AS entropy,
+         |  CASE WHEN n_classes = 1 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE ${r6Sql("entropy / ln(CAST(n_classes AS DOUBLE))")}
+         |  END AS norm_entropy
+         |FROM h ORDER BY source""".stripMargin,
     "rel_gini_concentration" ->
       s"""WITH t AS (
          |  SELECT o_custkey AS k,

@@ -572,6 +572,45 @@ object TimeSeriesOps {
         col("event_type"), col("value"), "click", "purchase")
       .orderBy(col("k"))
 
+  private val DP_MAXLAG = 26 // enough to see the corpus's 24h season
+  private val DP_MINLAG = 2  // lag 1 is smoothness, not seasonality
+
+  /** Dominant period per metric series: the lag in [DP_MINLAG, maxLag]
+    * with the highest autocorrelation of the hourly aggregate — the
+    * season detector a forecasting pipeline runs before choosing model
+    * seasonality (hourly corpus + maxLag 26 ⇒ a daily cycle reads 24).
+    * Lag 1 is excluded: adjacent-bucket correlation measures smoothness,
+    * not periodicity.
+    *
+    * Plan: one corpus shuffle to the (series, hour) decimal aggregate,
+    * then the WHOLE ACF head in one keyed window over that bucket-count
+    * frame (autocorr's lag-composition machinery), and an argmax window
+    * over the (series, lag)-sized ACF table. Determinism: autocorr's
+    * exact-decimal moments; argmax ties break toward the SHORTER lag. */
+  private def tsDominantPeriod(s: SparkSession, dir: String): DataFrame =
+    dominantPeriod(graft.Tables(s, dir, "events"),
+        "event_type", "ts", "value", DP_MAXLAG, DP_MINLAG)
+      .orderBy(col("event_type"))
+
+  /** PUBLIC core over any (series, ts, value)-shaped frame — see
+    * tsDominantPeriod. */
+  def dominantPeriod(d: DataFrame, series: String, ts: String,
+                     value: String, maxLag: Int = DP_MAXLAG,
+                     minLag: Int = DP_MINLAG): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+    val dec2 = org.apache.spark.sql.types.DecimalType(15, 2)
+    val hourly = d
+      .groupBy(col(series), date_trunc("hour", col(ts)).as("h"))
+      .agg(sum(col(value).cast(dec6)).cast(dec2).as("v"))
+      .withColumn("hid", col("h"))
+    val acf = autocorr(hourly, series, "h", "hid", "v", maxLag)
+      .filter(col("acf").isNotNull && col("k") >= minLag)
+    val w = Window.partitionBy(col(series))
+      .orderBy(col("acf").desc, col("k").asc)
+    acf.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col(series), col("k").as("period"), col("acf"))
+  }
+
   private val CPK = 12       // changepoint window: k rows each side
   private val CPTHRESH = 3.0d
 
@@ -739,6 +778,7 @@ object TimeSeriesOps {
     "ts_des_forecast" -> tsDesForecast,
     "ts_autocorr" -> tsAutocorr,
     "ts_cross_corr" -> tsCrossCorr,
+    "ts_dominant_period" -> tsDominantPeriod,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal_decompose" -> tsSeasonalDecompose,
   )
@@ -960,6 +1000,46 @@ object TimeSeriesOps {
     },
     // identical decimal-exact Pearson moments per (key, lag), identical
     // IEEE combination order, NULL on degenerate sides
+    "ts_dominant_period" -> {
+      val shifted = (1 to DP_MAXLAG).map(k =>
+        s"lag(v, $k) OVER w AS l$k").mkString(", ")
+      val unions = (1 to DP_MAXLAG).map(k =>
+        s"SELECT event_type, $k AS k, v AS x, l$k AS y FROM lagged")
+        .mkString("\n  UNION ALL ")
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h,
+         |    CAST(SUM(CAST("value" AS DECIMAL(30,6))) AS DECIMAL(15,2)) AS v
+         |  FROM events GROUP BY 1, 2
+         |), lagged AS (
+         |  SELECT event_type, v, $shifted
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h, h)
+         |), pairs AS (
+         |  SELECT * FROM (
+         |  $unions
+         |  ) WHERE y IS NOT NULL
+         |), m AS (
+         |  SELECT event_type, k, COUNT(*) AS n,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         |    CAST(SUM(x * x) AS DOUBLE) AS sx2,
+         |    CAST(SUM(y * y) AS DOUBLE) AS sy2
+         |  FROM pairs GROUP BY event_type, k
+         |), acf AS (
+         |  SELECT event_type, CAST(k AS INT) AS k,
+         |    CASE WHEN sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy) > 0.0
+         |      THEN round((n*sxy - sx*sy) /
+         |        (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 6)
+         |    END AS acf
+         |  FROM m
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY acf DESC, k ASC) AS rk
+         |  FROM acf WHERE acf IS NOT NULL AND k >= $DP_MINLAG
+         |)
+         |SELECT event_type, k AS period, acf
+         |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
+    },
     "ts_autocorr" -> {
       val shifted = (1 to ACF_LAGS).map(k =>
         s"""lag("value", $k) OVER w AS l$k""").mkString(", ")

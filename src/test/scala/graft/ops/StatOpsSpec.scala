@@ -243,6 +243,19 @@ class StatOpsSpec extends SparkSpec {
     assert(got == Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)))
   }
 
+  test("entropyBy: uniform 2-class is ln 2 / norm 1, pure group is 0/0") {
+    val d = (Seq.fill(4)(("pure", "en")) ++
+      Seq(("mix", "en"), ("mix", "de"), ("mix", "en"), ("mix", "de")))
+      .toDF("grp", "cls")
+    val got = StatOps.entropyBy(d, col("grp"), col("cls"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("pure").getAs[Double]("entropy") == 0.0)
+    assert(got("pure").getAs[Double]("norm_entropy") == 0.0)
+    assert(got("pure").getAs[Long]("n_classes") == 1L)
+    assert(math.abs(got("mix").getAs[Double]("entropy") - math.log(2.0)) < 2e-6)
+    assert(math.abs(got("mix").getAs[Double]("norm_entropy") - 1.0) < 1e-5)
+  }
+
   test("giniConcentration: uniform 0, fully concentrated (n-1)/n") {
     val uni = (1 to 10).map(k => (k.toLong, 5.0)).toDF("k", "v")
     val g0 = StatOps.giniConcentration(uni, col("k"), col("v"))

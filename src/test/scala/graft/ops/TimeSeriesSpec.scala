@@ -145,6 +145,25 @@ class TimeSeriesSpec extends SparkSpec {
       s"both smoothing passes plan as Window operators:\n$simple")
   }
 
+  test("dominantPeriod: a planted 4-hour cycle reads period 4") {
+    // series A: strict 4-hour cycle over 48 hours; series B: strict
+    // 6-hour cycle — each must recover ITS period, independently
+    val rows = (0 until 48).flatMap { h =>
+      Seq(("A", hourTs(h), h.toLong, Seq(10.0, 20.0, 5.0, 40.0)(h % 4)),
+        ("B", hourTs(h), 100L + h, Seq(1.0, 9.0, 3.0, 7.0, 2.0, 30.0)(h % 6)))
+    }
+    import spark.implicits._
+    val d = rows.toDF("event_type", "ts", "event_id", "value")
+    val got = TimeSeriesOps.dominantPeriod(d, "event_type", "ts", "value",
+        maxLag = 12, minLag = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getAs[Double]("acf"))).toMap
+    assert(got("A")._1 == 4, s"A: $got")
+    assert(got("A")._2 == 1.0) // exact cycle -> perfect lag-4 correlation
+    assert(got("B")._1 == 6, s"B: $got")
+    assert(got("B")._2 == 1.0)
+  }
+
   test("crossCorr: a shifted copy correlates 1 exactly at its lag") {
     // y(h) = x(h - 2): lag-2 alignment is a perfect line; lag 0 pairs a
     // rising ramp against its 2-shifted self (still positive, < 1)
