@@ -238,4 +238,45 @@ class ApiSpec extends SparkSpec {
     assert(md.count() == graft.Tables(spark, sf, "orders")
       .select("o_orderpriority").distinct().count())
   }
+
+  test("round-14 wrappers agree with the corpus queries") {
+    val ev = graft.Tables(spark, sf, "events")
+    val docs = graft.Tables(spark, sf, "documents")
+    val ords = graft.Tables(spark, sf, "orders")
+    def agree(a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame): Unit =
+      assert(a.exceptAll(b).count() == 0 && a.count() == b.count())
+    agree(ev.markovTransitions(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+        .withColumnRenamed("grp", "from_state"),
+      graft.ops.StatOps.queries("rel_markov_transitions")(spark, sf))
+    agree(docs.mutualInfo(col("lang"), col("source"))
+        .withColumnRenamed("a", "lang").withColumnRenamed("b", "source"),
+      graft.ops.StatOps.queries("rel_mutual_info")(spark, sf))
+    agree(docs.entropyBy(col("source"), col("lang"))
+        .withColumnRenamed("grp", "source"),
+      graft.ops.StatOps.queries("rel_entropy")(spark, sf))
+    agree(ords.benford(col("o_totalprice")),
+      graft.ops.StatOps.queries("rel_benford")(spark, sf))
+    agree(ords.cramersV(col("o_orderpriority"), col("o_orderstatus")),
+      graft.ops.StatOps.queries("rel_cramers_v")(spark, sf))
+    agree(ords.giniConcentration(col("o_custkey"), col("o_totalprice")),
+      graft.ops.StatOps.queries("rel_gini_concentration")(spark, sf))
+    agree(ev.survivalKm(col("user_id"), col("ts"),
+        pmod(col("user_id"), lit(2))),
+      graft.ops.StatOps.queries("rel_survival_km")(spark, sf))
+    agree(ev.desForecast("user_id", "ts", "event_id", "value"),
+      graft.ops.TimeSeriesOps.queries("ts_des_forecast")(spark, sf))
+    agree(ev.crossCorr("ts", col("event_type"), col("value"),
+        "click", "purchase"),
+      graft.ops.TimeSeriesOps.queries("ts_cross_corr")(spark, sf))
+    agree(ev.dominantPeriod("event_type", "ts", "value"),
+      graft.ops.TimeSeriesOps.queries("ts_dominant_period")(spark, sf))
+    agree(graft.Tables(spark, sf, "lineitem")
+        .withColumn("q", col("l_quantity").cast("long"))
+        .welchTTest(col("l_returnflag"), col("l_linestatus"), "F", "O",
+          col("q"))
+        .withColumnRenamed("grp", "l_returnflag"),
+      graft.ops.StatOps.queries("rel_welch_ttest")(spark, sf))
+  }
 }
