@@ -304,7 +304,11 @@ object StatOps {
     * divisions; the product is computed as exp(Σ terms) where each term
     * ln(1 − d/n) is 6 dp-quantized and the Σ runs in exact
     * DECIMAL(18,6) (order-free); a time where ALL remaining at-risk die
-    * (1 − d/n = 0) emits survival 0 directly instead of ln(0). */
+    * (1 − d/n = 0) emits survival 0 directly instead of ln(0).
+    *
+    * Contract: `cohort` must be constant per key (it is aggregated with
+    * max() — a key whose rows disagree silently lands in the larger
+    * cohort; derive it from the key, as the corpus query does). */
   def survivalKm(d: DataFrame, key: Column, ts: Column, cohort: Column,
                  censorHours: Int = KM_CENSOR_H): DataFrame = {
     val perUser = d.groupBy(key.as("k"))
@@ -360,7 +364,11 @@ object StatOps {
   def benford(d: DataFrame, value: Column): DataFrame = {
     val cents = floor(value * lit(100.0d) + lit(0.5d)).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
-    val counts = d.filter(value > 0)
+    // domain gate, identical in both engines: beyond ~9e13 the cents
+    // double exceeds 2^53 (digit no longer exact) and the long cast's
+    // overflow semantics diverge between engines (Spark nulls, DuckDB
+    // throws) — exclude loudly-by-contract rather than diverge silently
+    val counts = d.filter(value > 0 && value < lit(9.0e13))
       .select(digit.as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
     val n = counts.agg(sum(col("observed")).as("n"))
@@ -427,7 +435,10 @@ object StatOps {
     * expression over exact BIGINT counts — ln() at 6 dp is the
     * established cross-engine contract (see PSI above) — and the total
     * sums the ROUNDED terms in exact DECIMAL(18,6), so the Σ is
-    * order-free where a double Σ would be engine-dependent. */
+    * order-free where a double Σ would be engine-dependent. Unobserved
+    * cells are correctly ABSENT here (lim p→0 of p·ln(p/q) is 0, so MI
+    * ranges over observed cells only) — the opposite of cramersV, whose
+    * χ² must complete the grid. */
   def mutualInfo(d: DataFrame, a: Column, b: Column): DataFrame = {
     val cells = d.groupBy(a.as("a"), b.as("b"))
       .agg(count(lit(1)).as("o"))
@@ -516,12 +527,16 @@ object StatOps {
     * (double 0/0 semantics differ across engines). */
   def welchTTest(d: DataFrame, group: Column, arm: Column, armA: String,
                  armB: String, value: Column): DataFrame = {
+    // moments through DECIMAL(19,0) (lossless for any long; the product
+    // caps at DECIMAL(38,0)) — corrRegr's overflow discipline: a too-hot
+    // sum surfaces as a loud NULL, never a silent BIGINT wrap
+    val mdec = org.apache.spark.sql.types.DecimalType(19, 0)
     val m = d.filter(arm.isin(armA, armB))
       .select(group.as("grp"), when(arm === armA, lit(0)).otherwise(lit(1)).as("arm"),
         value.as("x"))
       .groupBy(col("grp"), col("arm"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(mdec)).as("sx"),
+        sum(col("x").cast(mdec) * col("x").cast(mdec)).as("sxx"))
     val a0 = m.filter(col("arm") === 0).select(col("grp"),
       col("n").as("n1"), col("sx").as("sx1"), col("sxx").as("sxx1"))
     val b0 = m.filter(col("arm") === 1).select(col("grp"),
@@ -900,7 +915,7 @@ object StatOps {
     s"""WITH c AS (
        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-       |  FROM orders WHERE o_totalprice > 0
+       |  FROM orders WHERE o_totalprice > 0 AND o_totalprice < 90000000000000.0
        |), g AS (
        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM c GROUP BY digit
        |), nn AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM g),
@@ -1283,9 +1298,9 @@ object StatOps {
          |  SELECT l_returnflag AS grp,
          |    CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END AS arm,
          |    CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
-         |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-         |      AS BIGINT) AS sxx
+         |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))) AS sx,
+         |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))
+         |      * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))) AS sxx
          |  FROM lineitem WHERE l_linestatus IN ('F', 'O') GROUP BY 1, 2
          |), j AS (
          |  SELECT a.grp,
