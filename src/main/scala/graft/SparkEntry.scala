@@ -96,7 +96,7 @@ object SparkEntry {
     // build — every rider of the rank substrate is eager, including the
     // groupedRank-based exact-percentile family
     "text_curriculum_shards", "rel_winsorize", "rel_gaps_islands",
-    "rel_gini_concentration",
+    "rel_gini_concentration", "rel_mann_whitney",
     "rel_decile_lift", "rel_equidepth_hist", "rel_rank_quantiles",
     "rel_percentile", "rel_impute_median", "rel_outliers_mad",
     "rel_approx_percentile")

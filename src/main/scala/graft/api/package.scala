@@ -447,6 +447,12 @@ package object api {
         state: Column): DataFrame =
       ops.StatOps.markovTransitions(df, key, ts, ord, state)
 
+    /** Mann–Whitney U rank-sum test of `value` between rows where `inA`
+      * holds vs the rest — see rel_mann_whitney. EAGER: rank substrate
+      * runs at call. */
+    def mannWhitney(inA: Column, value: Column, ord: Column): DataFrame =
+      ops.StatOps.mannWhitney(df, inA, value, ord)
+
     /** Welch's unequal-variance two-sample t-test per group between arms
       * `armA`/`armB` of `arm`: means, t statistic, Welch–Satterthwaite
       * df — see rel_welch_ttest. */

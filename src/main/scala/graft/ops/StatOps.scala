@@ -513,6 +513,60 @@ object StatOps {
     cramersV(graft.Tables(s, dir, "orders"),
       col("o_orderpriority"), col("o_orderstatus"))
 
+  // ------------------------------------------------- Mann–Whitney U test
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) with midranks and the tie
+    * correction — the NONPARAMETRIC sibling of rel_welch_ttest (no
+    * normality assumption; detects stochastic dominance, not just mean
+    * shift), completing the two-sample family with rel_ks_drift: U₁ from
+    * the sample-1 midrank sum, z under the normal approximation with the
+    * Σ(t³−t) tie term, and the rank-biserial effect size 2U₁/(n₁n₂) − 1.
+    *
+    * Shape: pooled ranks come from `Relational2.globalRank` — ONE range
+    * exchange, never a single-partition window — and every downstream
+    * frame is VALUE-space sized (per-distinct-value min/max rank +
+    * counts). Exactness: midranks are carried DOUBLED ((min+max) is an
+    * exact integer where midrank itself is a .5 multiple), every Σ runs
+    * in DECIMAL, and the z/effect formulas evaluate once in doubles over
+    * those exact sums. EAGER: the rank substrate runs at plan build. */
+  def mannWhitney(d: DataFrame, inA: Column, value: Column,
+                  ord: Column): DataFrame = {
+    val mdec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pooled = d.select(value.as("v"), ord.as("i"),
+      when(inA, lit(1L)).otherwise(lit(0L)).as("a"))
+    val ranked = Relational2.globalRank(pooled, col("v"), col("i"))
+    val perV = ranked.groupBy(col("v")).agg(
+      min(col("__rank")).as("minr"), max(col("__rank")).as("maxr"),
+      count(lit(1)).as("t"), sum(col("a")).as("t1"))
+    val m = perV.agg(
+      sum(col("t1")).as("n1"), sum(col("t") - col("t1")).as("n2"),
+      // Σ over sample-1 members of (2·midrank) = Σ t1·(minr+maxr)
+      sum((col("t1").cast(mdec))
+        * (col("minr") + col("maxr")).cast(mdec)).as("r1x2"),
+      sum((col("t").cast(mdec) * col("t").cast(mdec) * col("t").cast(mdec)
+        - col("t").cast(mdec))).as("tie3"))
+    def dbl(c: String) = col(c).cast("double")
+    val n1 = dbl("n1"); val n2 = dbl("n2")
+    val nn = n1 + n2
+    val u1 = dbl("r1x2") / lit(2.0d) - n1 * (n1 + lit(1.0d)) / lit(2.0d)
+    val mu = n1 * n2 / lit(2.0d)
+    val varU = n1 * n2 / lit(12.0d) *
+      ((nn + lit(1.0d)) - dbl("tie3") / (nn * (nn - lit(1.0d))))
+    m.filter(col("n1") >= 1 && col("n2") >= 1)
+      .select(col("n1"), col("n2"),
+        r6(u1).as("u_stat"),
+        // all-tied pool degenerates varU to 0: emit NULL, not a 0/0 NaN
+        // whose semantics differ across engines (the ksDrift guard)
+        when(varU > 0.0d, r6((u1 - mu) / sqrt(varU))).as("z"),
+        r6(lit(2.0d) * u1 / (n1 * n2) - lit(1.0d)).as("rank_biserial"))
+  }
+
+  private def mannWhitneyQ(s: SparkSession, dir: String): DataFrame =
+    mannWhitney(
+      graft.Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase")),
+      col("event_type") === "click", col("value"), col("event_id"))
+
   // -------------------------------------------------------- Welch t-test
 
   /** Welch's unequal-variance two-sample t-test per group: the experiment
@@ -898,6 +952,7 @@ object StatOps {
     "rel_markov_transitions" -> markovQ,
     "rel_mutual_info" -> mutualInfoQ,
     "rel_welch_ttest" -> welchQ,
+    "rel_mann_whitney" -> mannWhitneyQ,
     "rel_sequence_match" -> seqMatchQ,
     "rel_winsorize" -> winsorizeQ,
     "rel_gaps_islands" -> gapsIslandsQ,
@@ -1293,6 +1348,42 @@ object StatOps {
          |)
          |SELECT lang, source, observed, pmi_contrib, mi_total
          |FROM scored CROSS JOIN tot ORDER BY lang, source""".stripMargin,
+    "rel_mann_whitney" ->
+      s"""WITH x AS (
+         |  SELECT "value" AS v, event_id AS i,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |), rk AS (
+         |  SELECT v, a, row_number() OVER (ORDER BY v, i) AS r FROM x
+         |), perv AS (
+         |  SELECT v, CAST(MIN(r) AS BIGINT) AS minr,
+         |    CAST(MAX(r) AS BIGINT) AS maxr,
+         |    CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(a) AS BIGINT) AS t1
+         |  FROM rk GROUP BY v
+         |), m AS (
+         |  SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+         |    CAST(SUM(t - t1) AS BIGINT) AS n2,
+         |    SUM(CAST(t1 AS DECIMAL(38,0))
+         |      * CAST(minr + maxr AS DECIMAL(38,0))) AS r1x2,
+         |    SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+         |      * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS tie3
+         |  FROM perv
+         |), f AS (
+         |  SELECT n1, n2,
+         |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+         |    CAST(r1x2 AS DOUBLE) AS r1x2d, CAST(tie3 AS DOUBLE) AS tie3d
+         |  FROM m WHERE n1 >= 1 AND n2 >= 1
+         |)
+         |SELECT n1, n2,
+         |  ${r6Sql("r1x2d / 2.0 - n1d * (n1d + 1.0) / 2.0")} AS u_stat,
+         |  CASE WHEN n1d * n2d / 12.0 * ((n1d + n2d + 1.0)
+         |      - tie3d / ((n1d + n2d) * (n1d + n2d - 1.0))) > 0.0
+         |    THEN ${r6Sql("(r1x2d / 2.0 - n1d * (n1d + 1.0) / 2.0 - n1d * n2d / 2.0)" +
+                   " / sqrt(n1d * n2d / 12.0 * ((n1d + n2d + 1.0)" +
+                   " - tie3d / ((n1d + n2d) * (n1d + n2d - 1.0))))")}
+         |  END AS z,
+         |  ${r6Sql("2.0 * (r1x2d / 2.0 - n1d * (n1d + 1.0) / 2.0) / (n1d * n2d) - 1.0")} AS rank_biserial
+         |FROM f""".stripMargin,
     "rel_welch_ttest" ->
       s"""WITH m AS (
          |  SELECT l_returnflag AS grp,

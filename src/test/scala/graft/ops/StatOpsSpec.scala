@@ -243,6 +243,31 @@ class StatOpsSpec extends SparkSpec {
     assert(got == Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)))
   }
 
+  test("mannWhitney: separation, symmetry, midranks, degenerate ties") {
+    def mw(rows: Seq[(Long, Int, Double)]) =
+      StatOps.mannWhitney(rows.toDF("i", "a", "v"),
+        col("a") === 1, col("v"), col("i")).collect().head
+    // complete separation: sample A strictly below -> U = 0, biserial -1
+    val sep = mw((1L to 4L).map(i => (i, 1, i.toDouble)) ++
+      (5L to 8L).map(i => (i, 0, 10.0 + i)))
+    assert(sep.getAs[Double]("u_stat") == 0.0)
+    assert(sep.getAs[Double]("rank_biserial") == -1.0)
+    assert(sep.getAs[Double]("z") < -2.0)
+    // identical interleaved samples: U = n1 n2 / 2, z = 0
+    val sym = mw(Seq((1L, 1, 1.0), (2L, 0, 1.0), (3L, 1, 2.0),
+      (4L, 0, 2.0), (5L, 1, 3.0), (6L, 0, 3.0)))
+    assert(sym.getAs[Double]("u_stat") == 4.5)
+    assert(sym.getAs[Double]("z") == 0.0)
+    assert(sym.getAs[Double]("rank_biserial") == 0.0)
+    // all-tied pool: varU = 0 -> z NULL, never NaN
+    val tied = StatOps.mannWhitney(
+      Seq((1L, 1, 5.0), (2L, 0, 5.0), (3L, 1, 5.0), (4L, 0, 5.0))
+        .toDF("i", "a", "v"),
+      col("a") === 1, col("v"), col("i")).collect().head
+    assert(tied.isNullAt(tied.fieldIndex("z")))
+    assert(tied.getAs[Double]("u_stat") == 2.0) // midranks: U = n1 n2 / 2
+  }
+
   test("entropyBy: uniform 2-class is ln 2 / norm 1, pure group is 0/0") {
     val d = (Seq.fill(4)(("pure", "en")) ++
       Seq(("mix", "en"), ("mix", "de"), ("mix", "en"), ("mix", "de")))
