@@ -82,6 +82,9 @@ object SparkEntry {
     "text_bpe_artifact",
     // iterative peeling: per-round convergence counts run at plan build
     "graph_kcore",
+    // mutual-reinforcement supersteps localCheckpoint per half-step (the
+    // raw frame feeds both its total and the node join)
+    "graph_hits",
     // MM iteration: per-step localCheckpoint cuts the doubling plan tree
     // (the strength vector feeds BOTH sides of the pair join), so the
     // item-sized steps execute at plan build

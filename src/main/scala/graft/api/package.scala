@@ -423,6 +423,10 @@ package object api {
       * — see graph_assortativity. */
     def assortativity(): DataFrame = ops.GraphOps.assortativity(df)
 
+    /** HITS hub/authority scores over this directed (src, dst) edge
+      * frame — see graph_hits. EAGER: supersteps run at call. */
+    def hits(iters: Int = 4): DataFrame = ops.GraphOps.hits(df, iters)
+
     /** Cramér's V association strength between two categoricals over
       * the full r×c grid — see rel_cramers_v. */
     def cramersV(a: Column, b: Column): DataFrame =

@@ -100,6 +100,65 @@ object GraphOps {
   private def pagerankQ(s: SparkSession, dir: String): DataFrame =
     pagerank(edges(s, dir)).orderBy(col("node"))
 
+  private val HITS_ITERS = 4
+  private val HSCALE = 1000000000000L // 1e12 units = score 1.0
+
+  /** HITS hubs & authorities — the DIRECTED companion to pagerank for
+    * curation over link/citation/reply graphs: a good hub points at good
+    * authorities and vice versa (h = A·a, a = Aᵀ·h), the mutual
+    * reinforcement pagerank's single score can't separate.
+    *
+    * Exactness (the pagerank fixed-point discipline): scores live in
+    * integer 1e-12 units; each half-step is one edge join + exact BIGINT
+    * sum, and the sum-normalization is integer division by
+    * (total div SCALE) — floor-deterministic in both engines, guarded to
+    * ≥ 1 so a sub-unit total can never divide by zero (Spark nulls,
+    * DuckDB throws). Intermediates stay ≤ deg_max·SCALE ≈ 2^53 at this
+    * SCALE for any realistic degree. Per iteration: two node-keyed
+    * shuffles + two broadcast 1-row totals; the staged edge table is the
+    * only corpus-sized input. The oracle unrolls all iterations as a
+    * MATERIALIZED CTE ladder.
+    *
+    * EAGER (SparkEntry.eagerQueries): each raw half-step frame feeds
+    * BOTH its own normalizing total and the node join — the BT/MMR
+    * doubling-lineage shape — so every half-step localCheckpoints its
+    * node-count-sized result and the supersteps execute at plan build. */
+  def hits(e0: DataFrame, iters: Int = HITS_ITERS): DataFrame = {
+    val e = e0.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var h = nodes.select(col("node"), lit(HSCALE).as("hs"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(h, e("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(col("hs")).as("ar"))
+        .localCheckpoint(true)
+      val ta = broadcast(araw.agg(sum(col("ar")).as("ta")))
+      a = nodes.join(araw, nodes("node") === araw("dst"), "left")
+        .crossJoin(ta)
+        .select(col("node"),
+          expr(s"coalesce(ar, 0) div greatest(ta div $HSCALE, 1)").as("as_"))
+        .localCheckpoint(true)
+      val hraw = e.join(a, e("dst") === a("node"))
+        .groupBy(col("src")).agg(sum(col("as_")).as("hr"))
+        .localCheckpoint(true)
+      val th = broadcast(hraw.agg(sum(col("hr")).as("th")))
+      h = nodes.join(hraw, nodes("node") === hraw("src"), "left")
+        .crossJoin(th)
+        .select(col("node"),
+          expr(s"coalesce(hr, 0) div greatest(th div $HSCALE, 1)").as("hs"))
+        .localCheckpoint(true)
+    }
+    h.join(a, "node")
+      .select(col("node"), col("hs").as("hub_fp"), col("as_").as("auth_fp"),
+        (col("hs").cast("double") / lit(HSCALE.toDouble)).as("hub"),
+        (col("as_").cast("double") / lit(HSCALE.toDouble)).as("auth"))
+  }
+
+  private def hitsQ(s: SparkSession, dir: String): DataFrame =
+    hits(edges(s, dir)).orderBy(col("node"))
+
   private def trianglesQ(s: SparkSession, dir: String): DataFrame = {
     val und = edges(s, dir)
       .select(least(col("src"), col("dst")).as("u"),
@@ -500,6 +559,7 @@ object GraphOps {
     "graph_triangles" -> trianglesQ,
     "graph_clustering_coeff" -> clusteringCoeffQ,
     "graph_assortativity" -> assortativityQ,
+    "graph_hits" -> hitsQ,
     "graph_bfs_layers" -> bfsQ,
     "graph_components" -> componentsQ,
     "graph_sssp" -> ssspQ,
@@ -705,6 +765,45 @@ object GraphOps {
          |        JOIN und bc ON ab.v = bc.u
          |        JOIN und ac ON ab.u = ac.u AND bc.v = ac.v) AS n_triangles,
          |       (SELECT COUNT(*) FROM und) AS n_edges""".stripMargin,
+    "graph_hits" -> {
+      val steps = (1 to HITS_ITERS).map { k =>
+        s"""araw$k AS MATERIALIZED (
+           |  SELECT e.dst, CAST(SUM(h.hs) AS BIGINT) AS ar
+           |  FROM edges e JOIN hh${k - 1} h ON e.src = h.node GROUP BY e.dst
+           |), ta$k AS MATERIALIZED (
+           |  SELECT CAST(SUM(ar) AS BIGINT) AS ta FROM araw$k
+           |), aa$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    COALESCE(r.ar, 0) // greatest(t.ta // $HSCALE, 1) AS as_
+           |  FROM nodes n LEFT JOIN araw$k r ON n.node = r.dst
+           |  CROSS JOIN ta$k t
+           |), hraw$k AS MATERIALIZED (
+           |  SELECT e.src, CAST(SUM(a.as_) AS BIGINT) AS hr
+           |  FROM edges e JOIN aa$k a ON e.dst = a.node GROUP BY e.src
+           |), th$k AS MATERIALIZED (
+           |  SELECT CAST(SUM(hr) AS BIGINT) AS th FROM hraw$k
+           |), hh$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    COALESCE(r.hr, 0) // greatest(t.th // $HSCALE, 1) AS hs
+           |  FROM nodes n LEFT JOIN hraw$k r ON n.node = r.src
+           |  CROSS JOIN th$k t
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesSql,
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION ALL SELECT dst AS node FROM edges)
+         |), hh0 AS MATERIALIZED (
+         |  SELECT node, CAST($HSCALE AS BIGINT) AS hs FROM nodes
+         |),
+         |$steps
+         |SELECT h.node, h.hs AS hub_fp, a.as_ AS auth_fp,
+         |  CAST(h.hs AS DOUBLE) / $HSCALE.0 AS hub,
+         |  CAST(a.as_ AS DOUBLE) / $HSCALE.0 AS auth
+         |FROM hh$HITS_ITERS h JOIN aa$HITS_ITERS a USING (node)
+         |ORDER BY node""".stripMargin
+    },
     "graph_assortativity" ->
       s"""WITH $edgesSql,
          |und AS (

@@ -94,6 +94,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("hits: pure hubs score zero authority and vice versa; dominance orders") {
+    // 1,2 -> 10 and 3 -> 11: 10 is the dominant authority (two good
+    // hubs), 11 the minor one; 1,2 are better hubs than 3 (they point
+    // at the stronger authority); pure hubs have auth 0, pure
+    // authorities have hub 0
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("src", "dst")
+    val got = GraphOps.hits(e).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("auth"))).toMap
+    assert(got(1L)._2 == 0.0 && got(2L)._2 == 0.0 && got(3L)._2 == 0.0)
+    assert(got(10L)._1 == 0.0 && got(11L)._1 == 0.0)
+    assert(got(10L)._2 > got(11L)._2, s"10 must dominate: $got")
+    assert(got(1L)._1 == got(2L)._1, "symmetric hubs tie exactly")
+    assert(got(1L)._1 > got(3L)._1, s"1 beats 3: $got")
+  }
+
   test("assortativity: star is maximally disassortative (-1)") {
     // hub 0 (deg 4) to four leaves (deg 1): every edge pairs (4,1) —
     // after symmetrization the correlation of (x,y) with y = 5 - x over
