@@ -90,11 +90,22 @@ object Bench {
     // unreferenced projections, but r1 and r2 were recorded on the same
     // basis, and cross-round comparability is what the record is for
     // (switching to toRdd.count() mid-series would read as a regression)
+    // Stream-phase breakdown (r13 verdict item 1): every StreamOps run
+    // records wall/setup/per-phase batch totals; the harness drains them
+    // per query (keeping the LAST timed pass's records) and publishes
+    // them in BENCH_LOCAL.json so the stream-family floor is attributable
+    // to a phase instead of guessed at.
+    val streamPhases =
+      scala.collection.mutable.Map[String, Seq[Map[String, Double]]]()
     def run(name: String): Double = {
+      graft.streaming.StreamOps.drainPhaseRecords() // drop stale records
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case scala.util.control.NonFatal(_) => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      val ph = graft.streaming.StreamOps.drainPhaseRecords()
+      if (ph.nonEmpty) streamPhases(name) = ph
+      dt
     }
     // Plan fingerprint (r13): a stable hash of each query's physical-plan
     // SHAPE, so bench_compare flags plan regressions directly instead of
@@ -230,9 +241,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val planShaJson = names.map(n =>
       "\"" + n + "\":\"" + planShas(n) + "\"").mkString("{", ",", "}")
+    val phasesJson = streamPhases.toSeq.sortBy(_._1).map { case (n, recs) =>
+      "\"" + n + "\":" + recs.map(r =>
+        r.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}"))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_noisy":${noisy.size},"noisy":$noisyJson,"load_passes":$loadPasses,"queries":${dict(results)},"pass_secs":$perPass,"plan_sha":$planShaJson,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_noisy":${noisy.size},"noisy":$noisyJson,"load_passes":$loadPasses,"queries":${dict(results)},"pass_secs":$perPass,"plan_sha":$planShaJson,"stream_phases":$phasesJson,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
     catch { case scala.util.control.NonFatal(_) => () }
     // "queries" = the 15 slowest (the outlier-audit set); full map in the file
     val slowest = results.sortBy(-_._2).take(15)

@@ -467,7 +467,9 @@ package object api {
     /** Greedy maximal-marginal-relevance re-ranking of this candidate
       * frame (q_id, vec_id, rel) against the directional pair-sim frame
       * `pairs` (q_id, a_id, b_id, psim): K picks per query maximizing
-      * λ·rel − (1−λ)·max-sim-to-selected — see sim_mmr_rerank. */
+      * λ·rel − (1−λ)·max-sim-to-selected — see sim_mmr_rerank. `pairs`
+      * may be SPARSE (absent pair rows score max-sim 0, i.e. maximally
+      * diverse); a complete N² matrix is not required. */
     def mmrSelect(pairs: DataFrame, k: Int, lam: Double): DataFrame =
       ops.Similarity.mmrSelect(df, pairs, k, lam)
 
@@ -501,9 +503,14 @@ package object api {
       ops.GeoOps.clusterGrid(df, minPts)
 
     /** Market-basket association per co-occurring item pair: support,
-      * confidence, lift from exact counts — see rel_basket_lift. */
-    def basketLift(basket: Column, item: Column): DataFrame =
-      ops.StatOps.basketLift(df, basket, item)
+      * confidence, lift from exact counts — see rel_basket_lift.
+      * Items with < minSupport baskets are a-priori-prefiltered BEFORE
+      * the per-basket pair join; a basket holding > maxBasketItems
+      * post-filter items raises in-plan (its pair explosion would land
+      * on one task) rather than silently choking. */
+    def basketLift(basket: Column, item: Column, minSupport: Long = 2L,
+        maxBasketItems: Long = 4096L): DataFrame =
+      ops.StatOps.basketLift(df, basket, item, minSupport, maxBasketItems)
 
     /** Kaplan–Meier survival of per-key lifetime with right-censoring
       * near the corpus end — see rel_survival_km. */

@@ -113,8 +113,11 @@ object GraphOps {
     * sum, and the sum-normalization is integer division by
     * (total div SCALE) — floor-deterministic in both engines, guarded to
     * ≥ 1 so a sub-unit total can never divide by zero (Spark nulls,
-    * DuckDB throws). Intermediates stay ≤ deg_max·SCALE ≈ 2^53 at this
-    * SCALE for any realistic degree. Per iteration: two node-keyed
+    * DuckDB throws). Half-step sums and totals accumulate in
+    * DECIMAL(38,0) (matching DuckDB's HUGEINT sum-of-BIGINT): the first
+    * half-step totals E·1e12, which wraps BIGINT past ~9.2M edges — the
+    * decimal sum is exact, and the normalized per-node scores stay
+    * ≤ HSCALE-sized BIGINTs. Per iteration: two node-keyed
     * shuffles + two broadcast 1-row totals; the staged edge table is the
     * only corpus-sized input. The oracle unrolls all iterations as a
     * MATERIALIZED CTE ladder.
@@ -124,6 +127,17 @@ object GraphOps {
     * doubling-lineage shape — so every half-step localCheckpoints its
     * node-count-sized result and the supersteps execute at plan build. */
   def hits(e0: DataFrame, iters: Int = HITS_ITERS): DataFrame = {
+    // iters = 0 would return the un-normalized initial hub vector and a
+    // null authority frame — reject loudly instead of NPEing
+    require(iters >= 1, s"hits needs at least 1 iteration (got $iters)")
+    // half-step sums and their normalizing totals accumulate in
+    // DECIMAL(38,0), NOT BIGINT: the first half-step starts every node at
+    // HSCALE, so ar(dst) = indeg·1e12 and ta = E·1e12 — past ~9.2M edges
+    // a BIGINT total wraps SILENTLY in Spark while DuckDB's HUGEINT sum
+    // keeps going, a cross-engine divergence with no error. Decimal sums
+    // are exact to 38 digits (loud NULL past that, never a wrap) and the
+    // per-node quotients are unchanged where BIGINT sufficed.
+    val sdec = org.apache.spark.sql.types.DecimalType(38, 0)
     val e = e0.select(col("src"), col("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -132,7 +146,7 @@ object GraphOps {
     var a: DataFrame = null
     for (_ <- 1 to iters) {
       val araw = e.join(h, e("src") === h("node"))
-        .groupBy(col("dst")).agg(sum(col("hs")).as("ar"))
+        .groupBy(col("dst")).agg(sum(col("hs").cast(sdec)).as("ar"))
         .localCheckpoint(true)
       val ta = broadcast(araw.agg(sum(col("ar")).as("ta")))
       a = nodes.join(araw, nodes("node") === araw("dst"), "left")
@@ -141,7 +155,7 @@ object GraphOps {
           expr(s"coalesce(ar, 0) div greatest(ta div $HSCALE, 1)").as("as_"))
         .localCheckpoint(true)
       val hraw = e.join(a, e("dst") === a("node"))
-        .groupBy(col("src")).agg(sum(col("as_")).as("hr"))
+        .groupBy(col("src")).agg(sum(col("as_").cast(sdec)).as("hr"))
         .localCheckpoint(true)
       val th = broadcast(hraw.agg(sum(col("hr")).as("th")))
       h = nodes.join(hraw, nodes("node") === hraw("src"), "left")

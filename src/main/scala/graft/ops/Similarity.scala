@@ -168,14 +168,19 @@ object Similarity {
     for (t <- 2 to k) {
       val remaining = cand.join(sel.select(col("q_id"), col("vec_id")),
         Seq("q_id", "vec_id"), "left_anti")
-      // every candidate pairs with every OTHER candidate of its query, so
-      // the inner join loses no remaining candidate
       val ms = pairs
         .join(sel.select(col("q_id"), col("vec_id").as("b_id")),
           Seq("q_id", "b_id"))
         .groupBy(col("q_id"), col("a_id").as("vec_id"))
         .agg(max(col("psim")).as("maxsim"))
-      val scored = remaining.join(ms, Seq("q_id", "vec_id"))
+      // LEFT join + coalesce(0): `pairs` may be SPARSE (only nonzero
+      // sims stored — the common representation); a candidate with no
+      // pair row to any selected item has max-sim 0, the BEST diversity
+      // score, and must stay in the running — an inner join would drop
+      // exactly the most diverse candidates. On a complete N² matrix
+      // (the corpus query) the two joins are identical.
+      val scored = remaining.join(ms, Seq("q_id", "vec_id"), "left_outer")
+        .withColumn("maxsim", coalesce(col("maxsim"), lit(0.0d)))
         .withColumn("mmr", mmrCol)
       sel = sel.unionByName(pick(scored, t)).localCheckpoint(true)
     }
@@ -753,10 +758,14 @@ object Similarity {
     *       broadcast DV anti-mask + exact rerank — the mask costs one
     *       broadcast join against bitmap rows, never an index rewrite;
     *   v3  COMPACTION folds the DV into rewritten postings and drops
-    *       it; a require pins serve(v3) row-identical to the DV-masked
-    *       serve (merge-on-read ≡ copy-on-write, the Delta/Iceberg
+    *       it; serve(v3) is row-identical to the DV-masked serve
+    *       (merge-on-read ≡ copy-on-write, the Delta/Iceberg
     *       equivalence), so readers may compact whenever amortization
-    *       says so without a semantic diff.
+    *       says so without a semantic diff. The equivalence is pinned
+    *       by AnnDeleteSpec (via [[annDeleteCompactVerify]]), NOT in
+    *       the query hot path: serving twice per invocation doubled
+    *       the query's cost for a property that is invariant per
+    *       corpus (the r13 hygiene item).
     *
     * The oracle is sim_ann_ivf's SQL minus the deleted ids — the pinned
     * semantics are "serve ≡ a full rebuild that never had the deleted
@@ -767,6 +776,17 @@ object Similarity {
     * compaction here rewrites the fixture-sized index in full — a
     * production manifest scopes it to DV-touched file groups. */
   private def annDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    val (_, served, _) = annDeleteLifecycle(s, dir)
+    served.orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Builds the v1 posting index, runs the v2 metadata-only delete
+    * commit, and returns (commit path, the DV-masked serve, the serve
+    * closure for replaying against other posting dirs). Shared by the
+    * sim_ann_delete query (serves ONCE) and AnnDeleteSpec's compaction-
+    * equivalence check. */
+  private[ops] def annDeleteLifecycle(s: SparkSession, dir: String)
+      : (String, DataFrame, (String, Option[DataFrame]) => DataFrame) = {
     val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_anndel_" +
       s.sparkContext.applicationId
     CommitLog.reset(path)
@@ -836,8 +856,18 @@ object Similarity {
         .select(col("q_id"), col("rk"), col("cell"), col("vec_id"), col("sim"))
     }
     val served = serveFrom(t2("post"), Some(s.read.parquet(t2("dv"))))
-    // compaction: fold the DV into rewritten postings, drop it, and pin
-    // merge-on-read == copy-on-write on the served result
+    (path, served, serveFrom)
+  }
+
+  /** Compaction half of the delete lifecycle, spec-only (AnnDeleteSpec):
+    * folds the DV into rewritten v3 postings, commits, and REQUIRES the
+    * compacted serve row-identical to the DV-masked serve
+    * (merge-on-read ≡ copy-on-write). Invariant per corpus, so it runs
+    * once per test suite instead of on every query invocation. */
+  private[ops] def annDeleteCompactVerify(s: SparkSession, dir: String): Unit = {
+    val (path, served, serveFrom) = annDeleteLifecycle(s, dir)
+    val t2 = CommitLog.tableDirs(path, 2)
+    val bit = expr("shiftleft(1L, cast(rid % 64 AS INT))")
     s.read.parquet(t2("post"))
       .select(col("cell"), col("vec_id"), col("v"), col("nrm"),
         col("_metadata.file_path").as("f"), col("_metadata.row_index").as("rid"))
@@ -854,7 +884,6 @@ object Similarity {
     val cow = serveFrom(t3("post"), None).collect().map(key).toSet
     require(mor == cow,
       "compacted serve must equal the DV-masked serve (MoR == CoW)")
-    served.orderBy(col("q_id"), col("rk"))
   }
 
   /** Multi-probe sign-LSH ANN: each query probes its own bucket PLUS the

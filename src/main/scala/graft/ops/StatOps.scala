@@ -251,16 +251,51 @@ object StatOps {
     * pairs form by a basket-keyed self-equi-join (bounded by items² per
     * basket — the item space, never the corpus); item and basket totals
     * are category-sized aggregates joined back broadcast. All three
-    * metrics are single exact-BIGINT ratios. */
-  def basketLift(d: DataFrame, basket: Column, item: Column): DataFrame = {
-    val bi = d.select(basket.as("bk"), item.as("it")).distinct()
-    val nb = bi.agg(count_distinct(col("bk")).as("n_baskets"))
-    val ni = bi.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
-    val pairs = bi.as("l")
-      .join(bi.as("r"), col("l.bk") === col("r.bk") &&
+    * metrics are single exact-BIGINT ratios.
+    *
+    * Skew guards (the a-priori discipline — the self-join is quadratic
+    * PER BASKET KEY, the one shape a single hot key can sink):
+    *   - `minSupport` prefilters items below the support threshold
+    *     BEFORE the self-join (one item-space hash aggregate + semi-join
+    *     — the standard frequent-itemset first pass). Pairs of
+    *     sub-threshold items can never reach minSupport co-occurrences,
+    *     so no reported pair is lost; n_baskets stays the UNFILTERED
+    *     basket count (support keeps its usual denominator).
+    *   - `maxBasketItems` REFUSES (raise_error in-plan, never a silent
+    *     choke or drop) any basket whose post-filter item count would
+    *     put >maxBasketItems² candidates in one task — a 10⁴-item
+    *     user-day means 10⁸ pairs on one key; the caller decides whether
+    *     to cap, salt, or drop that basket, not the engine. */
+  def basketLift(d: DataFrame, basket: Column, item: Column,
+                 minSupport: Long = 2L,
+                 maxBasketItems: Long = 4096L): DataFrame = {
+    require(minSupport >= 1 && maxBasketItems >= 1,
+      s"basketLift thresholds must be >= 1 " +
+        s"(got minSupport=$minSupport, maxBasketItems=$maxBasketItems)")
+    val bi0 = d.select(basket.as("bk"), item.as("it")).distinct()
+    val nb = bi0.agg(count_distinct(col("bk")).as("n_baskets"))
+    val ni = bi0.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val bi = bi0.join(ni.filter(col("n_item") >= minSupport)
+      .select(col("it")), Seq("it"), "left_semi")
+    // basket size as a rider on ONE bk-keyed window pass (baskets are
+    // many and — post-guard — small, so the per-key funnel is harmless;
+    // a groupBy + join-back would shuffle the frame twice)
+    val guarded = bi
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .select(col("bk"),
+        when(col("bsz") <= maxBasketItems, col("it"))
+          .otherwise(raise_error(concat(
+            lit("basketLift: a basket holds "), col("bsz").cast("string"),
+            lit(s" items after the min-support filter (> maxBasketItems=" +
+              s"$maxBasketItems) — its pair explosion would land on ONE " +
+              "task; cap, salt, or drop the hot basket")))).as("it"))
+    val pairs = guarded.as("l")
+      .join(guarded.as("r"), col("l.bk") === col("r.bk") &&
         col("l.it") < col("r.it"))
       .groupBy(col("l.it").as("a"), col("r.it").as("b"))
       .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
     def dbl(c: String) = col(c).cast("double")
     pairs
       .join(broadcast(ni.select(col("it").as("a"), col("n_item").as("n_a"))), "a")
@@ -367,8 +402,12 @@ object StatOps {
     // domain gate, identical in both engines: beyond ~9e13 the cents
     // double exceeds 2^53 (digit no longer exact) and the long cast's
     // overflow semantics diverge between engines (Spark nulls, DuckDB
-    // throws) — exclude loudly-by-contract rather than diverge silently
-    val counts = d.filter(value > 0 && value < lit(9.0e13))
+    // throws) — exclude loudly-by-contract rather than diverge silently.
+    // The lower bound is 0.005, NOT 0: values in (0, 0.005) scale to
+    // cents 0, whose "digit" 0 has no Benford expectation — it would
+    // emit a meaningless bucket (NULL expect/deviation) and skew every
+    // other digit's share for small-valued columns
+    val counts = d.filter(value >= lit(0.005d) && value < lit(9.0e13))
       .select(digit.as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
     val n = counts.agg(sum(col("observed")).as("n"))
@@ -572,7 +611,9 @@ object StatOps {
   /** Welch's unequal-variance two-sample t-test per group: the experiment
     * readout (treatment vs control means differ?) that doesn't assume
     * pooled variance. Per group, both samples' first/second moments
-    * accumulate as exact BIGINT sums (one corpus shuffle to the
+    * accumulate as exact DECIMAL(18,6) sums — values keep 6 fractional
+    * digits, so double-valued metrics are NOT rounded to integers —
+    * (one corpus shuffle to the
     * (group, arm) aggregate — category-space); mean, sample variance,
     * the t statistic and the Welch–Satterthwaite df are then ONE double
     * expression per output over those exact sums, spelled identically in
@@ -581,10 +622,14 @@ object StatOps {
     * (double 0/0 semantics differ across engines). */
   def welchTTest(d: DataFrame, group: Column, arm: Column, armA: String,
                  armB: String, value: Column): DataFrame = {
-    // moments through DECIMAL(19,0) (lossless for any long; the product
-    // caps at DECIMAL(38,0)) — corrRegr's overflow discipline: a too-hot
-    // sum surfaces as a loud NULL, never a silent BIGINT wrap
-    val mdec = org.apache.spark.sql.types.DecimalType(19, 0)
+    // moments through DECIMAL(18,6) — crossCorr's fixed-scale discipline:
+    // fractional values keep 6 decimal digits (a DECIMAL(19,0) cast would
+    // silently half-up-round a double-valued column to integers before
+    // summing), the x·x product lands on DECIMAL(37,12) (valid in BOTH
+    // engines — (19,0)² would need precision 39 in DuckDB), and the sums
+    // stay exact/partition-order-free with a loud NULL on overflow,
+    // never a silent wrap
+    val mdec = org.apache.spark.sql.types.DecimalType(18, 6)
     val m = d.filter(arm.isin(armA, armB))
       .select(group.as("grp"), when(arm === armA, lit(0)).otherwise(lit(1)).as("arm"),
         value.as("x"))
@@ -970,7 +1015,7 @@ object StatOps {
     s"""WITH c AS (
        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
        |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-       |  FROM orders WHERE o_totalprice > 0 AND o_totalprice < 90000000000000.0
+       |  FROM orders WHERE o_totalprice >= 0.005 AND o_totalprice < 90000000000000.0
        |), g AS (
        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM c GROUP BY digit
        |), nn AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM g),
@@ -1216,17 +1261,24 @@ object StatOps {
                    " - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))" +
                    " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))")} AS gini
          |FROM m""".stripMargin,
+    // the same a-priori discipline: items below min-support (2) are
+    // semi-joined out BEFORE the pair self-join, pairs below it dropped
+    // after; n_baskets stays the unfiltered denominator
     "rel_basket_lift" ->
-      s"""WITH bi AS (
+      s"""WITH bi0 AS (
          |  SELECT DISTINCT user_id || ':' || date_trunc('day', ts) AS bk,
          |    event_type AS it
          |  FROM events
-         |), nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM bi),
-         |ni AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi GROUP BY it),
+         |), nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM bi0),
+         |ni AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi0 GROUP BY it),
+         |bi AS (
+         |  SELECT bi0.bk, bi0.it FROM bi0
+         |  JOIN ni ON bi0.it = ni.it AND ni.n_item >= 2
+         |),
          |p AS (
          |  SELECT l.it AS a, r.it AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
          |  FROM bi l JOIN bi r ON l.bk = r.bk AND l.it < r.it
-         |  GROUP BY 1, 2
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |)
          |SELECT a, b, n_ab, na.n_item AS n_a, nbm.n_item AS n_b,
          |  ${r6Sql("CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE)")} AS support,
@@ -1389,9 +1441,9 @@ object StatOps {
          |  SELECT l_returnflag AS grp,
          |    CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END AS arm,
          |    CAST(COUNT(*) AS BIGINT) AS n,
-         |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))) AS sx,
-         |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))
-         |      * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))) AS sxx
+         |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,6))) AS sx,
+         |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,6))
+         |      * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,6))) AS sxx
          |  FROM lineitem WHERE l_linestatus IN ('F', 'O') GROUP BY 1, 2
          |), j AS (
          |  SELECT a.grp,

@@ -240,6 +240,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Count threshold below which [[lmScorePruned]] drops a trigram from
+    * the served model (KenLM's --prune): kept grams each carry ≥ this
+    * many instances, so the model row count is bounded by
+    * gram-instances / threshold REGARDLESS of corpus novelty. */
+  private[ops] val LM_PRUNE_MIN = 100L
+
+  /** [[lmScore]] serving a PRUNED model — the production LM-filter shape
+    * (KenLM --prune / CCNet): the full model table grows with corpus
+    * NOVELTY (measured at 100×: 30.8× wall for 100× data as distinct
+    * grams grew with the synthetic corpus's vocabulary — BENCH_SF10_SPOT),
+    * so production filters serve a model thresholded at train time:
+    * trigrams with count < [[LM_PRUNE_MIN]] are dropped, capping model
+    * rows at gram-instances/threshold (a size the training side CONTROLS,
+    * where the unpruned vocabulary is open-ended).
+    *
+    * Scoring is the same expression with one coalesce: a pruned-away
+    * gram scores at the threshold ceiling log(PRUNE_MIN/c2) — the
+    * tightest upper bound the served model can state for a gram it
+    * dropped (its true count was < PRUNE_MIN), deterministic in both
+    * engines, no float backoff constants. Context totals c2 stay the
+    * FULL totals (they aggregate off the model-build pass, vocabulary-
+    * sized either way), so kept grams score identically to [[lmScore]].
+    * At sf0.01 the threshold prunes 149 of 377 grams, so the coalesce
+    * path itself sits behind the oracle's hash gate. */
+  private def lmScorePruned(s: SparkSession, dir: String): DataFrame = {
+    def g3 = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), explode(Tokens.charNgrams(col("text"), 3)).as("g"))
+    val c3 = Staging.staged(s, dir, "lm_c3") {
+      g3.groupBy(col("g")).agg(count(lit(1)).as("c3"))
+    }
+    val c2 = c3.groupBy(substring(col("g"), 1, 2).as("p"))
+      .agg(sum(col("c3")).as("c2"))
+    val model = c3.filter(col("c3") >= LM_PRUNE_MIN)
+    g3.withColumn("p", substring(col("g"), 1, 2))
+      .join(broadcast(model), Seq("g"), "left_outer")
+      .join(broadcast(c2), "p")
+      .withColumn("lp",
+        round(log(coalesce(col("c3"), lit(LM_PRUNE_MIN)).cast("double")
+          / col("c2").cast("double")), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), avgD(col("lp")).as("avg_lp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination — the n-gram-overlap scan every training
     * pipeline runs before release: flag documents sharing too many word
     * 5-grams with an evaluation/benchmark set. The benchmark here is a
@@ -679,6 +723,7 @@ object TextOps {
     "text_pack_bins" -> packBins,
     "text_decontaminate" -> decontaminate,
     "text_lm_score" -> lmScore,
+    "text_lm_score_pruned" -> lmScorePruned,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -992,6 +1037,25 @@ object TextOps {
          |    round(ln(CAST(c3.c3 AS DOUBLE) / CAST(c2.c2 AS DOUBLE)), 6) AS lp
          |  FROM g3 d
          |  JOIN c3 ON d.g = c3.g
+         |  JOIN c2 ON substr(d.g, 1, 2) = c2.p
+         |)
+         |SELECT doc_id, COUNT(*) AS n_grams, ${avgSql("lp")} AS avg_lp
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical ladder with the model CTE thresholded and the scoring
+    // join LEFT + coalesce to the threshold ceiling — by construction
+    // the only divergence from text_lm_score is the pruning semantics
+    "text_lm_score_pruned" ->
+      s"""WITH g3 AS (
+         |  SELECT doc_id, unnest(${charNgramsSql("text", 3)}) AS g FROM documents
+         |), c3 AS (SELECT g, COUNT(*) AS c3 FROM g3 GROUP BY 1),
+         |c2 AS (SELECT substr(g, 1, 2) AS p, SUM(c3) AS c2 FROM c3 GROUP BY 1),
+         |model AS (SELECT g, c3 FROM c3 WHERE c3 >= $LM_PRUNE_MIN),
+         |lp AS (
+         |  SELECT d.doc_id,
+         |    round(ln(CAST(COALESCE(m.c3, $LM_PRUNE_MIN) AS DOUBLE)
+         |      / CAST(c2.c2 AS DOUBLE)), 6) AS lp
+         |  FROM g3 d
+         |  LEFT JOIN model m ON d.g = m.g
          |  JOIN c2 ON substr(d.g, 1, 2) = c2.p
          |)
          |SELECT doc_id, COUNT(*) AS n_grams, ${avgSql("lp")} AS avg_lp

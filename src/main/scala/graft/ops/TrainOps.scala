@@ -550,8 +550,14 @@ object TrainOps {
         .join(wcur.select(col("i"), col("w").as("wi")), "i")
         .join(wcur.select(col("i").as("j"), col("w").as("wj")), "j")
         .groupBy(col("i"))
-        .agg(sum((col("n").cast("double") / (col("wi") + col("wj")))
-          .cast(dec)).cast("double").as("den"))
+        // wi + wj = 0 is reachable (two never-winning items that played
+        // each other are both 0 from step 1): the raw quotient is ±Inf,
+        // which Spark's decimal cast NULLs (term silently dropped) while
+        // DuckDB's decimal cast ERRORS — guard the term so both engines
+        // skip the degenerate pair identically
+        .agg(sum(when(col("wi") + col("wj") > 0d,
+          (col("n").cast("double") / (col("wi") + col("wj"))).cast(dec)))
+          .cast("double").as("den"))
       val upd = den.join(items.select(col("i"), col("wins")), "i")
         .select(col("i"), (col("wins").cast("double") / col("den")).as("w"))
       val ssum = upd.agg(sum(col("w").cast(dec)).cast("double").as("s"))
@@ -602,8 +608,9 @@ object TrainOps {
 
   private def btStepSql(k: Int): String =
     s"""den$k AS MATERIALIZED (
-       |  SELECT g.i, CAST(SUM(CAST(CAST(g.n AS DOUBLE) / (wi.w + wj.w)
-       |    AS DECIMAL(28,12))) AS DOUBLE) AS den
+       |  SELECT g.i, CAST(SUM(CASE WHEN wi.w + wj.w > 0 THEN
+       |    CAST(CAST(g.n AS DOUBLE) / (wi.w + wj.w) AS DECIMAL(28,12))
+       |    END) AS DOUBLE) AS den
        |  FROM games g JOIN it${k - 1} wi ON g.i = wi.i
        |    JOIN it${k - 1} wj ON g.j = wj.i
        |  GROUP BY g.i

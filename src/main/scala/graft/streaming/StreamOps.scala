@@ -23,6 +23,57 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger()
 
+  // ------------------------------------------------- phase instrumentation
+
+  /** Per-run phase records for the bench harness (the r13 verdict's
+    * stream-floor item: measure WHERE the fixed cost goes before
+    * attacking it). Every completed stream run appends one record:
+    * total wall, batch count, the sum of each
+    * StreamingQueryProgress.durationMs phase across batches
+    * (triggerExecution, addBatch, walCommit, commitOffsets,
+    * queryPlanning, latestOffset, getBatch), and `setup_sec` = wall −
+    * Σ triggerExecution — the query-start/source-init/checkpoint/stop
+    * machinery no progress event covers. Bench drains this after each
+    * stream query and publishes the breakdown in BENCH_LOCAL.json. */
+  private val phaseLog =
+    scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+
+  def drainPhaseRecords(): Seq[Map[String, Double]] =
+    phaseLog.synchronized { val r = phaseLog.toList; phaseLog.clear(); r }
+
+  /** start() + awaitTermination() + phase accounting — every stream run
+    * in this object goes through here so the bench's phase breakdown
+    * covers the whole family. */
+  private[streaming] def runInstrumented(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val t0 = System.nanoTime()
+    val q = w.start()
+    q.awaitTermination()
+    recordPhases(q, (System.nanoTime() - t0) / 1e9)
+    q
+  }
+
+  /** Phase accounting for runs that start and await separately (the
+    * incremental-merge runner): wall must cover start→termination. */
+  private[streaming] def recordPhases(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      wall: Double): Unit = {
+    import scala.jdk.CollectionConverters._
+    val agg = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(0.0)
+    val progs = q.recentProgress
+    progs.foreach(p => p.durationMs.asScala.foreach { case (k, v) =>
+      agg(k) += v.toDouble / 1000.0 })
+    val rec = Map(
+      "wall_sec" -> wall,
+      "n_batches" -> progs.length.toDouble,
+      "setup_sec" -> math.max(0.0, wall - agg("triggerExecution"))) ++
+      agg.map { case (k, v) => s"batch_$k" -> v }
+    phaseLog.synchronized { phaseLog += rec }
+  }
+
   /** events as a stream: file-source over the parquet with an explicit
     * schema, normalized to proper TimestampType exactly like
     * graft.Tables.events. The corpus has shipped `ts` both as INT64
@@ -78,12 +129,10 @@ object StreamOps {
     val prevCg = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
-      val q = streamed.writeStream
+      runInstrumented(streamed.writeStream
         .format("memory").queryName(name)
         .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.codegen.wholeStage", prevCg)
@@ -893,8 +942,10 @@ object StreamOps {
   }
 
   def runIncrementalMerge(events: DataFrame, root: String): DataFrame = {
+    val t0 = System.nanoTime()
     val (q, readState) = startIncrementalMerge(events, root, Trigger.AvailableNow())
     q.awaitTermination()
+    recordPhases(q, (System.nanoTime() - t0) / 1e9)
     readState()
   }
 
@@ -920,7 +971,7 @@ object StreamOps {
     * advance with a MemoryStream. */
   def runVersionedSink(agg: DataFrame, table: String): Unit = {
     val spark = agg.sparkSession
-    val q = agg.writeStream.outputMode("complete")
+    runInstrumented(agg.writeStream.outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val base = graft.ops.CommitLog.latest(table).map(_.version).getOrElse(0L)
         val data = s"$table/data_v${base + 1}"
@@ -928,8 +979,8 @@ object StreamOps {
         graft.ops.CommitLog.commit(table, base, data)
         ()
       }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .trigger(Trigger.AvailableNow()))
+    ()
   }
 
   private def versionedSinkQ(s: SparkSession, dir: String): DataFrame = {
@@ -1070,7 +1121,7 @@ object StreamOps {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = s.readStream.schema(changeSchema)
+      runInstrumented(s.readStream.schema(changeSchema)
         .option("recursiveFileLookup", "true").option("maxFilesPerTrigger", 1)
         .parquet(s"$feedPath/_changes")
         .writeStream.outputMode("append")
@@ -1112,8 +1163,8 @@ object StreamOps {
           }
           ()
         }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()))
+      ()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val versions = CommitLog.entries(mv)
     require(versions.size == 4,
@@ -1167,7 +1218,7 @@ object StreamOps {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      runInstrumented(s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(stage)
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -1208,8 +1259,8 @@ object StreamOps {
           }
           ()
         }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()))
+      ()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val versions = CommitLog.entries(txn)
     require(versions.size >= 2,
@@ -1284,10 +1335,8 @@ object StreamOps {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val q = try {
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      q
+      runInstrumented(agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val fedBatches = q.recentProgress.count(_.numInputRows > 0)
     require(fedBatches == 4,
@@ -1340,7 +1389,7 @@ object StreamOps {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      runInstrumented(s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(stage)
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -1369,8 +1418,8 @@ object StreamOps {
           }
           ()
         }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()))
+      ()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val chunks = CommitLog.entries(root)
       .flatMap(c => CommitLog.payloadDirs(c.dataDir))
@@ -1423,7 +1472,7 @@ object StreamOps {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = docs.writeStream.outputMode("append")
+      runInstrumented(docs.writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           val scored = TrainOps.scoreWithModel(batch.toDF(), "doc_id", "text", m, c)
           perBatch(id) = scored
@@ -1436,8 +1485,8 @@ object StreamOps {
             .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
           ()
         }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(Trigger.AvailableNow()))
+      ()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val totals = perBatch.values.flatten
       .groupBy(_._1).toSeq

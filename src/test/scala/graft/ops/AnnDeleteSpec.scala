@@ -5,10 +5,18 @@ import graft.SparkSpec
 /** Pins sim_ann_delete's reason to exist beyond the oracle's exact-value
   * gate: the DV anti-mask must actually BITE (the undeleted serve returns
   * top-K rows that the deleted serve may not), and no deleted id may ever
-  * appear. The query's own requires already pin the lifecycle mechanics
-  * (metadata-only delete commit via file state, partition-pruned serve,
-  * compaction MoR ≡ CoW); this spec pins the visible semantics. */
+  * appear. The query's own requires pin the in-path lifecycle mechanics
+  * (metadata-only delete commit via file state, partition-pruned serve);
+  * the compaction MoR ≡ CoW equivalence is pinned HERE — it is invariant
+  * per corpus, so proving it on every query invocation (serving twice and
+  * collecting both) doubled the query's steady cost for no information
+  * (the r13 hygiene item). */
 class AnnDeleteSpec extends SparkSpec {
+
+  test("compaction preserves the serve: merge-on-read == copy-on-write") {
+    // raises if serve(v3 compacted, no DV) differs from the DV-masked serve
+    Similarity.annDeleteCompactVerify(spark, "/root/testdata/sf0.01")
+  }
 
   test("deleted ids never serve; the mask visibly changes the top-K") {
     val dir = "/root/testdata/sf0.01"

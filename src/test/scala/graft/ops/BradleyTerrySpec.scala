@@ -36,6 +36,23 @@ class BradleyTerrySpec extends SparkSpec {
     }
   }
 
+  test("counts front-end: a mutual zero-win pair drops its denominator " +
+      "term instead of dividing by zero") {
+    // C and D never won anywhere but DID play each other (reachable via
+    // direct counts — e.g. ties recorded as games without wins): both are
+    // 0 from step 1, so the C–D term is n/(0+0). Unguarded, Spark's
+    // decimal cast NULLs the ±Inf (term silently dropped) while DuckDB
+    // ERRORS — the guard makes both engines skip it identically.
+    val games = Seq(("A", "C", 2L), ("C", "A", 2L), ("A", "D", 2L),
+      ("D", "A", 2L), ("C", "D", 2L), ("D", "C", 2L)).toDF("i", "j", "n")
+    val items = Seq(("A", 4L, 4L), ("C", 4L, 0L), ("D", 4L, 0L))
+      .toDF("i", "n_games", "wins")
+    val got = TrainOps.bradleyTerryCounts(games, items).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("strength")).toMap
+    assert(got("A") == 1.0)
+    assert(got("C") == 0.0 && got("D") == 0.0)
+  }
+
   test("dominance orders strengths; zero-win item keeps strength 0") {
     // A beats B twice, B beats C twice, A beats C twice: strength order
     // A > B > C; C never wins -> W_C = 0 pins w_C = 0 from step 1

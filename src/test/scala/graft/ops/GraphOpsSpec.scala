@@ -110,6 +110,12 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(1L)._1 > got(3L)._1, s"1 beats 3: $got")
   }
 
+  test("hits: iters = 0 is rejected loudly (no half-built result)") {
+    val e = Seq((1L, 10L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] { GraphOps.hits(e, 0) }
+    assert(ex.getMessage.contains("at least 1 iteration"))
+  }
+
   test("assortativity: star is maximally disassortative (-1)") {
     // hub 0 (deg 4) to four leaves (deg 1): every edge pairs (4,1) —
     // after symmetrization the correlation of (x,y) with y = 5 - x over

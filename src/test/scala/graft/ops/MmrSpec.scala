@@ -80,6 +80,20 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect: sparse pair frame — a candidate with NO pair row to " +
+      "the selected set scores maxsim 0 and wins, not vanishes") {
+    // c4 has no pair rows at all (the "only nonzero sims stored"
+    // representation): after c1 is picked, c4's max-sim to the selected
+    // set is 0 — the MOST diverse candidate. An inner join would drop it
+    // from every later step; the left join must PREFER it at step 2
+    // (score .5·.55 − .5·0 = 0.275 beats c3's 0.25 and c2's −0.055).
+    val c = cand.unionByName(Seq((0L, 4L, 0.55)).toDF("q_id", "vec_id", "rel"))
+    val got = Similarity.mmrSelect(c, pairs, 4, 0.5)
+      .orderBy(col("step")).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 4L, 3L, 2L))
+    assert(got(1).getAs[Double]("maxsim") == 0.0)
+  }
+
   test("matryoshka recall: bounded, K-capped, more dims no worse on average") {
     val got = Similarity.queries("sim_matryoshka_recall")(
       spark, "/root/testdata/sf0.001").collect()

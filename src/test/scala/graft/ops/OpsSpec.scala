@@ -81,6 +81,32 @@ class OpsSpec extends SparkSpec {
     assert(out.count() == graft.Tables(spark, sf, "documents").count())
   }
 
+  test("text_lm_score_pruned: model rows bounded by instances/threshold, " +
+      "pruning bites, scores dominate the unpruned model's") {
+    val g3 = graft.Tables(spark, sf, "documents")
+      .select(explode(Tokens.charNgrams(col("text"), 3)).as("g"))
+    val c3 = g3.groupBy(col("g")).agg(count(lit(1)).as("c3"))
+    val fullModel = c3.count()
+    val prunedModel = c3.filter(col("c3") >= TextOps.LM_PRUNE_MIN).count()
+    val instances = g3.count()
+    // THE bound pruning buys: every kept gram carries >= threshold
+    // instances, so model rows <= instances/threshold no matter how much
+    // of the corpus's growth is novel vocabulary (the unpruned model has
+    // no such bound — BENCH_SF10_SPOT's 100x note)
+    assert(prunedModel <= instances / TextOps.LM_PRUNE_MIN)
+    assert(prunedModel < fullModel,
+      s"threshold ${TextOps.LM_PRUNE_MIN} prunes nothing at this corpus " +
+        "— the coalesce backoff path is untested")
+    // threshold-ceiling backoff only ever RAISES a gram's count, so the
+    // pruned score dominates the full-model score per document
+    val p = TextOps.queries("text_lm_score_pruned")(spark, sf)
+      .select(col("doc_id"), col("avg_lp").as("lp_pruned"))
+    val u = TextOps.queries("text_lm_score")(spark, sf)
+      .select(col("doc_id"), col("avg_lp").as("lp_full"))
+    assert(p.join(u, "doc_id")
+      .filter(col("lp_pruned") < col("lp_full") - 1e-9).count() == 0)
+  }
+
   test("dedup_incremental: surviving batch docs are genuinely absent from history") {
     val out = DedupOps.queries("dedup_incremental")(spark, sf)
     val d = graft.Tables(spark, sf, "documents")

@@ -328,6 +328,40 @@ class StatOpsSpec extends SparkSpec {
     assert(dup(("p", "q")) == 2L)
   }
 
+  test("basketLift: min-support prefilters singleton items out of the " +
+      "pair join; sub-support pairs dropped") {
+    // y appears in ONE basket (support 1 < minSupport 2): no pair with y
+    // may form. p/q appear twice but co-occur only once -> the (p,q)
+    // pair is sub-support and dropped from the report.
+    val rows = Seq(
+      (1, "p"), (1, "q"), (1, "y"),
+      (2, "p"), (3, "q"),
+      (4, "a"), (4, "b"), (5, "a"), (5, "b"))
+    val got = StatOps.basketLift(rows.toDF("bk", "it"), col("bk"), col("it"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b")))
+  }
+
+  test("basketLift: a hot basket past maxBasketItems raises in-plan " +
+      "instead of exploding one task") {
+    // 12 items, each in both baskets (so ALL survive the support
+    // prefilter) — with maxBasketItems = 8 the 12-item baskets must
+    // REFUSE, not quietly build 66 pairs per basket
+    val items = (0 until 12).map(i => f"i$i%02d")
+    val rows = for (bk <- Seq(1, 2); it <- items) yield (bk, it)
+    val ex = intercept[Exception] {
+      StatOps.basketLift(rows.toDF("bk", "it"), col("bk"), col("it"),
+        minSupport = 2L, maxBasketItems = 8L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxBasketItems")))
+    // the same data passes once the cap admits the basket
+    assert(StatOps.basketLift(rows.toDF("bk", "it"), col("bk"), col("it"),
+      minSupport = 2L, maxBasketItems = 12L).count() == 66L)
+  }
+
   test("survivalKm: textbook curve with one censored survivor") {
     // lifetimes 0h, 1h, 2h (deaths) + one user still active at corpus
     // end (censored): S = 3/4, then 3/4·2/3 = 1/2, then 1/2·1/2 = 1/4
@@ -365,8 +399,10 @@ class StatOpsSpec extends SparkSpec {
 
   test("benford: digit extraction survives cents scaling; shares sum to 1") {
     // 0.19 -> 19 cents -> digit 1 (scaling by 100 keeps the first
-    // significant digit); 912.40 -> digit 9; non-positive rows dropped
-    val d = Seq(0.19, 912.40, 1.0, 25.5, 0.0, -3.0).toDF("v")
+    // significant digit); 912.40 -> digit 9; non-positive rows dropped;
+    // 0.004 scales to cents 0 — no significant digit, excluded by the
+    // domain gate rather than emitting a meaningless digit-0 bucket
+    val d = Seq(0.19, 912.40, 1.0, 25.5, 0.0, -3.0, 0.004).toDF("v")
     val got = StatOps.benford(d, col("v")).collect()
       .map(r => r.getInt(0) -> r).toMap
     assert(got.keySet == Set(1, 2, 9))
