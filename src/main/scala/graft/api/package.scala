@@ -512,6 +512,31 @@ package object api {
         maxBasketItems: Long = 4096L): DataFrame =
       ops.StatOps.basketLift(df, basket, item, minSupport, maxBasketItems)
 
+    /** Weekly cohort-retention matrix of this event frame: users grouped
+      * by first-activity week, per-offset active share — see
+      * rel_cohort_retention. */
+    def cohortRetention(user: Column, ts: Column): DataFrame =
+      ops.StatOps.cohortRetention(df, user, ts)
+
+    /** Ordered funnel conversion: per step, users whose step-k event
+      * falls strictly after their earliest step-(k−1) completion — see
+      * rel_funnel_conversion. EAGER: |steps| chained aggregates. */
+    def funnelConversion(user: Column, ts: Column, etype: Column,
+        steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+      ops.StatOps.funnelConversion(df, user, ts, etype, steps)
+
+    /** A-priori frequent itemsets (sizes 1–3) at `minSupport`, with the
+      * basketLift hot-basket raise — see rel_freq_itemsets. */
+    def freqItemsets(basket: Column, item: Column, minSupport: Long = 2L,
+        maxBasketItems: Long = 4096L): DataFrame =
+      ops.StatOps.freqItemsets(df, basket, item, minSupport, maxBasketItems)
+
+    /** Rolling-median/MAD anomaly flags (robust sibling of
+      * ts_anomaly_zscore) over per-key series — see ts_anomaly_mad. */
+    def anomalyMad(key: String, ts: String, ord: String, value: String,
+        n: Int = 25, k: Double = 3.0): DataFrame =
+      ops.TimeSeriesOps.anomalyMad(df, key, ts, ord, value, n, k)
+
     /** Kaplan–Meier survival of per-key lifetime with right-censoring
       * near the corpus end — see rel_survival_km. */
     def survivalKm(key: Column, ts: Column, cohort: Column,

@@ -978,6 +978,165 @@ object StatOps {
       .withColumnRenamed("k", "event_type")
       .orderBy(col("event_type"))
 
+  // ---------------------------------------------------- cohort retention
+
+  /** Weekly cohort-retention matrix — the activation/churn table every
+    * growth dashboard starts from: users grouped by FIRST-activity week
+    * (the cohort), and for each later week the share of the cohort still
+    * active. Week arithmetic is exact integer epoch-microsecond division
+    * (µs div 86400000000 div 7 — floor-deterministic in both engines),
+    * never date-part functions whose week-numbering conventions differ.
+    *
+    * Shape at scale: one user-keyed shuffle to per-user first-week, one
+    * user-keyed join back onto the events (both sides hash on the same
+    * key), then everything is (cohort × offset)-sized — the distinct
+    * active set and the counts shuffle on week pairs, not the corpus.
+    * Cohort size needs no extra pass: every user is by construction
+    * active in their first week, so n at offset 0 IS the cohort size
+    * (self-joined back from the tiny counts frame). */
+  def cohortRetention(d: DataFrame, user: Column, ts: Column): DataFrame = {
+    // integer division, NOT Column./ (which is double division on longs
+    // and drifts for epoch-µs magnitudes)
+    val wk = call_function("div",
+      call_function("div", unix_micros(ts), lit(86400000000L)), lit(7L))
+    val base = d.select(user.as("u"), wk.as("w"))
+    val first = base.groupBy(col("u")).agg(min(col("w")).as("cw"))
+    val act = base.join(first, "u")
+      .select(col("cw"), (col("w") - col("cw")).as("off"), col("u"))
+      .distinct()
+    val cnt = act.groupBy(col("cw"), col("off"))
+      .agg(count(lit(1)).as("n_active"))
+    cnt.join(broadcast(cnt.filter(col("off") === 0)
+        .select(col("cw"), col("n_active").as("n_cohort"))), "cw")
+      .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+        col("n_active"), col("n_cohort"),
+        r6(col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+  }
+
+  private def cohortQ(s: SparkSession, dir: String): DataFrame =
+    cohortRetention(graft.Tables(s, dir, "events"), col("user_id"), col("ts"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  // --------------------------------------------------- funnel conversion
+
+  private val FUNNEL_STEPS = Seq("view", "click", "purchase")
+
+  /** Ordered funnel conversion — the product-analytics staple
+    * rel_sequence_match does NOT cover (that one requires CONSECUTIVE
+    * rows; a funnel allows any events between steps): per user, step k
+    * counts iff an event of step k's type occurs STRICTLY AFTER the
+    * user's earliest completion of step k−1. Emits one row per step with
+    * the user count, conversion vs the previous step, and vs step 1.
+    *
+    * Shape: one user-keyed aggregate per step (each pass computes the
+    * per-user earliest completion time of the step given the previous
+    * step's time — a conditional min), chained by user-keyed joins; all
+    * frames after the first aggregate are user-sized, the final output
+    * is |steps| rows. Step count is a fixed pipeline constant, so the
+    * chain length never grows with data. */
+  def funnelConversion(d: DataFrame, user: Column, ts: Column,
+                       etype: Column,
+                       steps: Seq[String] = FUNNEL_STEPS): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    val ev = d.select(user.as("u"), ts.as("t"), etype.as("et"))
+    // per-user earliest time of step 0
+    var cur = ev.filter(col("et") === steps.head)
+      .groupBy(col("u")).agg(min(col("t")).as("t0"))
+    val counts = scala.collection.mutable.ArrayBuffer[DataFrame](
+      cur.agg(count(lit(1)).as("n")).select(lit(1L).as("step_idx"),
+        lit(steps.head).as("step"), col("n")))
+    for (i <- 1 until steps.size) {
+      cur = ev.filter(col("et") === steps(i))
+        .join(cur.select(col("u"), col(s"t${i - 1}")), "u")
+        .filter(col("t") > col(s"t${i - 1}"))
+        .groupBy(col("u")).agg(min(col("t")).as(s"t$i"))
+      counts += cur.agg(count(lit(1)).as("n"))
+        .select(lit((i + 1).toLong).as("step_idx"),
+          lit(steps(i)).as("step"), col("n"))
+    }
+    val steps1 = counts.reduce(_ unionByName _)
+    // |steps| rows: the single-partition windows are free
+    steps1
+      .withColumn("n_first", first(col("n")).over(
+        Window.orderBy(col("step_idx"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_prev", lag(col("n"), 1).over(Window.orderBy(col("step_idx"))))
+      .select(col("step_idx"), col("step"), col("n").as("n_users"),
+        r6(col("n").cast("double") /
+          coalesce(col("n_prev"), col("n")).cast("double")).as("conv_prev"),
+        r6(col("n").cast("double") / col("n_first").cast("double"))
+          .as("conv_first"))
+  }
+
+  private def funnelQ(s: SparkSession, dir: String): DataFrame =
+    funnelConversion(graft.Tables(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"))
+      .orderBy(col("step_idx"))
+
+  // --------------------------------------------------- frequent itemsets
+
+  /** A-priori frequent itemsets up to size 3 over (basket, item) rows —
+    * the full frequent-itemset discipline rel_basket_lift's prefilter is
+    * the first pass of: L1 = items with support ≥ minSupport, candidate
+    * pairs/triples form ONLY from surviving items via basket-keyed
+    * self-joins (bounded by the post-filter basket size, the same guard
+    * as basketLift), and each level filters at minSupport before the
+    * next. Downward closure means no frequent itemset is lost. Emits
+    * (size, i1, i2, i3, support) with NULL padding for sizes < 3.
+    *
+    * Shape at scale: the level-k join touches only L1-filtered items, so
+    * a hot basket is capped by the same in-plan raise; all outputs are
+    * itemset-space-sized, never corpus-sized. */
+  def freqItemsets(d: DataFrame, basket: Column, item: Column,
+                   minSupport: Long = 2L,
+                   maxBasketItems: Long = 4096L): DataFrame = {
+    require(minSupport >= 1 && maxBasketItems >= 1,
+      "freqItemsets thresholds must be >= 1")
+    val bi0 = d.select(basket.as("bk"), item.as("it")).distinct()
+    val ni = bi0.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val bi = bi0.join(ni.filter(col("n_item") >= minSupport)
+      .select(col("it")), Seq("it"), "left_semi")
+    val guarded = bi
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .select(col("bk"),
+        when(col("bsz") <= maxBasketItems, col("it"))
+          .otherwise(raise_error(concat(
+            lit("freqItemsets: a basket holds "), col("bsz").cast("string"),
+            lit(s" items after the min-support filter (> maxBasketItems=" +
+              s"$maxBasketItems)")))).as("it"))
+    val l1 = ni.filter(col("n_item") >= minSupport)
+      .select(lit(1L).as("size"), col("it").as("i1"),
+        lit(null).cast("string").as("i2"), lit(null).cast("string").as("i3"),
+        col("n_item").as("support"))
+    val p2 = guarded.as("a").join(guarded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("i1"), col("b.it").as("i2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val l2 = p2.select(lit(2L).as("size"), col("i1"), col("i2"),
+      lit(null).cast("string").as("i3"), col("support"))
+    val p3 = guarded.as("a").join(guarded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .join(guarded.as("c"),
+        col("a.bk") === col("c.bk") && col("b.it") < col("c.it"))
+      .groupBy(col("a.it").as("i1"), col("b.it").as("i2"),
+        col("c.it").as("i3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val l3 = p3.select(lit(3L).as("size"), col("i1"), col("i2"), col("i3"),
+      col("support"))
+    l1.unionByName(l2).unionByName(l3)
+  }
+
+  private def freqItemsetsQ(s: SparkSession, dir: String): DataFrame =
+    freqItemsets(graft.Tables(s, dir, "events"),
+        col("user_id") * lit(1000000L)
+          + (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
+            .cast("long"),
+        col("event_type"))
+      .orderBy(col("size"), col("i1"), col("i2"), col("i3"))
+
   // ------------------------------------------------------------ wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1002,6 +1161,9 @@ object StatOps {
     "rel_winsorize" -> winsorizeQ,
     "rel_gaps_islands" -> gapsIslandsQ,
     "rel_decile_lift" -> decileLiftQ,
+    "rel_cohort_retention" -> cohortQ,
+    "rel_funnel_conversion" -> funnelQ,
+    "rel_freq_itemsets" -> freqItemsetsQ,
   )
 
   /** rel_benford's oracle, generated from the SAME log10 expectation
@@ -1032,6 +1194,84 @@ object StatOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same exact-integer week arithmetic (epoch_us // day // 7), same
+    // offset-0-is-cohort-size shortcut
+    "rel_cohort_retention" ->
+      s"""WITH b AS (
+         |  SELECT user_id AS u, (epoch_us(ts) // 86400000000) // 7 AS w
+         |  FROM events
+         |), f AS (SELECT u, MIN(w) AS cw FROM b GROUP BY u),
+         |act AS (
+         |  SELECT DISTINCT f.cw, b.w - f.cw AS off, b.u
+         |  FROM b JOIN f USING (u)
+         |), cnt AS (
+         |  SELECT cw, off, CAST(COUNT(*) AS BIGINT) AS n_active
+         |  FROM act GROUP BY 1, 2
+         |), sz AS (SELECT cw, n_active AS n_cohort FROM cnt WHERE off = 0)
+         |SELECT c.cw AS cohort_week, c.off AS week_offset, c.n_active,
+         |  s.n_cohort,
+         |  ${r6Sql("CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)")}
+         |    AS retention
+         |FROM cnt c JOIN sz s USING (cw)
+         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // the same chained conditional-min ladder; conversion ratios over the
+    // 3-row result via the same window spelling
+    "rel_funnel_conversion" ->
+      s"""WITH e AS (
+         |  SELECT user_id AS u, ts AS t, event_type AS et FROM events
+         |), s1 AS (
+         |  SELECT u, MIN(t) AS t0 FROM e WHERE et = 'view' GROUP BY u
+         |), s2 AS (
+         |  SELECT e.u, MIN(e.t) AS t1 FROM e
+         |  JOIN s1 ON e.u = s1.u AND e.t > s1.t0
+         |  WHERE e.et = 'click' GROUP BY e.u
+         |), s3 AS (
+         |  SELECT e.u, MIN(e.t) AS t2 FROM e
+         |  JOIN s2 ON e.u = s2.u AND e.t > s2.t1
+         |  WHERE e.et = 'purchase' GROUP BY e.u
+         |), c AS (
+         |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM s1
+         |  UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+         |)
+         |SELECT step_idx, step, n AS n_users,
+         |  ${r6Sql("CAST(n AS DOUBLE) / CAST(COALESCE(" +
+                   "lag(n) OVER (ORDER BY step_idx), n) AS DOUBLE)")}
+         |    AS conv_prev,
+         |  ${r6Sql("CAST(n AS DOUBLE) / CAST(first_value(n)" +
+                   " OVER (ORDER BY step_idx) AS DOUBLE)")} AS conv_first
+         |FROM c ORDER BY step_idx""".stripMargin,
+    // the same a-priori ladder: L1 semi-join, level-k HAVING filters
+    "rel_freq_itemsets" ->
+      s"""WITH bi0 AS (
+         |  SELECT DISTINCT user_id || ':' || date_trunc('day', ts) AS bk,
+         |    event_type AS it
+         |  FROM events
+         |), ni AS (
+         |  SELECT it, CAST(COUNT(*) AS BIGINT) AS n_item FROM bi0 GROUP BY it
+         |), bi AS (
+         |  SELECT bi0.bk, bi0.it FROM bi0
+         |  JOIN ni ON bi0.it = ni.it AND ni.n_item >= 2
+         |), p2 AS (
+         |  SELECT a.it AS i1, b.it AS i2, CAST(COUNT(*) AS BIGINT) AS support
+         |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |), p3 AS (
+         |  SELECT a.it AS i1, b.it AS i2, c.it AS i3,
+         |    CAST(COUNT(*) AS BIGINT) AS support
+         |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+         |  JOIN bi c ON a.bk = c.bk AND b.it < c.it
+         |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+         |)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS size, it AS i1,
+         |    CAST(NULL AS VARCHAR) AS i2, CAST(NULL AS VARCHAR) AS i3,
+         |    n_item AS support
+         |  FROM ni WHERE n_item >= 2
+         |  UNION ALL SELECT 2, i1, i2, NULL, support FROM p2
+         |  UNION ALL SELECT 3, i1, i2, i3, support FROM p3
+         |) ORDER BY size, i1, i2, i3""".stripMargin,
     // the same two-rank construction in window SQL: global row_number +
     // per-sample row_number give both cumulative counts, tie blocks
     // absorbed per distinct value, exact-integer until the final divisions

@@ -35,6 +35,9 @@ object TimeSeriesOps {
     * differently; the same double ops in the same order are bit-identical
     * in any engine. Rounds negatives half toward +inf — fine, as long as
     * the oracle spells the identical expression. */
+  private def r6SqlTs(x: String): String =
+    s"CAST(floor(($x) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+
   private def r6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
 
@@ -261,6 +264,52 @@ object TimeSeriesOps {
 
   private def tsAnomalyZscore(s: SparkSession, dir: String): DataFrame =
     anomalyZscore(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val MADW = 25      // rolling window — ODD, so the median is one
+                             // exact middle element (even widths average
+                             // two, a different value in each engine's
+                             // float order)
+  private val MADK = 3.0d    // flag threshold in MAD units
+
+  /** Rolling-median/MAD anomaly flags — the ROBUST sibling of
+    * [[anomalyZscore]]: a mean/σ window is dragged by the very outliers
+    * it is meant to flag (one large spike inflates σ and masks the
+    * next), while median/MAD tolerate up to 50% contamination — the
+    * screen production metric pipelines run on noisy telemetry.
+    *
+    * Exactness: the trailing window is COLLECTED into a bounded array
+    * (a ROWS frame — per-row state is `n` doubles, never the corpus),
+    * the median is the sorted array's middle ELEMENT (odd `n`, so no
+    * two-value averaging), MAD is the median of |v − med| over the same
+    * array, and the flag compares |x − med| > k·MAD with the raw
+    * doubles — every step is the same IEEE ops in the same order in
+    * both engines, no library quantile in sight. Only full windows
+    * emit. ONE keyed shuffle (the window); all array work is per-row
+    * over `n` elements. */
+  def anomalyMad(d: DataFrame, key: String, ts: String, ord: String,
+                 value: String, n: Int = MADW,
+                 k: Double = MADK): DataFrame = {
+    require(n >= 3 && n % 2 == 1, s"window must be odd and >= 3 (got $n)")
+    val mid = (n + 1) / 2
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    d.select(col(key), col(ts), col(ord), col(value))
+      .filter(col(value).isNotNull)
+      .withColumn("arr", collect_list(col(value)).over(w))
+      .filter(size(col("arr")) === n)
+      .withColumn("med", element_at(array_sort(col("arr")), mid))
+      .withColumn("mad", element_at(array_sort(
+        transform(col("arr"), v => abs(v - col("med")))), mid))
+      .select(col(key), col(ord), r6(col("med")).as("med"),
+        r6(col("mad")).as("mad"),
+        when(abs(col(value) - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L).as("is_anom"))
+  }
+
+  private def tsAnomalyMad(s: SparkSession, dir: String): DataFrame =
+    anomalyMad(graft.Tables(s, dir, "events"),
         "user_id", "ts", "event_id", "value")
       .orderBy(col("user_id"), col("event_id"))
 
@@ -773,6 +822,7 @@ object TimeSeriesOps {
     "ts_resample_aligned" -> tsResampleAligned,
     "ts_lag_features" -> tsLagFeatures,
     "ts_anomaly_zscore" -> tsAnomalyZscore,
+    "ts_anomaly_mad" -> tsAnomalyMad,
     "ts_interp_linear" -> tsInterpLinear,
     "ts_ewma" -> tsEwma,
     "ts_des_forecast" -> tsDesForecast,
@@ -933,6 +983,29 @@ object TimeSeriesOps {
          |SELECT user_id, event_id, round(zr, 6) AS z,
          |  CAST(CASE WHEN abs(zr) > $ZTHRESH THEN 1 ELSE 0 END AS BIGINT)
          |    AS is_anom
+         |FROM c ORDER BY user_id, event_id""".stripMargin,
+    // the same collected-window array ladder: list over the ROWS frame,
+    // sorted middle element, MAD via list_transform — identical IEEE ops
+    "ts_anomaly_mad" ->
+      s"""WITH a AS (
+         |  SELECT user_id, event_id, "value" AS v,
+         |    list("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN ${MADW - 1} PRECEDING AND CURRENT ROW) AS arr
+         |  FROM events WHERE "value" IS NOT NULL
+         |), b AS (
+         |  SELECT user_id, event_id, v, arr,
+         |    list_sort(arr)[${(MADW + 1) / 2}] AS med
+         |  FROM a WHERE len(arr) = $MADW
+         |), c AS (
+         |  SELECT user_id, event_id, v, med,
+         |    list_sort(list_transform(arr, x -> abs(x - med)))
+         |      [${(MADW + 1) / 2}] AS mad
+         |  FROM b
+         |)
+         |SELECT user_id, event_id,
+         |  ${r6SqlTs("med")} AS med, ${r6SqlTs("mad")} AS mad,
+         |  CAST(CASE WHEN abs(v - med) > $MADK * mad THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_anom
          |FROM c ORDER BY user_id, event_id""".stripMargin,
     // same bucket dedup / bracket windows over observations, same integer
     // microsecond lerp fraction cast to double

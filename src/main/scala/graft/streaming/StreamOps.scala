@@ -86,7 +86,15 @@ object StreamOps {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // footer probe cached per (session, corpus): the physical ts type is
+    // a property of the corpus files, and ~15 stream queries × multiple
+    // bench passes each paid a driver-side footer read + schema merge
+    // for the same answer (stagedValue survives Staging.clear()'s
+    // per-pass frame eviction only until clear() — which is fine: the
+    // reprobe is exactly once per pass, not once per query)
+    val tsType = graft.ops.Staging.stagedValue(spark, dir, "events_ts_type") {
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -113,9 +121,16 @@ object StreamOps {
     // query start; 4 is plenty for the bench corpus and cuts fixed setup
     // cost. Heavy stateful shapes (session merge) pass a higher count —
     // state work parallelizes with it (a production job sizes this to
-    // keys × state bytes instead)
+    // keys × state bytes instead). RE-MEASURED r14 on the 6 heaviest
+    // stream queries (3-pass medians, sf0.1): width 1 → 24.7 s,
+    // 2 → 25.4, 4 → 15.0, 8 → 18.2, 16 → 22.9 — the 4-wide setting is
+    // the measured optimum, state-store count and per-task overhead
+    // dominate above it, lost parallelism below. The env knob exists so
+    // the probe matrix is reproducible without editing code.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    val effParts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(_.toInt).getOrElse(stateParts)
+    spark.conf.set("spark.sql.shuffle.partitions", effParts.toString)
     // Whole-stage codegen OFF for the micro-batch run (r13, measured):
     // event-time watermark values are baked into the generated code as
     // literals, so EVERY batch of a watermarked query is a codegen cache
@@ -126,8 +141,12 @@ object StreamOps {
     // deployment with multi-GB batches amortizes the compile and flips
     // this back (the conf is per-session, restored on exit); the plan
     // shape, state layout, and semantics are identical either way.
+    // RE-MEASURED r14 (heavy-6 probe, medians): codegen on = 16.8 s vs
+    // off = 15.0 s at width 4 — still a net loss at bench batch sizes,
+    // including for the join-heavy shapes. Env knob for reproducibility.
     val prevCg = spark.conf.get("spark.sql.codegen.wholeStage")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.wholeStage",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_CODEGEN", "false"))
     try {
       runInstrumented(streamed.writeStream
         .format("memory").queryName(name)
@@ -209,7 +228,17 @@ object StreamOps {
     * window.end <= floor(max ts to ms) − delay (AvailableNow runs the
     * final no-data flush batch), and the DuckDB oracle reproduces that
     * predicate — so late-data semantics, not just the winners, are
-    * pinned. */
+    * pinned.
+    *
+    * 10×-rehearsal note (r13 flagged 5.04×, decomposed r14): OUTPUT
+    * rows are (window, key) winners and grow exactly 10.0× with the
+    * corpus (measured: 95,583 → 955,865 distinct (hour, user) pairs at
+    * sf0.1 → sf1) — eviction emits every one through the state store
+    * and the memory sink. 5.04× wall for 10× input AND 10× output rows
+    * is sublinear per row processed; the remainder over the ~1 s stream
+    * floor (2 batches: data + eviction flush — the phase breakdown in
+    * BENCH_LOCAL.json `stream_phases`) tracks output volume, not a
+    * super-linear plan term. */
   def dedupLastWinsQ(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
@@ -746,8 +775,15 @@ object StreamOps {
     val ev = graft.Tables(s, dir, "events")
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    ev.coalesce(1).write.mode("overwrite").parquet(stage)
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // max(ts) rides the staging write as an Observation — the separate
+    // agg was a SECOND full pass over events before the stream even
+    // started (measured in the r14 phase breakdown: the factory's batch
+    // work, not the stream, was half this query's cost)
+    val obs = org.apache.spark.sql.Observation(
+      s"oj_max_${nameCounter.incrementAndGet()}")
+    ev.observe(obs, max(col("ts")).as("mx"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val maxTs = obs.get("mx").asInstanceOf[java.sql.Timestamp]
     val sentinels = s.createDataFrame(java.util.Arrays.asList(
       org.apache.spark.sql.Row(-1L,
         new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000), -1L, "click"),
@@ -1309,11 +1345,18 @@ object StreamOps {
     // jobs re-scanned and re-serialized the table per chunk — same
     // bytes, 4x the jobs); every writer task emits into each chunk dir,
     // so a chunk still holds MANY files and the writer keeps its natural
-    // parallelism (the source reads one partition per chunk FILE)
+    // parallelism (the source reads one partition per chunk FILE).
+    // Publish width capped at 8 writer tasks for the BENCH corpus: the
+    // source reads one partition per chunk file, so a 32-wide write made
+    // every subscriber micro-batch a 32-task scan of ~5 KB files — pure
+    // scheduler overhead (r14 phase breakdown). Serialization still
+    // parallelizes 8-way here; a production publisher keeps its natural
+    // width because its chunks are GBs, not KBs.
     orders
       .select((pmod(col("o_orderkey"), lit(4)) + 1).as("v"),
         to_json(struct(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"))).as("line"))
+      .coalesce(8)
       .write.mode("overwrite").partitionBy("v").text(s"$table/chunks")
     for (i <- 0 until 4)
       CommitLog.commit(table, i.toLong, s"$table/chunks/v=${i + 1}")

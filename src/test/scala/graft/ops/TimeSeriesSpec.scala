@@ -48,6 +48,30 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getAs[Long]("event_id") ->
         (r.getAs[Double]("z"), r.getAs[Long]("is_anom"))).toMap
 
+  test("anomalyMad: the median window shrugs off the spike zscore hides behind") {
+    // 9-wide window over mostly-constant data with ONE huge spike:
+    // med = 10, MAD = 0 for all-constant windows — the spike row's own
+    // window has med 10, MAD 0, |50-10| > 3*0 -> flagged; the constant
+    // rows are |10-10| = 0 -> quiet. Windows < 9 rows are dropped.
+    val rows = (0 until 12).map(i =>
+      (1L, i, i.toLong, if (i == 10) 50.0 else 10.0))
+    val out = TimeSeriesOps.anomalyMad(ev(rows), "user_id", "ts",
+        "event_id", "value", n = 9, k = 3.0)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Long]("is_anom"))).toMap
+    assert(out.size == 12 - 8) // full windows only
+    assert(out(10L) == (10.0, 0.0, 1L)) // spike flagged, median untouched
+    assert(out(9L) == (10.0, 0.0, 0L))
+    assert(out(11L) == (10.0, 0.0, 0L)) // window holds the spike; robust
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeriesOps.anomalyMad(ev(rows), "user_id", "ts", "event_id",
+        "value", n = 8)
+    }
+    assert(ex.getMessage.contains("odd"))
+  }
+
   test("interpLinear draws the straight line between brackets, no extrapolation") {
     // key 1: observations at hour 0 (v=10) and hour 4 (v=30) -> hours
     // 1..3 interpolate to 15, 20, 25; nothing past hour 4.
