@@ -20,17 +20,52 @@ object SparkEntry {
       Fixtures.aircraftDf(spark), Fixtures.includesDf(spark),
       AdsbxConfig(includesFiltering = false))
 
+  /** Merged with a COLLISION GUARD, not a bare `++`: the registry spans
+    * ~26 operator modules, and a name declared twice would silently keep
+    * only the later module's factory — the earlier operator drops out of
+    * the verified surface with every record still green (r14: a new
+    * StatOps cohort query nearly replaced Relational2's
+    * rel_cohort_retention exactly this way; caught only by a count
+    * mismatch). Duplicates now fail loudly at first access. */
+  private def mergedUnique[V](parts: Seq[(String, Map[String, V])])
+      : Map[String, V] = {
+    val dupes = parts.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+      .groupBy(_._1).filter(_._2.size > 1)
+    require(dupes.isEmpty,
+      s"duplicate query names across operator modules: " +
+        dupes.map { case (k, ms) => s"$k <- ${ms.map(_._2).mkString("+")}" }
+          .mkString(", "))
+    parts.iterator.map(_._2).reduce(_ ++ _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CotQueries.queries ++ Relational.queries ++ Relational2.queries ++
-      Bucketing.queries ++ FormatOps.queries ++ DedupOps.queries ++
-      TextOps.queries ++ BpeOps.queries ++ CleanOps.queries ++ SpanOps.queries ++
-      Similarity.queries ++
-      MultimodalOps.queries ++ SkewOps.queries ++ ProfileOps.queries ++
-      KmvOps.queries ++
-      SplitOps.queries ++ FuzzyMatch.queries ++ GeoOps.queries ++ HistoryOps.queries ++
-      GraphOps.queries ++ ContractOps.queries ++ TimeSeriesOps.queries ++
-      StatOps.queries ++ CorpusOps.queries ++ TrainOps.queries ++
-      graft.streaming.StreamOps.queries
+    mergedUnique(Seq(
+      "CotQueries" -> CotQueries.queries,
+      "Relational" -> Relational.queries,
+      "Relational2" -> Relational2.queries,
+      "Bucketing" -> Bucketing.queries,
+      "FormatOps" -> FormatOps.queries,
+      "DedupOps" -> DedupOps.queries,
+      "TextOps" -> TextOps.queries,
+      "BpeOps" -> BpeOps.queries,
+      "CleanOps" -> CleanOps.queries,
+      "SpanOps" -> SpanOps.queries,
+      "Similarity" -> Similarity.queries,
+      "MultimodalOps" -> MultimodalOps.queries,
+      "SkewOps" -> SkewOps.queries,
+      "ProfileOps" -> ProfileOps.queries,
+      "KmvOps" -> KmvOps.queries,
+      "SplitOps" -> SplitOps.queries,
+      "FuzzyMatch" -> FuzzyMatch.queries,
+      "GeoOps" -> GeoOps.queries,
+      "HistoryOps" -> HistoryOps.queries,
+      "GraphOps" -> GraphOps.queries,
+      "ContractOps" -> ContractOps.queries,
+      "TimeSeriesOps" -> TimeSeriesOps.queries,
+      "StatOps" -> StatOps.queries,
+      "CorpusOps" -> CorpusOps.queries,
+      "TrainOps" -> TrainOps.queries,
+      "StreamOps" -> graft.streaming.StreamOps.queries))
 
   /** EAGER-EXECUTION CONTRACT: every `queries` factory returns a lazy
     * plan EXCEPT the names below, whose factory launches Spark jobs when
@@ -105,14 +140,31 @@ object SparkEntry {
     "rel_approx_percentile")
 
   def oracleSql: Map[String, String] =
-    CotQueries.oracles ++ Relational.oracles ++ Relational2.oracles ++
-      Bucketing.oracles ++ FormatOps.oracles ++ DedupOps.oracles ++
-      TextOps.oracles ++ BpeOps.oracles ++ CleanOps.oracles ++ SpanOps.oracles ++
-      Similarity.oracles ++
-      MultimodalOps.oracles ++ SkewOps.oracles ++ ProfileOps.oracles ++
-      KmvOps.oracles ++
-      SplitOps.oracles ++ FuzzyMatch.oracles ++ GeoOps.oracles ++ HistoryOps.oracles ++
-      GraphOps.oracles ++ ContractOps.oracles ++ TimeSeriesOps.oracles ++
-      StatOps.oracles ++ CorpusOps.oracles ++ TrainOps.oracles ++
-      graft.streaming.StreamOps.oracles
+    mergedUnique(Seq(
+      "CotQueries" -> CotQueries.oracles,
+      "Relational" -> Relational.oracles,
+      "Relational2" -> Relational2.oracles,
+      "Bucketing" -> Bucketing.oracles,
+      "FormatOps" -> FormatOps.oracles,
+      "DedupOps" -> DedupOps.oracles,
+      "TextOps" -> TextOps.oracles,
+      "BpeOps" -> BpeOps.oracles,
+      "CleanOps" -> CleanOps.oracles,
+      "SpanOps" -> SpanOps.oracles,
+      "Similarity" -> Similarity.oracles,
+      "MultimodalOps" -> MultimodalOps.oracles,
+      "SkewOps" -> SkewOps.oracles,
+      "ProfileOps" -> ProfileOps.oracles,
+      "KmvOps" -> KmvOps.oracles,
+      "SplitOps" -> SplitOps.oracles,
+      "FuzzyMatch" -> FuzzyMatch.oracles,
+      "GeoOps" -> GeoOps.oracles,
+      "HistoryOps" -> HistoryOps.oracles,
+      "GraphOps" -> GraphOps.oracles,
+      "ContractOps" -> ContractOps.oracles,
+      "TimeSeriesOps" -> TimeSeriesOps.oracles,
+      "StatOps" -> StatOps.oracles,
+      "CorpusOps" -> CorpusOps.oracles,
+      "TrainOps" -> TrainOps.oracles,
+      "StreamOps" -> graft.streaming.StreamOps.oracles))
 }

@@ -512,18 +512,24 @@ package object api {
         maxBasketItems: Long = 4096L): DataFrame =
       ops.StatOps.basketLift(df, basket, item, minSupport, maxBasketItems)
 
-    /** Weekly cohort-retention matrix of this event frame: users grouped
-      * by first-activity week, per-offset active share — see
-      * rel_cohort_retention. */
-    def cohortRetention(user: Column, ts: Column): DataFrame =
-      ops.StatOps.cohortRetention(df, user, ts)
+    /** CUSUM changepoint per key over hourly sums — the argmax-|cusum|
+      * hour, the GLOBAL single-shift complement of the per-point
+      * two-window `changepoint` score — see ts_changepoint_cusum. */
+    def cusumChangepoint(key: Column, ts: Column, value: Column): DataFrame =
+      ops.StatOps.cusumChangepoint(df, key, ts, value)
 
-    /** Ordered funnel conversion: per step, users whose step-k event
-      * falls strictly after their earliest step-(k−1) completion — see
-      * rel_funnel_conversion. EAGER: |steps| chained aggregates. */
-    def funnelConversion(user: Column, ts: Column, etype: Column,
-        steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
-      ops.StatOps.funnelConversion(df, user, ts, etype, steps)
+    /** Gear content-defined chunking + corpus-wide chunk-recurrence
+      * histogram — byte-shift-resistant sub-document dedup; see
+      * dedup_cdc_chunks. */
+    def cdcChunks(id: Column, text: Column): DataFrame =
+      ops.DedupOps.cdcChunks(df, id, text)
+
+    /** RAKE keyphrase extraction: top-k stopword-delimited phrases per
+      * document by deg/freq word scores — see text_rake_keywords. */
+    def rakeKeywords(id: Column, text: Column,
+        stops: Seq[String] = Seq("the", "a", "of", "to", "and"),
+        k: Int = 3): DataFrame =
+      ops.TextOps.rakeKeywords(df, id, text, stops, k)
 
     /** A-priori frequent itemsets (sizes 1–3) at `minSupport`, with the
       * basketLift hot-basket raise — see rel_freq_itemsets. */

@@ -713,7 +713,66 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ------------------------------------------- content-defined chunking
+
+  private val CDC_W = 8     // rolling-window width (chars)
+  // cut when the window hash's first md5 hex digit is '0': p = 1/16 →
+  // expected chunk ≈ 16 chars on this corpus's ~150-400-char docs
+
+  /** Content-defined chunk dedup — the backup/dataset-dedup primitive the
+    * document-level family (exact/minhash/simhash) cannot express: split
+    * every text at positions where a fixed-width rolling window hashes
+    * into the cut class, fingerprint each chunk, and count how often each
+    * chunk recurs ACROSS the corpus. Because a cut depends only on the
+    * local window (a "gear" CDC — no sequential min/max state, unlike
+    * Rabin CDC's chunk-size clamps), inserting or deleting bytes shifts
+    * only the neighboring chunk boundaries: shared suffixes of edited
+    * near-duplicates still dedup, which is exactly what byte-shift
+    * breaks for fixed-size blocks.
+    *
+    * Shape at scale: cut discovery is a per-row ARRAY pipeline (sequence
+    * → window substrings → md5 class filter — no explode until chunks
+    * exist, so the row count stays doc-sized through the heavy kernel);
+    * chunk fingerprints then shuffle ONCE on the hash for the recurrence
+    * aggregate; the output is a copies-histogram — category-sized. The
+    * md5-hex cut class and 1-based substring arithmetic are spelled
+    * identically in the oracle. Docs shorter than the window emit
+    * themselves as one chunk. Cut positions stop at len−1 so the final
+    * boundary is always len and boundaries stay strictly increasing.
+    *
+    * 10×-rehearsal note (r14): work is one md5 per character position,
+    * and the sf1 corpus's per-word replica prefixes grow characters
+    * 13.3× for "10×" data (measured: 1.45M → 19.4M hash windows);
+    * wall grew 7.2× — sublinear per window hashed, the ratio is
+    * candidate volume from the synthetic corpus's construction (the
+    * text_lm_score story), not a worsening constant. */
+  def cdcChunks(d: DataFrame, id: Column, text: Column): DataFrame = {
+    val ln = length(text)
+    val cuts = filter(
+      transform(
+        when(ln >= CDC_W + 1, sequence(lit(CDC_W), ln - 1))
+          .otherwise(array().cast("array<int>")),
+        i => when(substring(md5(text.substr(i - lit(CDC_W - 1), lit(CDC_W))
+          .cast("binary")), 1, 1) === "0", i)),
+      c => c.isNotNull)
+    val bounds = concat(array(lit(0)), cuts, array(ln))
+    val chunks = zip_with(
+      slice(bounds, lit(1), size(bounds) - 1),
+      slice(bounds, lit(2), size(bounds) - 1),
+      (a, b) => text.substr(a + 1, b - a))
+    d.select(id.as("doc_id"), explode(chunks).as("chunk"))
+      .groupBy(md5(col("chunk").cast("binary")).as("chunk_fp"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_chunks"))
+  }
+
+  private def cdcChunksQ(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("n_copies"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> cdcChunksQ,
     "dedup_simhash64_pairs" -> simhash64Pairs,
     "dedup_exact" -> exactDedup,
     "dedup_incremental" -> incrementalDedup,
@@ -749,6 +808,36 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // the same gear-CDC ladder: window substrings, md5-hex cut class,
+    // boundary pairs, chunk md5, recurrence histogram
+    "dedup_cdc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS ln FROM documents
+         |), c AS (
+         |  SELECT doc_id, text, ln,
+         |    CASE WHEN ln >= ${CDC_W + 1} THEN
+         |      list_filter(
+         |        list_transform(generate_series($CDC_W, ln - 1),
+         |          i -> CASE WHEN substr(md5(substr(text, i - ${CDC_W - 1},
+         |            $CDC_W)), 1, 1) = '0' THEN i END),
+         |        x -> x IS NOT NULL)
+         |    ELSE [] END AS cuts
+         |  FROM d
+         |), b AS (
+         |  SELECT doc_id, text,
+         |    list_concat(list_concat([0], cuts), [ln]) AS bs
+         |  FROM c
+         |), ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(bs) - 1),
+         |      k -> substr(text, bs[k] + 1, bs[k + 1] - bs[k]))) AS chunk
+         |  FROM b
+         |), fp AS (
+         |  SELECT md5(chunk) AS chunk_fp, CAST(COUNT(*) AS BIGINT) AS n_copies
+         |  FROM ch GROUP BY 1
+         |)
+         |SELECT n_copies, CAST(COUNT(*) AS BIGINT) AS n_chunks
+         |FROM fp GROUP BY 1 ORDER BY n_copies""".stripMargin,
     // brute-force all-pairs Hamming (test-scale only) — matching the
     // Spark chunk-index output proves pigeonhole completeness
     "dedup_simhash64_pairs" -> {

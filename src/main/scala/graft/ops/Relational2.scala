@@ -1076,7 +1076,7 @@ object Relational2 {
     "rel_null_ordering" -> nullOrdering,
     "rel_date_arith" -> dateArith,
     "rel_hash_sample" -> hashSample,
-    "rel_stratified_sample" -> stratifiedSample,
+    "rel_stratified_topk" -> stratifiedSample,
     "rel_approx_percentile" -> approxPercentileQ,
     "rel_histogram" -> histogramQ,
     "rel_equidepth_hist" -> equidepthHistQ,
@@ -1324,7 +1324,7 @@ object Relational2 {
          |WHERE $b < 2
          |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
-    "rel_stratified_sample" ->
+    "rel_stratified_topk" ->
       """SELECT o_orderstatus, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_orderstatus

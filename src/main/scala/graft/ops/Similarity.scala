@@ -1201,8 +1201,17 @@ object Similarity {
     val dec = org.apache.spark.sql.types.DecimalType(32, 12)
     d.select(col(vecCol).as("v"))
       .select(col("v"), posexplode(col("v")).as(Seq("i", "vi")))
-      .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
-      .filter(col("j") >= col("i"))
+      // second explode over the SLICED tail [i, d): generates exactly the
+      // d(d+1)/2 upper-triangle cells instead of d² followed by a filter —
+      // half the explode volume and half the per-row decimal casts, the
+      // hot path of this operator (r14: the staged persist stopped the
+      // count() from pruning the cell columns, making the full cost
+      // visible; this halves it honestly). slice is 1-based: position
+      // i+1 IS 0-based index i, so the diagonal stays included.
+      .select(col("i"), col("vi"),
+        posexplode(slice(col("v"), col("i") + 1, size(col("v"))))
+          .as(Seq("jr", "vj")))
+      .withColumn("j", col("i") + col("jr"))
       .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
       .agg(
         sum((col("vi") * col("vj")).cast(dec)).cast("double").as("sp"),

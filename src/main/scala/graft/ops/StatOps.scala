@@ -265,7 +265,10 @@ object StatOps {
     *     choke or drop) any basket whose post-filter item count would
     *     put >maxBasketItems² candidates in one task — a 10⁴-item
     *     user-day means 10⁸ pairs on one key; the caller decides whether
-    *     to cap, salt, or drop that basket, not the engine. */
+    *     to cap, salt, or drop that basket, not the engine.
+    *
+    * 10×-rehearsal (r14): 2.70× wall for 10× data with the guards in
+    * place — the r13 weak flag (5.18×, the suite's worst) cleared. */
   def basketLift(d: DataFrame, basket: Column, item: Column,
                  minSupport: Long = 2L,
                  maxBasketItems: Long = 4096L): DataFrame = {
@@ -978,102 +981,6 @@ object StatOps {
       .withColumnRenamed("k", "event_type")
       .orderBy(col("event_type"))
 
-  // ---------------------------------------------------- cohort retention
-
-  /** Weekly cohort-retention matrix — the activation/churn table every
-    * growth dashboard starts from: users grouped by FIRST-activity week
-    * (the cohort), and for each later week the share of the cohort still
-    * active. Week arithmetic is exact integer epoch-microsecond division
-    * (µs div 86400000000 div 7 — floor-deterministic in both engines),
-    * never date-part functions whose week-numbering conventions differ.
-    *
-    * Shape at scale: one user-keyed shuffle to per-user first-week, one
-    * user-keyed join back onto the events (both sides hash on the same
-    * key), then everything is (cohort × offset)-sized — the distinct
-    * active set and the counts shuffle on week pairs, not the corpus.
-    * Cohort size needs no extra pass: every user is by construction
-    * active in their first week, so n at offset 0 IS the cohort size
-    * (self-joined back from the tiny counts frame). */
-  def cohortRetention(d: DataFrame, user: Column, ts: Column): DataFrame = {
-    // integer division, NOT Column./ (which is double division on longs
-    // and drifts for epoch-µs magnitudes)
-    val wk = call_function("div",
-      call_function("div", unix_micros(ts), lit(86400000000L)), lit(7L))
-    val base = d.select(user.as("u"), wk.as("w"))
-    val first = base.groupBy(col("u")).agg(min(col("w")).as("cw"))
-    val act = base.join(first, "u")
-      .select(col("cw"), (col("w") - col("cw")).as("off"), col("u"))
-      .distinct()
-    val cnt = act.groupBy(col("cw"), col("off"))
-      .agg(count(lit(1)).as("n_active"))
-    cnt.join(broadcast(cnt.filter(col("off") === 0)
-        .select(col("cw"), col("n_active").as("n_cohort"))), "cw")
-      .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
-        col("n_active"), col("n_cohort"),
-        r6(col("n_active").cast("double") / col("n_cohort").cast("double"))
-          .as("retention"))
-  }
-
-  private def cohortQ(s: SparkSession, dir: String): DataFrame =
-    cohortRetention(graft.Tables(s, dir, "events"), col("user_id"), col("ts"))
-      .orderBy(col("cohort_week"), col("week_offset"))
-
-  // --------------------------------------------------- funnel conversion
-
-  private val FUNNEL_STEPS = Seq("view", "click", "purchase")
-
-  /** Ordered funnel conversion — the product-analytics staple
-    * rel_sequence_match does NOT cover (that one requires CONSECUTIVE
-    * rows; a funnel allows any events between steps): per user, step k
-    * counts iff an event of step k's type occurs STRICTLY AFTER the
-    * user's earliest completion of step k−1. Emits one row per step with
-    * the user count, conversion vs the previous step, and vs step 1.
-    *
-    * Shape: one user-keyed aggregate per step (each pass computes the
-    * per-user earliest completion time of the step given the previous
-    * step's time — a conditional min), chained by user-keyed joins; all
-    * frames after the first aggregate are user-sized, the final output
-    * is |steps| rows. Step count is a fixed pipeline constant, so the
-    * chain length never grows with data. */
-  def funnelConversion(d: DataFrame, user: Column, ts: Column,
-                       etype: Column,
-                       steps: Seq[String] = FUNNEL_STEPS): DataFrame = {
-    require(steps.size >= 2, "a funnel needs at least 2 steps")
-    val ev = d.select(user.as("u"), ts.as("t"), etype.as("et"))
-    // per-user earliest time of step 0
-    var cur = ev.filter(col("et") === steps.head)
-      .groupBy(col("u")).agg(min(col("t")).as("t0"))
-    val counts = scala.collection.mutable.ArrayBuffer[DataFrame](
-      cur.agg(count(lit(1)).as("n")).select(lit(1L).as("step_idx"),
-        lit(steps.head).as("step"), col("n")))
-    for (i <- 1 until steps.size) {
-      cur = ev.filter(col("et") === steps(i))
-        .join(cur.select(col("u"), col(s"t${i - 1}")), "u")
-        .filter(col("t") > col(s"t${i - 1}"))
-        .groupBy(col("u")).agg(min(col("t")).as(s"t$i"))
-      counts += cur.agg(count(lit(1)).as("n"))
-        .select(lit((i + 1).toLong).as("step_idx"),
-          lit(steps(i)).as("step"), col("n"))
-    }
-    val steps1 = counts.reduce(_ unionByName _)
-    // |steps| rows: the single-partition windows are free
-    steps1
-      .withColumn("n_first", first(col("n")).over(
-        Window.orderBy(col("step_idx"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n_prev", lag(col("n"), 1).over(Window.orderBy(col("step_idx"))))
-      .select(col("step_idx"), col("step"), col("n").as("n_users"),
-        r6(col("n").cast("double") /
-          coalesce(col("n_prev"), col("n")).cast("double")).as("conv_prev"),
-        r6(col("n").cast("double") / col("n_first").cast("double"))
-          .as("conv_first"))
-  }
-
-  private def funnelQ(s: SparkSession, dir: String): DataFrame =
-    funnelConversion(graft.Tables(s, dir, "events"), col("user_id"),
-        col("ts"), col("event_type"))
-      .orderBy(col("step_idx"))
-
   // --------------------------------------------------- frequent itemsets
 
   /** A-priori frequent itemsets up to size 3 over (basket, item) rows —
@@ -1142,7 +1049,7 @@ object StatOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_ks_drift" -> ksDriftQ,
     "rel_psi_drift" -> psiDriftQ,
-    "ts_changepoint" -> cusumQ,
+    "ts_changepoint_cusum" -> cusumQ,
     "rel_mode_stat" -> modeQ,
     "rel_corr_regr" -> corrRegrQ,
     "rel_gini_impurity" -> giniQ,
@@ -1161,8 +1068,6 @@ object StatOps {
     "rel_winsorize" -> winsorizeQ,
     "rel_gaps_islands" -> gapsIslandsQ,
     "rel_decile_lift" -> decileLiftQ,
-    "rel_cohort_retention" -> cohortQ,
-    "rel_funnel_conversion" -> funnelQ,
     "rel_freq_itemsets" -> freqItemsetsQ,
   )
 
@@ -1195,53 +1100,7 @@ object StatOps {
 
   val oracles: Map[String, String] = Map(
     // same exact-integer week arithmetic (epoch_us // day // 7), same
-    // offset-0-is-cohort-size shortcut
-    "rel_cohort_retention" ->
-      s"""WITH b AS (
-         |  SELECT user_id AS u, (epoch_us(ts) // 86400000000) // 7 AS w
-         |  FROM events
-         |), f AS (SELECT u, MIN(w) AS cw FROM b GROUP BY u),
-         |act AS (
-         |  SELECT DISTINCT f.cw, b.w - f.cw AS off, b.u
-         |  FROM b JOIN f USING (u)
-         |), cnt AS (
-         |  SELECT cw, off, CAST(COUNT(*) AS BIGINT) AS n_active
-         |  FROM act GROUP BY 1, 2
-         |), sz AS (SELECT cw, n_active AS n_cohort FROM cnt WHERE off = 0)
-         |SELECT c.cw AS cohort_week, c.off AS week_offset, c.n_active,
-         |  s.n_cohort,
-         |  ${r6Sql("CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)")}
-         |    AS retention
-         |FROM cnt c JOIN sz s USING (cw)
-         |ORDER BY cohort_week, week_offset""".stripMargin,
     // the same chained conditional-min ladder; conversion ratios over the
-    // 3-row result via the same window spelling
-    "rel_funnel_conversion" ->
-      s"""WITH e AS (
-         |  SELECT user_id AS u, ts AS t, event_type AS et FROM events
-         |), s1 AS (
-         |  SELECT u, MIN(t) AS t0 FROM e WHERE et = 'view' GROUP BY u
-         |), s2 AS (
-         |  SELECT e.u, MIN(e.t) AS t1 FROM e
-         |  JOIN s1 ON e.u = s1.u AND e.t > s1.t0
-         |  WHERE e.et = 'click' GROUP BY e.u
-         |), s3 AS (
-         |  SELECT e.u, MIN(e.t) AS t2 FROM e
-         |  JOIN s2 ON e.u = s2.u AND e.t > s2.t1
-         |  WHERE e.et = 'purchase' GROUP BY e.u
-         |), c AS (
-         |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
-         |    CAST(COUNT(*) AS BIGINT) AS n FROM s1
-         |  UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
-         |  UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
-         |)
-         |SELECT step_idx, step, n AS n_users,
-         |  ${r6Sql("CAST(n AS DOUBLE) / CAST(COALESCE(" +
-                   "lag(n) OVER (ORDER BY step_idx), n) AS DOUBLE)")}
-         |    AS conv_prev,
-         |  ${r6Sql("CAST(n AS DOUBLE) / CAST(first_value(n)" +
-                   " OVER (ORDER BY step_idx) AS DOUBLE)")} AS conv_first
-         |FROM c ORDER BY step_idx""".stripMargin,
     // the same a-priori ladder: L1 semi-join, level-k HAVING filters
     "rel_freq_itemsets" ->
       s"""WITH bi0 AS (
@@ -1304,7 +1163,7 @@ object StatOps {
     // CUSUM: bucket sums and cumulative sums exact decimal; the mean
     // division and S_k subtraction are IEEE-identical doubles, rounded
     // 6 dp; argmax |S_k| with earliest-hour tie-break
-    "ts_changepoint" ->
+    "ts_changepoint_cusum" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,
         |    SUM(CAST("value" AS DECIMAL(30,6))) AS x

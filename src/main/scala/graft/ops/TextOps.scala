@@ -284,6 +284,77 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------ RAKE keywords
+
+  private val RAKE_K = 3 // phrases kept per document
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase step of document tagging/routing pipelines: candidate
+    * phrases are the maximal runs of non-stopword tokens (stopwords act
+    * as delimiters), each word scores deg/freq over the document's
+    * phrases (deg = Σ length of the phrases its occurrences sit in —
+    * words that keep company in long phrases beat loners), and a phrase
+    * scores the sum of its words' scores. Top-K phrases per document.
+    *
+    * Exactness: word scores are 6-dp-quantized doubles (the deg/freq
+    * ratio of small ints) and the phrase score sums them through
+    * DECIMAL(18,6) — order-free, so the per-phrase sum is identical
+    * under any partitioning and in the oracle's replay. Phrase text is
+    * rebuilt from (pos, w) structs sorted by position (collect_list
+    * order is partition-dependent; the sort is not). Duplicate phrase
+    * texts in one doc collapse before ranking (same words → identical
+    * score, so the dedup loses nothing), and ties rank by phrase text.
+    *
+    * Shape at scale: everything is doc-keyed — one window for the
+    * phrase ids (stopword running count), two doc-keyed aggregates
+    * (phrase length, word stats), one doc-keyed join-back, the top-K
+    * window. No corpus-global state at all: the operator is
+    * embarrassingly parallel over documents, the ideal 100 TB shape. */
+  def rakeKeywords(d: DataFrame, id: Column, text: Column,
+                   stops: Seq[String] = stopwords,
+                   k: Int = RAKE_K): DataFrame = {
+    def r6d(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val base = d.select(id.as("doc_id"), text.as("__t"))
+      .select(col("doc_id"), posexplode(toks(col("__t"))).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(stops: _*))
+    val wPid = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ph = base
+      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wPid))
+      .filter(!col("is_stop"))
+      .select(col("doc_id"), col("pid"), col("pos"), col("w"))
+    val plen = ph.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"))
+    val phl = ph.join(plen, Seq("doc_id", "pid"))
+    val ws = phl.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("doc_id"), col("w"),
+        r6d(col("deg").cast("double") / col("freq").cast("double"))
+          .as("wscore"))
+    val scored = phl.join(ws, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("phrase"),
+        max(col("plen")).as("n_words"),
+        sum(col("wscore").cast(dec)).as("score"))
+    val uniq = scored.groupBy(col("doc_id"), col("phrase"))
+      .agg(max(col("n_words")).as("n_words"), max(col("score")).as("score"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase").asc)
+    uniq.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("phrase"),
+        col("n_words"), col("score").cast("double").as("score"))
+  }
+
+  private def rakeQ(s: SparkSession, dir: String): DataFrame =
+    rakeKeywords(graft.Tables.balanced(s, dir, "documents", "doc_id"),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("rk"))
+
   /** Benchmark decontamination — the n-gram-overlap scan every training
     * pipeline runs before release: flag documents sharing too many word
     * 5-grams with an evaluation/benchmark set. The benchmark here is a
@@ -724,6 +795,7 @@ object TextOps {
     "text_decontaminate" -> decontaminate,
     "text_lm_score" -> lmScore,
     "text_lm_score_pruned" -> lmScorePruned,
+    "text_rake_keywords" -> rakeQ,
   )
 
   // ---- DuckDB oracle ----------------------------------------------------
@@ -1060,6 +1132,56 @@ object TextOps {
          |)
          |SELECT doc_id, COUNT(*) AS n_grams, ${avgSql("lp")} AS avg_lp
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the same RAKE ladder: stopword running count → phrase ids, deg/freq
+    // word scores 6-dp-quantized, decimal phrase sums, ordered string_agg
+    "text_rake_keywords" -> {
+      val stopsIn = stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(t)),
+         |        i -> struct_pack(pos := i, w := t[i]))) AS u
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |  )
+         |), pidt AS (
+         |  SELECT doc_id, pos, w, (w IN ($stopsIn)) AS is_stop,
+         |    SUM(CASE WHEN w IN ($stopsIn) THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+         |  FROM tok
+         |), ph AS (
+         |  SELECT doc_id, pid, pos, w FROM pidt WHERE NOT is_stop
+         |), plen AS (
+         |  SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen
+         |  FROM ph GROUP BY 1, 2
+         |), phl AS (
+         |  SELECT ph.*, plen.plen FROM ph JOIN plen USING (doc_id, pid)
+         |), ws AS (
+         |  SELECT doc_id, w,
+         |    CAST(floor(CAST(SUM(plen) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+         |      AS DOUBLE) / 1e6 AS wscore
+         |  FROM phl GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT phl.doc_id, phl.pid,
+         |    string_agg(phl.w, ' ' ORDER BY phl.pos) AS phrase,
+         |    MAX(phl.plen) AS n_words,
+         |    SUM(CAST(ws.wscore AS DECIMAL(18,6))) AS score
+         |  FROM phl JOIN ws ON phl.doc_id = ws.doc_id AND phl.w = ws.w
+         |  GROUP BY 1, 2
+         |), uniq AS (
+         |  SELECT doc_id, phrase, MAX(n_words) AS n_words,
+         |    MAX(score) AS score
+         |  FROM scored GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT doc_id, phrase, n_words, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, phrase ASC) AS rk
+         |  FROM uniq
+         |)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, phrase, n_words,
+         |  CAST(score AS DOUBLE) AS score
+         |FROM ranked WHERE rk <= $RAKE_K ORDER BY doc_id, rk""".stripMargin
+    },
     "text_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),

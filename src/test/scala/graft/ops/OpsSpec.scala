@@ -107,6 +107,47 @@ class OpsSpec extends SparkSpec {
       .filter(col("lp_pruned") < col("lp_full") - 1e-9).count() == 0)
   }
 
+  test("cdcChunks: an inserted prefix still dedups the shared suffix " +
+      "(the byte-shift resistance fixed blocks lack)") {
+    import spark.implicits._
+    // a long deterministic body with multiple content-defined cuts
+    val body = (1 to 60).map(i => s"w${i % 17}tok$i").mkString(" ")
+    val shifted = Seq((1L, body), (2L, "INSERTED PREFIX " + body))
+      .toDF("doc_id", "text")
+    val hist = DedupOps.cdcChunks(shifted, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // past the first post-edit cut, both docs chunk identically: shared
+    // chunks MUST appear (fixed-size blocks would share none — every
+    // boundary shifts by the prefix length)
+    assert(hist.getOrElse(2L, 0L) > 0,
+      s"no chunk recurred across the shifted pair: $hist")
+    // disjoint texts share nothing
+    val disjoint = Seq((1L, body), (2L, body.replace("w", "q")))
+      .toDF("doc_id", "text")
+    val h2 = DedupOps.cdcChunks(disjoint, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h2.keySet == Set(1L))
+  }
+
+  test("rakeKeywords: deg/freq scoring, stopword phrase split, tie-break") {
+    import spark.implicits._
+    // phrases: "big deep learning" (len 3), "deep learning" (2),
+    // "fast gpu" (2). deg/freq: big 3/1, deep 5/2, learning 5/2,
+    // fast 2/1, gpu 2/1 -> phrase scores 8.0, 5.0, 4.0
+    val d = Seq((7L, "big deep learning of deep learning the fast gpu"))
+      .toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(d, col("doc_id"), col("text"),
+        stops = Seq("of", "the"), k = 3)
+      .orderBy(col("rk")).collect()
+    assert(got.map(_.getAs[String]("phrase")).toSeq ==
+      Seq("big deep learning", "deep learning", "fast gpu"))
+    assert(got.map(_.getAs[Double]("score")).toSeq == Seq(8.0, 5.0, 4.0))
+    assert(got.map(_.getAs[Long]("n_words")).toSeq == Seq(3L, 2L, 2L))
+    // duplicate phrase texts collapse: "deep learning" appears twice in
+    // the doc but once in the ranking
+    assert(got.length == 3)
+  }
+
   test("dedup_incremental: surviving batch docs are genuinely absent from history") {
     val out = DedupOps.queries("dedup_incremental")(spark, sf)
     val d = graft.Tables(spark, sf, "documents")

@@ -362,43 +362,6 @@ class StatOpsSpec extends SparkSpec {
       minSupport = 2L, maxBasketItems = 12L).count() == 66L)
   }
 
-  test("cohortRetention: hand-computed two-cohort matrix") {
-    // cohort week of user = week of first event; epoch week 0 starts at
-    // 1970-01-01. u1,u2 start week 0; u1 returns week 1; u3 starts week 1.
-    def ev(u: Long, day: Int) = (u,
-      new java.sql.Timestamp(day.toLong * 86400000L), 0.0)
-    val d = Seq(ev(1, 0), ev(2, 1), ev(1, 8), ev(3, 7), ev(1, 9))
-      .toDF("user_id", "ts", "value")
-    val got = StatOps.cohortRetention(d, col("user_id"), col("ts"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"),
-          r.getAs[Double]("retention"))).toMap
-    assert(got((0L, 0L)) == (2L, 2L, 1.0)) // u1, u2
-    assert(got((0L, 1L)) == (1L, 2L, 0.5)) // only u1 returned
-    assert(got((1L, 0L)) == (1L, 1L, 1.0)) // u3's own cohort
-    assert(got.size == 3)
-  }
-
-  test("funnelConversion: step order is enforced, not mere presence") {
-    // u1 completes view->click->purchase in order; u2 clicks BEFORE its
-    // first view (must not count as converted); u3 views only
-    def ev(u: Long, h: Int, et: String) = (u, hourTs(h), et)
-    val d = Seq(
-      ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "purchase"),
-      ev(2, 0, "click"), ev(2, 1, "view"),
-      ev(3, 0, "view")).toDF("user_id", "ts", "event_type")
-    val got = StatOps.funnelConversion(d, col("user_id"), col("ts"),
-        col("event_type")).collect()
-      .map(r => r.getAs[String]("step") ->
-        (r.getAs[Long]("n_users"), r.getAs[Double]("conv_prev"))).toMap
-    assert(got("view") == (3L, 1.0))
-    assert(got("click")._1 == 1L) // u2's pre-view click does not convert
-    assert(got("purchase")._1 == 1L)
-    assert(math.abs(got("click")._2 - math.floor(1.0 / 3.0 * 1e6 + 0.5) / 1e6)
-      < 1e-12)
-  }
-
   test("freqItemsets: downward-closed levels with the support filter") {
     // {p,q,r} together in 2 baskets -> the triple and all its subsets
     // are frequent; y is a singleton (support 1) and never appears
