@@ -27,7 +27,7 @@ object SparkEntry {
     * StatOps cohort query nearly replaced Relational2's
     * rel_cohort_retention exactly this way; caught only by a count
     * mismatch). Duplicates now fail loudly at first access. */
-  private def mergedUnique[V](parts: Seq[(String, Map[String, V])])
+  private[graft] def mergedUnique[V](parts: Seq[(String, Map[String, V])])
       : Map[String, V] = {
     val dupes = parts.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
       .groupBy(_._1).filter(_._2.size > 1)

@@ -1078,6 +1078,46 @@ object Similarity {
       .orderBy(col("method"), col("q_id"))
   }
 
+  private val CURVE_KS = Seq(1, 3, 5)
+
+  /** Recall@k CURVE for the IVF path (k = 1/3/5 against the exact top-5
+    * truth) — sim_ann_recall reports the single operating point
+    * recall@K; an index planner tunes nprobe/cells against the CURVE
+    * (recall@1 is the "is the top answer right" serving metric, recall@5
+    * the candidate-set metric, and the gap between them tells whether
+    * errors are rank inversions inside the candidate set or true
+    * misses). Aggregated per k over all queries: n_hits = |truth@k ∩
+    * ivf@k| summed over queries, recall = n_hits / (k · n_queries).
+    *
+    * Plan: ONE join of the two already-ranked top-K frames (both from
+    * staged substrates — the exact truth and the IVF serve), each joined
+    * pair carrying both ranks; the k-curve is a per-k conditional count
+    * over that single tiny joined frame (explode over the 3 curve points
+    * — never a re-join per k), plus a broadcast 1-row query count. */
+  private def recallCurveQ(s: SparkSession, dir: String): DataFrame = {
+    val wSim = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val truth = exactScoredPairs(s, dir)
+      .filter(col("vec_id") >= N_QUERIES)
+      .withColumn("trk", row_number().over(wSim))
+      .filter(col("trk") <= K)
+      .select(col("q_id"), col("vec_id"), col("trk"))
+    val ann = annIvf(s, dir)
+      .select(col("q_id"), col("vec_id"), col("rk").as("ark"))
+    val j = truth.join(ann, Seq("q_id", "vec_id"))
+    val nq = truth.agg(count_distinct(col("q_id")).as("n_queries"))
+    j.select(explode(array(CURVE_KS.map(k =>
+        struct(lit(k.toLong).as("k"),
+          when(col("trk") <= k && col("ark") <= k, 1L).otherwise(0L)
+            .as("h"))): _*)).as("s"))
+      .groupBy(col("s.k").as("k")).agg(sum(col("s.h")).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("k"), col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double")
+          / (col("k") * col("n_queries")).cast("double"), 6).as("recall"))
+      .orderBy(col("k"))
+  }
+
   private val MAT_DIMS = Seq(8, 16, 32)
 
   /** Matryoshka truncation-recall curve: recall@K of top-K search run on
@@ -1363,6 +1403,7 @@ object Similarity {
     "sim_ann_refresh" -> annRefresh,
     "sim_ann_delete" -> annDeleteQ,
     "sim_ann_recall" -> annRecall,
+    "sim_recall_curve" -> recallCurveQ,
     "sim_ann_multiprobe" -> annMultiprobe,
     "sim_quantize_i8" -> quantizeI8,
     "sim_embed_stats" -> embedStats,
@@ -1948,6 +1989,24 @@ object Similarity {
          |)
          |SELECT method, q_id, n_hits, round(n_hits / $K.0, 6) AS recall
          |FROM hits ORDER BY method, q_id""".stripMargin,
+    // the same single-join + per-k conditional-count ladder
+    "sim_recall_curve" ->
+      s"""WITH exact AS (SELECT q_id, rk AS trk, vec_id FROM ($cosineTopkSql)),
+         |ivfr AS (SELECT q_id, rk AS ark, vec_id FROM ($annIvfSql)),
+         |j AS (
+         |  SELECT e.q_id, e.trk, i.ark FROM exact e
+         |  JOIN ivfr i ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+         |), nq AS (
+         |  SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries FROM exact
+         |), hits AS (
+         |  SELECT k, CAST(SUM(CASE WHEN trk <= k AND ark <= k
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM j CROSS JOIN (SELECT unnest([${CURVE_KS.mkString(", ")}]) AS k)
+         |  GROUP BY k
+         |)
+         |SELECT CAST(k AS BIGINT) AS k, n_queries, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / (k * n_queries), 6) AS recall
+         |FROM hits CROSS JOIN nq ORDER BY k""".stripMargin,
     "dedup_embed_cosine" -> {
       val dotAb =
         "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"

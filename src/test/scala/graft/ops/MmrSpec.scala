@@ -110,6 +110,24 @@ class MmrSpec extends SparkSpec {
       s"mean recall should not degrade with more dims: ${mean(8)} vs ${mean(32)}")
   }
 
+  test("sim_recall_curve: bounded, and its k=5 point equals " +
+      "sim_ann_recall's ivf aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = Similarity.queries("sim_recall_curve")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall"))).toMap
+    assert(curve.keySet == Set(1L, 3L, 5L))
+    curve.foreach { case (k, (nq, h, rec)) =>
+      assert(h <= k * nq && rec >= 0.0 && rec <= 1.0, s"k=$k: $h, $rec")
+    }
+    val ivf5 = Similarity.queries("sim_ann_recall")(spark, dir)
+      .filter(col("method") === "ivf")
+      .agg(sum(col("n_hits"))).collect().head.getLong(0)
+    assert(curve(5L)._2 == ivf5,
+      s"curve k=5 hits ${curve(5L)._2} != sim_ann_recall ivf total $ivf5")
+  }
+
   test("mmrSelect: per-query independence and the vec_id tie-break") {
     // q 1: two candidates with equal rel and equal redundancy — the
     // smaller vec_id must win step 2 deterministically

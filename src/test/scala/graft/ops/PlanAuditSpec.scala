@@ -39,6 +39,9 @@ class PlanAuditSpec extends SparkSpec {
     // graph_* cross-join a BROADCAST 1-row aggregate (node/edge count)
     // into the pipeline — the in-pipeline alternative to a driver count()
     "graph_pagerank", "graph_triangles",
+    // recall curve cross-joins the BROADCAST 1-row query count into the
+    // 3-row curve (same shape as the graph_* totals)
+    "sim_recall_curve",
     // rel_expectations: referential branch cross-joins a BROADCAST 1-row
     // total (n_checked) into the report
     "rel_expectations",
