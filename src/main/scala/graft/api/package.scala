@@ -507,8 +507,12 @@ package object api {
       * Items with < minSupport baskets are a-priori-prefiltered BEFORE
       * the per-basket pair join; a basket holding > maxBasketItems
       * post-filter items raises in-plan (its pair explosion would land
-      * on one task) rather than silently choking. */
-    def basketLift(basket: Column, item: Column, minSupport: Long = 2L,
+      * on one task) rather than silently choking.
+      * Default minSupport = 1 reports every co-occurring pair (the
+      * original contract; the r14 guard work briefly defaulted to 2,
+      * which silently dropped support-1 pairs for existing callers —
+      * pass minSupport = 2+ to enable the a-priori prefilter). */
+    def basketLift(basket: Column, item: Column, minSupport: Long = 1L,
         maxBasketItems: Long = 4096L): DataFrame =
       ops.StatOps.basketLift(df, basket, item, minSupport, maxBasketItems)
 

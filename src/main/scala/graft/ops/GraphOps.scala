@@ -526,6 +526,60 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("community_id"))
 
+  /** Modularity Q of a node partition (here: the labelPropagate
+    * communities) — the quality metric that makes community detection
+    * actionable: graph_label_prop SAYS what the communities are; this
+    * says whether the partition is better than chance. Per community c:
+    * q_term = L_c/m − (D_c/2m)², with L_c = intra-community undirected
+    * edges, D_c = total degree inside c, m = undirected edge count;
+    * Q = Σ q_term (Newman–Girvan).
+    *
+    * Exactness: L_c, D_c, m are exact BIGINTs; the two divisions and one
+    * square run once per community row, spelled identically in both
+    * engines and rounded 6 dp (the floor(x·1e6+0.5) contract shared with
+    * the other graph fits).
+    *
+    * Shape at scale: degree and intra-edge counts are partial-aggregable
+    * corpus-shuffles keyed by node/community (never all-pairs); m rides
+    * as a broadcast 1-row frame; output is community-space. The labels
+    * join is the same node-keyed equi-join every LPA round already
+    * pays. */
+  def modularity(e: DataFrame, labels: DataFrame): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val nl = labels.select(col("node"), col("lbl"))
+    // und holds both directions, so per-u row count IS the degree and
+    // |und|/2 is the undirected edge count (src≠dst by construction)
+    val degC = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .join(nl, col("u") === col("node"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    val intra = und.filter(col("u") < col("v"))
+      .join(nl.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(nl.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("intra_edges"))
+    val m = broadcast(und.agg((count(lit(1)) / 2).cast("long").as("m")))
+    val md = col("m").cast("double")
+    degC.join(intra, Seq("lbl"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(m)
+      .select(col("lbl").as("community_id"), col("n_nodes"),
+        col("intra_edges"), col("deg_sum"),
+        r6(col("intra_edges").cast("double") / md
+          - (col("deg_sum").cast("double") / (lit(2.0d) * md))
+            * (col("deg_sum").cast("double") / (lit(2.0d) * md)))
+          .as("q_term"))
+      .orderBy(col("community_id"))
+  }
+
+  private def modularityQ(s: SparkSession, dir: String): DataFrame =
+    modularity(edges(s, dir), labelPropagate(edges(s, dir), LPA_ROUNDS))
+
   /** Degree distribution + power-law fit — the first structural health
     * check run on a crawl/link graph (a degree histogram that is NOT
     * heavy-tailed usually means the extraction is broken). Total degree
@@ -581,11 +635,14 @@ object GraphOps {
     "graph_label_prop" -> labelPropQ,
     "graph_link_predict" -> linkPredictQ,
     "graph_degree_powerlaw" -> degreePowerlawQ,
+    "graph_modularity" -> modularityQ,
   )
 
   /** Unrolled synchronous LPA rounds; MATERIALIZED for the same
-    * double-reference expansion reason as the k-core ladder. */
-  private val labelPropSql: String = {
+    * double-reference expansion reason as the k-core ladder. Shared by
+    * the label-prop and modularity oracles (the final label table is
+    * `l$LPA_ROUNDS`). */
+  private val labelPropCtes: String = {
     def round(prev: String, r: Int): String =
       s"""c$r AS MATERIALIZED (
          |  SELECT e.u, l.lbl, COUNT(*) AS c
@@ -597,7 +654,7 @@ object GraphOps {
          |    FROM c$r
          |  ) WHERE rk = 1
          |)""".stripMargin
-    s"""WITH $edgesSql,
+    s"""$edgesSql,
        |und AS MATERIALIZED (
        |  SELECT src AS u, dst AS v FROM edges
        |  UNION SELECT dst, src FROM edges
@@ -605,10 +662,42 @@ object GraphOps {
        |l0 AS MATERIALIZED (
        |  SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM und)
        |),
-       |${(1 to LPA_ROUNDS).map(r => round(s"l${r - 1}", r)).mkString(",\n")}
+       |${(1 to LPA_ROUNDS).map(r => round(s"l${r - 1}", r)).mkString(",\n")}""".stripMargin
+  }
+
+  private val labelPropSql: String =
+    s"""WITH $labelPropCtes
        |SELECT lbl AS community_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
        |FROM l$LPA_ROUNDS GROUP BY 1 ORDER BY community_id""".stripMargin
-  }
+
+  /** Same exact-integer L_c/D_c/m counts over the l$LPA_ROUNDS labels;
+    * the q_term divisions and square spelled once, floor-rounded 6 dp. */
+  private val modularitySql: String =
+    s"""WITH $labelPropCtes,
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u),
+       |mm AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS m FROM und),
+       |degc AS (
+       |  SELECT l.lbl, CAST(SUM(d.deg) AS BIGINT) AS deg_sum,
+       |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM deg d JOIN l$LPA_ROUNDS l ON d.u = l.node GROUP BY 1
+       |),
+       |intra AS (
+       |  SELECT lu.lbl, CAST(COUNT(*) AS BIGINT) AS intra_edges
+       |  FROM und e
+       |  JOIN l$LPA_ROUNDS lu ON e.u = lu.node
+       |  JOIN l$LPA_ROUNDS lv ON e.v = lv.node
+       |  WHERE e.u < e.v AND lu.lbl = lv.lbl
+       |  GROUP BY 1
+       |)
+       |SELECT degc.lbl AS community_id, n_nodes,
+       |  CAST(COALESCE(intra_edges, 0) AS BIGINT) AS intra_edges, deg_sum,
+       |  CAST(floor((CAST(COALESCE(intra_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+       |    - (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+       |      * (CAST(deg_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+       |    * 1e6 + 0.5) AS DOUBLE) / 1e6 AS q_term
+       |FROM degc LEFT JOIN intra ON degc.lbl = intra.lbl
+       |CROSS JOIN mm
+       |ORDER BY community_id""".stripMargin
 
   /** Unrolled peeling ladder — round r keeps nodes with degree >= k in the
     * round-(r-1) edge set. The Spark side proves fixpoint-by-`rounds`
@@ -729,6 +818,7 @@ object GraphOps {
     "graph_pagerank" -> pagerankSql,
     "graph_kcore" -> kcoreSql,
     "graph_label_prop" -> labelPropSql,
+    "graph_modularity" -> modularitySql,
     "graph_link_predict" ->
       s"""WITH $edgesSql,
          |und AS MATERIALIZED (

@@ -1104,18 +1104,73 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("trk"))
     val ann = annIvf(s, dir)
       .select(col("q_id"), col("vec_id"), col("rk").as("ark"))
+    recallCurve(s, truth, ann)
+  }
+
+  /** Curve assembly from the two ranked frames — truth (q_id, vec_id,
+    * trk) and the approximate serve (q_id, vec_id, ark). Package-private
+    * so the degenerate shapes are spec-pinnable without the staged
+    * corpus substrates. */
+  private[ops] def recallCurve(s: SparkSession, truth: DataFrame,
+      ann: DataFrame): DataFrame = {
     val j = truth.join(ann, Seq("q_id", "vec_id"))
     val nq = truth.agg(count_distinct(col("q_id")).as("n_queries"))
-    j.select(explode(array(CURVE_KS.map(k =>
+    val counts = j.select(explode(array(CURVE_KS.map(k =>
         struct(lit(k.toLong).as("k"),
           when(col("trk") <= k && col("ark") <= k, 1L).otherwise(0L)
             .as("h"))): _*)).as("s"))
       .groupBy(col("s.k").as("k")).agg(sum(col("s.h")).as("n_hits"))
+    // the curve frame LEFT-joins the hit counts (r15, per advisor): with
+    // an inner shape, zero truth∩IVF overlap emitted ZERO rows — a total
+    // recall collapse would read as a missing query instead of the
+    // 3-row recall-0 curve it actually is. n_queries=0 guards the
+    // division (NULL, not a cross-engine NaN).
+    import s.implicits._
+    val kframe = CURVE_KS.map(_.toLong).toDF("k")
+    kframe.join(counts, Seq("k"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .crossJoin(broadcast(nq))
       .select(col("k"), col("n_queries"), col("n_hits"),
-        round(col("n_hits").cast("double")
-          / (col("k") * col("n_queries")).cast("double"), 6).as("recall"))
+        when(col("n_queries") > 0,
+          round(col("n_hits").cast("double")
+            / (col("k") * col("n_queries")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("recall"))
       .orderBy(col("k"))
+  }
+
+  /** IVF index-health readout: the cell-population distribution of the
+    * coarse quantizer — the number an index planner reads NEXT TO the
+    * recall curve (sim_recall_curve says what pruning costs in quality;
+    * this says whether the pruning is even balanced: a hot Voronoi cell
+    * serves most probes, so the worst-case query cost is max_cell, not
+    * mean). load_factor = max/mean is the classic imbalance factor; cv
+    * is the population coefficient of variation from exact integer
+    * moments (Σs, Σs² — partition-order-free), divided once.
+    *
+    * Shape at scale: ONE cell-keyed count over the staged assignment
+    * frame (cell-space output), then a 1-row aggregate of the cell
+    * counts. Nothing corpus-sized leaves the first partial agg. */
+  private def ivfImbalanceQ(s: SparkSession, dir: String): DataFrame = {
+    val cells = ivfRanked(s, dir)
+      .filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
+      .groupBy(col("cell_label"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val m = cells.agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("n_vectors")).as("n_vectors"),
+      max(col("n_vectors")).as("max_cell"),
+      min(col("n_vectors")).as("min_cell"),
+      sum(col("n_vectors") * col("n_vectors")).as("s2"))
+    def dbl(c: String) = col(c).cast("double")
+    val mean = dbl("n_vectors") / dbl("n_cells")
+    val varPop = (dbl("n_cells") * dbl("s2")
+      - dbl("n_vectors") * dbl("n_vectors")) / (dbl("n_cells")
+        * dbl("n_cells"))
+    m.select(col("n_cells"), col("n_vectors"), col("max_cell"),
+      col("min_cell"),
+      round(mean, 6).as("mean_cell"),
+      round(dbl("max_cell") / mean, 6).as("load_factor"),
+      round(sqrt(varPop) / mean, 6).as("cv"))
   }
 
   private val MAT_DIMS = Seq(8, 16, 32)
@@ -1404,6 +1459,7 @@ object Similarity {
     "sim_ann_delete" -> annDeleteQ,
     "sim_ann_recall" -> annRecall,
     "sim_recall_curve" -> recallCurveQ,
+    "sim_ivf_imbalance" -> ivfImbalanceQ,
     "sim_ann_multiprobe" -> annMultiprobe,
     "sim_quantize_i8" -> quantizeI8,
     "sim_embed_stats" -> embedStats,
@@ -1990,6 +2046,33 @@ object Similarity {
          |SELECT method, q_id, n_hits, round(n_hits / $K.0, 6) AS recall
          |FROM hits ORDER BY method, q_id""".stripMargin,
     // the same single-join + per-k conditional-count ladder
+    "sim_ivf_imbalance" ->
+      s"""WITH $eCte,
+         |$quantizerRankedCtesSql,
+         |cells AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |  FROM qranked WHERE crk = 1 AND vec_id >= $N_QUERIES
+         |  GROUP BY 1
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(SUM(n_vectors) AS BIGINT) AS n_vectors,
+         |    CAST(MAX(n_vectors) AS BIGINT) AS max_cell,
+         |    CAST(MIN(n_vectors) AS BIGINT) AS min_cell,
+         |    CAST(SUM(n_vectors * n_vectors) AS BIGINT) AS s2
+         |  FROM cells
+         |)
+         |SELECT n_cells, n_vectors, max_cell, min_cell,
+         |  round(CAST(n_vectors AS DOUBLE) / CAST(n_cells AS DOUBLE), 6)
+         |    AS mean_cell,
+         |  round(CAST(max_cell AS DOUBLE)
+         |    / (CAST(n_vectors AS DOUBLE) / CAST(n_cells AS DOUBLE)), 6)
+         |    AS load_factor,
+         |  round(sqrt((CAST(n_cells AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |      - CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE))
+         |      / (CAST(n_cells AS DOUBLE) * CAST(n_cells AS DOUBLE)))
+         |    / (CAST(n_vectors AS DOUBLE) / CAST(n_cells AS DOUBLE)), 6)
+         |    AS cv
+         |FROM m""".stripMargin,
     "sim_recall_curve" ->
       s"""WITH exact AS (SELECT q_id, rk AS trk, vec_id FROM ($cosineTopkSql)),
          |ivfr AS (SELECT q_id, rk AS ark, vec_id FROM ($annIvfSql)),
@@ -1999,13 +2082,18 @@ object Similarity {
          |), nq AS (
          |  SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries FROM exact
          |), hits AS (
-         |  SELECT k, CAST(SUM(CASE WHEN trk <= k AND ark <= k
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-         |  FROM j CROSS JOIN (SELECT unnest([${CURVE_KS.mkString(", ")}]) AS k)
-         |  GROUP BY k
+         |  -- k frame LEFT-joins the pairs: empty j still yields the 3-row
+         |  -- recall-0 curve (mirrors the Spark left join + coalesce)
+         |  SELECT ks.k, CAST(COALESCE(SUM(CASE WHEN trk <= ks.k
+         |    AND ark <= ks.k THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+         |  FROM (SELECT unnest([${CURVE_KS.mkString(", ")}]) AS k) ks
+         |  LEFT JOIN j ON TRUE
+         |  GROUP BY ks.k
          |)
          |SELECT CAST(k AS BIGINT) AS k, n_queries, n_hits,
-         |  round(CAST(n_hits AS DOUBLE) / (k * n_queries), 6) AS recall
+         |  CASE WHEN n_queries > 0
+         |    THEN round(CAST(n_hits AS DOUBLE) / (k * n_queries), 6)
+         |    ELSE NULL END AS recall
          |FROM hits CROSS JOIN nq ORDER BY k""".stripMargin,
     "dedup_embed_cosine" -> {
       val dotAb =

@@ -268,9 +268,17 @@ object StatOps {
     *     to cap, salt, or drop that basket, not the engine.
     *
     * 10×-rehearsal (r14): 2.70× wall for 10× data with the guards in
-    * place — the r13 weak flag (5.18×, the suite's worst) cleared. */
+    * place — the r13 weak flag (5.18×, the suite's worst) cleared.
+    *
+    * Default `minSupport = 1` reports EVERY co-occurring pair — the
+    * pre-r14 API contract (r15, per advisor: the r14 guard work briefly
+    * defaulted this to 2, silently dropping support-1 items/pairs for
+    * existing callers; the registered rel_basket_lift query passes 2
+    * explicitly and its oracle/records are unchanged). At 1 the
+    * prefilter semi-join is a no-op and only maxBasketItems bounds the
+    * hot-basket explosion — large-corpus callers should raise it. */
   def basketLift(d: DataFrame, basket: Column, item: Column,
-                 minSupport: Long = 2L,
+                 minSupport: Long = 1L,
                  maxBasketItems: Long = 4096L): DataFrame = {
     require(minSupport >= 1 && maxBasketItems >= 1,
       s"basketLift thresholds must be >= 1 " +
@@ -320,7 +328,11 @@ object StatOps {
         col("user_id") * lit(1000000L)
           + (unix_micros(date_trunc("day", col("ts"))) / lit(86400000000L))
             .cast("long"),
-        col("event_type"))
+        col("event_type"),
+        // explicit, NOT the API default: the registered query (and its
+        // oracle, and the r14 records) verify the minSupport=2 a-priori
+        // path; the public API defaults to the report-everything 1
+        minSupport = 2L)
       .orderBy(col("a"), col("b"))
 
   // ----------------------------------------------- Kaplan–Meier survival
@@ -633,9 +645,23 @@ object StatOps {
     // stay exact/partition-order-free with a loud NULL on overflow,
     // never a silent wrap
     val mdec = org.apache.spark.sql.types.DecimalType(18, 6)
+    // domain gate (r15, per advisor): DECIMAL(18,6) holds |x| < 1e12; a
+    // larger value's cast NULLs silently on Spark while count(1) still
+    // counts the row — SUM skips the NULL, so the mean/variance would be
+    // quietly biased with no error (DuckDB errors instead, so only
+    // direct API callers were exposed). Raise in-plan like the
+    // basket-lift hot-key guard: the contract is loud, not dependent on
+    // cross-engine comparison. NULL x keeps flowing (pre-existing
+    // skip-NULL-in-sums semantics, unchanged).
+    val xGated = when(value.isNull || abs(value.cast("double")) < lit(1.0e12d),
+        value)
+      .otherwise(raise_error(concat(
+        lit("welchTTest: |value| >= 1e12 exceeds the DECIMAL(18,6) moment "
+          + "domain (the sum would silently NULL); rescale or filter")))
+    )
     val m = d.filter(arm.isin(armA, armB))
       .select(group.as("grp"), when(arm === armA, lit(0)).otherwise(lit(1)).as("arm"),
-        value.as("x"))
+        xGated.as("x"))
       .groupBy(col("grp"), col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("x").cast(mdec)).as("sx"),
         sum(col("x").cast(mdec) * col("x").cast(mdec)).as("sxx"))
@@ -986,15 +1012,20 @@ object StatOps {
   /** A-priori frequent itemsets up to size 3 over (basket, item) rows —
     * the full frequent-itemset discipline rel_basket_lift's prefilter is
     * the first pass of: L1 = items with support ≥ minSupport, candidate
-    * pairs/triples form ONLY from surviving items via basket-keyed
-    * self-joins (bounded by the post-filter basket size, the same guard
-    * as basketLift), and each level filters at minSupport before the
-    * next. Downward closure means no frequent itemset is lost. Emits
-    * (size, i1, i2, i3, support) with NULL padding for sizes < 3.
+    * pairs form from surviving items via a basket-keyed self-join
+    * (bounded by the post-filter basket size, the same guard as
+    * basketLift), and candidate TRIPLES form only from FREQUENT PAIRS
+    * (the (i1,i2) leg semi-joins L2 before the third item attaches; the
+    * (i1,i3)/(i2,i3) edges semi-join L2 before the count). Downward
+    * closure means no frequent itemset is lost AND the cubic level's
+    * per-basket candidate set is bounded by frequent-pair occurrences,
+    * not C(basketSize,3). Emits (size, i1, i2, i3, support) with NULL
+    * padding for sizes < 3.
     *
-    * Shape at scale: the level-k join touches only L1-filtered items, so
-    * a hot basket is capped by the same in-plan raise; all outputs are
-    * itemset-space-sized, never corpus-sized. */
+    * Shape at scale: the pair join touches only L1-filtered items under
+    * the in-plan hot-basket raise; the triple join touches only
+    * L2-edge candidates; all outputs are itemset-space-sized, never
+    * corpus-sized. */
   def freqItemsets(d: DataFrame, basket: Column, item: Column,
                    minSupport: Long = 2L,
                    maxBasketItems: Long = 4096L): DataFrame = {
@@ -1023,12 +1054,33 @@ object StatOps {
       .filter(col("support") >= minSupport)
     val l2 = p2.select(lit(2L).as("size"), col("i1"), col("i2"),
       lit(null).cast("string").as("i3"), col("support"))
-    val p3 = guarded.as("a").join(guarded.as("b"),
+    // Level 3 — TRUE a-priori candidate generation (r14 verdict weak flag):
+    // triples extend FREQUENT PAIRS, never raw L1 items. The r14 shape
+    // joined guarded³ on the basket key, so a basket with B post-filter
+    // items emitted C(B,3) candidates on ONE key — the maxBasketItems
+    // guard bounds the pair level (C(4096,2) ≈ 8.4M, survivable) but the
+    // cubic level it also fronted could legally reach ~1.1e10 rows on a
+    // single hot basket. Downward closure is the fix, not a smaller cap:
+    // every edge of a frequent triple is itself a frequent pair, so
+    // semi-joining (i1,i2) BEFORE the third leg attaches — and (i1,i3) /
+    // (i2,i3) before the count — prunes the per-basket candidate set to
+    // frequent-pair-present × L2-item extensions, the canonical a-priori
+    // bound, while provably emitting the identical result set.
+    val p2k = p2.select(col("i1"), col("i2"))
+    val ab = guarded.as("a").join(guarded.as("b"),
         col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .join(guarded.as("c"),
-        col("a.bk") === col("c.bk") && col("b.it") < col("c.it"))
-      .groupBy(col("a.it").as("i1"), col("b.it").as("i2"),
+      .select(col("a.bk").as("bk"), col("a.it").as("i1"),
+        col("b.it").as("i2"))
+      .join(p2k, Seq("i1", "i2"), "left_semi")
+    val p3 = ab.as("ab").join(guarded.as("c"),
+        col("ab.bk") === col("c.bk") && col("ab.i2") < col("c.it"))
+      .select(col("ab.i1").as("i1"), col("ab.i2").as("i2"),
         col("c.it").as("i3"))
+      .join(p2k.select(col("i1"), col("i2").as("i3")),
+        Seq("i1", "i3"), "left_semi")
+      .join(p2k.select(col("i1").as("i2"), col("i2").as("i3")),
+        Seq("i2", "i3"), "left_semi")
+      .groupBy(col("i1"), col("i2"), col("i3"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
     val l3 = p3.select(lit(3L).as("size"), col("i1"), col("i2"), col("i3"),
@@ -1043,6 +1095,67 @@ object StatOps {
             .cast("long"),
         col("event_type"))
       .orderBy(col("size"), col("i1"), col("i2"), col("i3"))
+
+  // ------------------------------------------------------ decision stump
+
+  /** Best single-threshold split (a 1-level decision tree) of a binary
+    * label on a numeric feature by weighted Gini impurity — the
+    * weak-labeler / feature-screening primitive a training-data pipeline
+    * runs to rank candidate quality signals (rel_gini_impurity scores a
+    * GIVEN partition; this SEARCHES the threshold space). Candidate
+    * thresholds are the feature quantized to cents (floor(x·100+0.5) as
+    * exact BIGINT — the benford discipline: integer candidates compare
+    * and group identically in both engines, and 2 dp is the resolution
+    * the corpus's value column carries). For every candidate t the split
+    * is `cents <= t`; left/right class counts come from ONE cumulative
+    * window over the per-cent aggregate; weighted Gini is a single
+    * double expression over exact integers, rounded 6 dp; the argmin
+    * breaks ties toward the smaller threshold.
+    *
+    * Shape at scale: one corpus shuffle to the per-cent (n, pos)
+    * aggregate; the ordered window runs over the CENT SPACE (bounded by
+    * the value domain — ~100·range rows regardless of corpus size), so
+    * the single-partition window is a non-issue at any SF. Output: one
+    * row (the trained stump). */
+  def decisionStump(d: DataFrame, feature: Column, label: Column)
+      : DataFrame = {
+    val cents = floor(feature * lit(100.0d) + lit(0.5d)).cast("long")
+    val perC = d.select(cents.as("c"),
+        when(label, lit(1L)).otherwise(lit(0L)).as("y"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_c"), sum(col("y")).as("p_c"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = perC
+      .withColumn("n_l", sum(col("n_c")).over(wCum))
+      .withColumn("p_l", sum(col("p_c")).over(wCum))
+      .withColumn("n", sum(col("n_c")).over(wAll))
+      .withColumn("p", sum(col("p_c")).over(wAll))
+      .filter(col("n_l") < col("n")) // the max cent splits nothing off
+    def dbl(c: String) = col(c).cast("double")
+    val nR = dbl("n") - dbl("n_l")
+    val pR = dbl("p") - dbl("p_l")
+    def gini(n: Column, p: Column): Column =
+      lit(1.0d) - (p / n) * (p / n) - ((n - p) / n) * ((n - p) / n)
+    val wg = r6((dbl("n_l") * gini(dbl("n_l"), dbl("p_l"))
+      + nR * gini(nR, pR)) / dbl("n"))
+    val scored = cum.withColumn("gini_split", wg)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gini_split").asc, col("c").asc)))
+    scored.filter(col("rk") === 1)
+      .select(
+        (col("c").cast("double") / lit(100.0d)).as("threshold"),
+        col("n_l").as("n_left"), (col("n") - col("n_l")).as("n_right"),
+        col("p_l").as("pos_left"), (col("p") - col("p_l")).as("pos_right"),
+        col("gini_split"),
+        r6(gini(dbl("n"), dbl("p"))).as("gini_base"))
+  }
+
+  private def decisionStumpQ(s: SparkSession, dir: String): DataFrame =
+    decisionStump(graft.Tables(s, dir, "events"),
+      col("value"), col("event_type") === "purchase")
 
   // ------------------------------------------------------------ wiring
 
@@ -1069,6 +1182,7 @@ object StatOps {
     "rel_gaps_islands" -> gapsIslandsQ,
     "rel_decile_lift" -> decileLiftQ,
     "rel_freq_itemsets" -> freqItemsetsQ,
+    "rel_decision_stump" -> decisionStumpQ,
   )
 
   /** rel_benford's oracle, generated from the SAME log10 expectation
@@ -1099,6 +1213,49 @@ object StatOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same cent quantization (exact BIGINT candidates), same cumulative
+    // window over the cent space, the gini expression spelled once in
+    // both engines over exact integer counts, argmin tie to smaller c
+    "rel_decision_stump" -> {
+      def g(n: String, p: String) = {
+        val nd = s"CAST($n AS DOUBLE)"; val pd = s"CAST($p AS DOUBLE)"
+        s"(1.0 - ($pd / $nd) * ($pd / $nd)" +
+          s" - (($nd - $pd) / $nd) * (($nd - $pd) / $nd))"
+      }
+      val nl = "CAST(n_l AS DOUBLE)"
+      val nr = "(CAST(n AS DOUBLE) - CAST(n_l AS DOUBLE))"
+      val pr = "(CAST(p AS DOUBLE) - CAST(p_l AS DOUBLE))"
+      val wg = s"($nl * ${g("n_l", "p_l")} + $nr * ${g(nr, pr)})" +
+        " / CAST(n AS DOUBLE)"
+      s"""WITH perc AS (
+         |  SELECT CAST(floor("value" * 100 + 0.5) AS BIGINT) AS c,
+         |    CAST(COUNT(*) AS BIGINT) AS n_c,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS p_c
+         |  FROM events GROUP BY 1
+         |), cum AS (
+         |  SELECT c,
+         |    SUM(n_c) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS n_l,
+         |    SUM(p_c) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS p_l,
+         |    SUM(n_c) OVER () AS n, SUM(p_c) OVER () AS p
+         |  FROM perc
+         |), sc AS (
+         |  SELECT c, n_l, p_l, n, p, ${r6Sql(wg)} AS gini_split
+         |  FROM cum WHERE n_l < n
+         |), best AS (
+         |  SELECT *, row_number() OVER (ORDER BY gini_split ASC, c ASC)
+         |    AS rk FROM sc
+         |)
+         |SELECT CAST(c AS DOUBLE) / 100.0 AS threshold,
+         |  CAST(n_l AS BIGINT) AS n_left,
+         |  CAST(n - n_l AS BIGINT) AS n_right,
+         |  CAST(p_l AS BIGINT) AS pos_left,
+         |  CAST(p - p_l AS BIGINT) AS pos_right,
+         |  gini_split, ${r6Sql(g("n", "p"))} AS gini_base
+         |FROM best WHERE rk = 1""".stripMargin
+    },
     // same exact-integer week arithmetic (epoch_us // day // 7), same
     // the same chained conditional-min ladder; conversion ratios over the
     // the same a-priori ladder: L1 semi-join, level-k HAVING filters

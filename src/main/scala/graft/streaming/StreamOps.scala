@@ -44,10 +44,30 @@ object StreamOps {
   /** start() + awaitTermination() + phase accounting — every stream run
     * in this object goes through here so the bench's phase breakdown
     * covers the whole family. */
+  /** recentProgress retention for instrumented runs (r15, per advisor):
+    * Spark keeps only the last `numRecentProgressUpdates` progress
+    * events (default 100), so a stream with >100 micro-batches (e.g.
+    * maxFilesPerTrigger=1 at larger SFs) silently undercounted batch
+    * phase totals and n_batches — which INFLATED the derived setup_sec
+    * (wall − Σ triggerExecution) in BENCH_LOCAL.json. Raised before
+    * every instrumented start; recordPhases additionally publishes
+    * `progress_capped` so a capped record is self-describing instead of
+    * silently wrong. */
+  private val PROGRESS_RETENTION = 10000
+
+  private def raiseProgressRetention(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val k = "spark.sql.streaming.numRecentProgressUpdates"
+    if (spark.conf.getOption(k).map(_.toInt).getOrElse(100)
+        < PROGRESS_RETENTION)
+      spark.conf.set(k, PROGRESS_RETENTION.toString)
+  }
+
   private[streaming] def runInstrumented(
       w: org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row])
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    raiseProgressRetention(org.apache.spark.sql.SparkSession.active)
     val t0 = System.nanoTime()
     val q = w.start()
     q.awaitTermination()
@@ -66,9 +86,18 @@ object StreamOps {
     val progs = q.recentProgress
     progs.foreach(p => p.durationMs.asScala.foreach { case (k, v) =>
       agg(k) += v.toDouble / 1000.0 })
+    // retention-cap tripwire: progs.length at the buffer limit means
+    // earlier batches were evicted — phase totals are partial and the
+    // derived setup_sec is an overestimate. Published, never guessed at.
+    val retention =
+      try q.sparkSession.conf
+        .getOption("spark.sql.streaming.numRecentProgressUpdates")
+        .map(_.toInt).getOrElse(100)
+      catch { case scala.util.control.NonFatal(_) => 100 }
     val rec = Map(
       "wall_sec" -> wall,
       "n_batches" -> progs.length.toDouble,
+      "progress_capped" -> (if (progs.length >= retention) 1.0 else 0.0),
       "setup_sec" -> math.max(0.0, wall - agg("triggerExecution"))) ++
       agg.map { case (k, v) => s"batch_$k" -> v }
     phaseLog.synchronized { phaseLog += rec }
@@ -978,6 +1007,7 @@ object StreamOps {
   }
 
   def runIncrementalMerge(events: DataFrame, root: String): DataFrame = {
+    raiseProgressRetention(events.sparkSession)
     val t0 = System.nanoTime()
     val (q, readState) = startIncrementalMerge(events, root, Trigger.AvailableNow())
     q.awaitTermination()

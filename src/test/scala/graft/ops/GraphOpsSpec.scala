@@ -126,6 +126,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("assortativity") == -1.0)
   }
 
+  test("modularity: two triangles + bridge under the natural partition " +
+      "pin the textbook Q terms") {
+    // triangles {0,1,2} and {3,4,5} bridged by 2-3: m = 7 undirected
+    // edges; with each triangle its own community, L_c = 3 and D_c = 7
+    // for both -> q_term = 3/7 - (7/14)^2 = 0.178571 each (Q = 0.357142)
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (3L, 3L), (4L, 3L), (5L, 3L)).toDF("node", "lbl")
+    val got = GraphOps.modularity(e, labels).collect()
+      .map(r => r.getAs[Long]("community_id") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("intra_edges"),
+          r.getAs[Long]("deg_sum"), r.getAs[Double]("q_term"))).toMap
+    assert(got.keySet == Set(0L, 3L))
+    assert(got(0L) == ((3L, 3L, 7L, 0.178571)))
+    assert(got(3L) == ((3L, 3L, 7L, 0.178571)))
+    // everything in ONE community: L = m and D = 2m -> Q = 1 - 1/4*4...
+    // q_term = 7/7 - (14/14)^2 = 0 exactly (trivial partition scores 0)
+    val one = Seq((0L, 9L), (1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L),
+      (5L, 9L)).toDF("node", "lbl")
+    val trivial = GraphOps.modularity(e, one).collect()
+    assert(trivial.length == 1 && trivial.head.getAs[Double]("q_term") == 0.0)
+  }
+
   test("assortativity: two regular components correlate +1 by degree") {
     // a triangle (all deg 2) plus a single edge (both deg 1): within each
     // component x == y always -> perfect positive degree correlation

@@ -128,6 +128,46 @@ class MmrSpec extends SparkSpec {
       s"curve k=5 hits ${curve(5L)._2} != sim_ann_recall ivf total $ivf5")
   }
 
+  test("sim_ivf_imbalance: internally consistent cell-population stats") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Similarity.queries("sim_ivf_imbalance")(spark, dir)
+      .collect().head
+    val (nc, nv) = (r.getAs[Long]("n_cells"), r.getAs[Long]("n_vectors"))
+    assert(nc >= 1 && nv >= nc)
+    assert(r.getAs[Long]("max_cell") >= r.getAs[Long]("min_cell"))
+    // load_factor >= 1 by definition (max >= mean), cv >= 0
+    assert(r.getAs[Double]("load_factor") >= 1.0)
+    assert(r.getAs[Double]("cv") >= 0.0)
+    // the index it describes: every assigned corpus vector is counted
+    val assigned = Similarity.queries("sim_ann_ivf")(spark, dir)
+    assert(assigned.select(col("vec_id")).distinct().count() <= nv)
+  }
+
+  test("recallCurve: zero truth∩serve overlap emits the 3-row recall-0 " +
+      "curve, not an empty frame") {
+    // r15 (per advisor): the inner-join shape returned ZERO rows on a
+    // total recall collapse — indistinguishable from a missing query
+    val truth = Seq((0L, 10L, 1), (0L, 11L, 2), (1L, 12L, 1))
+      .toDF("q_id", "vec_id", "trk")
+    val ann = Seq((0L, 99L, 1), (1L, 98L, 1))
+      .toDF("q_id", "vec_id", "ark")
+    val got = Similarity.recallCurve(spark, truth, ann).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 2L)
+      assert(r.getAs[Long]("n_hits") == 0L)
+      assert(r.getAs[Double]("recall") == 0.0)
+    }
+    // and EMPTY truth: still 3 rows, recall NULL (0/0 stays out of the
+    // engines' divergent NaN semantics)
+    val none = Similarity.recallCurve(spark,
+      truth.filter(lit(false)), ann.filter(lit(false))).collect()
+    assert(none.length == 3)
+    none.foreach { r =>
+      assert(r.getAs[Long]("n_queries") == 0L && r.isNullAt(3))
+    }
+  }
+
   test("mmrSelect: per-query independence and the vec_id tie-break") {
     // q 1: two candidates with equal rel and equal redundancy — the
     // smaller vec_id must win step 2 deterministically

@@ -114,7 +114,19 @@ class PlanAuditSpec extends SparkSpec {
     "rel_gaps_islands",
     // decile-sized (10-row) broadcast <= self-join cumulates the gains
     // table; the 1-row totals cross-join onto it — both metadata-scale
-    "rel_decile_lift")
+    "rel_decile_lift",
+    // the two 1-row totals (n_bi, n_uni) broadcast onto the
+    // vocabulary-sized PMI candidate table — zipf's own pattern
+    "text_pmi_collocations",
+    // the 1-row (lo, hi) doc-id bound broadcast onto the corpus scan
+    // (bucket arithmetic), the ts_resample bound pattern
+    "text_heaps_law",
+    // the 1-row undirected-edge count m broadcast onto the
+    // community-sized q_term table
+    "graph_modularity",
+    // reads the ivfRanked staged substrate (corpus × BROADCAST centroid
+    // cells — bounded by design, sim_ann_ivf's own quantizer scoring)
+    "sim_ivf_imbalance")
 
   // queries whose factory launches jobs at plan build (streams, write-
   // then-read lifecycles, training loops) — the documented contract

@@ -337,9 +337,16 @@ class StatOpsSpec extends SparkSpec {
       (1, "p"), (1, "q"), (1, "y"),
       (2, "p"), (3, "q"),
       (4, "a"), (4, "b"), (5, "a"), (5, "b"))
-    val got = StatOps.basketLift(rows.toDF("bk", "it"), col("bk"), col("it"))
+    val got = StatOps.basketLift(rows.toDF("bk", "it"), col("bk"), col("it"),
+        minSupport = 2L)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("a", "b")))
+    // the API DEFAULT (minSupport = 1, the original report-everything
+    // contract — r15 restored after the r14 guard work silently flipped
+    // it to 2) keeps the support-1 pairs
+    val all = StatOps.basketLift(rows.toDF("bk", "it"), col("bk"), col("it"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all == Set(("a", "b"), ("p", "q"), ("p", "y"), ("q", "y")))
   }
 
   test("basketLift: a hot basket past maxBasketItems raises in-plan " +
@@ -377,6 +384,65 @@ class StatOpsSpec extends SparkSpec {
     assert(got((3L, "p", "q", "r")) == 2L)
     assert(!got.keys.exists(_._2 == "y"))
     assert(got.size == 3 + 3 + 1) // 3 singles, 3 pairs, 1 triple
+  }
+
+  test("freqItemsets: a frequent-items / infrequent-edges basket emits " +
+      "no triple (the a-priori L2 prune is semantics-preserving)") {
+    // p,q,r all have support >= 2, and {p,q,r} co-occur in basket 1 —
+    // but edges (p,r) and (q,r) each co-occur only once, so downward
+    // closure forbids any triple. The r15 candidate generation builds
+    // triples FROM frequent pairs, so this is also the shape where the
+    // old guarded³ join did cubic work for provably-zero output.
+    val rows = Seq(
+      (1, "p"), (1, "q"), (1, "r"),
+      (2, "p"), (2, "q"),
+      (3, "r"))
+    val got = StatOps.freqItemsets(rows.toDF("bk", "it"),
+        col("bk"), col("it")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)) -> r.getAs[Long]("support")).toMap
+    assert(!got.keys.exists(_._1 == 3L), s"no triple may survive: $got")
+    assert(got((2L, "p", "q", null)) == 2L)
+    assert(got.keys.count(_._1 == 2L) == 1) // (p,q) is the only L2 pair
+  }
+
+  test("welchTTest: |value| >= 1e12 raises in-plan instead of silently " +
+      "NULLing out of the DECIMAL(18,6) moment sums") {
+    val bad = Seq(("g", "A", 1.0e12), ("g", "A", 2.0), ("g", "B", 3.0),
+      ("g", "B", 4.0), ("g", "A", 5.0), ("g", "B", 6.0))
+      .toDF("grp", "arm", "x")
+    val ex = intercept[Exception] {
+      StatOps.welchTTest(bad, col("grp"), col("arm"), "A", "B",
+        col("x")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("1e12")), msgs(ex).mkString("; "))
+    // just inside the domain: computes normally
+    val ok = StatOps.welchTTest(bad.withColumn("x",
+        when(col("x") >= 1.0e12, lit(9.0e11)).otherwise(col("x"))),
+      col("grp"), col("arm"), "A", "B", col("x")).collect()
+    assert(ok.length == 1)
+  }
+
+  test("decisionStump: finds the perfectly separating threshold and " +
+      "pins gini to the hand formula") {
+    // negatives at 1.0/2.0, positives at 3.0/4.0 -> the cents<=200 split
+    // is pure on both sides (gini_split 0); base gini = 0.5
+    val d = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("x", "y")
+    val r = StatOps.decisionStump(d, col("x"), col("y")).collect().head
+    assert(r.getAs[Double]("threshold") == 2.0)
+    assert(r.getAs[Double]("gini_split") == 0.0)
+    assert(r.getAs[Double]("gini_base") == 0.5)
+    assert(r.getAs[Long]("n_left") == 2L && r.getAs[Long]("n_right") == 2L)
+    assert(r.getAs[Long]("pos_left") == 0L && r.getAs[Long]("pos_right") == 2L)
+    // tie-break: an all-same-label frame scores every split 0 — the
+    // SMALLEST threshold must win deterministically
+    val flat = Seq((1.0, true), (2.0, true), (3.0, true)).toDF("x", "y")
+    val t = StatOps.decisionStump(flat, col("x"), col("y")).collect().head
+    assert(t.getAs[Double]("threshold") == 1.0)
   }
 
   test("survivalKm: textbook curve with one censored survivor") {
