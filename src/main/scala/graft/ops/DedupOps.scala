@@ -342,6 +342,86 @@ object DedupOps {
         max(col("abs_err")).as("max_abs_err"))
   }
 
+  /** Band-structure tuning curve — the dedup-side analog of
+    * sim_recall_curve: the SAME 8 minhash chunks re-banded three ways
+    * (r=1/b=8, r=2/b=4 — the production structure, r=4/b=2), with
+    * measured candidate volume, verified near-dups (exact shingle
+    * Jaccard ≥ $NEARDUP_TAU among candidates), precision, and recall
+    * RELATIVE to the r=1 ceiling (r=1's candidate set is a strict
+    * superset: an r-chunk concatenated bucket collides only if every
+    * constituent chunk collides, so coarser bands can only lose pairs —
+    * the union of verified pairs IS r=1's verified set; pairs no config
+    * catches are invisible to all of them and are the documented
+    * theoretical miss 1−(1−J^r)^b). This is the table an LSH planner
+    * reads to trade verify-stage cost (candidates) against recall before
+    * touching a 100 TB corpus.
+    *
+    * Plan: one pass over the staged signature per config (explode +
+    * bucket self-join — the production candidate shape, never all-pairs);
+    * the exact Jaccard runs ONCE over the DISTINCT pair union and joins
+    * back per config; output is 3 rows. */
+  private val LSH_CURVE_RS = Seq(1, 2, 4)
+  private[graft] val NEARDUP_TAU = 0.8
+
+  private def lshCurveQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sig = staged(s, dir, "sig")(minhashSig(d))
+    def bandsFor(r: Int): DataFrame =
+      sig.select(col("doc_id"), explode(array((0 until N_MINHASH / r).map(i =>
+          struct(lit(i).as("band"),
+            concat((0 until r).map(j => col(s"mh${r * i + j}")): _*)
+              .as("bucket"))): _*)).as("bb"))
+        .select(lit(r.toLong).as("r"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"), col("doc_id"))
+    val bands = LSH_CURVE_RS.map(bandsFor).reduce(_ unionByName _)
+    val pairs = staged(s, dir, "curve_pairs") {
+      bands.as("a").join(bands.as("b"),
+          col("a.r") === col("b.r") && col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.r").as("r"), col("a.doc_id").as("d1"),
+          col("b.doc_id").as("d2"))
+        .distinct()
+    }
+    val uniq = pairs.select(col("d1"), col("d2")).distinct()
+    // NOT the "wsets" staging key: that frame is built for the r=2
+    // candidates only — the curve's union is wider, and a shared key
+    // would silently serve whichever consumer staged first
+    val sets = staged(s, dir, "curve_wsets")(
+      forCandidates(uniq, d)(shingleSet.as("ws")))
+    val jac = staged(s, dir, "curve_jac") {
+      uniq
+        .join(sets.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sets.as("s2"), col("d2") === col("s2.doc_id"))
+        .withColumn("i", size(array_intersect(col("s1.ws"), col("s2.ws"))))
+        .select(col("d1"), col("d2"),
+          (col("i").cast("double") /
+            (size(col("s1.ws")) + size(col("s2.ws")) - col("i"))
+              .cast("double")).as("jaccard"))
+    }
+    val truth = broadcast(jac.filter(col("jaccard") >= NEARDUP_TAU)
+      .agg(count(lit(1)).as("n_truth")))
+    def r6(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+    pairs.join(jac, Seq("d1", "d2"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= NEARDUP_TAU, 1L).otherwise(0L))
+          .as("n_verified"))
+      .crossJoin(truth)
+      .select(col("r"),
+        (lit(N_MINHASH.toLong) / col("r")).cast("long").as("n_bands"),
+        col("n_candidates"), col("n_verified"),
+        when(col("n_candidates") > 0,
+          r6(col("n_verified").cast("double")
+            / col("n_candidates").cast("double")))
+          .otherwise(lit(null).cast("double")).as("precision"),
+        when(col("n_truth") > 0,
+          r6(col("n_verified").cast("double") / col("n_truth").cast("double")))
+          .otherwise(lit(null).cast("double")).as("recall_rel"))
+      .orderBy(col("r"))
+  }
+
   /** Verified near-dup pairs without output ordering (shared corpus core).
     * Staged: both the neardup-pairs query and the clustering query consume
     * it, and clustering reads it twice (edge directions). */
@@ -780,6 +860,7 @@ object DedupOps {
     "dedup_lsh_buckets" -> lshBuckets,
     "dedup_lsh_neardup" -> lshNearDupPairs,
     "dedup_minhash_accuracy" -> minhashAccuracy,
+    "dedup_lsh_curve" -> lshCurveQ,
     "dedup_clusters" -> nearDupClusters,
     "dedup_keeper_quality" -> keeperQuality,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
@@ -928,6 +1009,62 @@ object DedupOps {
          |JOIN cnt c2 ON d2 = c2.doc_id
          |WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.8
          |ORDER BY d1, d2""".stripMargin,
+    // same three re-bandings of the same sig chunks, same distinct pair
+    // union, exact Jaccard once via the tok3 join (LEFT for zero-overlap
+    // collisions), same r6 precision / relative-recall spellings
+    "dedup_lsh_curve" -> {
+      val arms = LSH_CURVE_RS.flatMap { r =>
+        (0 until N_MINHASH / r).map { i =>
+          val bucket = (0 until r).map(j => s"mh${r * i + j}")
+            .mkString(" || ")
+          s"SELECT $r AS r, $i AS band, $bucket AS bucket, doc_id FROM sig"
+        }
+      }.mkString(" UNION ALL ")
+      def r6s(x: String) = s"CAST(floor(($x) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+      s"""WITH $tok3Cte, $sigCte,
+         |bandsall AS ($arms),
+         |pairs AS (
+         |  SELECT DISTINCT a.r, a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bandsall a JOIN bandsall b
+         |    ON a.r = b.r AND a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id
+         |), uniq AS (SELECT DISTINCT d1, d2 FROM pairs),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY 1),
+         |inter AS (
+         |  SELECT u.d1, u.d2, COUNT(*) AS i
+         |  FROM uniq u
+         |  JOIN tok3 t1 ON t1.doc_id = u.d1
+         |  JOIN tok3 t2 ON t2.doc_id = u.d2 AND t2.w = t1.w
+         |  GROUP BY 1, 2
+         |), jac AS (
+         |  SELECT u.d1, u.d2,
+         |    CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |      / CAST(c1.n + c2.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+         |  FROM uniq u
+         |  JOIN cnt c1 ON u.d1 = c1.doc_id
+         |  JOIN cnt c2 ON u.d2 = c2.doc_id
+         |  LEFT JOIN inter i ON u.d1 = i.d1 AND u.d2 = i.d2
+         |), truth AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM jac
+         |  WHERE jaccard >= $NEARDUP_TAU
+         |), m AS (
+         |  SELECT p.r, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |    CAST(SUM(CASE WHEN j.jaccard >= $NEARDUP_TAU THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_verified
+         |  FROM pairs p JOIN jac j ON p.d1 = j.d1 AND p.d2 = j.d2
+         |  GROUP BY 1
+         |)
+         |SELECT CAST(r AS BIGINT) AS r,
+         |  CAST($N_MINHASH / r AS BIGINT) AS n_bands,
+         |  n_candidates, n_verified,
+         |  CASE WHEN n_candidates > 0 THEN
+         |    ${r6s("CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE)")}
+         |    ELSE NULL END AS precision,
+         |  CASE WHEN n_truth > 0 THEN
+         |    ${r6s("CAST(n_verified AS DOUBLE) / CAST(n_truth AS DOUBLE)")}
+         |    ELSE NULL END AS recall_rel
+         |FROM m CROSS JOIN truth ORDER BY r""".stripMargin
+    },
     "dedup_minhash_accuracy" -> {
       val agree = (0 until N_MINHASH)
         .map(i => s"(CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END)")

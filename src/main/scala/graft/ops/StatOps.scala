@@ -1096,6 +1096,52 @@ object StatOps {
         col("event_type"))
       .orderBy(col("size"), col("i1"), col("i2"), col("i3"))
 
+  // -------------------------------------------------- sample-ratio check
+
+  /** Sample-ratio-mismatch (SRM) screen per experiment: the FIRST check
+    * an A/B readout pipeline runs — if the 50/50 assignment didn't land
+    * 50/50 in the observed UNITS, every downstream metric (welch_ttest,
+    * mann_whitney) is reading a biased sample and must not ship. Per
+    * group: distinct assignment units per arm, the χ² goodness-of-fit
+    * statistic against the even split ((a−e)²/e + (b−e)²/e, e=(a+b)/2,
+    * df=1), and the srm flag at the classic 3.84 (p<0.05) line. Counting
+    * UNITS (not events) is the point — event-weighted counts flag heavy
+    * users, not broken assignment.
+    *
+    * Shape: one corpus shuffle to the (group, arm, unit) distinct frame,
+    * then category-sized aggregates; the χ² is one double expression
+    * over exact BIGINTs, rounded 6 dp. */
+  def srmCheck(d: DataFrame, group: Column, unit: Column,
+               arm: Column): DataFrame = {
+    val u = d.select(group.as("grp"),
+        when(arm, lit(1)).otherwise(lit(0)).as("arm"), unit.as("u"))
+      .distinct()
+    val m = u.groupBy(col("grp"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_b"))
+    def dbl(c: String) = col(c).cast("double")
+    val e = (dbl("n_a") + dbl("n_b")) / lit(2.0d)
+    val chi2 = (dbl("n_a") - e) * (dbl("n_a") - e) / e +
+      (dbl("n_b") - e) * (dbl("n_b") - e) / e
+    m.filter(col("n_a") + col("n_b") > 0)
+      .select(col("grp"), col("n_a"), col("n_b"),
+        r6(chi2).as("chi2"),
+        when(r6(chi2) > lit(3.84d), 1L).otherwise(0L).as("srm"))
+  }
+
+  private def srmQ(s: SparkSession, dir: String): DataFrame =
+    srmCheck(graft.Tables(s, dir, "events"),
+        col("event_type"), col("user_id"),
+        // hash-based assignment (the production shape): first md5 hex
+        // char of the unit id, 0-7 → treatment — organically near-50/50,
+        // so the chi2 is a REAL small-deviation statistic instead of the
+        // synthetic corpus's exactly-even modulo split (which pins every
+        // chi2 to 0 and exercises nothing)
+        substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------------ decision stump
 
   /** Best single-threshold split (a 1-level decision tree) of a binary
@@ -1183,6 +1229,7 @@ object StatOps {
     "rel_decile_lift" -> decileLiftQ,
     "rel_freq_itemsets" -> freqItemsetsQ,
     "rel_decision_stump" -> decisionStumpQ,
+    "rel_ab_srm" -> srmQ,
   )
 
   /** rel_benford's oracle, generated from the SAME log10 expectation
@@ -1213,6 +1260,30 @@ object StatOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same distinct-unit counts, the chi2 expression spelled once over
+    // exact BIGINTs, the same 3.84 line
+    "rel_ab_srm" -> {
+      val e = "((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0)"
+      val chi2 = s"(CAST(n_a AS DOUBLE) - $e) * (CAST(n_a AS DOUBLE) - $e)" +
+        s" / $e + (CAST(n_b AS DOUBLE) - $e)" +
+        s" * (CAST(n_b AS DOUBLE) - $e) / $e"
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type,
+         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+         |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS arm,
+         |    user_id
+         |  FROM events
+         |), m AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM u GROUP BY 1
+         |)
+         |SELECT event_type, n_a, n_b, ${r6Sql(chi2)} AS chi2,
+         |  CAST(CASE WHEN ${r6Sql(chi2)} > 3.84 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS srm
+         |FROM m WHERE n_a + n_b > 0 ORDER BY event_type""".stripMargin
+    },
     // same cent quantization (exact BIGINT candidates), same cumulative
     // window over the cent space, the gini expression spelled once in
     // both engines over exact integer counts, argmin tie to smaller c

@@ -513,6 +513,100 @@ object TimeSeriesOps {
         "user_id", "ts", "event_id", "value")
       .orderBy(col("user_id"), col("event_id"))
 
+  /** Rolling-origin one-step-ahead backtest of the EWMA forecaster
+    * against the naive last-value baseline — the honesty check every
+    * fleet-wide forecaster needs before anyone consumes its numbers
+    * (ts_ewma/ts_des_forecast SAY what the smoother predicts; this says
+    * whether it beats persistence on THIS corpus). At every step t the
+    * forecast is the PREVIOUS row's smoothed value (strictly
+    * out-of-sample — nothing at time t leaks into its own forecast);
+    * per series: MAE of the smoother, MAE of the naive lag, and the
+    * skill score 1 − MAE_f/MAE_n (positive = the smoother earns its
+    * keep; NULL when the naive MAE is 0 — a constant series makes the
+    * ratio meaningless, not infinite).
+    *
+    * Plan: the ewma kernel's ONE keyed window lineage plus two more lag
+    * columns over the SAME window spec (no extra exchange or sort), then
+    * a per-key hash aggregate — shuffle on the series key once, the
+    * ts_ewma scale shape exactly. Determinism: per-row errors are
+    * 6 dp-quantized, means are exact decimal sums / counts, the skill
+    * ratio runs once per series row in IEEE doubles both engines. */
+  def forecastBacktest(d: DataFrame, key: String, ts: String, ord: String,
+      value: String, n: Int = EW, alpha: Double = EALPHA): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+    val weights = ewmaWeights(n, alpha)
+    val lagged = (0 until n).map(i =>
+      if (i == 0) col(value) else lag(col(value), i).over(w))
+    val num = lagged.zip(weights).map { case (l, wt) =>
+      when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
+    val den = lagged.zip(weights).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
+    val scored = d.select(col(key), col(ts), col(ord), col(value))
+      .withColumn("ew", round(num / den, 6))
+      .withColumn("fc", lag(col("ew"), 1).over(w))
+      .withColumn("nv", lag(col(value), 1).over(w))
+      .filter(col("fc").isNotNull && col("nv").isNotNull)
+      .select(col(key),
+        r6(abs(col(value) - col("fc"))).as("e_f"),
+        r6(abs(col(value) - col("nv"))).as("e_n"))
+    val agg = scored.groupBy(col(key))
+      .agg(count(lit(1)).as("n_steps"),
+        Exact.avgD(col("e_f")).as("mf"),
+        Exact.avgD(col("e_n")).as("mn"))
+    agg.select(col(key), col("n_steps"),
+      r6(col("mf")).as("mae_ewma"), r6(col("mn")).as("mae_naive"),
+      when(col("mn") > 0.0d, r6(lit(1.0d) - col("mf") / col("mn")))
+        .otherwise(lit(null).cast("double")).as("skill"))
+  }
+
+  private def tsBacktestQ(s: SparkSession, dir: String): DataFrame =
+    forecastBacktest(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"))
+
+  /** The ts_forecast_backtest oracle: the ewma kernel SQL (same literal
+    * weights), one extra lag for the out-of-sample shift, the naive lag,
+    * 6 dp errors, exact-decimal means, the identical skill spelling. */
+  private def backtestOracleSql(n: Int, alpha: Double): String = {
+    val wts = ewmaWeights(n, alpha).map(wt =>
+      s"CAST('${new java.math.BigDecimal(wt).toPlainString}' AS DOUBLE)")
+    def r6s(x: String) = s"CAST(floor(($x) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    def lagv(i: Int) = if (i == 0) "v" else s"lag(v, $i) OVER w"
+    val terms = wts.zipWithIndex.map { case (wt, i) =>
+      s"CASE WHEN ${lagv(i)} IS NOT NULL THEN ${lagv(i)} * $wt " +
+        "ELSE CAST(0.0 AS DOUBLE) END" }
+    val dens = wts.zipWithIndex.map { case (wt, i) =>
+      s"CASE WHEN ${lagv(i)} IS NOT NULL THEN $wt " +
+        "ELSE CAST(0.0 AS DOUBLE) END" }
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, "value" AS v FROM events
+       |), sm AS (
+       |  SELECT user_id, ts, event_id, v,
+       |    round((${terms.mkString("\n    + ")})
+       |      / (${dens.mkString("\n    + ")}), 6) AS ew
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), st AS (
+       |  SELECT user_id, v,
+       |    lag(ew, 1) OVER w AS fc, lag(v, 1) OVER w AS nv
+       |  FROM sm
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), er AS (
+       |  SELECT user_id, ${r6s("abs(v - fc)")} AS e_f,
+       |    ${r6s("abs(v - nv)")} AS e_n
+       |  FROM st WHERE fc IS NOT NULL AND nv IS NOT NULL
+       |), ag AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+       |    ${Exact.avgSql("e_f")} AS mf, ${Exact.avgSql("e_n")} AS mn
+       |  FROM er GROUP BY 1
+       |)
+       |SELECT user_id, n_steps, ${r6s("mf")} AS mae_ewma,
+       |  ${r6s("mn")} AS mae_naive,
+       |  CASE WHEN mn > 0.0 THEN ${r6s("1.0 - mf / mn")}
+       |    ELSE NULL END AS skill
+       |FROM ag ORDER BY user_id""".stripMargin
+  }
+
   private val ACF_LAGS = 3
 
   /** Per-series lag-k autocorrelation (the ACF head) — the seasonality /
@@ -825,6 +919,7 @@ object TimeSeriesOps {
     "ts_anomaly_mad" -> tsAnomalyMad,
     "ts_interp_linear" -> tsInterpLinear,
     "ts_ewma" -> tsEwma,
+    "ts_forecast_backtest" -> tsBacktestQ,
     "ts_des_forecast" -> tsDesForecast,
     "ts_autocorr" -> tsAutocorr,
     "ts_cross_corr" -> tsCrossCorr,
@@ -1041,6 +1136,7 @@ object TimeSeriesOps {
     // strings cast to double (string→double parse recovers the bits); the
     // weighted sum folds left in both engines
     "ts_ewma" -> ewmaOracleSql(EW, EALPHA),
+    "ts_forecast_backtest" -> backtestOracleSql(EW, EALPHA),
     "ts_des_forecast" -> desOracleSql(EW, EALPHA, DES_H),
     "ts_cross_corr" -> {
       val joins = (0 to XC_LAGS).map(k =>

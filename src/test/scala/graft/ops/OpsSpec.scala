@@ -57,6 +57,30 @@ class OpsSpec extends SparkSpec {
     assert(pairs.filter(col("d1") >= col("d2")).count() == 0) // canonical order
   }
 
+  test("dedup_lsh_curve: coarser bands only lose candidates; r=1 is the " +
+      "relative-recall ceiling") {
+    val curve = DedupOps.queries("dedup_lsh_curve")(spark, sf)
+      .collect().map(r => r.getAs[Long]("r") -> r).toMap
+    assert(curve.keySet == Set(1L, 2L, 4L))
+    // an r-chunk concatenated bucket collides only if every constituent
+    // chunk collides -> candidate sets are nested along r
+    assert(curve(1L).getAs[Long]("n_candidates")
+      >= curve(2L).getAs[Long]("n_candidates"))
+    assert(curve(2L).getAs[Long]("n_candidates")
+      >= curve(4L).getAs[Long]("n_candidates"))
+    assert(curve(1L).getAs[Long]("n_verified")
+      >= curve(2L).getAs[Long]("n_verified"))
+    assert(curve(2L).getAs[Long]("n_verified")
+      >= curve(4L).getAs[Long]("n_verified"))
+    // the union of verified pairs IS r=1's verified set
+    assert(curve(1L).getAs[Double]("recall_rel") == 1.0)
+    curve.values.foreach { r =>
+      assert(r.getAs[Long]("n_bands") * r.getAs[Long]("r") == 8L)
+      val p = r.getAs[Double]("precision")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
   test("sim_cosine_topk: k results per query, sims within [-1,1] descending") {
     val out = Similarity.queries("sim_cosine_topk")(spark, sf)
     val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n"),

@@ -126,7 +126,9 @@ class PlanAuditSpec extends SparkSpec {
     "graph_modularity",
     // reads the ivfRanked staged substrate (corpus × BROADCAST centroid
     // cells — bounded by design, sim_ann_ivf's own quantizer scoring)
-    "sim_ivf_imbalance")
+    "sim_ivf_imbalance",
+    // the 1-row verified-truth count broadcast onto the 3-row curve
+    "dedup_lsh_curve")
 
   // queries whose factory launches jobs at plan build (streams, write-
   // then-read lifecycles, training loops) — the documented contract

@@ -426,6 +426,24 @@ class StatOpsSpec extends SparkSpec {
     assert(ok.length == 1)
   }
 
+  test("srmCheck: counts UNITS not events, pins the chi2 hand values, " +
+      "flags only past 3.84") {
+    // group g: units 1,2,3 in arm A, unit 4 in arm B — unit 1 fires 10
+    // events (must still count once). chi2 = (3-2)^2/2 + (1-2)^2/2 = 1.0
+    val g = Seq.fill(10)(("g", 1L)) ++
+      Seq(("g", 2L), ("g", 3L), ("g", 4L))
+    // group h: 8 units in arm A, 0 in arm B -> chi2 = 16/4 + 16/4 = 8 > 3.84
+    val h = (10L to 17L).map(u => ("h", u))
+    val d = (g ++ h).toDF("grp", "u")
+    val got = StatOps.srmCheck(d, col("grp"), col("u"),
+        col("u") <= 3L || col("u") >= 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("chi2"), r.getAs[Long]("srm"))).toMap
+    assert(got("g") == ((3L, 1L, 1.0, 0L)))
+    assert(got("h") == ((8L, 0L, 8.0, 1L)))
+  }
+
   test("decisionStump: finds the perfectly separating threshold and " +
       "pins gini to the hand formula") {
     // negatives at 1.0/2.0, positives at 3.0/4.0 -> the cents<=200 split

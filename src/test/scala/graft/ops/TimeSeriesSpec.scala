@@ -118,6 +118,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(3L) == rnd((4.0 + 0.5 * 3.0 + 0.25 * 2.0) / 1.75))
   }
 
+  test("forecastBacktest: constant series gives zero MAEs and a NULL " +
+      "skill; a ramp makes the lagging smoother lose to persistence") {
+    // constant: every forecast and naive lag is exact -> maes 0; the
+    // skill ratio is 0/0, which must surface as NULL, not NaN
+    val const = TimeSeriesOps.forecastBacktest(
+        ev((0 until 6).map(h => (1L, h, h.toLong, 5.0))),
+        "user_id", "ts", "event_id", "value", n = 3, alpha = 0.5)
+      .collect().head
+    assert(const.getAs[Long]("n_steps") == 5L)
+    assert(const.getAs[Double]("mae_ewma") == 0.0)
+    assert(const.getAs[Double]("mae_naive") == 0.0)
+    assert(const.isNullAt(const.fieldIndex("skill")))
+    // ramp y = t: naive error is exactly 1 every step; the smoother lags
+    // the line by a positive constant, so its error exceeds 1 -> skill < 0
+    val ramp = TimeSeriesOps.forecastBacktest(
+        ev((0 until 8).map(h => (1L, h, h.toLong, h.toDouble))),
+        "user_id", "ts", "event_id", "value", n = 3, alpha = 0.5)
+      .collect().head
+    assert(ramp.getAs[Double]("mae_naive") == 1.0)
+    assert(ramp.getAs[Double]("mae_ewma") > 1.0)
+    assert(ramp.getAs[Double]("skill") < 0.0)
+  }
+
   test("desForecast: linear series recovers the slope as trend exactly") {
     // On a long-enough linear ramp y = t the truncated kernels converge:
     // s1 lags the line by a constant c = Σ w_i·i / Σ w_i, s2 by 2c, so
