@@ -140,17 +140,24 @@ class OpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val hist = DedupOps.cdcChunks(shifted, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // past the first post-edit cut, both docs chunk identically: shared
-    // chunks MUST appear (fixed-size blocks would share none — every
-    // boundary shifts by the prefix length)
-    assert(hist.getOrElse(2L, 0L) > 0,
-      s"no chunk recurred across the shifted pair: $hist")
-    // disjoint texts share nothing
+    // past the gear state's 32-char memory, both docs chunk identically:
+    // shared chunks MUST dominate (fixed-size blocks would share none —
+    // every boundary shifts by the prefix length). Exact gear pin: 30
+    // chunks recur across the pair (plus intra-doc recurrences at 4/6).
+    assert(hist.getOrElse(2L, 0L) == 30L,
+      s"shifted pair must share its suffix chunks: $hist")
+    // disjoint texts share only trivial short fragments (the stateless
+    // gear has no min-chunk clamp, so 1-3-char chunks exist and "to"/"1"
+    // style fragments can coincide) — the shared mass must be an order
+    // of magnitude below the shifted pair's. Exact pin: 65 singletons,
+    // 4 recurring fragments.
     val disjoint = Seq((1L, body), (2L, body.replace("w", "q")))
       .toDF("doc_id", "text")
     val h2 = DedupOps.cdcChunks(disjoint, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(h2.keySet == Set(1L))
+    assert(h2(1L) == 65L, s"disjoint histogram moved: $h2")
+    assert(h2.filter(_._1 >= 2L).values.sum <= 4L,
+      s"disjoint texts must share only trivial fragments: $h2")
   }
 
   test("rakeKeywords: deg/freq scoring, stopword phrase split, tie-break") {

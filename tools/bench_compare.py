@@ -14,12 +14,14 @@ Joins two BENCH_LOCAL-format records (old, new) and reports:
     — the list worth reading for real regressions/wins;
   - plan-shape diffs: queries whose `plan_sha` changed between the
     records (a plan regression shows here even when sf0.1 timing hides
-    it). plan_sha is captured during the warmup pass WITH that run's
-    staged-cache state, so adding/removing queries (or re-keying a
-    staged frame) can legitimately shift cache substitution into
-    neighbors' captured plans — identical code + identical surface
-    hashes identically (verified back-to-back), but treat plan_changed
-    across code changes as a REVIEW list, not a failure;
+    it). Since r15, plan_sha is captured in a dedicated pass AFTER the
+    full warmup, when every staged substrate is registered — the cache
+    state (and so the sha) no longer depends on alphabetical staging
+    order, which produced 48 of r14's 54 flags. A flag now means a real
+    plan change (or a deliberate re-keying of a staged frame). The
+    r15-vs-r14 compare itself carries a one-time all-shas shift from
+    this methodology change — judge that round's plan diffs by the
+    within-r15 series instead;
   - queries added/removed between the runs.
 
 Usage: bench_compare.py OLD.json NEW.json [threshold]
