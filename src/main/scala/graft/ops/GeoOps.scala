@@ -310,6 +310,81 @@ object GeoOps {
       .orderBy(col("cluster_id"))
   }
 
+  private val SIMPLIFY_EPS = 0.2d
+
+  /** Trajectory simplification by chord deviation — the track-compaction
+    * pass a movement-data store (the reference's domain: aircraft
+    * snapshots) runs before archiving: drop every interior point whose
+    * perpendicular deviation from the chord through its NEIGHBORS is
+    * below ε, keep endpoints, and report per track how much survives and
+    * how much path length the simplification loses. This is the
+    * one-pass curvature filter — each point decides from (prev, next)
+    * only, so unlike Douglas–Peucker there is no recursive global state
+    * and the whole pass is ONE keyed window lineage (the lag/lead
+    * shuffle on the track key that ts_lag_features already pays),
+    * embarrassingly parallel across tracks at any scale. The simplified
+    * path length needs steps between consecutive KEPT points — a second
+    * window over the SAME key/order, so Catalyst reuses the exchange.
+    *
+    * Deviation: |cross(C−A, B−A)| / |C−A| for chord A→C (planar — same
+    * contract as the proximity family); a degenerate chord (A = C)
+    * falls back to |B−A|. Exactness: the keep decision compares doubles
+    * computed from one spelling in both engines; path sums are the
+    * geo_track_distance discipline (floor(step·1e6) longs — associative,
+    * order-free). */
+  def trackSimplify(pts: DataFrame, key: Column, ts: Column, ord: Column,
+      lat: Column, lon: Column, eps: Double = SIMPLIFY_EPS): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("o"))
+    val base = pts.select(key.as("k"), ts.as("t"), ord.as("o"),
+        lat.as("la"), lon.as("lo"))
+      .withColumn("pla", lag(col("la"), 1).over(w))
+      .withColumn("plo", lag(col("lo"), 1).over(w))
+      .withColumn("nla", lead(col("la"), 1).over(w))
+      .withColumn("nlo", lead(col("lo"), 1).over(w))
+    val cx = col("nla") - col("pla")
+    val cy = col("nlo") - col("plo")
+    val bx = col("la") - col("pla")
+    val by = col("lo") - col("plo")
+    val chord = sqrt(cx * cx + cy * cy)
+    val dev = when(chord > lit(0.0d), abs(cx * by - cy * bx) / chord)
+      .otherwise(sqrt(bx * bx + by * by))
+    val flagged = base.withColumn("keep",
+      col("pla").isNull || col("nla").isNull || dev >= lit(eps))
+    val ostep = sqrt(bx * bx + by * by)
+    val orig = flagged
+      .withColumn("ostep", ostep)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_points"),
+        (sum(floor(col("ostep") * 1e6).cast("long")) / lit(1e6))
+          .as("orig_len"))
+    val kept = flagged.filter(col("keep"))
+      .withColumn("kstep", sqrt(
+        (col("la") - lag(col("la"), 1).over(w))
+          * (col("la") - lag(col("la"), 1).over(w))
+        + (col("lo") - lag(col("lo"), 1).over(w))
+          * (col("lo") - lag(col("lo"), 1).over(w))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(floor(col("kstep") * 1e6).cast("long")) / lit(1e6))
+          .as("simp_len"))
+    def r6d(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+    orig.join(kept, "k")
+      .select(col("k"), col("n_points"), col("n_kept"),
+        r6d(col("n_kept").cast("double") / col("n_points").cast("double"))
+          .as("kept_ratio"),
+        col("orig_len"), col("simp_len"),
+        when(col("orig_len") > 0.0d,
+          r6d(col("simp_len") / col("orig_len")))
+          .otherwise(lit(null).cast("double")).as("len_ratio"))
+  }
+
+  private def trackSimplifyQ(s: SparkSession, dir: String): DataFrame =
+    trackSimplify(points(s, dir), col("user_id"), col("ts"),
+        col("event_id"), col("lat"), col("lon"))
+      .withColumnRenamed("k", "user_id")
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid_cells" -> gridCellsQ,
     "geo_cluster_grid" -> clusterGridQ,
@@ -317,6 +392,7 @@ object GeoOps {
     "geo_join_rule" -> geoJoinRuleQ,
     "geo_knn_radius" -> knnRadiusQ,
     "geo_track_distance" -> trackDistanceQ,
+    "geo_track_simplify" -> trackSimplifyQ,
     "geo_heatmap_topk" -> heatmapQ,
   )
 
@@ -434,5 +510,51 @@ object GeoOps {
          |SELECT user_id, COUNT(step) AS n_steps,
          |  CAST(SUM(CAST(floor(step * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS path_len
          |FROM steps GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same lag/lead chord-deviation keep rule (one spelling of the
+    // cross/chord doubles), same floor(step·1e6) exact path sums
+    "geo_track_simplify" -> {
+      val chord = "sqrt((nla - pla) * (nla - pla) + (nlo - plo) * (nlo - plo))"
+      val cross = "abs((nla - pla) * (lo - plo) - (nlo - plo) * (la - pla))"
+      val bdist = "sqrt((la - pla) * (la - pla) + (lo - plo) * (lo - plo))"
+      s"""WITH $pointsSql, b AS (
+         |  SELECT user_id AS k, ts, event_id, lat AS la, lon AS lo,
+         |    lag(lat) OVER w AS pla, lag(lon) OVER w AS plo,
+         |    lead(lat) OVER w AS nla, lead(lon) OVER w AS nlo
+         |  FROM pts
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), f AS (
+         |  SELECT *,
+         |    (pla IS NULL OR nla IS NULL OR
+         |      (CASE WHEN $chord > 0.0 THEN $cross / $chord
+         |            ELSE $bdist END) >= $SIMPLIFY_EPS) AS keep,
+         |    $bdist AS ostep
+         |  FROM b
+         |), orig AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points,
+         |    CAST(SUM(CAST(floor(ostep * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+         |      AS orig_len
+         |  FROM f GROUP BY k
+         |), ks AS (
+         |  SELECT k,
+         |    sqrt((la - lag(la) OVER w2) * (la - lag(la) OVER w2)
+         |       + (lo - lag(lo) OVER w2) * (lo - lag(lo) OVER w2)) AS kstep
+         |  FROM f WHERE keep
+         |  WINDOW w2 AS (PARTITION BY k ORDER BY ts, event_id)
+         |), kept AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    CAST(SUM(CAST(floor(kstep * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+         |      AS simp_len
+         |  FROM ks GROUP BY k
+         |)
+         |SELECT orig.k AS user_id, n_points, n_kept,
+         |  CAST(floor(CAST(n_kept AS DOUBLE) / CAST(n_points AS DOUBLE)
+         |    * 1e6 + 0.5) AS DOUBLE) / 1e6 AS kept_ratio,
+         |  orig_len, simp_len,
+         |  CASE WHEN orig_len > 0.0 THEN
+         |    CAST(floor(simp_len / orig_len * 1e6 + 0.5) AS DOUBLE) / 1e6
+         |    ELSE NULL END AS len_ratio
+         |FROM orig JOIN kept ON orig.k = kept.k
+         |ORDER BY user_id""".stripMargin
+    },
   )
 }

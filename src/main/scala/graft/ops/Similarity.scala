@@ -329,31 +329,89 @@ object Similarity {
     * shape is unchanged. Output: per trained cell, member count, inertia
     * (exact sum of rounded sqdists — THE k-means objective, monotone
     * over iterations), and centroid norm. */
+  /** Nearest-centroid assignment of every vector (BROADCAST centroid
+    * table — the corpus never shuffles for assignment). */
+  private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("cid").asc)
+    e.join(broadcast(cent))
+      .withColumn("d", sqdist(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("v"), col("d"))
+  }
+
+  /** Lloyd update: per-dim exact decimal means of the assigned members. */
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
+      .groupBy(col("cid"), col("dim"))
+      .agg((sum(col("val").cast(Exact.dec)).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+
+  /** The FITTED centroid table after KM_ITERS Lloyd rounds — staged:
+    * sim_kmeans_train reports from it and sim_silhouette scores against
+    * it, and the 2-iteration corpus passes should run once per round,
+    * not once per consumer. */
+  private def kmCentFit(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "km_cent") {
+      val e = emb(s, dir).select(col("vec_id"), col("v"))
+      var cent = centroidVectors(s, dir)
+        .select(col("label").as("cid"), col("cv"))
+      for (_ <- 1 to KM_ITERS) cent = kmUpdate(kmAssign(e, cent))
+      cent
+    }
+
   private def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v"))
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d").asc, col("cid").asc)
-      e.join(broadcast(cent))
-        .withColumn("d", sqdist(col("v"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid"), col("v"), col("d"))
-    }
-    def update(assigned: DataFrame): DataFrame =
-      assigned.select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
-        .groupBy(col("cid"), col("dim"))
-        .agg((sum(col("val").cast(Exact.dec)).cast("double") / count(lit(1))).as("c"))
-        .groupBy(col("cid"))
-        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("cv"))
-    var cent = centroidVectors(s, dir)
-      .select(col("label").as("cid"), col("cv"))
-    for (_ <- 1 to KM_ITERS) cent = update(assign(cent))
-    assign(cent)
+    val cent = kmCentFit(s, dir)
+    kmAssign(e, cent)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sumD(col("d")).as("inertia"))
       .join(cent.select(col("cid"), round(norm(col("cv")), 6).as("cnorm")), "cid")
+      .orderBy(col("cid"))
+  }
+
+  /** Centroid-based silhouette of the trained k-means partition — the
+    * clustering-quality readout next to sim_kmeans_train's inertia
+    * (inertia always falls as K grows; silhouette does NOT, which is
+    * what makes it the K-picker): per vector, a = distance to its OWN
+    * fitted centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b) (the simplified/centroid silhouette — the
+    * O(n·K) form; the classic pairwise form is O(n²) and exists only in
+    * textbooks at corpus scale). Emitted per cluster: member count and
+    * mean silhouette from 6 dp-rounded per-vector terms (exact decimal
+    * mean, partition-order-free).
+    *
+    * Plan: ONE corpus × BROADCAST-centroid scoring pass (the
+    * sim_kmeans_train assignment shape) — a and b come from the same
+    * per-vector ranked frame, no second pass, no pairwise join. */
+  private def silhouetteQ(s: SparkSession, dir: String): DataFrame =
+    silhouetteFrom(emb(s, dir).select(col("vec_id"), col("v")),
+      kmCentFit(s, dir))
+
+  /** Package-private core over (vec_id, v) vectors and a (cid, cv)
+    * centroid table, so the geometry is spec-pinnable on hand fixtures. */
+  private[ops] def silhouetteFrom(e: DataFrame, cent: DataFrame)
+      : DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("cid").asc)
+    val ranked = e.join(broadcast(cent))
+      .withColumn("d", sqdist(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+    val terms = ranked.filter(col("rk") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), col("rk")).as("cid"),
+        sqrt(min_by(col("d"), col("rk"))).as("a"),
+        sqrt(max_by(col("d"), col("rk"))).as("b"))
+      .select(col("vec_id"), col("cid"),
+        when(greatest(col("a"), col("b")) > lit(0.0d),
+          round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+          .otherwise(lit(0.0d)).as("sil"))
+    terms.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        round(Exact.avgD(col("sil")), 6).as("mean_silhouette"))
       .orderBy(col("cid"))
   }
 
@@ -1472,6 +1530,7 @@ object Similarity {
     "sim_knn_components" -> knnComponents,
     "sim_centroid_cohesion" -> centroidCohesion,
     "sim_kmeans_train" -> kmeansTrain,
+    "sim_silhouette" -> silhouetteQ,
     "sim_pq_adc" -> pqAdc,
     "sim_ann_pq_serve" -> annPqServe,
     "sim_pq_recall" -> pqRecall,
@@ -1567,6 +1626,40 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |    ORDER BY adc ASC, vec_id ASC) AS rk FROM adcs
        |) WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  /** The k-means oracle pieces, shared by the train and silhouette
+    * replays: squared-L2 in dimension order rounded 6 dp, the
+    * nearest-centroid assignment CTE, the Lloyd-update CTE, and the
+    * full KM_ITERS fit chain ending at centroid table `c2`. */
+  private def kmSqSql(v: String, c: String) =
+    s"round(list_reduce(list_transform(generate_series(1, len($v)), " +
+      s"i -> ($v[i]-$c[i])*($v[i]-$c[i])), (a,x) -> a+x), 6)"
+
+  private def kmAssignCteSql(a: String, cents: String) =
+    s"""$a AS (
+       |  SELECT vec_id, cid, v, d FROM (
+       |    SELECT e.vec_id, c.cid, e.v, ${kmSqSql("e.v", "c.cv")} AS d,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmSqSql("e.v", "c.cv")} ASC, c.cid ASC) AS rk
+       |    FROM e CROSS JOIN $cents c) WHERE rk = 1
+       |)""".stripMargin
+
+  private def kmUpdateCteSql(c: String, from: String) =
+    s"""$c AS (
+       |  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+       |    SELECT cid, i AS dim,
+       |      CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+       |    FROM $from, unnest(generate_series(1, len(v))) AS t(i)
+       |    GROUP BY 1, 2) GROUP BY cid
+       |)""".stripMargin
+
+  private lazy val kmFitCtesSql: String =
+    s"""${kmUpdateCteSql("c0",
+        "(SELECT label AS cid, embedding::DOUBLE[] AS v FROM embeddings)")},
+       |${kmAssignCteSql("a1", "c0")},
+       |${kmUpdateCteSql("c1", "a1")},
+       |${kmAssignCteSql("a2", "c1")},
+       |${kmUpdateCteSql("c2", "a2")}""".stripMargin
 
   private val eCte =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -2221,40 +2314,39 @@ object Similarity {
          |FROM cosv GROUP BY label ORDER BY label""".stripMargin,
     // Lloyd replay: the same init (label centroids), the same two
     // assign/update rounds, the same rounded fold-order distances
-    "sim_kmeans_train" -> {
-      def sq(v: String, c: String) =
-        s"round(list_reduce(list_transform(generate_series(1, len($v)), " +
-          s"i -> ($v[i]-$c[i])*($v[i]-$c[i])), (a,x) -> a+x), 6)"
-      def assignCte(a: String, cents: String) =
-        s"""$a AS (
-           |  SELECT vec_id, cid, v, d FROM (
-           |    SELECT e.vec_id, c.cid, e.v, ${sq("e.v", "c.cv")} AS d,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${sq("e.v", "c.cv")} ASC, c.cid ASC) AS rk
-           |    FROM e CROSS JOIN $cents c) WHERE rk = 1
-           |)""".stripMargin
-      def updateCte(c: String, from: String) =
-        s"""$c AS (
-           |  SELECT cid, list(m ORDER BY dim) AS cv FROM (
-           |    SELECT cid, i AS dim,
-           |      CAST(SUM(CAST(v[i] AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
-           |    FROM $from, unnest(generate_series(1, len(v))) AS t(i)
-           |    GROUP BY 1, 2) GROUP BY cid
-           |)""".stripMargin
+    "sim_kmeans_train" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |${updateCte("c0", "(SELECT label AS cid, embedding::DOUBLE[] AS v FROM embeddings)")},
-         |${assignCte("a1", "c0")},
-         |${updateCte("c1", "a1")},
-         |${assignCte("a2", "c1")},
-         |${updateCte("c2", "a2")},
-         |${assignCte("a3", "c2")}
+         |$kmFitCtesSql,
+         |${kmAssignCteSql("a3", "c2")}
          |SELECT a.cid, COUNT(*) AS n,
          |  ${Exact.sumSql("a.d")} AS inertia,
          |  round(sqrt(list_reduce(list_transform(ANY_VALUE(c2.cv), x -> x*x),
          |    (acc,x) -> acc+x)), 6) AS cnorm
          |FROM a3 a JOIN c2 USING (cid)
-         |GROUP BY a.cid ORDER BY a.cid""".stripMargin
-    },
+         |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
+    // same fitted c2 centroids, same one ranked scoring pass: a = own
+    // (rk 1) distance, b = second-nearest (rk 2) — the nearest OTHER
+    // centroid — same (b−a)/max guard and 6 dp terms, exact mean
+    "sim_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$kmFitCtesSql,
+         |r AS (
+         |  SELECT e.vec_id, c.cid, ${kmSqSql("e.v", "c.cv")} AS d,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${kmSqSql("e.v", "c.cv")} ASC, c.cid ASC) AS rk
+         |  FROM e CROSS JOIN c2 c
+         |), t AS (
+         |  SELECT vec_id, arg_min(cid, rk) AS cid,
+         |    sqrt(arg_min(d, rk)) AS a, sqrt(arg_max(d, rk)) AS b
+         |  FROM r WHERE rk <= 2 GROUP BY vec_id
+         |), sil AS (
+         |  SELECT cid, CASE WHEN greatest(a, b) > 0.0
+         |    THEN round((b - a) / greatest(a, b), 6) ELSE 0.0 END AS sil
+         |  FROM t
+         |)
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+         |  round(${Exact.avgSql("sil")}, 6) AS mean_silhouette
+         |FROM sil GROUP BY cid ORDER BY cid""".stripMargin,
     // PQ replay: same sub-slicing, same deterministic init, one Lloyd
     // round per subspace, same codes and ADC lookup-table sums
     // the composed IVF-PQ serve: the IVF cell CTEs pick each query's

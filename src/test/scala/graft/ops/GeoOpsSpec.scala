@@ -106,6 +106,33 @@ class GeoOpsSpec extends SparkSpec {
     assert(got.size == 2, s"sparse cell must not appear: $got")
   }
 
+  test("trackSimplify: collinear interior points drop, sharp turns stay, " +
+      "endpoints always survive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00")
+    // track 1: a straight line — every interior point is on the chord
+    // (deviation 0 < eps) -> only the 2 endpoints survive; simplified
+    // length equals the original (the chord IS the path)
+    val line = (0 until 6).map(i => (1L, ts(i), i.toLong, 10.0 + i, 20.0 + i))
+    // track 2: a square-wave zigzag with amplitude 1 >> eps — every
+    // interior point deviates by >= ~0.89 from its neighbor chord
+    val zig = (0 until 6).map(i =>
+      (2L, ts(i), i.toLong, if (i % 2 == 0) 0.0 else 1.0, i.toDouble))
+    val d = (line ++ zig).toDF("u", "t", "e", "la", "lo")
+    val got = GeoOps.trackSimplify(d, col("u"), col("t"), col("e"),
+        col("la"), col("lo"), eps = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("orig_len"), r.getAs[Double]("simp_len"))).toMap
+    val (n1, k1, o1, s1) = got(1L)
+    assert(n1 == 6L && k1 == 2L, s"line must keep only endpoints: ${got(1L)}")
+    assert(math.abs(o1 - s1) < 1e-5,
+      s"straight-line simplification must preserve length: $o1 vs $s1")
+    val (n2, k2, _, _) = got(2L)
+    assert(n2 == 6L && k2 == 6L, s"zigzag must keep every point: ${got(2L)}")
+  }
+
   test("track distance: per-user path is non-negative with n-1 steps") {
     import spark.implicits._
     val out = GeoOps.queries("geo_track_distance")(spark, sf)

@@ -36,6 +36,9 @@ class PlanAuditSpec extends SparkSpec {
     // centroid table each iteration — bounded by design (K ≪ corpus),
     // the same shape as sim_ann_ivf's quantizer scoring
     "sim_kmeans_train",
+    // the silhouette scores the corpus against the same BROADCAST fitted
+    // centroid table (one ranked pass, a and b from rk <= 2)
+    "sim_silhouette",
     // graph_* cross-join a BROADCAST 1-row aggregate (node/edge count)
     // into the pipeline — the in-pipeline alternative to a driver count()
     "graph_pagerank", "graph_triangles",
