@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding token counting (the budgeting primitive of a
@@ -102,6 +102,43 @@ object BpeOps {
           .groupBy(col("doc_id")).agg(sum(col("n_tok_w")).as("n_tok")),
         Seq("doc_id"), "left")
       .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+  }
+
+  /** Tokenizer fertility per language — the tokenizer-evaluation table
+    * (tokens per word, chars per token) a multilingual data pipeline
+    * reads before committing to a merge table: a language whose
+    * fertility is far above the corpus mean is being shattered into
+    * char-level pieces (under-represented in the training mix), which
+    * inflates its effective sequence lengths and cost. Same
+    * per-DISTINCT-word kernel + broadcast join as text_bpe_count (the
+    * heavy tokenization runs once per vocabulary word, never per
+    * occurrence), rolled up by lang; ratios are single double divisions
+    * over exact BIGINTs, rounded 6 dp. */
+  private def fertilityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = graft.Tables.balanced(s, dir, "documents", "doc_id")
+      .select(col("doc_id"), col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    val vocab = words.select(col("w")).distinct().as[String]
+    val rankB = s.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap)
+    val tokPerWord = vocab.mapPartitions { it =>
+      val rk = rankB.value
+      it.map(w => (w, tokenCount(w, rk).toLong))
+    }.toDF("w", "n_tok_w")
+    def dbl(c: String) = col(c).cast("double")
+    def r6d(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+    words.join(broadcast(tokPerWord), "w")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("n_tok_w")).as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("bpe_tokens"),
+        r6d(dbl("bpe_tokens") / dbl("n_words")).as("fertility"),
+        r6d(dbl("n_chars") / dbl("bpe_tokens")).as("chars_per_token"))
+      .orderBy(col("lang"))
   }
 
   /** Sequence packing denominated in TOKENIZER tokens (the composition
@@ -370,6 +407,7 @@ object BpeOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_count" -> bpeCountQ,
+    "text_tokenizer_fertility" -> fertilityQ,
     "text_bpe_pack" -> bpePackQ,
     "text_bpe_train" -> bpeTrainQ,
     "text_bpe_roundtrip" -> bpeRoundtripQ,
@@ -393,7 +431,7 @@ object BpeOps {
        |  $mlistBody
        |),
        |words AS (
-       |  SELECT doc_id, source,
+       |  SELECT doc_id, source, lang,
        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
        |  FROM documents
        |),
@@ -515,6 +553,20 @@ object BpeOps {
          |  CAST(COUNT(*) AS BIGINT) AS n_words
          |FROM words JOIN ntok USING (w)
          |GROUP BY source ORDER BY source""".stripMargin,
+    // same per-distinct-word replay, rolled up by lang; ratios spelled
+    // once over exact BIGINT totals, floor-rounded 6 dp
+    "text_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tok) AS BIGINT) AS bpe_tokens,
+         |  CAST(floor(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    * 1e6 + 0.5) AS DOUBLE) / 1e6 AS fertility,
+         |  CAST(floor(CAST(SUM(length(w)) AS DOUBLE)
+         |    / CAST(SUM(n_tok) AS DOUBLE) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         |    AS chars_per_token
+         |FROM words JOIN ntok USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_bpe_pack" ->
       s"""WITH RECURSIVE $bpeCtes,
          |perdoc AS (

@@ -61,6 +61,25 @@ class BpeOpsSpec extends SparkSpec {
     }
   }
 
+  test("fertility: lang rollup conserves the source rollup's token " +
+      "totals; every word is at least one token") {
+    val sf = "/root/testdata/sf0.001"
+    val bySource = BpeOps.queries("text_bpe_count")(spark, sf).collect()
+    val byLang = BpeOps.queries("text_tokenizer_fertility")(spark, sf)
+      .collect()
+    // the same corpus tokenized once, grouped two ways — totals must agree
+    assert(bySource.map(_.getAs[Long]("bpe_tokens")).sum
+      == byLang.map(_.getAs[Long]("bpe_tokens")).sum)
+    assert(bySource.map(_.getAs[Long]("n_words")).sum
+      == byLang.map(_.getAs[Long]("n_words")).sum)
+    byLang.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0,
+        s"a word cannot tokenize to < 1 token: $r")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0,
+        s"a token cannot carry < 1 char: $r")
+    }
+  }
+
   test("count query: vocab-sized kernel, broadcast join back, no cartesian") {
     val df = BpeOps.queries("text_bpe_count")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
