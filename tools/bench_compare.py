@@ -18,7 +18,10 @@ Joins two BENCH_LOCAL-format records (old, new) and reports:
     full warmup, when every staged substrate is registered — the cache
     state (and so the sha) no longer depends on alphabetical staging
     order, which produced 48 of r14's 54 flags. A flag now means a real
-    plan change (or a deliberate re-keying of a staged frame). The
+    plan change, a deliberate re-keying of a staged frame, or — when the
+    QUERY SET changed — a newly staged substrate substituting its cache
+    into an existing plan (adding queries that stage frames legitimately
+    shifts neighbors; identical code + surface is stable). The
     r15-vs-r14 compare itself carries a one-time all-shas shift from
     this methodology change — judge that round's plan diffs by the
     within-r15 series instead;
