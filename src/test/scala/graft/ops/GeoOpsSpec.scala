@@ -133,6 +133,32 @@ class GeoOpsSpec extends SparkSpec {
     assert(n2 == 6L && k2 == 6L, s"zigzag must keep every point: ${got(2L)}")
   }
 
+  test("trackSimplify: simplification never lengthens a path and never " +
+      "drops an endpoint (md5-derived pseudo-random tracks)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // deterministic jitter tracks: dropping interior points replaces
+    // sub-paths with chords, so simp_len <= orig_len by the triangle
+    // inequality (up to the 1e-6 step-floor quantization), and n_kept
+    // is always >= 2 (endpoints survive by construction)
+    val rows = for (u <- 0L until 8L; i <- 0 until 40) yield {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u|$i".getBytes("UTF-8"))
+      (u, Timestamp.valueOf(f"2024-01-01 ${i / 2}%02d:${i % 2 * 30}%02d:00"),
+        i.toLong, (h(0) & 0xff) / 64.0, (h(1) & 0xff) / 64.0)
+    }
+    val got = GeoOps.trackSimplify(rows.toDF("u", "t", "e", "la", "lo"),
+      col("u"), col("t"), col("e"), col("la"), col("lo")).collect()
+    assert(got.length == 8)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_kept") >= 2L)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_points"))
+      assert(r.getAs[Double]("simp_len")
+        <= r.getAs[Double]("orig_len") + 1e-4,
+        s"simplified path must not lengthen: $r")
+    }
+  }
+
   test("track distance: per-user path is non-negative with n-1 steps") {
     import spark.implicits._
     val out = GeoOps.queries("geo_track_distance")(spark, sf)

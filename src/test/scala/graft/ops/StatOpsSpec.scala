@@ -426,6 +426,39 @@ class StatOpsSpec extends SparkSpec {
     assert(ok.length == 1)
   }
 
+  test("decisionStump: matches a brute-force threshold search on " +
+      "deterministic pseudo-random data") {
+    // 60 rows with md5-derived features/labels: the stump's windowed
+    // search must find exactly the brute-force minimum over every cent
+    // threshold, with the same smaller-threshold tie-break
+    val rows = (0 until 60).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val x = ((h(0) & 0xff) * 256 + (h(1) & 0xff)) / 100.0 // 2 dp domain
+      val y = (h(2) & 1) == 1 || x > 300.0 // correlated + noisy
+      (x, y)
+    }
+    val got = StatOps.decisionStump(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    // brute force over distinct cent thresholds
+    val cents = rows.map { case (x, y) => (math.floor(x * 100 + 0.5).toLong, y) }
+    def gini(n: Long, p: Long): Double = {
+      val nd = n.toDouble; val pd = p.toDouble
+      1.0 - (pd / nd) * (pd / nd) - ((nd - pd) / nd) * ((nd - pd) / nd)
+    }
+    val n = cents.size.toLong
+    val p = cents.count(_._2).toLong
+    val best = cents.map(_._1).distinct.sorted.dropRight(1).map { t =>
+      val l = cents.filter(_._1 <= t)
+      val nl = l.size.toLong; val pl = l.count(_._2).toLong
+      val w = (nl * gini(nl, pl) + (n - nl) * gini(n - nl, p - pl)) / n
+      (math.floor(w * 1e6 + 0.5) / 1e6, t)
+    }.min
+    assert(got.getAs[Double]("gini_split") == best._1, s"$got vs $best")
+    assert(got.getAs[Double]("threshold") == best._2 / 100.0,
+      s"$got vs $best")
+  }
+
   test("srmCheck: counts UNITS not events, pins the chi2 hand values, " +
       "flags only past 3.84") {
     // group g: units 1,2,3 in arm A, unit 4 in arm B — unit 1 fires 10
