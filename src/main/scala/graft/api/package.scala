@@ -662,5 +662,50 @@ package object api {
         nBuckets: Int = 64): DataFrame =
       ops.TrainOps.ridgeTrain(df, idCol, textCol, label, steps, lr,
         lambda, nBuckets)
+
+    // ------------------------------------------------- round-15 surface
+
+    /** Best single-threshold split of `label` on `feature` by weighted
+      * Gini over cent-quantized candidates — see rel_decision_stump. */
+    def decisionStump(feature: Column, label: Column): DataFrame =
+      ops.StatOps.decisionStump(df, feature, label)
+
+    /** Sample-ratio-mismatch screen per `group`: χ² of distinct-`unit`
+      * arm counts vs the even split — see rel_ab_srm. */
+    def srmCheck(group: Column, unit: Column, arm: Column): DataFrame =
+      ops.StatOps.srmCheck(df, group, unit, arm)
+
+    /** Newman–Girvan modularity of `labels` (node, lbl) over this
+      * (src, dst) edge frame — see graph_modularity. */
+    def modularity(labels: DataFrame): DataFrame =
+      ops.GraphOps.modularity(df, labels)
+
+    /** PMI-ranked adjacent-bigram collocations of `text` with a
+      * min-frequency stability floor — see text_pmi_collocations. */
+    def pmiCollocations(text: Column, minCf: Long = 5L,
+        topK: Int = 30): DataFrame =
+      ops.CorpusOps.pmiCollocations(df, text, minCf, topK)
+
+    /** Heaps'-law vocabulary-growth fit (β, ln K, corr) along `id`
+      * order, sampled at doc-id buckets — see text_heaps_law. */
+    def heapsLaw(id: Column, text: Column, buckets: Long = 64L): DataFrame =
+      ops.CorpusOps.heapsLaw(df, id, text, buckets)
+
+    /** Chord-deviation trajectory simplification per `key` track —
+      * see geo_track_simplify. */
+    def trackSimplify(key: Column, ts: Column, ord: Column, lat: Column,
+        lon: Column, eps: Double = 0.2): DataFrame =
+      ops.GeoOps.trackSimplify(df, key, ts, ord, lat, lon, eps)
+
+    /** Rolling-origin one-step backtest of the EWMA forecaster vs naive
+      * persistence per series — see ts_forecast_backtest. */
+    def forecastBacktest(key: String, ts: String, ord: String,
+        value: String, n: Int = 8, alpha: Double = 0.3): DataFrame =
+      ops.TimeSeriesOps.forecastBacktest(df, key, ts, ord, value, n, alpha)
+
+    /** Centroid silhouette of this (vec_id, v) frame against a
+      * (cid, cv) centroid table — see sim_silhouette. */
+    def silhouette(centroids: DataFrame): DataFrame =
+      ops.Similarity.silhouetteFrom(df, centroids)
   }
 }

@@ -391,9 +391,10 @@ object Similarity {
     silhouetteFrom(emb(s, dir).select(col("vec_id"), col("v")),
       kmCentFit(s, dir))
 
-  /** Package-private core over (vec_id, v) vectors and a (cid, cv)
-    * centroid table, so the geometry is spec-pinnable on hand fixtures. */
-  private[ops] def silhouetteFrom(e: DataFrame, cent: DataFrame)
+  /** Core over (vec_id, v) vectors and a (cid, cv) centroid table —
+    * graft-private so the geometry is spec-pinnable on hand fixtures
+    * and the api package can expose it over arbitrary frames. */
+  private[graft] def silhouetteFrom(e: DataFrame, cent: DataFrame)
       : DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d").asc, col("cid").asc)

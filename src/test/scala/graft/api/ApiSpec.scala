@@ -279,4 +279,30 @@ class ApiSpec extends SparkSpec {
         .withColumnRenamed("grp", "l_returnflag"),
       graft.ops.StatOps.queries("rel_welch_ttest")(spark, sf))
   }
+
+  test("round-15 wrappers agree with the corpus queries") {
+    val ev = graft.Tables(spark, sf, "events")
+    val docs = graft.Tables(spark, sf, "documents")
+    def agree(a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame): Unit =
+      assert(a.exceptAll(b).count() == 0 && a.count() == b.count())
+    agree(ev.decisionStump(col("value"), col("event_type") === "purchase"),
+      graft.ops.StatOps.queries("rel_decision_stump")(spark, sf))
+    agree(ev.srmCheck(col("event_type"), col("user_id"),
+        substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
+        .withColumnRenamed("grp", "event_type"),
+      graft.ops.StatOps.queries("rel_ab_srm")(spark, sf))
+    agree(docs.pmiCollocations(col("text")),
+      graft.ops.CorpusOps.queries("text_pmi_collocations")(spark, sf))
+    agree(docs.heapsLaw(col("doc_id"), col("text")),
+      graft.ops.CorpusOps.queries("text_heaps_law")(spark, sf))
+    agree(ev.forecastBacktest("user_id", "ts", "event_id", "value"),
+      graft.ops.TimeSeriesOps.queries("ts_forecast_backtest")(spark, sf))
+    agree(graft.ops.GeoOps.derivePoints(ev)
+        .trackSimplify(col("user_id"), col("ts"), col("event_id"),
+          col("lat"), col("lon"))
+        .withColumnRenamed("k", "user_id"),
+      graft.ops.GeoOps.queries("geo_track_simplify")(spark, sf))
+  }
 }
