@@ -454,6 +454,53 @@ object DedupOps {
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
     clusterPairs(verifiedPairs(s, dir))
 
+  /** Cluster-quality audit — the governance table read BEFORE acting on
+    * dedup_clusters: connected components are a TRANSITIVE closure, so a
+    * cluster can be a true duplicate family (every pair verified — a
+    * clique) or a CHAINED accident (A~B~C with A,C unrelated — the
+    * classic over-merge that deletes distinct documents). Per cluster:
+    * member count, verified-edge count, edge DENSITY n_edges/C(n,2)
+    * (clique = 1, chain → 0 as n grows — the over-merge flag), and the
+    * mean/min edge Jaccard (min = the weakest link that glued the
+    * cluster together). Dropping all-but-keeper from a low-density
+    * cluster is how dedup silently destroys data; this is the query
+    * that catches it first.
+    *
+    * Shape: every verified pair lives inside one cluster by
+    * construction, so edges aggregate by the d1-side cluster label —
+    * one cluster-keyed shuffle over the (tiny) verified-pair frame; no
+    * new pairwise work anywhere. Exactness: per-edge Jaccards are the
+    * identical doubles both engines computed for the verify; means go
+    * through 6 dp-rounded terms + exact decimal sums; min is
+    * order-free. */
+  private def clusterQualityQ(s: SparkSession, dir: String): DataFrame =
+    clusterQualityFrom(verifiedPairs(s, dir))
+
+  /** Core over any verified (d1, d2, jaccard) pair frame — graft-private
+    * so the chain-vs-clique geometry is spec-pinnable. */
+  private[graft] def clusterQualityFrom(vp: DataFrame): DataFrame = {
+    def r6d(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+    val clusters = clusterPairs(vp)
+    val edges = vp
+      .join(clusters.withColumnRenamed("doc_id", "d1"), "d1")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        Exact.avgD(r6d(col("jaccard"))).as("mj"),
+        min(col("jaccard")).as("minj"))
+    val members = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    def dbl(c: String) = col(c).cast("double")
+    members.join(edges, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("n_edges"),
+        r6d(dbl("n_edges")
+          / (dbl("n_members") * (dbl("n_members") - lit(1.0d)) / lit(2.0d)))
+          .as("density"),
+        r6d(col("mj")).as("mean_jaccard"),
+        r6d(col("minj")).as("min_jaccard"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Quality-aware KEEPER SELECTION — the curation rule after clustering:
     * dropping all-but-min-doc_id discards information; real pipelines keep
     * the BEST member of each near-dup cluster. Here quality = token count
@@ -904,6 +951,7 @@ object DedupOps {
     "dedup_minhash_accuracy" -> minhashAccuracy,
     "dedup_lsh_curve" -> lshCurveQ,
     "dedup_clusters" -> nearDupClusters,
+    "dedup_cluster_quality" -> clusterQualityQ,
     "dedup_keeper_quality" -> keeperQuality,
     "dedup_ngram_jaccard" -> ngramJaccardPairs,
     "dedup_source_overlap" -> sourceOverlapQ,
@@ -1181,6 +1229,53 @@ object DedupOps {
          |)
          |SELECT u AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // same closure as dedup_clusters, edges keep their verify Jaccard;
+    // density/means spelled once, min order-free
+    "dedup_cluster_quality" -> {
+      def r6s(x: String) = s"CAST(floor(($x) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+      s"""WITH RECURSIVE $tok3Cte, $sigCte, $bandsCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok3 GROUP BY 1),
+         |inter AS (
+         |  SELECT p.d1, p.d2, COUNT(*) AS i
+         |  FROM pairs p
+         |  JOIN tok3 t1 ON t1.doc_id = p.d1
+         |  JOIN tok3 t2 ON t2.doc_id = p.d2 AND t2.w = t1.w
+         |  GROUP BY 1, 2
+         |), vp AS (
+         |  SELECT d1, d2,
+         |    CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) AS jac
+         |  FROM inter
+         |  JOIN cnt c1 ON d1 = c1.doc_id
+         |  JOIN cnt c2 ON d2 = c2.doc_id
+         |  WHERE CAST(i AS DOUBLE) / CAST(c1.n + c2.n - i AS DOUBLE) >= 0.8
+         |), edges AS (
+         |  SELECT d1 AS u, d2 AS v FROM vp UNION SELECT d2, d1 FROM vp
+         |), reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+         |), cl AS (
+         |  SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+         |), ed AS (
+         |  SELECT cl.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |    ${Exact.avgSql(r6s("jac"))} AS mj, MIN(jac) AS minj
+         |  FROM vp JOIN cl ON vp.d1 = cl.doc_id GROUP BY 1
+         |), mem AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM cl GROUP BY 1
+         |)
+         |SELECT mem.cluster_id, n_members, n_edges,
+         |  ${r6s("CAST(n_edges AS DOUBLE) / (CAST(n_members AS DOUBLE)" +
+             " * (CAST(n_members AS DOUBLE) - 1.0) / 2.0)")} AS density,
+         |  ${r6s("mj")} AS mean_jaccard,
+         |  ${r6s("minj")} AS min_jaccard
+         |FROM mem JOIN ed ON mem.cluster_id = ed.cluster_id
+         |ORDER BY mem.cluster_id""".stripMargin
+    },
     // same closure as dedup_clusters, then argmax(n_toks, min doc_id)
     // keeper per component
     "dedup_keeper_quality" ->

@@ -57,6 +57,25 @@ class OpsSpec extends SparkSpec {
     assert(pairs.filter(col("d1") >= col("d2")).count() == 0) // canonical order
   }
 
+  test("clusterQuality: a chained cluster reads density 2/3 while a " +
+      "clique reads 1.0 — the over-merge flag") {
+    import spark.implicits._
+    // chain 1~2~3 (1 and 3 never verified together) vs clique 10-11-12
+    val vp = Seq(
+      (1L, 2L, 0.85), (2L, 3L, 0.82),
+      (10L, 11L, 0.95), (10L, 12L, 0.91), (11L, 12L, 0.93))
+      .toDF("d1", "d2", "jaccard")
+    val got = DedupOps.clusterQualityFrom(vp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_edges"),
+          r.getAs[Double]("density"), r.getAs[Double]("min_jaccard"))).toMap
+    assert(got.keySet == Set(1L, 10L))
+    assert(got(1L) == ((3L, 2L, 0.666667, 0.82)),
+      s"chain must flag sub-1 density: ${got(1L)}")
+    assert(got(10L)._3 == 1.0 && got(10L)._2 == 3L,
+      s"clique must read density 1: ${got(10L)}")
+  }
+
   test("dedup_lsh_curve: coarser bands only lose candidates; r=1 is the " +
       "relative-recall ceiling") {
     val curve = DedupOps.queries("dedup_lsh_curve")(spark, sf)
