@@ -15,8 +15,22 @@ import org.apache.spark.sql.SparkSession
   *   - THREE timed passes, per-query MEDIAN: a transient external load
   *     spike lands in one pass and the median discards it. Staged
   *     intermediates (Staging) are cleared before EVERY pass so each pass
-  *     pays each staged computation exactly once — the same accounting as
-  *     the r3 single timed pass, so medians stay comparable across rounds;
+  *     pays each staged computation exactly once;
+  *   - staging-cost attribution (r16; the r14 verdict's item 5): Staging
+  *     is instrumented for the timed passes — every staged build is
+  *     forced eagerly at its build site and timed against its staging
+  *     KEY, and each query's published time is NET of the staged builds
+  *     its sample happened to trigger. Before r16 a pass charged each
+  *     shared build to its alphabetically-first consumer, so a 1 s
+  *     serve-side query could publish 4 s because it paid a sibling's
+  *     3 s index build — fake regressions every time the alphabet
+  *     around a substrate changed. The per-substrate costs are published
+  *     as `staging_secs` (median across passes) and the headline total =
+  *     sum of net query medians + sum of staging medians, so the total
+  *     still counts every staged build exactly once per pass and stays
+  *     comparable with the r4-r15 series; EXPECT a one-time DOWNWARD
+  *     shift in first-consumer per-query numbers in the r16-vs-r15
+  *     compare (the build cost moved out of them, not out of the total);
   *   - machine-load context in the line: /proc/loadavg sampled before,
   *     after, and per pass, plus total bench wall time — a contended run
   *     is self-evident from the record instead of poisoning the series
@@ -107,15 +121,36 @@ object Bench {
     // run than the time it was meant to explain.
     val streamPhases =
       scala.collection.mutable.Map[(String, Int), Seq[Map[String, Double]]]()
+    // staging attribution (r16): per-key build-time samples across passes,
+    // and per-query staged seconds drained per sample (so gross = net +
+    // charged is reconstructible from the record)
+    val stagingSamples =
+      scala.collection.mutable.Map[String, Vector[Double]]()
+    val queryStaging =
+      scala.collection.mutable.Map[String, Vector[Double]]()
     def run(name: String, sampleIdx: Int): Double = {
       graft.streaming.StreamOps.drainPhaseRecords() // drop stale records
+      graft.ops.Staging.drainBuildLog()             // drop stale builds
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case scala.util.control.NonFatal(_) => return -1.0 }
+      catch { case scala.util.control.NonFatal(_) =>
+        graft.ops.Staging.drainBuildLog().foreach { case (k, s) =>
+          stagingSamples(k) = stagingSamples.getOrElse(k, Vector()) :+ s
+        }
+        return -1.0
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       val ph = graft.streaming.StreamOps.drainPhaseRecords()
       if (ph.nonEmpty && sampleIdx >= 0) streamPhases((name, sampleIdx)) = ph
-      dt
+      val built = graft.ops.Staging.drainBuildLog()
+      built.foreach { case (k, s) =>
+        stagingSamples(k) = stagingSamples.getOrElse(k, Vector()) :+ s
+      }
+      val charged = built.map(_._2).sum
+      queryStaging(name) = queryStaging.getOrElse(name, Vector()) :+ charged
+      // NET of staged builds: the substrate cost is published against its
+      // key, not against whichever consumer's sample triggered it
+      math.max(0.0, dt - charged)
     }
     // Plan fingerprint (r13): a stable hash of each query's physical-plan
     // SHAPE, so bench_compare flags plan regressions directly instead of
@@ -124,32 +159,8 @@ object Bench {
     // timing hides it). Normalization strips everything legitimately
     // run-variant — expression/plan ids, this app's scratch paths and id,
     // listed-file counts/sizes, statistics — and keeps the operator tree.
-    // Captured INSIDE the warmup pass from the frame it already built:
-    // re-invoking an eager factory just to fingerprint it would re-run
-    // its side effects (index writes, commit logs, whole streams).
-    def shaOfPlan(df: org.apache.spark.sql.DataFrame): String = {
-      try {
-        val norm = df.queryExecution.executedPlan.toString
-          // typed-pipeline lambdas print their JVM identity
-          // (Foo$$$Lambda$2760/0x00007f..@189f9f9f) — run-variant
-          .replaceAll("\\${1,3}Lambda\\$?\\d*/0x[0-9a-f]+(@[0-9a-f]+)?",
-            "LAMBDA")
-          .replaceAll("#\\d+[A-Za-z]*", "#")
-          .replaceAll("plan_id=\\d+", "plan_id=")
-          .replaceAll("app(lication)?[-_][0-9]+", "app")
-          .replaceAll("local-\\d+", "local")
-          .replaceAll("graft_[a-z0-9_]*", "graft_scratch")
-          .replaceAll("/tmp/[^\\s,\\)\\]]*", "/tmp/_")
-          .replaceAll("\\d+ paths", "N paths")
-          .replaceAll("Statistics\\([^)]*\\)", "Statistics()")
-          .replaceAll("StorageLevel\\([^)]*\\)", "StorageLevel()")
-          .replaceAll("size=[0-9.]+ [KMGT]?i?B", "size=")
-          .replaceAll("rows=\\d+", "rows=")
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(norm.getBytes("UTF-8")).take(6)
-          .map("%02x".format(_)).mkString
-      } catch { case scala.util.control.NonFatal(_) => "err" }
-    }
+    // (normalization lives in PlanNorm — shared with the fresh-JVM
+    // determinism probe so the two can never diverge by hand again)
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(" ")
@@ -176,11 +187,30 @@ object Bench {
     // every timed pass already pays. Expect a one-time all-shas shift in
     // the r15-vs-r14 compare from this methodology change.)
     val planShas = scala.collection.mutable.Map[String, String]()
+    // SPARK_GRAFT_PLAN_DUMP=<dir>: also write each query's NORMALIZED
+    // plan text, one file per query — diffing two runs' dumps shows
+    // exactly which token a fingerprint flag came from, instead of
+    // inferring the mechanism from a 12-hex sha (the r15 residual
+    // investigation had only shas to go on)
+    val planDump = sys.env.get("SPARK_GRAFT_PLAN_DUMP")
+    planDump.foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     names.foreach { n =>
-      try planShas(n) = shaOfPlan(SparkEntry.queries(n)(spark, sfDir))
-      catch { case scala.util.control.NonFatal(_) => planShas(n) = "err" }
+      try {
+        val plan = SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        planShas(n) = PlanNorm.sha(plan)
+        planDump.foreach { d =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$d/$n.txt"), PlanNorm.normalize(plan))
+        }
+      } catch { case scala.util.control.NonFatal(_) => planShas(n) = "err" }
     }
     val PASSES = 3
+    // instrument staged builds for the timed passes only: the warmup and
+    // fingerprint passes above ran with the library's lazy persist (and
+    // left every substrate cached; each timed pass clears and rebuilds)
+    graft.ops.Staging.setInstrumented(true)
     val passLoads = scala.collection.mutable.ArrayBuffer[String]()
     val passes = (0 until PASSES).map { p =>
       // drop staged intermediates before every pass: each pass pays each
@@ -229,31 +259,24 @@ object Bench {
     }
     val stillNoisy = scala.collection.mutable.ArrayBuffer[String]()
     if (needRerun.nonEmpty) {
-      // Rerun accounting (r10 fix): a pass charges each staged build to
-      // its alphabetically-first consumer; a rerun block that cleared
-      // staging and ran only the noisy SUBSET charged shared builds to
-      // whichever noisy query hit them first — e.g. a 1 s serve-side
-      // query re-paying its predecessor's 3 s index build, biasing its
-      // median UP with an artifact sample. Instead: clear once, then
-      // warm-run each noisy query untimed (rebuilding any staged inputs)
-      // and time subsequent runs — every rerun sample measures the query
-      // with its staged inputs warm, the same state it sees mid-pass.
-      // (For a build-paying first consumer the rerun measures serve
-      // only — a bounded DOWNWARD pull on a minority of median votes,
-      // traded for removing the unbounded upward artifact.)
+      // Rerun sampling (r15, reworked r16): a flagged query keeps
+      // sampling (up to 3 extra) until its median settles near its min —
+      // median ≤ max(1.5 × min, min+0.25 s) — i.e. until a majority of
+      // votes agree with the one number load cannot inflate; queries
+      // still unsettled after the cap land in `still_noisy`, and `noisy`
+      // keeps its r10 meaning (entered the rerun block) so the series
+      // stays comparable.
       //
-      // r15 rework (r14 verdict hygiene item 4 — the official record ran
-      // on a loaded box and shipped 19 noisy queries): instead of ONE
-      // extra sample, keep sampling (up to 3 extra) until the query's
-      // median settles near its min — median ≤ max(1.5 × min, min+0.25 s)
-      // — i.e. until a majority of votes agree with the one number load
-      // cannot inflate. Queries still unsettled after the cap land in
-      // `still_noisy`; `noisy` keeps its r10 meaning (entered the rerun
-      // block) so the series stays comparable.
-      graft.ops.Staging.clear(spark)
+      // r16 staging-net accounting closed the r15 advisory's hole here:
+      // rerun samples run with staged inputs warm while pass samples
+      // paid their builds, so warm votes could drag a first-consumer's
+      // median toward serve-only time while claiming full cost. Every
+      // sample — pass or rerun, cold or warm — is now NET of the staged
+      // builds it triggered (builds are timed against their staging key
+      // instead), so all votes measure the same quantity and reruns need
+      // no staging choreography (no clear, no untimed warm run).
       needRerun.foreach { i =>
         noisy += names(i)
-        run(names(i), -1) // untimed warm: rebuild staged inputs
         def settled: Boolean = {
           val m = median(samples(i)); val mn = minOk(samples(i))
           m >= 0 && mn >= 0 && m <= math.max(1.5 * mn, mn + 0.25)
@@ -269,14 +292,23 @@ object Bench {
     val results = names.zipWithIndex.map { case (n, i) =>
       n -> median(samples(i))
     }
+    // per-substrate staging costs: median across the per-pass build
+    // samples; they join the totals so every staged build still counts
+    // exactly once per pass (the same accounting the old first-consumer
+    // charging achieved, now attributed to the substrate by name)
+    val stagingMed = stagingSamples.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> median(v) }
+    val stagingTotal = stagingMed.map(_._2).filter(_ >= 0).sum
+    val stagingMinTotal = stagingSamples.values
+      .map(v => minOk(v)).filter(_ >= 0).sum
     val minTotal = names.indices
-      .map(i => minOk(samples(i))).filter(_ >= 0).sum
+      .map(i => minOk(samples(i))).filter(_ >= 0).sum + stagingMinTotal
     val loadAfter = loadavg()
     val wall = (System.nanoTime() - wall0) / 1e9
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum + stagingTotal
     val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadPasses = passLoads.map("\"" + _ + "\"").mkString("[", ",", "]")
     // full per-query record (every sample + the median) → repo file (never
@@ -305,13 +337,24 @@ object Bench {
       }.mkString("{", ",", "}")
     val stillNoisyJson =
       stillNoisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // staging record: per-key median + every per-pass sample, plus the
+    // per-query staged seconds each query's samples triggered (median;
+    // nonzero only for first consumers — gross = net + charged)
+    val stagingJson = dict(stagingMed)
+    val stagingPassJson = stagingSamples.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":" + v.map(x => f"$x%.2f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val queryStagingJson = dict(
+      queryStaging.toSeq.sortBy(_._1)
+        .map { case (n, v) => n -> median(v) }.filter(_._2 > 0.005))
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_noisy":${noisy.size},"noisy":$noisyJson,"n_still_noisy":${stillNoisy.size},"still_noisy":$stillNoisyJson,"load_passes":$loadPasses,"queries":${dict(results)},"pass_secs":$perPass,"plan_sha":$planShaJson,"stream_phases":$phasesJson,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median_net_plus_staging","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_noisy":${noisy.size},"noisy":$noisyJson,"n_still_noisy":${stillNoisy.size},"still_noisy":$stillNoisyJson,"load_passes":$loadPasses,"staging_total":$stagingTotal%.2f,"staging_secs":$stagingJson,"staging_pass_secs":$stagingPassJson,"query_staging":$queryStagingJson,"queries":${dict(results)},"pass_secs":$perPass,"plan_sha":$planShaJson,"stream_phases":$phasesJson,"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"sf":"$sfDir"}""")
     catch { case scala.util.control.NonFatal(_) => () }
     // "queries" = the 15 slowest (the outlier-audit set); full map in the file
     val slowest = results.sortBy(-_._2).take(15)
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_queries":${results.size},"n_noisy":${noisy.size},"n_still_noisy":${stillNoisy.size},"load_passes":$loadPasses,"queries":${dict(slowest)},"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","min_total":$minTotal%.2f,"passes":$PASSES,"stat":"median_net_plus_staging","calib_sec":$calibSec%.2f,"cpus":$cpus,"n_queries":${results.size},"n_noisy":${noisy.size},"n_still_noisy":${stillNoisy.size},"staging_total":$stagingTotal%.2f,"load_passes":$loadPasses,"queries":${dict(slowest)},"load_before":"$loadBefore","load_after":"$loadAfter","wall_sec":$wall%.1f,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     graft.ops.Fs.cleanupAppScratch(spark)
     spark.stop()
   }

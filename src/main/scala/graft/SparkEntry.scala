@@ -65,6 +65,7 @@ object SparkEntry {
       "StatOps" -> StatOps.queries,
       "CorpusOps" -> CorpusOps.queries,
       "TrainOps" -> TrainOps.queries,
+      "PipelineOps" -> PipelineOps.queries,
       "StreamOps" -> graft.streaming.StreamOps.queries))
 
   /** EAGER-EXECUTION CONTRACT: every `queries` factory returns a lazy
@@ -127,6 +128,10 @@ object SparkEntry {
     // greedy MMR: per-pick localCheckpoint cuts the same doubling tree
     // (the selected set feeds both the anti-join and the max-sim join)
     "sim_mmr_rerank",
+    // composed pipeline: runs the GD training loop (trainedQuality) and
+    // the component kernel's supersteps at plan build, plus prefixSums'
+    // offset pass
+    "pipe_corpus_e2e",
     // grid-density clustering: the components kernel iterates RDD
     // supersteps at build (dedup_clusters/graph_components discipline)
     "geo_cluster_grid",
@@ -166,5 +171,6 @@ object SparkEntry {
       "StatOps" -> StatOps.oracles,
       "CorpusOps" -> CorpusOps.oracles,
       "TrainOps" -> TrainOps.oracles,
+      "PipelineOps" -> PipelineOps.oracles,
       "StreamOps" -> graft.streaming.StreamOps.oracles))
 }

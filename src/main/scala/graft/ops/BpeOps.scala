@@ -242,7 +242,7 @@ object BpeOps {
   }
 
   /** Training with per-step wall times — the scale-rehearsal surface
-    * (tmp.BpeRehearsal): proves per-step cost stays FLAT across
+    * (BPE_REHEARSAL.json's harness): proves per-step cost stays FLAT across
     * production-scale step counts (the lineage checkpoint + superseded-
     * persist release doing their job) instead of growing with the merge
     * count. Same loop, same results; the timing buffer is the only
@@ -273,48 +273,106 @@ object BpeOps {
     // right-size its partitioning once so each of the ~2·steps per-step
     // jobs schedules a handful of tasks instead of a full corpus-width
     // task wave — at production vocab sizes this constant scales with
-    // |vocab| / target-partition-rows, not with the corpus
-    val TRAIN_PARTS = 8
-    var vocab = vocab0.as[(String, Long, String)].repartition(TRAIN_PARTS)
+    // |vocab| / target-partition-rows, not with the corpus.
+    // r16 (the bpe_artifact fixed-cost profile): the per-step PAIR
+    // AGGREGATE still shuffled at the session's corpus width (32), so
+    // every one of the 32 steps scheduled a 32-task reduce wave over a
+    // vocabulary-sized frame — pure scheduling constant, ~2/3 of the
+    // train loop's wall. Narrow the shuffle width to TRAIN_PARTS for the
+    // loop (the TrainOps.trainCurve discipline; values are exact integer
+    // counts, partitioning-independent) and restore on exit. The staged
+    // corpus-sized vocab aggregate keeps the session width — only the
+    // vocabulary-sized loop narrows.
+    // force the staged corpus aggregate NOW, at the session's width —
+    // a lazy persist would otherwise materialize inside the narrowed
+    // loop and run the one corpus-sized shuffle 8-wide (a cache read
+    // when Bench's instrumentation already built it eagerly). The count
+    // doubles as the ADAPTIVE width input: ~50k vocabulary rows per
+    // partition, so a 10⁶-word production vocabulary trains ~20-wide
+    // while a small-vocab corpus collapses to width 1 and each of the
+    // 32 per-step jobs schedules 1-2 tasks instead of a fixed-width
+    // wave of empties (measured at sf0.1's 31-word vocabulary:
+    // ~130 ms/step fixed-8 → ~45 ms/step adaptive).
+    val vocabRows = vocab0.count()
+    val TRAIN_PARTS = math.max(1, math.min(
+      s.sparkContext.defaultParallelism,
+      ((vocabRows + 49999L) / 50000L).toInt))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", TRAIN_PARTS.toString)
+    try trainLoopBody(s, vocab0, steps, stepTimes, TRAIN_PARTS)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** The per-step loop as an RDD superstep kernel — the clusterPairs /
+    * graph-components discipline, adopted here in r16 after profiling
+    * the bpe_artifact fixed cost: a FRESH DataFrame plan per step pays
+    * ~120-150 ms of Catalyst analysis/optimization/physical planning
+    * before any task runs (measured against a trivial 31-row aggregate —
+    * fresh plan 176 ms/iter vs 53 ms re-collecting the same
+    * QueryExecution vs 36 ms for a raw 1-task RDD job), and 32 steps
+    * paid that planning constant 32 times — ~3/4 of the training wall.
+    * The step arithmetic is exact longs either way (reduceByKey ≡ the
+    * hash aggregate; takeOrdered's (cnt desc, l asc, r asc) ordering is
+    * the same ASCII comparison both engines sort by), so the learned
+    * table — and the DuckDB replay — are unchanged. Per-step state stays
+    * DISTRIBUTED (production vocabularies are 10⁵-10⁷ words); only the
+    * 1-row argmax ever reaches the driver. */
+  private def trainLoopBody(s: SparkSession,
+      vocab0: DataFrame, steps: Int,
+      stepTimes: Option[scala.collection.mutable.ArrayBuffer[Double]],
+      TRAIN_PARTS: Int): Seq[(Long, String, String, Long)] = {
+    import s.implicits._
+    var vocab = vocab0.as[(String, Long, String)].rdd
+      .coalesce(TRAIN_PARTS, shuffle = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cached = scala.collection.mutable
-      .ArrayBuffer[org.apache.spark.sql.Dataset[(String, Long, String)]]()
+      .ArrayBuffer[org.apache.spark.rdd.RDD[(String, Long, String)]](vocab)
     val learned = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    // ties: highest count, then lexicographically smallest (l, r) —
+    // ASCII string order, identical to both engines' ORDER BY
+    val bestOrd: Ordering[((String, String), Long)] =
+      Ordering.by { case ((l, r), c) => (-c, l, r) }
     var exhausted = false
     for (k <- 1 to steps if !exhausted) {
       val t0 = System.nanoTime()
-      val a = split(col("stt"), " ")
-      val pairs = vocab.toDF("w", "freq", "stt")
-        .select(col("freq"), explode(zip_with(
-          slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
-          (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-      val best = pairs
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
+      val best = vocab.flatMap { case (_, f, stt) =>
+          val syms = stt.split(' ')
+          (0 until syms.length - 1).iterator
+            .map(i => ((syms(i), syms(i + 1)), f))
+        }
+        .reduceByKey(_ + _, TRAIN_PARTS) // exact long counts, one shuffle
+        .takeOrdered(1)(bestOrd)         // distributed top-1, 1 row collected
       if (best.isEmpty) exhausted = true // no adjacent pairs left: the
       else {                             // oracle just emits fewer steps
-        val (l, r, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val ((l, r), cnt) = best(0)
         learned += ((k.toLong, l, r, cnt))
         if (k < steps) { // the final state has no consumer
           val next = vocab
             .map { case (w, f, stt) => (w, f, applyMerge(stt, l, r)) }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           if (k % CKPT_EVERY == 0) {
-            // eager local checkpoint: truncates lineage (the next step's
-            // plan starts HERE) and makes every earlier persist dead
-            vocab = next.localCheckpoint(true)
-            cached.foreach(_.unpersist()); cached.clear()
+            // truncate lineage every few steps and release superseded
+            // persists — at production merge counts (10⁴-10⁵) neither
+            // lineage depth nor pinned block memory may grow with the
+            // step index. The checkpoint MUST materialize (count) BEFORE
+            // the ancestors are unpersisted: localCheckpoint stores its
+            // data in the very blocks unpersist would delete, and a lazy
+            // checkpoint whose ancestors are already gone fails with
+            // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on first use
+            next.localCheckpoint()
+            next.count()
+            vocab = next
+            cached.foreach(c => if (c ne next) c.unpersist(blocking = false))
+            cached.clear(); cached += next
           } else {
             vocab = next
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            cached += vocab
+            cached += next
           }
         }
       }
       stepTimes.foreach(_ += (System.nanoTime() - t0) / 1e9)
     }
-    cached.foreach(_.unpersist())
+    cached.foreach(_.unpersist(blocking = false))
     learned.toSeq
   }
 

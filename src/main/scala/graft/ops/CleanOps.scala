@@ -30,16 +30,16 @@ object CleanOps {
 
   /** RE2-compatible (no lookaround) so Spark's Java regex and the DuckDB
     * oracle agree byte-for-byte. */
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
-  private val ipRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[ops] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private[ops] val ipRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** The synthetic corpus is PII-free word-soup, so PII-bearing text is
     * DERIVED deterministically from the row (doc_id decides which PII kind
     * is appended) — the same derivation the oracle applies, so the regex
     * detection + redaction machinery is exercised on real PII shapes.
     * Same pattern as `text_decontaminate`'s benchmark subset. */
-  private def piiText: Column = {
+  private[ops] def piiText: Column = {
     val d = col("doc_id")
     when(d % 5 === 0, concat(col("text"), lit(" contact user"),
       d.cast("string"), lit("@example.com now")))
@@ -51,7 +51,7 @@ object CleanOps {
       .otherwise(col("text"))
   }
 
-  private val piiTextSql =
+  private[ops] val piiTextSql =
     """CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
       |     WHEN doc_id % 5 = 1 THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
       |     WHEN doc_id % 5 = 2 THEN text || ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'

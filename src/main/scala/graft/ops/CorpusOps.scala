@@ -240,10 +240,17 @@ object CorpusOps {
     val slope = cov / varx
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
+    // Degenerate-fit guards (the recall_rel/skill/len_ratio discipline):
+    // one usable bucket (tiny frame, or every doc_id equal → a single
+    // log-log point) makes varx = 0, and a saturated corpus (the
+    // template-flood case — vocabulary stops growing so every y is
+    // equal) makes vary = 0. Unguarded, Spark's Divide yields NULL while
+    // DuckDB's IEEE division yields NaN/Inf — a cross-engine divergence;
+    // guarded, both engines emit NULL ("no fit") explicitly.
     m.select(col("n").as("n_points"),
-      r6(slope).as("beta"),
-      r6((dbl("sy") - slope * dbl("sx")) / nd).as("ln_k"),
-      r6(cov / sqrt(varx * vary)).as("corr"))
+      when(varx > 0, r6(slope)).as("beta"),
+      when(varx > 0, r6((dbl("sy") - slope * dbl("sx")) / nd)).as("ln_k"),
+      when(varx > 0 && vary > 0, r6(cov / sqrt(varx * vary))).as("corr"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -330,19 +337,26 @@ object CorpusOps {
          |    CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
          |    CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
          |  FROM pts
+         |), v AS (
+         |  SELECT n, sx, sy,
+         |    (CAST(n AS DOUBLE) * sxy - sx * sy) AS cov,
+         |    (CAST(n AS DOUBLE) * sxx - sx * sx) AS varx,
+         |    (CAST(n AS DOUBLE) * syy - sy * sy) AS vary
+         |  FROM m
          |)
          |SELECT n AS n_points,
-         |  CAST(floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
-         |    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * 1e6 + 0.5)
-         |    AS DOUBLE) / 1e6 AS beta,
-         |  CAST(floor(((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-         |    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
-         |    / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE) / 1e6 AS ln_k,
-         |  CAST(floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
-         |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-         |      * (CAST(n AS DOUBLE) * syy - sy * sy))) * 1e6 + 0.5)
-         |    AS DOUBLE) / 1e6 AS corr
-         |FROM m""".stripMargin,
+         |  CASE WHEN varx > 0 THEN
+         |    CAST(floor((cov / varx) * 1e6 + 0.5) AS DOUBLE) / 1e6
+         |  ELSE NULL END AS beta,
+         |  CASE WHEN varx > 0 THEN
+         |    CAST(floor(((sy - (cov / varx) * sx) / CAST(n AS DOUBLE))
+         |      * 1e6 + 0.5) AS DOUBLE) / 1e6
+         |  ELSE NULL END AS ln_k,
+         |  CASE WHEN varx > 0 AND vary > 0 THEN
+         |    CAST(floor((cov / sqrt(varx * vary)) * 1e6 + 0.5)
+         |      AS DOUBLE) / 1e6
+         |  ELSE NULL END AS corr
+         |FROM v""".stripMargin,
     "text_bigram_topk" ->
       s"""WITH w AS (
          |  SELECT string_split(text, ' ') AS ws FROM documents

@@ -436,7 +436,7 @@ object DedupOps {
   /** Verified near-dup pairs without output ordering (shared corpus core).
     * Staged: both the neardup-pairs query and the clustering query consume
     * it, and clustering reads it twice (edge directions). */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+  private[ops] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "vp") {
       nearDupPairs(docs(s, dir), 0.8,
         (k, df) => staged(s, dir, k)(df))

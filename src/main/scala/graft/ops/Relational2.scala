@@ -465,6 +465,77 @@ object Relational2 {
               org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** Distributed EXACT prefix sums — `globalRank`'s running-sum sibling,
+    * for cumulative-distribution consumers (decision-stump split counts)
+    * whose natural spelling is `sum(...) over (order by k)`: that window
+    * has no partition key, so WindowExec funnels the WHOLE frame through
+    * one task — fine on a 64-row bucket frame, a genuine single-machine
+    * bottleneck when the ordered frame tracks a value DOMAIN (distinct
+    * latencies in µs, prices in large units). Same two-job discipline as
+    * globalRank: range-repartition on the order keys + partition-local
+    * sort (the only full-data exchange), job 1 collects per-partition
+    * column sums (|partitions|×|cols| longs — metadata), job 2 assigns
+    * running sums per partition from broadcast prefix offsets. Appends
+    * `__cum_<col>` (inclusive running sum) and `__tot_<col>` (grand
+    * total) for each requested column. Columns must be non-null LongType
+    * (exact BIGINT — the callers' counts discipline); order keys must be
+    * a total order if cumulative-value identity matters across ties. */
+  private[graft] def prefixSums(df: DataFrame, orderKeys: Seq[Column],
+                                sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    val spark = df.sparkSession
+    val idxs = sumCols.map(df.schema.fieldIndex).toArray
+    idxs.foreach { i =>
+      require(df.schema(i).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"prefixSums needs LongType, got ${df.schema(i)}")
+    }
+    val nc = idxs.length
+    val rdd = rangedByKeys(df, orderKeys: _*)
+      .queryExecution.toRdd                     // ONE plan, ONE shuffle dep
+    val partSums = rdd.mapPartitionsWithIndex((pid, it) => {
+      val s = new Array[Long](nc)
+      while (it.hasNext) {
+        val r = it.next()
+        var j = 0
+        while (j < nc) { s(j) += r.getLong(idxs(j)); j += 1 }
+      }
+      Iterator(pid -> s)                        // job 1: sums only
+    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val totals = new Array[Long](nc)
+    val offsets = partSums.map { s =>
+      val off = totals.clone()
+      var j = 0
+      while (j < nc) { totals(j) += s(j); j += 1 }
+      off
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val bTot = spark.sparkContext.broadcast(totals)
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>  // job 2: reuses
+      val run = bOff.value(pid).clone()                     // job 1's shuffle
+      val tot = bTot.value
+      val extra = new GenericInternalRow(2 * nc)
+      var j = 0
+      while (j < nc) { extra.update(nc + j, tot(j)); j += 1 }
+      val joined = new JoinedRow
+      it.map { row =>
+        var k = 0
+        while (k < nc) {
+          run(k) += row.getLong(idxs(k)); extra.update(k, run(k)); k += 1
+        }
+        joined(row, extra): InternalRow
+      }
+    }
+    val longField = (n: String) => org.apache.spark.sql.types
+      .StructField(n, org.apache.spark.sql.types.LongType, nullable = false)
+    org.apache.spark.sql.classic.GraftSqlInternals.internalCreateDataFrame(
+      spark, ranked, org.apache.spark.sql.types.StructType(
+        df.schema.fields
+          ++ sumCols.map(c => longField(s"__cum_$c"))
+          ++ sumCols.map(c => longField(s"__tot_$c"))))
+  }
+
   /** Global AND per-group rank in ONE range exchange — the fused kernel
     * for consumers that need both CDFs of the same value order (ksDrift
     * paid globalRank + groupedRank — two range exchanges over the same

@@ -537,9 +537,13 @@ object StatOps {
     // 2×2 would read V = √½ instead of 1). The grid is the category
     // product — metadata-scale — so the completion is a broadcast
     // cross join + left join, never a corpus operation.
+    // obs is category-product-sized (metadata): broadcast it EXPLICITLY —
+    // left to the planner, this was a borderline auto-broadcast reading
+    // run-jittering size estimates, one of r15's three plan-fingerprint
+    // residuals (identical code occasionally fingerprinting differently)
     val cells = obs.select(col("a")).distinct()
       .crossJoin(broadcast(obs.select(col("b")).distinct()))
-      .join(obs, Seq("a", "b"), "left")
+      .join(broadcast(obs), Seq("a", "b"), "left")
       .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"))
     val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
@@ -1153,32 +1157,39 @@ object StatOps {
     * exact BIGINT — the benford discipline: integer candidates compare
     * and group identically in both engines, and 2 dp is the resolution
     * the corpus's value column carries). For every candidate t the split
-    * is `cents <= t`; left/right class counts come from ONE cumulative
-    * window over the per-cent aggregate; weighted Gini is a single
-    * double expression over exact integers, rounded 6 dp; the argmin
-    * breaks ties toward the smaller threshold.
+    * is `cents <= t`; left/right class counts are exact cumulative sums
+    * over the per-cent aggregate; weighted Gini is a single double
+    * expression over exact integers, rounded 6 dp; the argmin breaks
+    * ties toward the smaller threshold. Rows with a NULL feature are
+    * filtered out up front: no threshold can route them, and leaving
+    * them in made the cumulative prefixes engine-DEPENDENT (Spark
+    * orders NULL cents first, DuckDB last).
     *
-    * Shape at scale: one corpus shuffle to the per-cent (n, pos)
-    * aggregate; the ordered window runs over the CENT SPACE (bounded by
-    * the value domain — ~100·range rows regardless of corpus size), so
-    * the single-partition window is a non-issue at any SF. Output: one
-    * row (the trained stump). */
+    * Shape at scale (r16 rework — the r15 weak flag): the candidate
+    * frame tracks the feature's value DOMAIN, which for the registered
+    * events.value is ~100·range rows but for a generic wide-domain
+    * feature (latencies in µs, prices in large units) approaches the
+    * distinct-value count — so the cumulative counts now run through
+    * [[Relational2.prefixSums]] (range exchange + broadcast partition
+    * offsets, the globalRank discipline) instead of an unpartitioned
+    * `sum over (order by c)` window, and the argmin is
+    * `orderBy(...).limit(1)` (TakeOrderedAndProject — a per-partition
+    * top-1 plus a driver merge of |partitions| rows) instead of an
+    * unpartitioned row_number window. No single-partition funnel
+    * remains at ANY domain width (StatOpsSpec pins zero WindowExec in
+    * the plan). Output: one row (the trained stump). */
   def decisionStump(d: DataFrame, feature: Column, label: Column)
       : DataFrame = {
     val cents = floor(feature * lit(100.0d) + lit(0.5d)).cast("long")
-    val perC = d.select(cents.as("c"),
+    val perC = d.filter(feature.isNotNull)
+      .select(cents.as("c"),
         when(label, lit(1L)).otherwise(lit(0L)).as("y"))
       .groupBy(col("c"))
       .agg(count(lit(1)).as("n_c"), sum(col("y")).as("p_c"))
-    val wCum = Window.orderBy(col("c"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("c"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = perC
-      .withColumn("n_l", sum(col("n_c")).over(wCum))
-      .withColumn("p_l", sum(col("p_c")).over(wCum))
-      .withColumn("n", sum(col("n_c")).over(wAll))
-      .withColumn("p", sum(col("p_c")).over(wAll))
+    val cum = Relational2.prefixSums(perC, Seq(col("c")), Seq("n_c", "p_c"))
+      .select(col("c"),
+        col("__cum_n_c").as("n_l"), col("__cum_p_c").as("p_l"),
+        col("__tot_n_c").as("n"), col("__tot_p_c").as("p"))
       .filter(col("n_l") < col("n")) // the max cent splits nothing off
     def dbl(c: String) = col(c).cast("double")
     val nR = dbl("n") - dbl("n_l")
@@ -1187,10 +1198,8 @@ object StatOps {
       lit(1.0d) - (p / n) * (p / n) - ((n - p) / n) * ((n - p) / n)
     val wg = r6((dbl("n_l") * gini(dbl("n_l"), dbl("p_l"))
       + nR * gini(nR, pR)) / dbl("n"))
-    val scored = cum.withColumn("gini_split", wg)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("gini_split").asc, col("c").asc)))
-    scored.filter(col("rk") === 1)
+    cum.withColumn("gini_split", wg)
+      .orderBy(col("gini_split").asc, col("c").asc).limit(1)
       .select(
         (col("c").cast("double") / lit(100.0d)).as("threshold"),
         col("n_l").as("n_left"), (col("n") - col("n_l")).as("n_right"),
@@ -1284,8 +1293,11 @@ object StatOps {
          |    AS srm
          |FROM m WHERE n_a + n_b > 0 ORDER BY event_type""".stripMargin
     },
-    // same cent quantization (exact BIGINT candidates), same cumulative
-    // window over the cent space, the gini expression spelled once in
+    // same cent quantization (exact BIGINT candidates, NULL features
+    // filtered in both engines), the same EXACT cumulative counts — the
+    // oracle spells them as an ordered window (fine at oracle scale);
+    // the Spark side computes the identical integers via the
+    // prefixSums range exchange — the gini expression spelled once in
     // both engines over exact integer counts, argmin tie to smaller c
     "rel_decision_stump" -> {
       def g(n: String, p: String) = {
@@ -1303,7 +1315,7 @@ object StatOps {
          |    CAST(COUNT(*) AS BIGINT) AS n_c,
          |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
          |      AS BIGINT) AS p_c
-         |  FROM events GROUP BY 1
+         |  FROM events WHERE "value" IS NOT NULL GROUP BY 1
          |), cum AS (
          |  SELECT c,
          |    SUM(n_c) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING

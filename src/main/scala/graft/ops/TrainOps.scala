@@ -49,7 +49,7 @@ import org.apache.spark.sql.expressions.Window
 object TrainOps {
 
   private[graft] val B = 64   // feature buckets (CleanOps.linearScore scheme)
-  private val STEPS = 4       // gradient steps the oracle replays
+  private[ops] val STEPS = 4       // gradient steps the oracle replays
   private val LR = 0.5
   private val LAMBDA = 0.001
   private val QTH = 0.6       // heuristic-quality threshold for the label
@@ -373,7 +373,7 @@ object TrainOps {
        |  FROM documents
        |)""".stripMargin
 
-  private def stepSql(k: Int): String = {
+  private[ops] def stepSql(k: Int): String = {
     val wPrev = s"w$k"
     s""", c$k AS (
        |  SELECT CAST(SUM(CAST((w.wgt * st.mu) / st.sd AS DECIMAL(30,6)))
@@ -475,7 +475,7 @@ object TrainOps {
 
   // features, standardization constants, and the zero model — the replay
   // prelude both oracles open with
-  private lazy val headerCtes: String =
+  private[ops] lazy val headerCtes: String =
     s"""$labSql,
        |tok AS (SELECT doc_id, y, unnest(string_split(text, ' ')) AS w FROM lab),
        |tb AS (

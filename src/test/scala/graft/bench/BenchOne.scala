@@ -1,4 +1,4 @@
-package graft.tmp
+package graft.bench
 
 import org.apache.spark.sql.SparkSession
 

@@ -1,4 +1,4 @@
-package graft.tmp
+package graft.bench
 import org.apache.spark.sql.SparkSession
 
 /** Scratch: decompose stream_change_feed's wall — setup (feed staging)

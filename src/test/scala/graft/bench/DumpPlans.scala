@@ -1,4 +1,4 @@
-package graft.tmp
+package graft.bench
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
@@ -49,7 +49,7 @@ object DumpPlans {
       "ts_cross_corr" -> "lagged cross-correlation: one corpus shuffle to the (hour, series) decimal aggregate, per-lag equi-joins on the SHIFTED hour key over that tiny frame (gap-correct), exact-decimal Pearson moments per lag")
     val sb = new StringBuilder
     sb ++= "# PLANS — headline physical plans (sf0.001, local[4])\n\n"
-    sb ++= "Regenerate with `sbt \"Test/runMain graft.tmp.DumpPlans\"`.\n"
+    sb ++= "Regenerate with `sbt \"Test/runMain graft.bench.DumpPlans\"`.\n"
     picks.foreach { case (name, note) =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.explainString(

@@ -1,9 +1,9 @@
-package graft.tmp
+package graft.bench
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch runner: print a query's formatted physical plan (dev only). */
-object ExplainOne {
+/** Scratch runner: print a query's full result (dev only). */
+object ShowOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -13,8 +13,7 @@ object ExplainOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { name =>
-      println(s"==== $name ====")
-      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      graft.SparkEntry.queries(name)(spark, sfDir).show(100, false)
     }
     spark.stop()
   }

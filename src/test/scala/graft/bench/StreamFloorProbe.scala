@@ -1,4 +1,4 @@
-package graft.tmp
+package graft.bench
 import org.apache.spark.sql.SparkSession
 
 /** Scratch: where does the stream-family fixed floor go? Wall-time each

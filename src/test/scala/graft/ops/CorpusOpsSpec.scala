@@ -64,5 +64,26 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().head
     assert(r.getAs[Double]("beta") == 0.0,
       s"saturated vocab must fit slope 0, got ${r.getAs[Double]("beta")}")
+    // the guard's contract: a degenerate fit is NULL or finite, never
+    // NaN/Inf (vary here is 64²·(round6(y²)−y²) — a rounding residual
+    // that can land on either side of 0; unguarded, a negative residual
+    // made corr = x/sqrt(<0) = NaN in DuckDB while Spark NULLed)
+    val fi = r.schema.fieldIndex("corr")
+    assert(r.isNullAt(fi) ||
+      java.lang.Double.isFinite(r.getDouble(fi)), r.toString)
+  }
+
+  test("heapsLaw: a single log-log point (all doc ids equal -> one " +
+      "bucket) emits NULL beta/ln_k/corr, not NaN or a crash") {
+    // lo == hi -> every doc lands in bucket 0 -> one (x, y) point ->
+    // varx = 0: no line is defined. Spark's unguarded Divide would NULL
+    // here while DuckDB yields NaN/Inf — the guard pins both to NULL.
+    val docs = (0 until 10).map(i => (7L, s"w$i x$i")).toDF("doc_id", "text")
+    val r = CorpusOps.heapsLaw(docs, col("doc_id"), col("text"))
+      .collect().head
+    assert(r.getAs[Long]("n_points") == 1L)
+    Seq("beta", "ln_k", "corr").foreach { c =>
+      assert(r.isNullAt(r.schema.fieldIndex(c)), s"$c must be NULL: $r")
+    }
   }
 }

@@ -496,6 +496,42 @@ class StatOpsSpec extends SparkSpec {
     assert(t.getAs[Double]("threshold") == 1.0)
   }
 
+  test("decisionStump: NULL features are filtered (engine-consistent), " +
+      "and the plan has NO window operator at any domain width") {
+    // NULL features can't be routed by a threshold; unfiltered they also
+    // sorted differently in Spark (NULLs first) vs DuckDB (NULLs last),
+    // silently diverging the cumulative prefixes. The stump over a frame
+    // WITH nulls must equal the stump over its non-null subset.
+    val withNulls = Seq[(java.lang.Double, Boolean)](
+      (1.0, false), (2.0, false), (null, true), (3.0, true),
+      (null, false), (4.0, true)).toDF("x", "y")
+    val clean = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("x", "y")
+    val a = StatOps.decisionStump(withNulls, col("x"), col("y")).collect()
+    val b = StatOps.decisionStump(clean, col("x"), col("y")).collect()
+    assert(a.toSeq == b.toSeq, s"${a.toSeq} vs ${b.toSeq}")
+
+    // r15 weak flag pin: the cumulative counts and the argmin used to
+    // run over Window.orderBy(...) with NO partition key — a
+    // single-partition funnel once the feature's value domain is wide
+    // (distinct µs latencies ≈ distinct rows). Reworked onto the
+    // prefixSums range exchange + TakeOrdered: the plan must contain no
+    // window operator AT ALL, wide domain or narrow.
+    val wide = (0 until 2000).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      // ~all-distinct cents: a wide value domain, one row per cent
+      (((h(0) & 0xff) << 16 | (h(1) & 0xff) << 8 | (h(2) & 0xff)) / 100.0,
+        (h(3) & 1) == 1)
+    }.toDF("x", "y")
+    val plan = StatOps.decisionStump(wide, col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"decisionStump must not plan any window operator:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"argmin must be a distributed top-1:\n$plan")
+  }
+
   test("survivalKm: textbook curve with one censored survivor") {
     // lifetimes 0h, 1h, 2h (deaths) + one user still active at corpus
     // end (censored): S = 3/4, then 3/4·2/3 = 1/2, then 1/2·1/2 = 1/4

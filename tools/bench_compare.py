@@ -42,6 +42,16 @@ def load(path):
     return d, qs
 
 
+def to_gross(d, qs):
+    """r16 records publish per-query times NET of staged builds plus a
+    query_staging map (median staged seconds each query's samples
+    triggered). Adding it back reconstructs the r4-r15 gross accounting
+    (builds charged to their first consumer) so cross-era comparisons
+    don't read the accounting change as per-query wins."""
+    chg = d.get("query_staging", {})
+    return {k: v + chg.get(k, 0.0) for k, v in qs.items()}
+
+
 def main():
     if len(sys.argv) < 3:
         print(__doc__)
@@ -50,6 +60,18 @@ def main():
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     old, oq = load(old_path)
     new, nq = load(new_path)
+    # accounting-era bridge: when exactly one side is an r16+ net-of-
+    # staging record, reconstruct its gross numbers so the join compares
+    # like with like; when both are net-era, compare net directly (and
+    # staging costs are visible in each record's staging_secs).
+    old_net, new_net = "query_staging" in old, "query_staging" in new
+    era_note = ""
+    if new_net and not old_net:
+        nq = to_gross(new, nq)
+        era_note = " (new record net-of-staging: compared GROSS via query_staging)"
+    elif old_net and not new_net:
+        oq = to_gross(old, oq)
+        era_note = " (old record net-of-staging: compared GROSS via query_staging)"
     oc, nc = old.get("calib_sec"), new.get("calib_sec")
     ocpu, ncpu = old.get("cpus"), new.get("cpus")
     if oc and nc and ocpu is not None and str(ocpu) != str(ncpu):
@@ -115,7 +137,40 @@ def main():
             if r <= 1.0 / thr
         },
     }
-    print(json.dumps(out, indent=1) + note)
+    # still-noisy queries never settled their median even under the rerun
+    # loop (write-then-read lifecycle ops on the real filesystem, stream
+    # machinery under co-tenant load) — for THOSE, the min across samples
+    # is the honest cross-round estimator, so publish min ratios alongside
+    # the (load-inflated) median ratios instead of letting them read as
+    # regressions
+    sn = set(old.get("still_noisy", [])) | set(new.get("still_noisy", []))
+    sn &= set(common)
+    if sn:
+        ops_, nps = old.get("pass_secs", {}), new.get("pass_secs", {})
+        def mn(samples):
+            ok = [s for s in samples if s >= 0]
+            return min(ok) if ok else None
+        out["still_noisy_min_ratios"] = {
+            q: {"min_old": mn(ops_.get(q, [])), "min_new": mn(nps.get(q, [])),
+                "min_ratio": (round(mn(nps[q]) / mn(ops_[q]), 2)
+                              if ops_.get(q) and nps.get(q) and mn(ops_[q])
+                              else None)}
+            for q in sorted(sn)
+        }
+    # staging-substrate comparison (both records net-era): the shared
+    # builds have their own series now — a staging regression is as real
+    # as a query regression and no longer hides inside a first consumer
+    os_, ns_ = old.get("staging_secs", {}), new.get("staging_secs", {})
+    if os_ and ns_:
+        out["staging_total_old"] = round(sum(os_.values()), 2)
+        out["staging_total_new"] = round(sum(ns_.values()), 2)
+        out["staging_regressions"] = {
+            k: {"old": os_[k], "new": ns_[k],
+                "ratio": round(ns_[k] / os_[k], 2)}
+            for k in sorted(set(os_) & set(ns_))
+            if os_[k] >= 0.2 and ns_[k] / os_[k] >= thr
+        }
+    print(json.dumps(out, indent=1) + note + era_note)
 
 
 if __name__ == "__main__":
