@@ -707,5 +707,17 @@ package object api {
       * (cid, cv) centroid table — see sim_silhouette. */
     def silhouette(centroids: DataFrame): DataFrame =
       ops.Similarity.silhouetteFrom(df, centroids)
+
+    // ------------------------------------------------- round-16 surface
+
+    /** CUPED variance-reduced A/B readout per `group` experiment: θ =
+      * cov(pre, post)/var(pre) over per-`unit` cent-exact metric sums
+      * split at the time-range midpoint, the variance-reduction factor,
+      * and raw vs adjusted treatment-control differences — see
+      * rel_cuped. Degenerate frames (constant pre-metric, one-arm
+      * groups) emit NULL, never NaN. */
+    def cupedAdjust(group: Column, unit: Column, arm: Column,
+        ts: Column, value: Column): DataFrame =
+      ops.StatOps.cupedAdjust(df, group, unit, arm, ts, value)
   }
 }

@@ -1071,6 +1071,67 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  private val SWEEP_TAU_PCT = Seq(30, 35, 40)
+
+  /** SemDeDup THRESHOLD-SWEEP governance curve — the table read before
+    * committing a τ for dedup_semantic (the dedup_lsh_curve analog for
+    * the embedding side): per candidate threshold, the qualifying-pair
+    * volume, the distinct documents touched, how many the keep-farthest-
+    * from-centroid rule would drop, and the resulting drop rate. A τ set
+    * too low silently deletes a visible fraction of the corpus; this is
+    * the curve that makes that fraction a measured number instead of a
+    * post-mortem.
+    *
+    * Shape: the cell-bounded pairwise scoring runs ONCE at the sweep
+    * floor (staged — three aggregates and the tier join read it); the
+    * 3-row tier frame then joins the pair frame and everything downstream
+    * is tier-keyed aggregation. The tier frame LEFT-joins the counts so
+    * an empty tier reads as an explicit zero row (the sim_recall_curve
+    * empty-shape lesson). Integer tau_pct keys — no float join keys. */
+  private def dedupSweepQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = ivfRanked(s, dir).filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell_label").as("cell"),
+        col("v"), col("nrm"), col("csim"))
+    val floorTau = lit(SWEEP_TAU_PCT.min.toDouble) / lit(100.0d)
+    val pairs = Staging.staged(s, dir, "sweep_pairs") {
+      assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim",
+          round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+        .filter(col("sim") >= floorTau)
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          col("sim"), col("a.csim").as("cs1"), col("b.csim").as("cs2"))
+    }
+    val taus = SWEEP_TAU_PCT.toDF("tau_pct")
+    val pt = pairs.crossJoin(broadcast(taus))
+      .filter(col("sim") >= col("tau_pct").cast("double") / lit(100.0d))
+    val nPairs = pt.groupBy(col("tau_pct")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = pt
+      .select(col("tau_pct"), explode(array(col("v1"), col("v2"))).as("d"))
+      .groupBy(col("tau_pct")).agg(countDistinct(col("d")).as("n_docs"))
+    // per pair, the SemDeDup LOSER: the member CLOSER to its centroid
+    // (higher csim — the more prototypical example); csim ties lose to
+    // the smaller vec_id, so the larger id (v2) is the tie loser —
+    // exactly semanticDedup's drop predicate, factored per edge
+    val loser = when(col("cs1") > col("cs2"), col("v1")).otherwise(col("v2"))
+    val nDrop = pt.select(col("tau_pct"), loser.as("loser"))
+      .groupBy(col("tau_pct")).agg(countDistinct(col("loser")).as("n_dropped"))
+    val nv = broadcast(assigned.agg(count(lit(1)).as("n_vectors")))
+    taus.join(nPairs, Seq("tau_pct"), "left")
+      .join(nDocs, Seq("tau_pct"), "left")
+      .join(nDrop, Seq("tau_pct"), "left")
+      .crossJoin(nv)
+      .select(col("tau_pct").cast("long").as("tau_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        col("n_vectors"),
+        round(coalesce(col("n_dropped"), lit(0L)).cast("double")
+          / col("n_vectors").cast("double"), 6).as("drop_rate"))
+      .orderBy(col("tau_pct"))
+  }
+
   /** Int8 scale quantization of the embedding column — the ANN memory
     * path (4× smaller vectors; a 100 TB embedding store becomes 25 TB and
     * cache-resident per-cell). Per vector: scale = max|x|/127, q[i] =
@@ -1527,6 +1588,7 @@ object Similarity {
       col("label"), pmod(col("vec_id"), lit(2)) === 0, col("embedding"))),
     "dedup_embed_cosine" -> embedCosineNearDup,
     "dedup_semantic" -> semanticDedup,
+    "sim_dedup_threshold_sweep" -> dedupSweepQ,
     "sim_knn_graph" -> knnGraph,
     "sim_knn_components" -> knnComponents,
     "sim_centroid_cohesion" -> centroidCohesion,
@@ -1672,6 +1734,41 @@ object Similarity {
     * sim_ann_ivf (CTE named `qranked` to avoid collisions with the text
     * CTEs it composes with). */
   private[ops] def eCteSql: String = eCte
+
+  // the dedup_semantic assignment replay (embeddings → label centroids →
+  // nearest-cell assignment), shared by the dedup_semantic oracle and the
+  // threshold-sweep oracle so the chain is spelled once
+  private val semDotAB =
+    "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"
+
+  private lazy val semAssignedCtes: String = {
+    val dotAC =
+      "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
+    s"""$eCte,
+       |ex AS (
+       |  SELECT label, i AS dim, v[i] AS val
+       |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+       |), centd AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM ex GROUP BY 1, 2
+       |), cent AS (
+       |  SELECT label, list(c ORDER BY dim) AS cv FROM centd GROUP BY label
+       |), centn AS (
+       |  SELECT label, cv,
+       |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,x) -> a+x)) AS cn
+       |  FROM cent
+       |), cs AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.label,
+       |    round($dotAC / (e.nrm * c.cn), 6) AS csim
+       |  FROM e CROSS JOIN centn c
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, label ASC) AS crk FROM cs
+       |), assigned AS (
+       |  SELECT vec_id, label AS cell, v, nrm, csim FROM ranked WHERE crk = 1
+       |)""".stripMargin
+  }
 
   private[ops] val quantizerRankedCtesSql: String = {
     val dotAC =
@@ -2219,45 +2316,56 @@ object Similarity {
          |)
          |SELECT u AS vec_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin,
-    "dedup_semantic" -> {
-      val dotAC =
-        "list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*c.cv[i]), (a,x) -> a+x)"
-      val dotAB =
-        "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)"
-      s"""WITH $eCte,
-         |ex AS (
-         |  SELECT label, i AS dim, v[i] AS val
-         |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
-         |), centd AS (
-         |  SELECT label, dim,
-         |    CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS c
-         |  FROM ex GROUP BY 1, 2
-         |), cent AS (
-         |  SELECT label, list(c ORDER BY dim) AS cv FROM centd GROUP BY label
-         |), centn AS (
-         |  SELECT label, cv,
-         |    sqrt(list_reduce(list_transform(cv, x -> x*x), (a,x) -> a+x)) AS cn
-         |  FROM cent
-         |), cs AS (
-         |  SELECT e.vec_id, e.v, e.nrm, c.label,
-         |    round($dotAC / (e.nrm * c.cn), 6) AS csim
-         |  FROM e CROSS JOIN centn c
-         |), ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY csim DESC, label ASC) AS crk FROM cs
-         |), assigned AS (
-         |  SELECT vec_id, label AS cell, v, nrm, csim FROM ranked WHERE crk = 1
-         |), dup AS (
+    "dedup_semantic" ->
+      s"""WITH $semAssignedCtes, dup AS (
          |  SELECT DISTINCT a.vec_id
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
-         |  WHERE round($dotAB / (a.nrm * b.nrm), 6) >= $SEM_TAU
+         |  WHERE round($semDotAB / (a.nrm * b.nrm), 6) >= $SEM_TAU
          |    AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
          |)
          |SELECT a.vec_id, a.cell, a.csim, (d.vec_id IS NOT NULL) AS dropped
          |FROM assigned a LEFT JOIN dup d USING (vec_id)
-         |ORDER BY vec_id""".stripMargin
-    },
+         |ORDER BY vec_id""".stripMargin,
+    // the same assignment chain as dedup_semantic; pairs scored once at
+    // the sweep floor, tier frame LEFT-joins the counts (empty tier →
+    // explicit zero row), per-edge loser = higher csim (tie: larger id)
+    "sim_dedup_threshold_sweep" ->
+      s"""WITH $semAssignedCtes, prs AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |    round($semDotAB / (a.nrm * b.nrm), 6) AS sim,
+         |    a.csim AS cs1, b.csim AS cs2
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round($semDotAB / (a.nrm * b.nrm), 6)
+         |    >= CAST(${SWEEP_TAU_PCT.min} AS DOUBLE) / 100.0
+         |), t AS (
+         |  SELECT CAST(unnest([${SWEEP_TAU_PCT.mkString(", ")}]) AS BIGINT)
+         |    AS tau_pct
+         |), pt AS (
+         |  SELECT t.tau_pct, prs.* FROM t
+         |  JOIN prs ON prs.sim >= CAST(t.tau_pct AS DOUBLE) / 100.0
+         |), np AS (
+         |  SELECT tau_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM pt GROUP BY 1
+         |), ndo AS (
+         |  SELECT tau_pct, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+         |  FROM (SELECT tau_pct, unnest([v1, v2]) AS d FROM pt) GROUP BY 1
+         |), ndr AS (
+         |  SELECT tau_pct, CAST(COUNT(DISTINCT
+         |    CASE WHEN cs1 > cs2 THEN v1 ELSE v2 END) AS BIGINT) AS n_dropped
+         |  FROM pt GROUP BY 1
+         |), nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM assigned)
+         |SELECT t.tau_pct,
+         |  coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(ndo.n_docs, 0) AS n_docs,
+         |  coalesce(ndr.n_dropped, 0) AS n_dropped,
+         |  nv.n_vectors,
+         |  round(CAST(coalesce(ndr.n_dropped, 0) AS DOUBLE)
+         |    / CAST(nv.n_vectors AS DOUBLE), 6) AS drop_rate
+         |FROM t LEFT JOIN np USING (tau_pct) LEFT JOIN ndo USING (tau_pct)
+         |LEFT JOIN ndr USING (tau_pct) CROSS JOIN nv
+         |ORDER BY tau_pct""".stripMargin,
     "sim_embed_stats" ->
       s"""WITH $eCte,
          |r AS (SELECT label, round(nrm, 6) AS nrm_r FROM e)

@@ -1146,6 +1146,87 @@ object StatOps {
       .withColumnRenamed("grp", "event_type")
       .orderBy(col("event_type"))
 
+  // --------------------------------------------------------------- CUPED
+
+  /** CUPED variance reduction (Deng et al., WSDM 2013) — the third leg of
+    * the A/B readout stack next to rel_ab_srm (is the assignment broken?)
+    * and rel_welch_ttest (is the effect significant?): regress each
+    * unit's experiment-period metric Y on its PRE-period metric X and
+    * read the effect off the adjusted Y′ = Y − θ(X − X̄), θ = cov(X,Y)/
+    * var(X). Same units, same effect estimate in expectation, variance
+    * shrunk by corr(X,Y)² — the difference between a two-week and a
+    * five-day experiment. Emits per experiment: unit counts, θ, the
+    * variance-reduction factor, and the raw vs CUPED-adjusted
+    * treatment-control difference.
+    *
+    * Determinism: per-unit X/Y are exact cent sums (the benford/stump
+    * quantization); the moment sums accumulate in DECIMAL(19,0) (the
+    * corrRegr overflow discipline); every ratio is a double expression
+    * over those exact moments, 6 dp-rounded; degenerate frames (varx or
+    * vary 0, an empty arm) emit NULL in both engines — the heapsLaw
+    * guard discipline. The pre/post boundary is the midpoint of the
+    * observed time range, compared as `2·t < lo+hi` so neither engine
+    * divides (exact BIGINT arithmetic).
+    *
+    * Shape at scale: one corpus shuffle to the per-(experiment, unit)
+    * aggregate, then one experiment-keyed moment aggregate (map-side
+    * combined); the bounds frame is a broadcast 1-row aggregate. Output
+    * is experiment-count sized. */
+  def cupedAdjust(d: DataFrame, group: Column, unit: Column, arm: Column,
+      ts: Column, value: Column): DataFrame = {
+    val mdec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val bounds = broadcast(d.agg(min(unix_micros(ts)).as("lo"),
+      max(unix_micros(ts)).as("hi")))
+    val cents = floor(value * lit(100.0d) + lit(0.5d)).cast("long")
+    val per = d.crossJoin(bounds)
+      .select(group.as("grp"), unit.as("u"),
+        when(arm, 1).otherwise(0).as("arm"),
+        when(unix_micros(ts) * 2 < col("lo") + col("hi"), cents)
+          .otherwise(0L).as("xc"),
+        when(unix_micros(ts) * 2 >= col("lo") + col("hi"), cents)
+          .otherwise(0L).as("yc"))
+      .groupBy(col("grp"), col("u"), col("arm"))
+      .agg(sum(col("xc")).as("x"), sum(col("yc")).as("y"))
+    val m = per.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_units"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+      sum(col("x").cast(mdec)).as("sx"),
+      sum(col("y").cast(mdec)).as("sy"),
+      sum(col("x").cast(mdec) * col("x").cast(mdec)).as("sxx"),
+      sum(col("y").cast(mdec) * col("y").cast(mdec)).as("syy"),
+      sum(col("x").cast(mdec) * col("y").cast(mdec)).as("sxy"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L).cast(mdec)).as("sxt"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L).cast(mdec)).as("syt"))
+    def dbl(c: String) = col(c).cast("double")
+    val nd = dbl("n_units")
+    val nt = dbl("n_treat")
+    val nc = nd - nt
+    val cov = nd * dbl("sxy") - dbl("sx") * dbl("sy")
+    val varx = nd * dbl("sxx") - dbl("sx") * dbl("sx")
+    val vary = nd * dbl("syy") - dbl("sy") * dbl("sy")
+    val theta = cov / varx
+    // /100: cents back to metric units for the reported differences
+    val diffRaw = (dbl("syt") / nt - (dbl("sy") - dbl("syt")) / nc) / 100.0d
+    val diffX = (dbl("sxt") / nt - (dbl("sx") - dbl("sxt")) / nc) / 100.0d
+    val armsOk = col("n_treat") > 0 && col("n_treat") < col("n_units")
+    m.select(col("grp"), col("n_units"), col("n_treat"),
+      when(varx > 0, r6(theta)).as("theta"),
+      when(varx > 0 && vary > 0, r6(cov * cov / (varx * vary)))
+        .as("var_reduction"),
+      when(armsOk, r6(diffRaw)).as("diff_raw"),
+      when(armsOk && varx > 0, r6(diffRaw - theta * diffX)).as("diff_cuped"))
+  }
+
+  private def cupedQ(s: SparkSession, dir: String): DataFrame =
+    cupedAdjust(graft.Tables(s, dir, "events"),
+      col("event_type"), col("user_id"),
+      // the rel_ab_srm hash assignment: first md5 hex char 0-7 → treatment
+      substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+      col("ts"), col("value"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------------ decision stump
 
   /** Best single-threshold split (a 1-level decision tree) of a binary
@@ -1239,6 +1320,7 @@ object StatOps {
     "rel_freq_itemsets" -> freqItemsetsQ,
     "rel_decision_stump" -> decisionStumpQ,
     "rel_ab_srm" -> srmQ,
+    "rel_cuped" -> cupedQ,
   )
 
   /** rel_benford's oracle, generated from the SAME log10 expectation
@@ -1293,6 +1375,66 @@ object StatOps {
          |    AS srm
          |FROM m WHERE n_a + n_b > 0 ORDER BY event_type""".stripMargin
     },
+    // same cent-sum units, the same 2·t < lo+hi midpoint split, the same
+    // md5 arm, the corrRegr moment ladder, every ratio guarded NULL on
+    // degenerate frames exactly as the Spark plan
+    "rel_cuped" ->
+      s"""WITH b AS (
+         |  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+         |  FROM events
+         |), per AS (
+         |  SELECT event_type AS grp, user_id AS u,
+         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+         |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS arm,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) * 2 < lo + hi
+         |      THEN CAST(floor("value" * 100.0 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN epoch_us(ts) * 2 >= lo + hi
+         |      THEN CAST(floor("value" * 100.0 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS y
+         |  FROM events CROSS JOIN b
+         |  GROUP BY 1, 2, 3
+         |), m AS (
+         |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_units,
+         |    CAST(SUM(arm) AS BIGINT) AS n_treat,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syt
+         |  FROM per GROUP BY 1
+         |), f AS (
+         |  SELECT grp, n_units, n_treat,
+         |    CAST(n_units AS DOUBLE) AS nd, CAST(n_treat AS DOUBLE) AS nt,
+         |    CAST(n_units AS DOUBLE) - CAST(n_treat AS DOUBLE) AS nc,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(sxt AS DOUBLE) AS sxtd, CAST(syt AS DOUBLE) AS sytd,
+         |    CAST(n_units AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         |    CAST(n_units AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         |    CAST(n_units AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+         |  FROM m
+         |), g AS (
+         |  SELECT *,
+         |    ((sytd / nt) - ((syd - sytd) / nc)) / 100.0 AS diff_raw_u,
+         |    ((sxtd / nt) - ((sxd - sxtd) / nc)) / 100.0 AS diff_x_u
+         |  FROM f
+         |)
+         |SELECT grp AS event_type, n_units, n_treat,
+         |  CASE WHEN varx > 0 THEN ${r6Sql("cov / varx")}
+         |    ELSE NULL END AS theta,
+         |  CASE WHEN varx > 0 AND vary > 0
+         |    THEN ${r6Sql("cov * cov / (varx * vary)")}
+         |    ELSE NULL END AS var_reduction,
+         |  CASE WHEN n_treat > 0 AND n_treat < n_units
+         |    THEN ${r6Sql("diff_raw_u")} ELSE NULL END AS diff_raw,
+         |  CASE WHEN n_treat > 0 AND n_treat < n_units AND varx > 0
+         |    THEN ${r6Sql("diff_raw_u - (cov / varx) * diff_x_u")}
+         |    ELSE NULL END AS diff_cuped
+         |FROM g ORDER BY event_type""".stripMargin,
     // same cent quantization (exact BIGINT candidates, NULL features
     // filtered in both engines), the same EXACT cumulative counts — the
     // oracle spells them as an ordered window (fine at oracle scale);

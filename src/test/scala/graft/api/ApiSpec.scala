@@ -305,4 +305,17 @@ class ApiSpec extends SparkSpec {
         .withColumnRenamed("k", "user_id"),
       graft.ops.GeoOps.queries("geo_track_simplify")(spark, sf))
   }
+
+  test("round-16 wrappers agree with the corpus queries") {
+    val ev = graft.Tables(spark, sf, "events")
+    def agree(a: org.apache.spark.sql.DataFrame,
+              b: org.apache.spark.sql.DataFrame): Unit =
+      assert(a.exceptAll(b).count() == 0 && a.count() == b.count())
+    agree(ev.cupedAdjust(col("event_type"), col("user_id"),
+        substring(md5(col("user_id").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        col("ts"), col("value"))
+        .withColumnRenamed("grp", "event_type"),
+      graft.ops.StatOps.queries("rel_cuped")(spark, sf))
+  }
 }

@@ -131,7 +131,13 @@ class PlanAuditSpec extends SparkSpec {
     // cells — bounded by design, sim_ann_ivf's own quantizer scoring)
     "sim_ivf_imbalance",
     // the 1-row verified-truth count broadcast onto the 3-row curve
-    "dedup_lsh_curve")
+    "dedup_lsh_curve",
+    // the 1-row (lo, hi) time bound broadcast onto the corpus scan
+    // (the heaps_law bound pattern)
+    "rel_cuped",
+    // the 3-row tau tier frame and the 1-row vector count broadcast
+    // onto the cell-bounded pair table (the lsh_curve pattern)
+    "sim_dedup_threshold_sweep")
 
   // queries whose factory launches jobs at plan build (streams, write-
   // then-read lifecycles, training loops) — the documented contract

@@ -21,6 +21,35 @@ class Relational2Spec extends SparkSpec {
     assert(out.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n_supp")).sum == total)
   }
 
+  test("prefixSums: running sums and totals equal the single-partition " +
+      "window reference on a shuffled multi-partition frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // md5-shuffled keys so the range exchange genuinely reorders rows
+    val rows = (0 until 500).map { i =>
+      (i.toLong, (i * 7 % 13).toLong, (i % 5 + 1).toLong)
+    }
+    val df = rows.toDF("k", "a", "b").repartition(7)
+    val got = Relational2.prefixSums(df, Seq(col("k")), Seq("a", "b"))
+      .select(col("k"), col("__cum_a"), col("__cum_b"),
+        col("__tot_a"), col("__tot_b"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = rows.toDF("k", "a", "b")
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("ca"), r.getAs[Long]("cb"))).toMap
+    val ta = rows.map(_._2).sum; val tb = rows.map(_._3).sum
+    assert(got.size == 500)
+    rows.foreach { case (k, _, _) =>
+      assert(got(k)._1 == ref(k)._1 && got(k)._2 == ref(k)._2, s"k=$k")
+      assert(got(k)._3 == ta && got(k)._4 == tb)
+    }
+  }
+
   test("rel_unpivot: 3 measure rows per source row, values preserved") {
     val src = graft.Tables(spark, sf, "lineitem").filter(col("l_orderkey") % 500 === 0)
     val out = Relational2.queries("rel_unpivot")(spark, sf)

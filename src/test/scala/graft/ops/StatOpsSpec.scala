@@ -459,6 +459,64 @@ class StatOpsSpec extends SparkSpec {
       s"$got vs $best")
   }
 
+  test("cupedAdjust: matches a brute-force moment computation, and a " +
+      "constant pre-metric emits NULL theta (no fit) in-plan") {
+    // 8 units, arm = u <= 4; two events per unit (one pre, one post by
+    // construction of the ts range); y = 2x + 3·arm — correlated but not
+    // perfectly (the arm term), so every output cell is a nontrivial value
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val rows = (1L to 8L).flatMap { u =>
+      val arm = u <= 4
+      val x = u.toDouble
+      val y = 2.0 * u + (if (arm) 3.0 else 0.0)
+      Seq(("g", u, ts(1), x), ("g", u, ts(23), y))
+    }
+    val d = rows.toDF("grp", "u", "ts", "v")
+    val got = StatOps.cupedAdjust(d, col("grp"), col("u"), col("u") <= 4L,
+      col("ts"), col("v")).collect().head
+    // brute-force reference over exact cents
+    val per = (1L to 8L).map { u =>
+      val arm = if (u <= 4) 1 else 0
+      val x = math.floor(u * 100.0 + 0.5).toLong
+      val y = math.floor((2.0 * u + (if (u <= 4) 3.0 else 0.0)) * 100.0 + 0.5).toLong
+      (arm, x, y)
+    }
+    val n = per.size.toDouble
+    val sx = per.map(_._2).sum.toDouble; val sy = per.map(_._3).sum.toDouble
+    val sxx = per.map(p => p._2 * p._2).sum.toDouble
+    val syy = per.map(p => p._3 * p._3).sum.toDouble
+    val sxy = per.map(p => p._2 * p._3).sum.toDouble
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx; val vary = n * syy - sy * sy
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.getAs[Long]("n_units") == 8L)
+    assert(got.getAs[Long]("n_treat") == 4L)
+    assert(got.getAs[Double]("theta") == r6d(cov / varx))
+    assert(got.getAs[Double]("var_reduction") == r6d(cov * cov / (varx * vary)))
+    val nt = 4.0; val nc = 4.0
+    val syt = per.filter(_._1 == 1).map(_._3).sum.toDouble
+    val sxt = per.filter(_._1 == 1).map(_._2).sum.toDouble
+    val diffRaw = (syt / nt - (sy - syt) / nc) / 100.0
+    val diffX = (sxt / nt - (sx - sxt) / nc) / 100.0
+    assert(got.getAs[Double]("diff_raw") == r6d(diffRaw))
+    assert(got.getAs[Double]("diff_cuped") ==
+      r6d(diffRaw - (cov / varx) * diffX))
+
+    // degenerate: every unit has the same pre-metric -> varx = 0 -> the
+    // fit is undefined; theta/var_reduction/diff_cuped must be NULL
+    // (never NaN/Inf), diff_raw still computes
+    val flatRows = (1L to 4L).flatMap { u =>
+      Seq(("g", u, ts(1), 5.0), ("g", u, ts(23), u.toDouble))
+    }
+    val f = StatOps.cupedAdjust(flatRows.toDF("grp", "u", "ts", "v"),
+      col("grp"), col("u"), col("u") <= 2L, col("ts"), col("v"))
+      .collect().head
+    Seq("theta", "var_reduction", "diff_cuped").foreach { c =>
+      assert(f.isNullAt(f.schema.fieldIndex(c)), s"$c must be NULL: $f")
+    }
+    assert(!f.isNullAt(f.schema.fieldIndex("diff_raw")))
+  }
+
   test("srmCheck: counts UNITS not events, pins the chi2 hand values, " +
       "flags only past 3.84") {
     // group g: units 1,2,3 in arm A, unit 4 in arm B — unit 1 fires 10
