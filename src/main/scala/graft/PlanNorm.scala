@@ -30,6 +30,13 @@ object PlanNorm {
     .replaceAll("StorageLevel\\([^)]*\\)", "StorageLevel()")
     .replaceAll("size=[0-9.]+ [KMGT]?i?B", "size=")
     .replaceAll("rows=\\d+", "rows=")
+    // AQE stage ids number stages in MATERIALIZATION order — timing-
+    // dependent when independent broadcast stages race (r16: two
+    // back-to-back identical-code runs flipped BroadcastQueryStage 7/8
+    // in text_bm25_topk with zero structural change)
+    .replaceAll("QueryStage \\d+", "QueryStage N")
+    // whole-stage-codegen ids follow the same execution-order flutter
+    .replaceAll("\\*\\(\\d+\\)", "*(N)")
 
   /** 12-hex-char MD5 of the normalized plan text. */
   def sha(plan: String): String = {

@@ -107,7 +107,20 @@ def main():
     # fingerprint changed — the direct plan-regression signal
     op, np_ = old.get("plan_sha", {}), new.get("plan_sha", {})
     plan_common = sorted(set(op) & set(np_) & set(common))
-    plan_changed = [q for q in plan_common if op[q] != np_[q]]
+    # Known-jitter queries (r16 diagnosis, via SPARK_GRAFT_PLAN_DUMP text
+    # diffs): a multi-countDistinct aggregate goes through Spark's
+    # RewriteDistinctAggregates, whose distinct-group (gid) ordering
+    # iterates a hash map keyed by attribute sets — exprId-hash order,
+    # and exprId allocation depends on session history (concurrent
+    # stream threads interleave the counter), so IDENTICAL code can
+    # print a different-but-equivalent Expand/aggregate order. Their
+    # sha flips are Spark-internal nondeterminism, not plan changes —
+    # reported separately so the real plan_changed list stays clean.
+    KNOWN_JITTER = {"rel_profile", "rel_count_distinct", "rel_cramers_v"}
+    plan_changed = [q for q in plan_common
+                    if op[q] != np_[q] and q not in KNOWN_JITTER]
+    plan_jitter = [q for q in plan_common
+                   if op[q] != np_[q] and q in KNOWN_JITTER]
     out = {
         "old": old_path,
         "new": new_path,
@@ -121,6 +134,7 @@ def main():
         "median_query_ratio_norm": round(med, 3),
         "plan_fingerprints_compared": len(plan_common),
         "plan_changed": plan_changed,
+        "plan_changed_known_jitter": plan_jitter,
         "added": added,
         "removed": removed,
         "regressions": {
