@@ -719,5 +719,24 @@ package object api {
     def cupedAdjust(group: Column, unit: Column, arm: Column,
         ts: Column, value: Column): DataFrame =
       ops.StatOps.cupedAdjust(df, group, unit, arm, ts, value)
+
+    /** Bounded additive Holt-Winters forecast per `key` series: the
+      * hour-of-day seasonal index subtracted before two Brown smoothing
+      * passes and re-added at the forecast phase — see ts_holt_winters. */
+    def holtWinters(key: String, ts: String, ord: String, value: String,
+        width: Int = 24, n: Int = 8, alpha: Double = 0.3,
+        horizon: Int = 3): DataFrame =
+      ops.TimeSeriesOps.holtWinters(df, key, ts, ord, value, width, n,
+        alpha, horizon)
+
+    /** Distributed EXACT prefix sums over this frame ordered by
+      * `orderKeys` (which must form a total order when cumulative-value
+      * identity across ties matters): appends `__cum_<col>` and
+      * `__tot_<col>` for each LongType column named in `sumCols`. The
+      * scalable spelling of `sum(...) over (order by k)` — a range
+      * exchange plus broadcast per-partition offsets, never a
+      * single-partition window. EAGER: the offset pass runs at call. */
+    def prefixSums(orderKeys: Seq[Column], sumCols: Seq[String]): DataFrame =
+      ops.Relational2.prefixSums(df, orderKeys, sumCols)
   }
 }

@@ -446,20 +446,25 @@ object TimeSeriesOps {
     * identical doubles in both engines; the kernel weights and the
     * trend coefficient α/(1−α) are computed ONCE driver-side and
     * embedded as exact decimal literals in the plan and the oracle. */
+  /** The truncated-renormalized smoothing kernel as a Column over window
+    * `w` — shared by desForecast and holtWinters (factored r16). */
+  private def boundedKernel(w: org.apache.spark.sql.expressions.WindowSpec,
+      weights: Seq[Double], src: String): Column = {
+    val lagged = weights.indices.map(i =>
+      if (i == 0) col(src) else lag(col(src), i).over(w))
+    val num = lagged.zip(weights).map { case (l, wt) =>
+      when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
+    val den = lagged.zip(weights).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
+    r6(num / den)
+  }
+
   def desForecast(d: DataFrame, key: String, ts: String, ord: String,
                   value: String, n: Int = EW, alpha: Double = EALPHA,
                   horizon: Int = DES_H): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
     val weights = ewmaWeights(n, alpha)
-    def smooth(src: String): Column = {
-      val lagged = (0 until n).map(i =>
-        if (i == 0) col(src) else lag(col(src), i).over(w))
-      val num = lagged.zip(weights).map { case (l, wt) =>
-        when(l.isNotNull, l * lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
-      val den = lagged.zip(weights).map { case (l, wt) =>
-        when(l.isNotNull, lit(wt)).otherwise(lit(0.0d)) }.reduce(_ + _)
-      r6(num / den)
-    }
+    def smooth(src: String): Column = boundedKernel(w, weights, src)
     val coef = alpha / (1.0 - alpha)
     val level = lit(2.0d) * col("s1") - col("s2")
     val trend = lit(coef) * (col("s1") - col("s2"))
@@ -474,21 +479,28 @@ object TimeSeriesOps {
   /** The ts_des_forecast oracle: the ewma kernel SQL applied twice (the
     * second pass windows over the FIRST CTE's rounded s1), then the same
     * level/trend/forecast doubles with the identical literal spelling. */
-  private def desOracleSql(n: Int, alpha: Double, horizon: Int): String = {
-    def dlit(x: Double) =
-      s"CAST('${new java.math.BigDecimal(x).toPlainString}' AS DOUBLE)"
+  private def dlit(x: Double) =
+    s"CAST('${new java.math.BigDecimal(x).toPlainString}' AS DOUBLE)"
+
+  /** The truncated-renormalized kernel in SQL — shared by the des and
+    * holt-winters oracles (factored r16; identical literal doubles). */
+  private def kernelSqlOf(n: Int, alpha: Double)(
+      v: String, win: String): String = {
     val wts = ewmaWeights(n, alpha).map(dlit)
     def r6s(x: String) = s"CAST(floor(($x) * 1e6 + 0.5) AS DOUBLE) / 1e6"
-    def kernel(v: String, win: String): String = {
-      def lagv(i: Int) = if (i == 0) v else s"lag($v, $i) OVER $win"
-      val terms = wts.zipWithIndex.map { case (wt, i) =>
-        s"CASE WHEN ${lagv(i)} IS NOT NULL THEN ${lagv(i)} * $wt " +
-          "ELSE CAST(0.0 AS DOUBLE) END" }
-      val dens = wts.zipWithIndex.map { case (wt, i) =>
-        s"CASE WHEN ${lagv(i)} IS NOT NULL THEN $wt " +
-          "ELSE CAST(0.0 AS DOUBLE) END" }
-      r6s(s"(${terms.mkString("\n    + ")})\n    / (${dens.mkString("\n    + ")})")
-    }
+    def lagv(i: Int) = if (i == 0) v else s"lag($v, $i) OVER $win"
+    val terms = wts.zipWithIndex.map { case (wt, i) =>
+      s"CASE WHEN ${lagv(i)} IS NOT NULL THEN ${lagv(i)} * $wt " +
+        "ELSE CAST(0.0 AS DOUBLE) END" }
+    val dens = wts.zipWithIndex.map { case (wt, i) =>
+      s"CASE WHEN ${lagv(i)} IS NOT NULL THEN $wt " +
+        "ELSE CAST(0.0 AS DOUBLE) END" }
+    r6s(s"(${terms.mkString("\n    + ")})\n    / (${dens.mkString("\n    + ")})")
+  }
+
+  private def desOracleSql(n: Int, alpha: Double, horizon: Int): String = {
+    def r6s(x: String) = s"CAST(floor(($x) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+    val kernel = kernelSqlOf(n, alpha) _
     val coef = dlit(alpha / (1.0 - alpha))
     val fcs = (1 to horizon).map(h =>
       s"${r6s(s"(2.0 * s1 - s2) + $h.0 * ($coef * (s1 - s2))")} AS fc$h")
@@ -510,6 +522,79 @@ object TimeSeriesOps {
 
   private def tsDesForecast(s: SparkSession, dir: String): DataFrame =
     desForecast(graft.Tables(s, dir, "events"),
+        "user_id", "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val HW_H = 3 // holt-winters forecast horizon (steps ahead)
+
+  /** Bounded additive HOLT-WINTERS forecast — the SEASONAL member the
+    * ewma → des ladder was missing: des extrapolates level + trend but
+    * flattens every daily cycle into lag; here the per-(series, phase)
+    * seasonal index (hour-of-day, the ts_seasonal_decompose component —
+    * same centered-window trend, same exact dq quantization, aggregated
+    * per phase instead of windowed back) is SUBTRACTED before the two
+    * Brown smoothing passes and RE-ADDED at the forecast phase:
+    * fc_h = level + h·trend + s[(hod + h) mod 24]. On a
+    * level + pure-daily-pattern series this forecasts the next values
+    * EXACTLY while des alone cannot (spec-pinned).
+    *
+    * Plan: the seasonal table is (series × 24)-sized — series-keyed, so
+    * it joins back by KEY SHUFFLE, never broadcast (series count tracks
+    * the corpus); folded to a per-key 24-slot map first so
+    * deseasonalize + all `horizon` forecast lookups are ONE join and
+    * per-row element_at's, not 1 + horizon joins. The smoothing passes
+    * are the des fixed-depth lag composition over one keyed window.
+    * Phase advance assumes the series' native hourly cadence (the
+    * resample operators exist to grid irregular series first).
+    *
+    * Determinism: the seasonal index is (exact BIGINT dq sum / count) /
+    * 1e6 — identical doubles both engines; vd is r6-quantized before
+    * the first kernel (the des s1→s2 discipline); kernel weights and
+    * the trend coefficient are the same embedded literal doubles. */
+  def holtWinters(d: DataFrame, key: String, ts: String, ord: String,
+      value: String, width: Int = SEAS_W, n: Int = EW,
+      alpha: Double = EALPHA, horizon: Int = HW_H): DataFrame = {
+    val half = width / 2
+    val wT = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+      .rowsBetween(-half, half - 1)
+    val vdec = col(value).cast(org.apache.spark.sql.types.DecimalType(15, 2))
+    val interior = d.select(col(key), col(ts), col(ord), col(value))
+      .withColumn("cnt", count(lit(1)).over(wT))
+      .withColumn("trend0", sum(vdec).over(wT).cast("double") / col("cnt"))
+      .filter(col("cnt") === width)
+      .withColumn("hod", hour(col(ts)))
+      .withColumn("dq",
+        floor((col(value) - col("trend0")) * lit(1e6) + lit(0.5d))
+          .cast("long"))
+    val seasMap = interior
+      .groupBy(col(key).as("__sk"), col("hod").as("__sh"))
+      .agg((sum(col("dq")).cast("double") / count(lit(1)) / lit(1e6))
+        .as("seasonal"))
+      .groupBy(col("__sk"))
+      .agg(map_from_entries(
+        collect_list(struct(col("__sh"), col("seasonal")))).as("smap"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
+    val weights = ewmaWeights(n, alpha)
+    val coef = alpha / (1.0 - alpha)
+    def seasAt(phase: Column): Column =
+      coalesce(element_at(col("smap"), phase), lit(0.0d))
+    val level = lit(2.0d) * col("s1") - col("s2")
+    val trend = lit(coef) * (col("s1") - col("s2"))
+    val fcs = (1 to horizon).map(h =>
+      r6(level + lit(h.toDouble) * trend
+        + seasAt(pmod(col("hod") + h, lit(24)))).as(s"fc$h"))
+    d.select(col(key), col(ts), col(ord), col(value))
+      .join(seasMap, col(key) === col("__sk"), "left")
+      .withColumn("hod", hour(col(ts)))
+      .withColumn("vd", r6(col(value) - seasAt(col("hod"))))
+      .withColumn("s1", boundedKernel(w, weights, "vd"))
+      .withColumn("s2", boundedKernel(w, weights, "s1"))
+      .select(Seq(col(key), col(ord),
+        r6(level).as("level"), r6(trend).as("trend")) ++ fcs: _*)
+  }
+
+  private def tsHoltWinters(s: SparkSession, dir: String): DataFrame =
+    holtWinters(graft.Tables(s, dir, "events"),
         "user_id", "ts", "event_id", "value")
       .orderBy(col("user_id"), col("event_id"))
 
@@ -921,6 +1006,7 @@ object TimeSeriesOps {
     "ts_ewma" -> tsEwma,
     "ts_forecast_backtest" -> tsBacktestQ,
     "ts_des_forecast" -> tsDesForecast,
+    "ts_holt_winters" -> tsHoltWinters,
     "ts_autocorr" -> tsAutocorr,
     "ts_cross_corr" -> tsCrossCorr,
     "ts_dominant_period" -> tsDominantPeriod,
@@ -1138,6 +1224,60 @@ object TimeSeriesOps {
     "ts_ewma" -> ewmaOracleSql(EW, EALPHA),
     "ts_forecast_backtest" -> backtestOracleSql(EW, EALPHA),
     "ts_des_forecast" -> desOracleSql(EW, EALPHA, DES_H),
+    // the decompose oracle's trend/dq quantization aggregated per
+    // (series, phase), subtracted pre-kernel and re-added at the
+    // forecast phase — kernel + fc spellings shared with the des oracle
+    "ts_holt_winters" -> {
+      val kernel = kernelSqlOf(EW, EALPHA) _
+      val coef = dlit(EALPHA / (1.0 - EALPHA))
+      def r6s(x: String) = s"CAST(floor(($x) * 1e6 + 0.5) AS DOUBLE) / 1e6"
+      val fcSel = (1 to HW_H).map { h =>
+        s"""  ${r6s(s"((2.0 * s1 - s2) + $h.0 * ($coef * (s1 - s2)))" +
+          s" + coalesce(sx$h.seasonal, CAST(0.0 AS DOUBLE))")} AS fc$h"""
+      }.mkString(",\n")
+      val fcJoin = (1 to HW_H).map { h =>
+        s"LEFT JOIN si sx$h ON p2.user_id = sx$h.user_id" +
+          s" AND ((p2.hod + $h) % 24) = sx$h.hod"
+      }.mkString("\n")
+      s"""WITH a AS (
+         |  SELECT user_id, ts, event_id, "value" AS v,
+         |    COUNT(*) OVER wt AS cnt,
+         |    CAST(SUM(CAST("value" AS DECIMAL(15,2))) OVER wt AS DOUBLE)
+         |      / COUNT(*) OVER wt AS trend0
+         |  FROM events
+         |  WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN ${SEAS_W / 2} PRECEDING AND ${SEAS_W / 2 - 1} FOLLOWING)
+         |), b AS (
+         |  SELECT user_id, hour(ts) AS hod,
+         |    CAST(floor((v - trend0) * 1e6 + 0.5) AS BIGINT) AS dq
+         |  FROM a WHERE cnt = $SEAS_W
+         |), si AS (
+         |  SELECT user_id, hod,
+         |    (CAST(SUM(dq) AS DOUBLE) / COUNT(*)) / 1e6 AS seasonal
+         |  FROM b GROUP BY 1, 2
+         |), base AS (
+         |  SELECT e.user_id, e.ts, e.event_id, hour(e.ts) AS hod,
+         |    ${r6s("e.\"value\" - coalesce(si.seasonal, CAST(0.0 AS DOUBLE))")}
+         |      AS vd
+         |  FROM events e LEFT JOIN si
+         |    ON e.user_id = si.user_id AND hour(e.ts) = si.hod
+         |), p1 AS (
+         |  SELECT user_id, ts, event_id, hod, ${kernel("vd", "w")} AS s1
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), p2 AS (
+         |  SELECT user_id, ts, event_id, hod, s1, ${kernel("s1", "w")} AS s2
+         |  FROM p1
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |)
+         |SELECT p2.user_id, p2.event_id,
+         |  ${r6s("2.0 * s1 - s2")} AS level,
+         |  ${r6s(s"$coef * (s1 - s2)")} AS trend,
+         |$fcSel
+         |FROM p2
+         |$fcJoin
+         |ORDER BY p2.user_id, p2.event_id""".stripMargin
+    },
     "ts_cross_corr" -> {
       val joins = (0 to XC_LAGS).map(k =>
         s"""  SELECT $k AS k, x, y FROM xs JOIN ys

@@ -317,5 +317,7 @@ class ApiSpec extends SparkSpec {
         col("ts"), col("value"))
         .withColumnRenamed("grp", "event_type"),
       graft.ops.StatOps.queries("rel_cuped")(spark, sf))
+    agree(ev.holtWinters("user_id", "ts", "event_id", "value"),
+      graft.ops.TimeSeriesOps.queries("ts_holt_winters")(spark, sf))
   }
 }

@@ -192,6 +192,64 @@ class TimeSeriesSpec extends SparkSpec {
       s"both smoothing passes plan as Window operators:\n$simple")
   }
 
+  test("holtWinters: a level + pure daily pattern is forecast EXACTLY " +
+      "(the seasonal term des cannot express)") {
+    // v = 10 + f(hod) with f zero-mean over the 24 phases and exact at
+    // 2 dp: the centered 24-row trend window covers each phase once →
+    // trend0 = 10 exactly, seasonal(hod) = f(hod) exactly; the
+    // deseasonalized series is the constant 10 → level 10, trend 0, and
+    // fc_h = 10 + f((hod + h) % 24) = the ACTUAL next value.
+    def f(hod: Int): Double = (hod - 12) * 0.02
+    val adj = -(0 until 24).map(f).sum / 24.0 // exact-mean correction
+    val rows = (0 until 72).map(i =>
+      (1L, i, i.toLong, 10.0 + f(i % 24) + adj))
+    val out = TimeSeriesOps.holtWinters(ev(rows),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out.size == 72)
+    (0 until 71).foreach { i =>
+      val r = out(i.toLong)
+      assert(math.abs(r.getAs[Double]("level") - 10.0) < 1e-6, s"level@$i $r")
+      assert(math.abs(r.getAs[Double]("trend")) < 1e-6, s"trend@$i $r")
+      // fc1 predicts the next observation exactly (6 dp)
+      val next = rows(i + 1)._4
+      assert(math.abs(r.getAs[Double]("fc1") - next) < 1e-6,
+        s"fc1@$i = ${r.getAs[Double]("fc1")} vs actual $next")
+    }
+    // the seasonal-blind des forecaster CANNOT do this on the same data:
+    // its fc1 misses the pattern for some rows by a visible margin
+    val des = TimeSeriesOps.desForecast(ev(rows),
+        "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    val worstDes = (24 until 71).map { i =>
+      math.abs(des(i.toLong).getAs[Double]("fc1") - rows(i + 1)._4) }.max
+    assert(worstDes > 0.05,
+      s"the fixture must actually defeat the seasonal-blind baseline: $worstDes")
+  }
+
+  test("holtWinters: one series-keyed shuffle for the smoothing lineage") {
+    val df = TimeSeriesOps.holtWinters(
+      graft.Tables(spark, "/root/testdata/sf0.001", "events"),
+      "user_id", "ts", "event_id", "value")
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    // window lineage + seasonal-map build + the key join: a bounded
+    // handful of key-shuffles. (The planner MAY auto-broadcast the
+    // seasonal map when it is small — the code never forces it, so a
+    // corpus-scale series population falls back to the key-shuffle join
+    // on its own; both passes still stack on ONE window lineage.)
+    val shuffles = simple.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && !l.contains("Reused"))
+    assert(shuffles <= 5, s"unexpected exchange count $shuffles:\n$simple")
+    // 2 stacked smoothing windows + the seasonal build's centered-trend
+    // window(s); every windowspecdefinition in the plan must carry the
+    // series key (no single-partition window anywhere)
+    val windows = simple.linesIterator.count(_.contains("Window"))
+    assert(windows >= 2 && windows <= 4, s"window count $windows:\n$simple")
+    assert(!simple.contains("windowspecdefinition(ts#"),
+      s"unkeyed window (order-only spec) in plan:\n$simple")
+  }
+
   test("dominantPeriod: a planted 4-hour cycle reads period 4") {
     // series A: strict 4-hour cycle over 48 hours; series B: strict
     // 6-hour cycle — each must recover ITS period, independently
