@@ -118,6 +118,10 @@ object SparkEntry {
     "text_bpe_artifact",
     // iterative peeling: per-round convergence counts run at plan build
     "graph_kcore",
+    // a-priori: the shared guarded/L2 frames localCheckpoint at plan
+    // build (five and four consumers respectively — Catalyst does not
+    // dedupe common subtrees)
+    "rel_freq_itemsets",
     // mutual-reinforcement supersteps localCheckpoint per half-step (the
     // raw frame feeds both its total and the node join)
     "graph_hits",
@@ -125,9 +129,6 @@ object SparkEntry {
     // (the strength vector feeds BOTH sides of the pair join), so the
     // item-sized steps execute at plan build
     "rel_bradley_terry",
-    // greedy MMR: per-pick localCheckpoint cuts the same doubling tree
-    // (the selected set feeds both the anti-join and the max-sim join)
-    "sim_mmr_rerank",
     // composed pipeline: runs the GD training loop (trainedQuality) and
     // the component kernel's supersteps at plan build, plus prefixSums'
     // offset pass

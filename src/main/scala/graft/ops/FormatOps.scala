@@ -68,7 +68,9 @@ object FormatOps {
     * the plan; verified by PlanSpec). */
   private def partitionedPruned(s: SparkSession, dir: String): DataFrame = {
     val path = tmpDir(s, "part")
-    graft.Tables(s, dir, "orders")
+    // repartition by the partition column first (the partitionEvolution
+    // discipline): one writer per status directory, not tasks × dirs files
+    graft.Tables(s, dir, "orders").repartition(col("o_orderstatus"))
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     s.read.parquet(path)
       .filter(col("o_orderstatus") === "F")
@@ -859,8 +861,12 @@ object FormatOps {
     * lakes — stop being possible. */
   private def hiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
     val path = tmpDir(s, "hiddenpart")
+    // repartition by the partition column first: ~84 month directories
+    // from a 32-wide input was ~2700 small files (tasks × dirs), paid
+    // again by every listing and pruned read
     graft.Tables(s, dir, "orders")
       .withColumn("p_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("p_month"))
       .write.partitionBy("p_month").mode("overwrite").parquet(path)
     // the transform is table METADATA, not query text
     java.nio.file.Files.writeString(
@@ -1097,8 +1103,11 @@ object FormatOps {
   private def dppJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = tmpDir(s, "dppfact")
+    // repartition by the partition column first (one writer per month
+    // directory — the partitionEvolution discipline)
     graft.Tables(s, dir, "orders")
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("o_month"))
       .write.mode("overwrite").partitionBy("o_month").parquet(path)
     val fact = s.read.parquet(path)
     // the calendar dim must be a real (file-backed) table: an in-memory

@@ -122,52 +122,101 @@ object GraphOps {
     * only corpus-sized input. The oracle unrolls all iterations as a
     * MATERIALIZED CTE ladder.
     *
-    * EAGER (SparkEntry.eagerQueries): each raw half-step frame feeds
-    * BOTH its own normalizing total and the node join — the BT/MMR
-    * doubling-lineage shape — so every half-step localCheckpoints its
-    * node-count-sized result and the supersteps execute at plan build. */
+    * EAGER (SparkEntry.eagerQueries): the per-iteration normalizing
+    * totals run RDD jobs at plan build.
+    *
+    * r16 rework (optimization round): the supersteps used to run as a
+    * Catalyst ladder — per iteration two edge joins, two node left-joins,
+    * two broadcast totals and FIVE eager localCheckpoints, each a fresh
+    * tiny plan whose PLANNING cost dwarfed its execution (the
+    * text_bpe_artifact finding; the query spent ~2.5 s on a 2k-node
+    * graph). The iteration now runs as a co-partitioned RDD superstep
+    * kernel — the layout the pagerank scale note above prescribes
+    * ("hash-partition edges and ranks on the join key once and every
+    * iteration's join is exchange-free on the edge side"): edges are
+    * partitioned by src and by dst ONCE, score vectors keep the same
+    * partitioner, so each half-step is one narrow join + ONE shuffle
+    * (the dst/src-keyed sum) + a narrow normalize. State stays
+    * node-distributed (nothing node-sized ever collects to the driver).
+    * Arithmetic is bit-identical to the ladder (GraphOpsSpec pins the
+    * shapes, the oracle replays the same CTE ladder): half-step sums and
+    * totals accumulate in BigInteger — the same exactness class as the
+    * DECIMAL(38,0) sums they replace (a BIGINT sum would wrap silently
+    * past ~9.2M edges; DuckDB's HUGEINT and BigInteger both keep going) —
+    * and the normalization is the same truncating integral divide by
+    * max(total div HSCALE, 1) on non-negative values. */
   def hits(e0: DataFrame, iters: Int = HITS_ITERS): DataFrame = {
     // iters = 0 would return the un-normalized initial hub vector and a
     // null authority frame — reject loudly instead of NPEing
     require(iters >= 1, s"hits needs at least 1 iteration (got $iters)")
-    // half-step sums and their normalizing totals accumulate in
-    // DECIMAL(38,0), NOT BIGINT: the first half-step starts every node at
-    // HSCALE, so ar(dst) = indeg·1e12 and ta = E·1e12 — past ~9.2M edges
-    // a BIGINT total wraps SILENTLY in Spark while DuckDB's HUGEINT sum
-    // keeps going, a cross-engine divergence with no error. Decimal sums
-    // are exact to 38 digits (loud NULL past that, never a wrap) and the
-    // per-node quotients are unchanged where BIGINT sufficed.
-    val sdec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val e = e0.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    var h = nodes.select(col("node"), lit(HSCALE).as("hs"))
-    var a: DataFrame = null
-    for (_ <- 1 to iters) {
-      val araw = e.join(h, e("src") === h("node"))
-        .groupBy(col("dst")).agg(sum(col("hs").cast(sdec)).as("ar"))
-        .localCheckpoint(true)
-      val ta = broadcast(araw.agg(sum(col("ar")).as("ta")))
-      a = nodes.join(araw, nodes("node") === araw("dst"), "left")
-        .crossJoin(ta)
-        .select(col("node"),
-          expr(s"coalesce(ar, 0) div greatest(ta div $HSCALE, 1)").as("as_"))
-        .localCheckpoint(true)
-      val hraw = e.join(a, e("dst") === a("node"))
-        .groupBy(col("src")).agg(sum(col("as_").cast(sdec)).as("hr"))
-        .localCheckpoint(true)
-      val th = broadcast(hraw.agg(sum(col("hr")).as("th")))
-      h = nodes.join(hraw, nodes("node") === hraw("src"), "left")
-        .crossJoin(th)
-        .select(col("node"),
-          expr(s"coalesce(hr, 0) div greatest(th div $HSCALE, 1)").as("hs"))
-        .localCheckpoint(true)
+    val s = e0.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eRdd = e0.select(col("src"), col("dst")).rdd
+      .map(r => (r.get(0), r.get(1)))
+    // partition count follows the input's scan width (scale-adaptive —
+    // a 100 TB edge list keeps its width; the bench graph stays narrow)
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, eRdd.getNumPartitions))
+    val bySrc = eRdd.partitionBy(part).persist(lvl)          // (src, dst)
+    val byDst = eRdd.map(_.swap).partitionBy(part).persist(lvl) // (dst, src)
+    // node set with the SAME partitioner (one shuffle, kept co-located)
+    val nodes = eRdd.flatMap(t => Iterator(t._1, t._2))
+      .map((_, ())).reduceByKey(part, (a, _) => a).persist(lvl)
+    val one = java.math.BigInteger.ONE
+    val hscaleBi = java.math.BigInteger.valueOf(HSCALE)
+    def normalize(raw: org.apache.spark.rdd.RDD[(Any, java.math.BigInteger)])
+        : org.apache.spark.rdd.RDD[(Any, Long)] = {
+      // total: one job (also materializes raw's cache); fold — not
+      // reduce — so an empty edge list yields an empty result, not a
+      // driver exception
+      val t = raw.map(_._2).fold(java.math.BigInteger.ZERO)(_.add(_))
+      val tdiv = t.divide(hscaleBi).max(one)
+      // coalesce(raw, 0) div max(total div HSCALE, 1) — narrow join
+      // (nodes and raw share the partitioner)
+      nodes.leftOuterJoin(raw, part).mapValues { case (_, rOpt) =>
+        rOpt.getOrElse(java.math.BigInteger.ZERO).divide(tdiv)
+          .longValueExact()
+      }.persist(lvl)
     }
-    h.join(a, "node")
-      .select(col("node"), col("hs").as("hub_fp"), col("as_").as("auth_fp"),
-        (col("hs").cast("double") / lit(HSCALE.toDouble)).as("hub"),
-        (col("as_").cast("double") / lit(HSCALE.toDouble)).as("auth"))
+    var h = nodes.mapValues(_ => HSCALE).persist(lvl)
+    var a: org.apache.spark.rdd.RDD[(Any, Long)] = null
+    for (_ <- 1 to iters) {
+      val araw = bySrc.join(h, part) // narrow: co-partitioned
+        .map { case (_, (dst, hs)) =>
+          (dst, java.math.BigInteger.valueOf(hs)) }
+        .reduceByKey(part, _.add(_)).persist(lvl) // the half-step shuffle
+      val aNew = normalize(araw)
+      val hraw = byDst.join(aNew, part)
+        .map { case (_, (src, as_)) =>
+          (src, java.math.BigInteger.valueOf(as_)) }
+        .reduceByKey(part, _.add(_)).persist(lvl)
+      val hNew = normalize(hraw)
+      // the totals above already materialized araw/hraw; the normalized
+      // vectors materialize at the next half-step's total (or the final
+      // assembly) — release superseded state once its successor is built
+      h.unpersist(blocking = false)
+      if (a != null) a.unpersist(blocking = false)
+      araw.unpersist(blocking = false)
+      hraw.unpersist(blocking = false)
+      h = hNew
+      a = aNew
+    }
+    val nodeType = e0.schema("src").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, true),
+      org.apache.spark.sql.types.StructField("hub_fp",
+        org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("auth_fp",
+        org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.DoubleType, true),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.DoubleType, true)))
+    val rows = h.join(a, part).map { case (node, (hs, as_)) =>
+      org.apache.spark.sql.Row(node, hs, as_,
+        hs.toDouble / HSCALE.toDouble, as_.toDouble / HSCALE.toDouble)
+    }
+    s.createDataFrame(rows, schema)
   }
 
   private def hitsQ(s: SparkSession, dir: String): DataFrame =
@@ -520,8 +569,17 @@ object GraphOps {
     labels
   }
 
+  /** The LPA partition over the corpus graph, ONE run per (session,
+    * corpus) pass — graph_label_prop reports its community sizes and
+    * graph_modularity scores the same partition (r16 optimization: the
+    * two queries each ran the full 4-round ladder; production detects
+    * communities once and evaluates the same labels). */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "lpa_labels")(
+      labelPropagate(edges(s, dir), LPA_ROUNDS))
+
   private def labelPropQ(s: SparkSession, dir: String): DataFrame =
-    labelPropagate(edges(s, dir), LPA_ROUNDS)
+    lpaLabels(s, dir)
       .groupBy(col("lbl").as("community_id"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("community_id"))
@@ -578,7 +636,7 @@ object GraphOps {
   }
 
   private def modularityQ(s: SparkSession, dir: String): DataFrame =
-    modularity(edges(s, dir), labelPropagate(edges(s, dir), LPA_ROUNDS))
+    modularity(edges(s, dir), lpaLabels(s, dir))
 
   /** Degree distribution + power-law fit — the first structural health
     * check run on a crawl/link graph (a degree histogram that is NOT

@@ -145,49 +145,98 @@ object Similarity {
   /** The greedy MMR core over a prepared candidate frame
     * (q_id, vec_id, rel) and directional pair-sim frame
     * (q_id, a_id, b_id, psim) — see mmrRerank for the contract. Exposed
-    * for spec-level semantics pins on hand fixtures. */
+    * for spec-level semantics pins on hand fixtures.
+    *
+    * r16 rework (optimization round): the former implementation ran the K
+    * greedy steps as a Catalyst ladder — per pick an anti-join, a
+    * max-sim join, a per-query argmax window and an eager localCheckpoint
+    * — ~4 fresh tiny plans per step whose PLANNING cost dwarfed their
+    * execution at any corpus size (the text_bpe_artifact finding: a fresh
+    * trivial plan costs ~130-180 ms before a single row moves). The
+    * selection is per-query sequential but queries are independent and
+    * each query's state is BOUNDED (N candidates, N² pair sims — the ANN
+    * result size, never the corpus), so the whole K-step greedy runs as
+    * ONE cogroup pass: both frames exchange once on q_id and a scalar
+    * loop picks all K per query (the minhash/gear-CDC typed-kernel
+    * discipline). Bit-equivalence with the ladder, pinned by MmrSpec's
+    * brute-force reference: double compares use the engine's total order
+    * (SQLOrderingUtil: == first, then Double.compare), the running
+    * max-sim tracks only EXISTING pair rows with missing → 0.0 exactly
+    * like the ladder's left-join + coalesce (an existing NEGATIVE psim
+    * beats no-row, so the running max starts ABSENT, not at 0), mmr
+    * compares unrounded and is 6-dp floor-rounded only on emit. */
   private[graft] def mmrSelect(cand: DataFrame, pairs: DataFrame, k: Int,
                                lam: Double): DataFrame = {
-    val wPick = Window.partitionBy(col("q_id"))
-      .orderBy(col("mmr").desc, col("vec_id").asc)
-    def mmrCol: Column =
-      lit(lam) * col("rel") - lit(1.0 - lam) * col("maxsim")
-    def pick(scored: DataFrame, step: Int): DataFrame =
-      scored.withColumn("rkp", row_number().over(wPick))
-        .filter(col("rkp") === 1)
-        .select(col("q_id"), lit(step.toLong).as("step"), col("vec_id"),
-          col("rel"), col("maxsim"), col("mmr"))
-    // localCheckpoint per step: sel feeds BOTH the anti-join and the
-    // max-sim join of the next step, so an unbroken lineage doubles the
-    // plan tree per pick — 2^K plan copies re-executing the window
-    // ladder (measured: 64 s at sf0.1 for K=6 before the cut, sub-second
-    // after). The checkpointed frame is (queries × step)-sized. EAGER —
-    // listed in SparkEntry.eagerQueries.
-    var sel = pick(cand.withColumn("maxsim", lit(0.0d))
-      .withColumn("mmr", mmrCol), 1).localCheckpoint(true)
-    for (t <- 2 to k) {
-      val remaining = cand.join(sel.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti")
-      val ms = pairs
-        .join(sel.select(col("q_id"), col("vec_id").as("b_id")),
-          Seq("q_id", "b_id"))
-        .groupBy(col("q_id"), col("a_id").as("vec_id"))
-        .agg(max(col("psim")).as("maxsim"))
-      // LEFT join + coalesce(0): `pairs` may be SPARSE (only nonzero
-      // sims stored — the common representation); a candidate with no
-      // pair row to any selected item has max-sim 0, the BEST diversity
-      // score, and must stay in the running — an inner join would drop
-      // exactly the most diverse candidates. On a complete N² matrix
-      // (the corpus query) the two joins are identical.
-      val scored = remaining.join(ms, Seq("q_id", "vec_id"), "left_outer")
-        .withColumn("maxsim", coalesce(col("maxsim"), lit(0.0d)))
-        .withColumn("mmr", mmrCol)
-      sel = sel.unionByName(pick(scored, t)).localCheckpoint(true)
+    val s = cand.sparkSession
+    import s.implicits._
+    // the engine's double ordering (SQLOrderingUtil.compareDoubles):
+    // 0.0 == -0.0, NaN greatest — matches the ladder's window sort
+    def cmpD(x: Double, y: Double): Int =
+      if (x == y) 0 else java.lang.Double.compare(x, y)
+    val candDs = cand.select(col("q_id").cast("long"),
+      col("vec_id").cast("long"), col("rel").cast("double"))
+      .as[(Long, Long, Double)]
+    val pairDs = pairs.select(col("q_id").cast("long"),
+      col("a_id").cast("long"), col("b_id").cast("long"),
+      col("psim").cast("double")).as[(Long, Long, Long, Double)]
+    val picked = candDs.groupByKey(_._1).cogroup(pairDs.groupByKey(_._1)) {
+      (q, cs, ps) =>
+        val cl = cs.map(c => (c._2, c._3)).toArray // (vec_id, rel)
+        if (cl.isEmpty) Iterator.empty
+        else {
+          val sim = new scala.collection.mutable.HashMap[(Long, Long), Double]
+          // duplicate (a,b) rows keep the max psim (the ladder aggregated
+          // max() before its left join)
+          ps.foreach { p =>
+            val key = (p._2, p._3)
+            sim.get(key) match {
+              case Some(c) if cmpD(c, p._4) >= 0 => ()
+              case _ => sim(key) = p._4
+            }
+          }
+          val n = cl.length
+          val picks = math.min(k, n)
+          val live = Array.fill(n)(true)
+          // running max over EXISTING pair rows to the selected set;
+          // NaN sentinel = no row yet (psim values are rounded cosines,
+          // never NaN) — getOrElse(0.0) only at SCORING time, so a
+          // negative existing max is used as-is (the coalesce contract)
+          val ms = Array.fill(n)(Double.NaN)
+          val out =
+            new Array[(Long, Long, Long, Double, Double, Double)](picks)
+          var step = 1
+          while (step <= picks) {
+            var best = -1; var bestMmr = 0.0; var bestMs = 0.0
+            var i = 0
+            while (i < n) {
+              if (live(i)) {
+                val m = if (ms(i).isNaN) 0.0 else ms(i)
+                val sc = lam * cl(i)._2 - (1.0 - lam) * m
+                val better = best < 0 || {
+                  val c = cmpD(sc, bestMmr)
+                  c > 0 || (c == 0 && cl(i)._1 < cl(best)._1)
+                }
+                if (better) { best = i; bestMmr = sc; bestMs = m }
+              }
+              i += 1
+            }
+            out(step - 1) = (q, step.toLong, cl(best)._1, cl(best)._2,
+              bestMs, math.floor(bestMmr * 1e6 + 0.5) / 1e6)
+            live(best) = false
+            val sId = cl(best)._1
+            i = 0
+            while (i < n) {
+              if (live(i)) sim.get((cl(i)._1, sId)).foreach { p =>
+                if (ms(i).isNaN || cmpD(p, ms(i)) > 0) ms(i) = p
+              }
+              i += 1
+            }
+            step += 1
+          }
+          out.iterator
+        }
     }
-    sel.select(col("q_id"), col("step"), col("vec_id"), col("rel"),
-      col("maxsim"),
-      (floor(col("mmr") * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6))
-        .as("mmr"))
+    picked.toDF("q_id", "step", "vec_id", "rel", "maxsim", "mmr")
   }
 
   /** Sign-LSH bucket: concat of sign bits of 4 fixed dimensions (stand-ins
@@ -682,7 +731,12 @@ object Similarity {
     val path = Staging.stagedValue(s, dir, s"prunedidx_$key") {
       val p = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_idx_${key}_" +
         s.sparkContext.applicationId
-      postings.write.mode("overwrite").partitionBy("cell").parquet(p)
+      // repartition by the partition column before partitionBy (the
+      // partitionEvolution discipline): without it every input task opens
+      // a writer in every cell directory — tasks × cells small files that
+      // every serve scan, refresh listing and footer read then pays for
+      postings.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
       p
     }
     val index = s.read.parquet(path)
@@ -762,9 +816,11 @@ object Similarity {
     val ranked = ivfRanked(s, dir)
     val postings = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
       .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
-    // base index: the corpus as of the initial build (vec_id < SPLIT)
+    // base index: the corpus as of the initial build (vec_id < SPLIT);
+    // repartition by cell first — one writer per cell directory, not
+    // tasks × cells small files (the partitionEvolution discipline)
     val split = 400
-    postings.filter(col("vec_id") < split)
+    postings.filter(col("vec_id") < split).repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     def dataFiles() = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -775,7 +831,7 @@ object Similarity {
     val baseFiles = dataFiles()
     // refresh: late arrivals append postings into their frozen-quantizer
     // cells — no existing file is rewritten
-    postings.filter(col("vec_id") >= split)
+    postings.filter(col("vec_id") >= split).repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
     val afterFiles = dataFiles()
     require(baseFiles.subsetOf(afterFiles),
@@ -852,8 +908,8 @@ object Similarity {
     val ranked = ivfRanked(s, dir)
     val postings = ranked.filter(col("crk") === 1 && col("vec_id") >= N_QUERIES)
       .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
-    postings.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/post_v1")
+    postings.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/post_v1")
     CommitLog.commitTables(path, 0, Seq("post" -> s"$path/post_v1"))
     def fileState() = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -871,6 +927,9 @@ object Similarity {
       .filter(col("vec_id") % 17 === 0)
       .groupBy(col("f"), floor(col("rid") / 64).as("w"))
       .agg(bit_or(bit).as("dmask"))
+      // the DV is doomed-row-bitmap-sized metadata: one file per delete
+      // commit (the Delta DV shape), not shuffle-width empty shards
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/dv_v2")
     CommitLog.commitTables(path, 1,
       Seq("post" -> s"$path/post_v1", "dv" -> s"$path/dv_v2"))

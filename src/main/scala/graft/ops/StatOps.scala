@@ -1039,6 +1039,15 @@ object StatOps {
     val ni = bi0.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
     val bi = bi0.join(ni.filter(col("n_item") >= minSupport)
       .select(col("it")), Seq("it"), "left_semi")
+    // materialized once (r16 optimization): the guarded frame feeds FIVE
+    // plan branches (both p2 sides, both ab sides, the p3 third leg) and
+    // Catalyst does not dedupe common DataFrame subtrees — unpersisted,
+    // the corpus scan + distinct + support semi-join + basket window ran
+    // per branch and the composed plan carried 23 parquet scans / 71
+    // exchanges whose PLANNING alone was a visible share of the query
+    // (334-operator tree). localCheckpoint is the kcore/linkPredict
+    // discipline; the frame is post-filter (basket, item)-sized. EAGER —
+    // listed in SparkEntry.eagerQueries.
     val guarded = bi
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bk"))))
       .select(col("bk"),
@@ -1047,15 +1056,19 @@ object StatOps {
             lit("freqItemsets: a basket holds "), col("bsz").cast("string"),
             lit(s" items after the min-support filter (> maxBasketItems=" +
               s"$maxBasketItems)")))).as("it"))
+      .localCheckpoint(true)
     val l1 = ni.filter(col("n_item") >= minSupport)
       .select(lit(1L).as("size"), col("it").as("i1"),
         lit(null).cast("string").as("i2"), lit(null).cast("string").as("i3"),
         col("n_item").as("support"))
+    // L2 feeds l2 plus THREE downward-closure semi-joins — same
+    // materialize-once reasoning as `guarded`; itemset-space-sized
     val p2 = guarded.as("a").join(guarded.as("b"),
         col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
       .groupBy(col("a.it").as("i1"), col("b.it").as("i2"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
+      .localCheckpoint(true)
     val l2 = p2.select(lit(2L).as("size"), col("i1"), col("i2"),
       lit(null).cast("string").as("i3"), col("support"))
     // Level 3 — TRUE a-priori candidate generation (r14 verdict weak flag):

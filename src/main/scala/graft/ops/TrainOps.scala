@@ -528,9 +528,6 @@ object TrainOps {
   private val BT_T = 6 // MM iterations — geometric convergence, 6 suffices
                        // for 6-dp-stable strengths on this comparison graph
 
-  private def r6bt(c: Column): Column =
-    floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
-
   /** Bradley–Terry preference aggregation — the pairwise-comparison →
     * latent-strength fit behind preference-data curation (which source /
     * annotator / model variant wins head-to-heads): p(i beats j) =
@@ -550,46 +547,117 @@ object TrainOps {
     * partitioning-dependent); each update is then ONE double division.
     * The oracle unrolls all T steps and replays the identical ladder.
     *
-    * EAGER (SparkEntry.eagerQueries): the strength vector appears TWICE
-    * per step (w_i and w_j sides of the pair join), so an unbroken
-    * lineage doubles the plan tree per iteration — 2^T copies of the
-    * base aggregates by step T, which stalls the optimizer long before
-    * execution. localCheckpoint after each step cuts the growth (the
-    * kcore/BFS loop discipline); the checkpointed frame is item-count
-    * sized. */
+    * EAGER (SparkEntry.eagerQueries): the per-step denominator pass runs
+    * RDD jobs at plan build (the text_bpe_train superstep discipline) and
+    * the returned frame is a driver-sized LocalRelation.
+    *
+    * r16 rework (optimization round): the T iterations used to run as a
+    * Catalyst ladder — per step two joins of the games aggregate against
+    * the strength frame, a normalizing aggregate, a crossJoin and an
+    * eager localCheckpoint — ~4 fresh tiny plans per step whose PLANNING
+    * cost dwarfed execution (the text_bpe_artifact finding: a fresh
+    * trivial plan costs ~130-180 ms before any row moves; the query spent
+    * ~2.4 s on 5 items). The games table stays a DISTRIBUTED RDD
+    * (category²-sized, scanned once per step map-side against the
+    * broadcast strength map); only the strength vector — category-sized,
+    * the same class as TrainOps' 64-weight GD model — lives on the
+    * driver, exactly the "broadcast strength vector" the scale posture
+    * above already commits to. Every arithmetic step replicates the
+    * ladder's engine semantics bit-for-bit (BradleyTerrySpec pins all
+    * edge shapes, the oracle replays the identical ladder): per-term
+    * quantization is Spark's Cast(double → DECIMAL(28,12)) spelling
+    * (shortest-string BigDecimal, HALF_UP — the absentConstOf precedent),
+    * decimal sums are exact BigDecimal adds (order-free), NULL propagation
+    * follows the joins: an item absent from a step's denominator frame
+    * drops out of wcur (inner join) and an all-skipped denominator is
+    * NULL, yielding NULL strength downstream in both engines. */
   def bradleyTerryCounts(games0: DataFrame, items0: DataFrame,
                          t: Int = BT_T): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
-    // the aggregates are category²-sized but their LINEAGE is the corpus
-    // pass — checkpoint once so the T iterations (which each join games
-    // and items) replay tiny scans, not T corpus aggregations (measured:
-    // 9.2 s → ~1 s at sf0.1)
-    val games = games0.localCheckpoint(true)
-    val items = items0.localCheckpoint(true)
-    var wcur = items.select(col("i"), lit(1.0d).as("w")).localCheckpoint(true)
+    val s = games0.sparkSession
+    // Spark's Cast(double → DECIMAL(28,12)): shortest decimal string of
+    // the double, then HALF_UP to scale 12 (see absentConstOf)
+    def q12(d: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(d))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    // items (strength vector + win totals) is category-sized by contract;
+    // games is category²-sized and stays distributed
+    val itemRows = items0.select(col("i"), col("n_games").cast("long"),
+      col("wins").cast("long")).collect()
+    val games = games0.select(col("i"), col("j"), col("n").cast("long"))
+      .rdd.map(r => (r.get(0), r.get(1), r.getLong(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // w: None = NULL strength (kept, like a NULL row); absent from the
+    // map = dropped from wcur (inner-join semantics)
+    var wMap: Map[Any, Option[Double]] =
+      itemRows.iterator.map(r => r.get(0) -> Option(1.0d)).toMap
+    val winsOf: Map[Any, Long] =
+      itemRows.iterator.map(r => r.get(0) -> r.getLong(2)).toMap
     for (_ <- 1 to t) {
-      val den = games
-        .join(wcur.select(col("i"), col("w").as("wi")), "i")
-        .join(wcur.select(col("i").as("j"), col("w").as("wj")), "j")
-        .groupBy(col("i"))
-        // wi + wj = 0 is reachable (two never-winning items that played
-        // each other are both 0 from step 1): the raw quotient is ±Inf,
-        // which Spark's decimal cast NULLs (term silently dropped) while
-        // DuckDB's decimal cast ERRORS — guard the term so both engines
-        // skip the degenerate pair identically
-        .agg(sum(when(col("wi") + col("wj") > 0d,
-          (col("n").cast("double") / (col("wi") + col("wj"))).cast(dec)))
-          .cast("double").as("den"))
-      val upd = den.join(items.select(col("i"), col("wins")), "i")
-        .select(col("i"), (col("wins").cast("double") / col("den")).as("w"))
-      val ssum = upd.agg(sum(col("w").cast(dec)).cast("double").as("s"))
-      wcur = upd.crossJoin(broadcast(ssum))
-        .select(col("i"), (col("w") / col("s")).as("w"))
-        .localCheckpoint(true)
+      val bc = s.sparkContext.broadcast(wMap)
+      // denominator pass: games scanned map-side against the broadcast
+      // strengths; term skipped (NULL) unless wi + wj > 0 — wi + wj = 0
+      // is reachable (two never-winning items that played each other are
+      // both 0 from step 1): the raw quotient is ±Inf, which Spark's
+      // decimal cast NULLs while DuckDB's ERRORS — both engines skip it
+      val den: Map[Any, Option[java.math.BigDecimal]] = games
+        .flatMap { case (i, j, n) =>
+          val m = bc.value
+          (m.get(i), m.get(j)) match {
+            case (Some(wiO), Some(wjO)) =>
+              val term = for {
+                wi <- wiO; wj <- wjO
+                if wi + wj > 0d
+              } yield q12(n.toDouble / (wi + wj))
+              Iterator.single(i -> term)
+            case _ => Iterator.empty // inner-join drop
+          }
+        }
+        .reduceByKey((a, b) => (a, b) match {
+          case (Some(x), Some(y)) => Some(x.add(y))
+          case (Some(x), None) => Some(x)
+          case (None, y) => y
+        })
+        .collect().toMap
+      bc.unpersist()
+      // upd = den ⋈ items (inner): w = wins / den, NULL den → NULL w
+      val upd: Seq[(Any, Option[Double])] = itemRows.iterator.flatMap { r =>
+        den.get(r.get(0)).map { dOpt =>
+          (r.get(0): Any) -> dOpt.map(d => r.getLong(2).toDouble / d.doubleValue)
+        }
+      }.toSeq
+      // sum-normalizer: Σ dec(w) over non-NULL w; NULL if none
+      var acc = java.math.BigDecimal.ZERO
+      var any = false
+      upd.foreach {
+        case (_, Some(w)) => acc = acc.add(q12(w)); any = true
+        case _ => ()
+      }
+      val sOpt = if (any) Some(acc.doubleValue) else None
+      wMap = upd.iterator.map { case (i, wO) =>
+        i -> (for (w <- wO; sv <- sOpt) yield w / sv)
+      }.toMap
     }
-    items.join(wcur, "i")
-      .select(col("i").as("item"), col("wins").as("n_wins"),
-        col("n_games"), r6bt(col("w")).as("strength"))
+    games.unpersist(blocking = false)
+    // items ⋈ wcur (inner) with the ladder's 6-dp floor rounding
+    val iType = items0.schema("i").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item", iType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_wins",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_games",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("strength",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val out = itemRows.iterator.flatMap { r =>
+      wMap.get(r.get(0)).map { wO =>
+        org.apache.spark.sql.Row(r.get(0), winsOf(r.get(0)), r.getLong(1),
+          wO.map(w => java.lang.Double.valueOf(
+            math.floor(w * 1e6 + 0.5) / 1e6)).orNull)
+      }
+    }.toSeq
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
   }
 
   /** Comparison-frame front end: `comp` rows are (pa, pb, win_a ∈ {0,1})
