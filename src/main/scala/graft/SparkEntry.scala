@@ -118,10 +118,10 @@ object SparkEntry {
     "text_bpe_artifact",
     // iterative peeling: per-round convergence counts run at plan build
     "graph_kcore",
-    // a-priori: the shared guarded/L2 frames localCheckpoint at plan
-    // build (five and four consumers respectively — Catalyst does not
-    // dedupe common subtrees)
-    "rel_freq_itemsets",
+    // a-priori / lift: the shared distinct-pass and guarded frames
+    // localCheckpoint at plan build (multiple consumers — Catalyst does
+    // not dedupe common subtrees)
+    "rel_freq_itemsets", "rel_basket_lift",
     // mutual-reinforcement supersteps localCheckpoint per half-step (the
     // raw frame feeds both its total and the node join)
     "graph_hits",

@@ -283,7 +283,13 @@ object StatOps {
     require(minSupport >= 1 && maxBasketItems >= 1,
       s"basketLift thresholds must be >= 1 " +
         s"(got minSupport=$minSupport, maxBasketItems=$maxBasketItems)")
+    // materialized once (r16 optimization): the distinct corpus pass
+    // feeds THREE branches (the basket total, the per-item supports —
+    // read again by the final lift joins — and the prefilter) and
+    // Catalyst does not dedupe common subtrees; same for the guarded
+    // frame below (both pair-join sides). EAGER — SparkEntry.eagerQueries.
     val bi0 = d.select(basket.as("bk"), item.as("it")).distinct()
+      .localCheckpoint(true)
     val nb = bi0.agg(count_distinct(col("bk")).as("n_baskets"))
     val ni = bi0.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
     val bi = bi0.join(ni.filter(col("n_item") >= minSupport)
@@ -301,6 +307,7 @@ object StatOps {
             lit(s" items after the min-support filter (> maxBasketItems=" +
               s"$maxBasketItems) — its pair explosion would land on ONE " +
               "task; cap, salt, or drop the hot basket")))).as("it"))
+      .localCheckpoint(true)
     val pairs = guarded.as("l")
       .join(guarded.as("r"), col("l.bk") === col("r.bk") &&
         col("l.it") < col("r.it"))
@@ -1035,7 +1042,10 @@ object StatOps {
                    maxBasketItems: Long = 4096L): DataFrame = {
     require(minSupport >= 1 && maxBasketItems >= 1,
       "freqItemsets thresholds must be >= 1")
+    // distinct corpus pass feeds ni (itself read by L1 and the prefilter)
+    // plus the guarded build — materialized once like `guarded`/`p2`
     val bi0 = d.select(basket.as("bk"), item.as("it")).distinct()
+      .localCheckpoint(true)
     val ni = bi0.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
     val bi = bi0.join(ni.filter(col("n_item") >= minSupport)
       .select(col("it")), Seq("it"), "left_semi")

@@ -962,31 +962,110 @@ object TimeSeriesOps {
     * are excluded in both engines. */
   def theilSen(df: DataFrame, key: String, ts: String, ord: String,
                value: String, w: Int = TS_W): DataFrame = {
-    val wk = Window.partitionBy(col(key)).orderBy(col(ts), col(ord))
-    val head = df.withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= w)
-      .select(col(key).as("__k"), col("rn"),
-        unix_micros(col(ts)).as("tus"), col(value).as("v"))
-    val a = head.select(col("__k"), col("rn").as("ra"),
-      col("tus").as("ta"), col("v").as("va"))
-    val b = head.select(col("__k").as("kb"), col("rn").as("rb"),
-      col("tus").as("tb"), col("v").as("vb"))
-    val pairs = a.join(b, col("__k") === col("kb") && col("ra") < col("rb"))
-      .filter(col("tb") > col("ta"))
-      .select(col("__k"), col("ra"), col("rb"),
-        ((col("vb") - col("va")) /
-          ((col("tb") - col("ta")).cast("double") / lit(1e6))).as("slope"))
-    val wOrd = Window.partitionBy(col("__k"))
-      .orderBy(col("slope"), col("ra"), col("rb"))
-    val wAll = Window.partitionBy(col("__k"))
-    pairs
-      .withColumn("rk", row_number().over(wOrd))
-      .withColumn("np", count(lit(1)).over(wAll))
-      .filter(col("rk") === expr("(np + 1) div 2") ||
-        col("rk") === expr("(np + 2) div 2"))
-      .groupBy(col("__k").as(key))
-      .agg(max(col("np")).as("n_pairs"),
-        r6(avg(col("slope"))).as("ts_slope"))
+    // r16 rework (optimization round): the former dataflow materialized
+    // the W²/2-per-key pair frame (≥1M rows at sf0.1), self-joined and
+    // ran TWO windows over it (rank + count) before a final aggregate.
+    // The per-key state is BOUNDED by construction (≤ W observations,
+    // ≤ W·(W−1)/2 slopes), so the whole estimator runs as ONE
+    // sorted-partition streaming kernel: shuffle the pruned columns by
+    // key, sort within partitions by (key, ts, ord) — the exact order the
+    // old row_number window established — and compute head selection,
+    // pairwise slopes and the median order statistics per key in a scalar
+    // loop (the minhash/gear-CDC typed-kernel discipline). Arithmetic is
+    // bit-identical: slopes are the same single IEEE divisions, the sort
+    // uses the engine's double total order (== first, then
+    // Double.compare), the median picks the identical (⌈n/2⌉, ⌈(n+1)/2⌉)
+    // order statistics under (slope, i, j), and avg-of-two is one
+    // commutative double add + halve, floor-rounded 6 dp like r6.
+    val s = df.sparkSession
+    val pruned = df.select(col(key).as("__k"), col(ts).as("__ts"),
+        col(ord).as("__o"), unix_micros(col(ts)).as("tus"),
+        col(value).cast("double").as("v"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__ts"), col("__o"))
+    def cmpD(x: Double, y: Double): Int =
+      if (x == y) 0 else java.lang.Double.compare(x, y)
+    val keyType = df.schema(key).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(key, keyType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_pairs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts_slope",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = pruned.rdd.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private var pending: org.apache.spark.sql.Row = _
+        // one key's head sample → its median-slope row, or None when a
+        // key has no valid (dt > 0) pair; loops to the next key in that
+        // case (no recursion — an adversarial run of pair-less keys must
+        // not grow the stack)
+        private def computeKey(): Option[org.apache.spark.sql.Row] = {
+          while (it.hasNext || pending != null) {
+            val first = if (pending != null) pending else it.next()
+            pending = null
+            val k = first.get(0)
+            val tuss = new Array[Long](w)
+            val vs = new Array[Double](w)
+            val ok = new Array[Boolean](w) // null ts/value: head slot, no pair
+            var n = 0
+            var cur = first
+            var more = true
+            while (more) {
+              if (n < w) {
+                ok(n) = !cur.isNullAt(3) && !cur.isNullAt(4)
+                if (ok(n)) { tuss(n) = cur.getLong(3); vs(n) = cur.getDouble(4) }
+                n += 1
+              }
+              if (it.hasNext) {
+                cur = it.next()
+                if (!java.util.Objects.equals(cur.get(0), k)) {
+                  pending = cur; more = false
+                }
+              } else more = false
+            }
+            // pairwise slopes over the head, zero-dt pairs excluded
+            val slopes =
+              scala.collection.mutable.ArrayBuffer.empty[(Double, Int, Int)]
+            var i = 0
+            while (i < n) {
+              var j = i + 1
+              while (j < n) {
+                if (ok(i) && ok(j) && tuss(j) > tuss(i))
+                  slopes += (((vs(j) - vs(i)) /
+                    ((tuss(j) - tuss(i)).toDouble / 1e6), i + 1, j + 1))
+                j += 1
+              }
+              i += 1
+            }
+            val np = slopes.length
+            if (np > 0) {
+              val sorted = slopes.sortWith { (a, b) =>
+                val c = cmpD(a._1, b._1)
+                c < 0 || (c == 0 && (a._2 < b._2 ||
+                  (a._2 == b._2 && a._3 < b._3)))
+              }
+              val s1 = sorted((np + 1) / 2 - 1)._1
+              val s2 = sorted((np + 2) / 2 - 1)._1
+              val av = if (np % 2 == 1) s1 else (s1 + s2) / 2.0
+              return Some(org.apache.spark.sql.Row(k, np.toLong,
+                math.floor(av * 1e6 + 0.5) / 1e6))
+            }
+          }
+          None
+        }
+        private var nextRow: Option[org.apache.spark.sql.Row] = None
+        private var primed = false
+        override def hasNext: Boolean = {
+          if (!primed) { nextRow = computeKey(); primed = true }
+          nextRow.isDefined
+        }
+        override def next(): org.apache.spark.sql.Row = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = nextRow.get; primed = false; r
+        }
+      }
+    }
+    s.createDataFrame(rows, schema)
   }
 
   private def tsTheilSen(s: SparkSession, dir: String): DataFrame =
