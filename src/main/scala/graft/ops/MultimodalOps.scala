@@ -193,32 +193,73 @@ object MultimodalOps {
         lit(0).as("rend"), col("text"))
       .unionAll(base.select((col("doc_id") * 2 + 1).as("item_id"),
         lit(1).as("rend"), col("text")))
-    val pix = items
-      .select(col("item_id"), col("rend"),
-        length(col("text")).cast("long").as("n"),
-        posexplode(split(col("text"), "")))
-      .select(col("item_id"),
-        expr("(CAST(pos AS BIGINT) * 72) div n").as("cell"),
-        when(col("rend") === 1,
-          when(col("pos") === col("n") - 1 ||
-               col("pos") === expr("n div 2"),
-            lit(255)).otherwise(ascii(col("col")) * 2))
-          .otherwise(ascii(col("col"))).cast("long").as("v"))
-    val cells = pix.groupBy(col("item_id"), col("cell"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("item_id")).orderBy(col("cell"))
-    val adj = cells
-      .withColumn("nc", lead(col("cell"), 1).over(w))
-      .withColumn("ns", lead(col("s"), 1).over(w))
-      .withColumn("ncnt", lead(col("c"), 1).over(w))
+    // r16 rework (optimization round): the fingerprint build used to
+    // posexplode every CHARACTER of every rendition into a row (corpus-
+    // character-sized explode → hash aggregate → per-item lead window).
+    // The per-item state is 72 cell (sum, count) pairs — bounded — so the
+    // dHash now computes in one scalar pass per rendition (the
+    // minhash/gear-CDC typed-kernel discipline), bit-identical by
+    // construction: positions are code-point indices (split(text, '')
+    // splits at code-point boundaries, length() counts code points,
+    // ascii() reads the code point), luma math is the same exact longs,
+    // and the adjacent-populated-cell comparison s·c' > s'·c is the same
+    // division-free cross-multiply walked in ascending cell order. Items
+    // with NULL text contributed no pixel rows and therefore no
+    // fingerprint row — the kernel skips them identically. (Empty text
+    // made the old `div n` divide by zero — rejected then, absent now.)
     val fp = Staging.staged(s, dir, "mm_phash_fp") {
-      adj.groupBy(col("item_id"))
-        .agg(sum(when(
-          col("cell") % 9 < 8 && col("cell") < 70 &&
-            col("nc") === col("cell") + 1 &&
-            col("s") * col("ncnt") > col("ns") * col("c"),
-          expr("shiftleft(1L, CAST((cell div 9) * 8 + cell % 9 AS INT))"))
-          .otherwise(0L)).as("ph"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ph",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val rows = items.select(col("item_id"), col("rend"), col("text"))
+        .rdd.mapPartitions { it =>
+          it.flatMap { r =>
+            if (r.isNullAt(2)) Iterator.empty
+            else {
+              val id = r.getLong(0)
+              val rend = r.getInt(1)
+              val t = r.getString(2)
+              val n = t.codePointCount(0, t.length).toLong
+              if (n == 0L) Iterator.empty
+              else {
+                val sums = new Array[Long](72)
+                val cnts = new Array[Long](72)
+                var pos = 0L
+                var ci = 0
+                while (ci < t.length) {
+                  val cp = t.codePointAt(ci)
+                  val cell = ((pos * 72L) / n).toInt
+                  val v: Long =
+                    if (rend == 1) {
+                      if (pos == n - 1 || pos == n / 2) 255L
+                      else cp.toLong * 2
+                    } else cp.toLong
+                  sums(cell) += v
+                  cnts(cell) += 1
+                  pos += 1
+                  ci += Character.charCount(cp)
+                }
+                var ph = 0L
+                var prev = -1
+                var c = 0
+                while (c < 72) {
+                  if (cnts(c) > 0) {
+                    if (prev >= 0 && c == prev + 1 && prev % 9 < 8 &&
+                        prev < 70 &&
+                        sums(prev) * cnts(c) > sums(c) * cnts(prev))
+                      ph |= 1L << ((prev / 9) * 8 + prev % 9)
+                    prev = c
+                  }
+                  c += 1
+                }
+                Iterator.single(org.apache.spark.sql.Row(id, ph))
+              }
+            }
+          }
+        }
+      s.createDataFrame(rows, schema)
     }
     // 3×21-bit pigeonhole chunk index; first-agreeing-chunk dedup is a
     // codegen'd join predicate, not a distinct shuffle

@@ -320,6 +320,11 @@ object TextOps {
       .select(col("doc_id"), posexplode(toks(col("__t"))).as(Seq("pos", "w")))
       .withColumn("is_stop", col("w").isin(stops: _*))
     val wPid = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // NOTE (r16 optimization round): the tokenize → explode → phrase-id
+    // subtree feeds three plan branches, but materializing it was
+    // MEASURED SLOWER (1.46 → 1.92 s at sf0.1) — the exploded token frame
+    // is corpus-token-sized, and storing + re-reading it 3× costs more
+    // than re-running the codegen'd tokenize. Left recomputed on purpose.
     val ph = base
       .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wPid))
       .filter(!col("is_stop"))
