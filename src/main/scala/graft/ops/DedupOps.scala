@@ -550,6 +550,43 @@ object DedupOps {
     val nPairs = pairs.count() // pairs is persisted; drives partition sizing
     val p = math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
       nPairs / 500000L + 1L)).toInt
+    // Single-partition regime (r16 optimization): when the edge set fits
+    // one partition anyway, the superstep loop below still schedules ~10
+    // sequential one-task jobs (eByV build, per-superstep propagate +
+    // shortcut, per-superstep convergence action) whose scheduling
+    // overhead dwarfs the work. A single-task union-find computes the
+    // IDENTICAL labeling in one job — connected components with
+    // min-reachable-id labels are a unique function of the edge set, so
+    // there is nothing algorithm-dependent to diverge (pinned by the
+    // OpsSpec/cluster fixtures either way). The distributed superstep
+    // path below is unchanged for p > 1 — the 100 TB shape.
+    if (p == 1) {
+      val lab = pairRdd.coalesce(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+        parent.keys.foreach { n =>
+          val r = find(n)
+          if (n < minOf.getOrElse(r, Long.MaxValue)) minOf(r) = n
+        }
+        parent.keys.iterator.map(n => (n, minOf(find(n))))
+      }
+      val result = lab.toDF("doc_id", "cluster_id").localCheckpoint(true)
+      if (!inputCached) pairs.unpersist(blocking = false)
+      return result.orderBy(col("doc_id"))
+    }
     val part = new org.apache.spark.HashPartitioner(p)
     val nodes = pairRdd.flatMap { case (a, b) => Iterator(a, b) }.distinct(p)
     // keyed by propagation source v: both directions + a self-loop per node,
