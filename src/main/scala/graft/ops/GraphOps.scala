@@ -153,10 +153,17 @@ object GraphOps {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eRdd = e0.select(col("src"), col("dst")).rdd
       .map(r => (r.get(0), r.get(1)))
-    // partition count follows the input's scan width (scale-adaptive —
-    // a 100 TB edge list keeps its width; the bench graph stays narrow)
+    // partition count follows the input's SIZE, not the session's task
+    // width (guide §2: fewer, larger partitions) — a 28k-edge bench graph
+    // in 32 one-row-ish tasks pays pure scheduling per half-step, while a
+    // 100 TB edge list keeps its scan width. Catalyst's size estimate for
+    // the staged (cached) edge table is bytes-accurate once materialized
+    // and a parquet-stat estimate before that — either is the right order
+    // of magnitude for a 16 MB/partition target.
+    val bytesEst = e0.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sizeParts = (bytesEst / (16L << 20)).toLong + 1L
     val part = new org.apache.spark.HashPartitioner(
-      math.max(1, eRdd.getNumPartitions))
+      math.max(1L, math.min(eRdd.getNumPartitions.toLong, sizeParts)).toInt)
     val bySrc = eRdd.partitionBy(part).persist(lvl)          // (src, dst)
     val byDst = eRdd.map(_.swap).partitionBy(part).persist(lvl) // (dst, src)
     // node set with the SAME partitioner (one shuffle, kept co-located)

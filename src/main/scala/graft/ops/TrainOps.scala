@@ -583,8 +583,17 @@ object TrainOps {
     // games is category²-sized and stays distributed
     val itemRows = items0.select(col("i"), col("n_games").cast("long"),
       col("wins").cast("long")).collect()
-    val games = games0.select(col("i"), col("j"), col("n").cast("long"))
+    val itemsCount = itemRows.length
+    val games0Rdd = games0.select(col("i"), col("j"), col("n").cast("long"))
       .rdd.map(r => (r.get(0), r.get(1), r.getLong(2)))
+    // games is category²-sized (≤ items² rows by construction): size the
+    // kernel's width from that bound instead of inheriting the session's
+    // shuffle width — 25 rows across 32 tasks is pure scheduling overhead
+    // per step, while a large category space keeps its parallelism
+    val gParts = math.max(1L, math.min(games0Rdd.getNumPartitions.toLong,
+      itemsCount.toLong * itemsCount.toLong / 500000L + 1L)).toInt
+    val games = (if (games0Rdd.getNumPartitions > gParts)
+        games0Rdd.coalesce(gParts) else games0Rdd)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // w: None = NULL strength (kept, like a NULL row); absent from the
     // map = dropped from wcur (inner-join semantics)
