@@ -482,14 +482,31 @@ object FormatOps {
     // every input task opens a writer in every partition directory
     // (tasks × dirs small files — the classic partitioned-write flood);
     // with it each directory is written by exactly one task.
-    orders.filter(col("o_orderdate") < cut)
-      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      .repartition(col("o_month"))
-      .write.mode("overwrite").partitionBy("o_month").parquet(s"$path/seg_month")
-    orders.filter(col("o_orderdate") >= cut)
-      .withColumn("o_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
-      .repartition(col("o_day"))
-      .write.mode("overwrite").partitionBy("o_day").parquet(s"$path/seg_day")
+    // the two segment writes are INDEPENDENT jobs (different directories,
+    // different partition layouts) and the commit needs both — submit
+    // them concurrently so the second back-fills the first's write tail
+    // (guide §2.6 overlap; the trainCurve metric/gradient discipline)
+    locally {
+      import scala.concurrent.{Await, Future, blocking}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val monthF = Future(blocking {
+        orders.filter(col("o_orderdate") < cut)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .repartition(col("o_month"))
+          .write.mode("overwrite").partitionBy("o_month")
+          .parquet(s"$path/seg_month")
+      })
+      val dayF = Future(blocking {
+        orders.filter(col("o_orderdate") >= cut)
+          .withColumn("o_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .repartition(col("o_day"))
+          .write.mode("overwrite").partitionBy("o_day")
+          .parquet(s"$path/seg_day")
+      })
+      Await.result(monthF, Duration.Inf)
+      Await.result(dayF, Duration.Inf)
+    }
     CommitLog.commitTables(path, 0,
       Seq("seg_month" -> s"$path/seg_month", "seg_day" -> s"$path/seg_day"))
     // query window spans the layout cut: [2001-04-01, 2001-08-02)
