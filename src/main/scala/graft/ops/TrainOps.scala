@@ -236,15 +236,15 @@ object TrainOps {
     val STEPS = steps
     val LR = lr
     val LAMBDA = lambda
-    // The loop's per-step jobs (scoring persist, metric agg, gradient
-    // join-back) shuffle MODEL- and doc-aggregate-sized frames; running
-    // them at the session's corpus-sized shuffle width is pure task
-    // overhead — measured 4.7 → 3.1 s at sf0.1 under width 8 vs 32,
+    // The loop's SQL work (the 64-cell stats aggregate) shuffles MODEL-
+    // sized frames; running it at the session's corpus-sized shuffle
+    // width is pure task overhead — width 8 measured optimal at sf0.1,
     // values identical by construction (every cross-engine sum is
     // decimal-quantized, partitioning-independent). The runToMemory
     // discipline: set for the loop, restore on exit. A production run
     // sizes this to corpus bytes instead; the restore keeps the
-    // session's width for everything downstream.
+    // session's width for everything downstream. (The per-STEP work no
+    // longer plans SQL at all — see the kernel note in trainCurveBody.)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -280,76 +280,150 @@ object TrainOps {
       mu(j) = m
       sd(j) = if (v <= 0.0) 1.0 else math.sqrt(v)
     }
-    val statsDf = s.createDataFrame(
-      (0 until B).map(j => (j.toLong, mu(j), sd(j)))).toDF("bucket", "mu", "sd")
+    // ---- r16 optimization-round rework: the per-step Catalyst ladder
+    // (scoring join + persist + concurrent metric/gradient aggregates)
+    // spent its time on FIXED costs, not data — three fresh tiny plans
+    // per step whose literals (bias, C) change every step (~130-180 ms
+    // of planning each, the text_bpe_artifact finding) plus a
+    // doc-aggregate shuffle per consumer. The loop now runs as an RDD
+    // superstep kernel (the text_bpe_artifact / graph_hits discipline):
+    // the sparse feature frame pivots ONCE into per-doc records
+    // (y, present (bucket, x) pairs) — the same doc-keyed exchange each
+    // old step paid for its groupBy(doc_id) — and every step is ONE
+    // map-side job over the broadcast model computing the per-doc
+    // decimal-exact score and folding the 6 metric cells AND the
+    // nBuckets gradient cells in the same pass; nothing re-plans and
+    // nothing doc-sized moves after the pivot. Arithmetic is
+    // bit-identical to the ladder (TrainOpsSpec + the unrolled oracle
+    // replay pin it): each term quantizes via the engine's own
+    // Cast(double → DECIMAL(30,6)) spelling (shortest-string BigDecimal,
+    // HALF_UP — the absentConstOf contract), sums accumulate the scaled
+    // unscaled-values exactly (per-partition Math.addExact longs,
+    // BigInteger across partitions — order-free like the decimal sums
+    // they replace), and doubles are recovered via
+    // BigDecimal(unscaled, 6).doubleValue — the same CAST(dec AS DOUBLE).
+    def q6u(t: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(t))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    def d6(u: java.math.BigInteger): Double =
+      new java.math.BigDecimal(u, 6).doubleValue
+    val bytesEst = f.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pivotParts = math.max(1L, math.min(
+      f.rdd.getNumPartitions.toLong, (bytesEst / (16L << 20)).toLong + 1L)).toInt
+    val docRdd = f.select(col("doc_id"), col("y"), col("bucket"), col("x"))
+      .rdd.map(r => (r.get(0), (r.getDouble(1), r.getLong(2).toInt,
+        r.getDouble(3))))
+      .groupByKey(pivotParts)
+      .map { case (_, ps) =>
+        val a = ps.toArray
+        (a(0)._1, a.map(_._2), a.map(_._3))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docRdd.count() // materialize once, before the step loop
+
+    // per-step combinable cells: counts, decimal-exact metric sums
+    // (unscaled 6-dp), present-flagged gradient cells
+    final case class Cells(nPos: Long, nNeg: Long, hits: Long,
+      spU: java.math.BigInteger, spAny: Boolean,
+      snU: java.math.BigInteger, snAny: Boolean,
+      gbU: java.math.BigInteger,
+      gU: Array[java.math.BigInteger], gAny: Array[Boolean])
 
     val w = Array.fill(B)(0.0)
     var bias = 0.0
     val curve = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Double, Double, Double, Double, Double)]
     for (k <- 0 to STEPS) {
-      val wDf = s.createDataFrame(
-        (0 until B).map(j => (j.toLong, w(j)))).toDF("bucket", "wgt")
-      val model = broadcast(wDf.join(statsDf, "bucket"))
       // C = Σ_j w_j·μ_j/σ_j — the closed-form absent-pair correction;
       // model-sized driver arithmetic, decimal-quantized like the engine
       val c = absentConstOf(w, mu, sd)
-      val scored = f.join(model, "bucket")
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(((col("wgt") * col("x")) / col("sd")).cast(dec))
-          .cast("double").as("sw"))
-        .select(col("doc_id"), col("y"),
-          (col("sw") - lit(c) + lit(bias)).as("s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // The metric aggregate and the gradient pass both read `scored`
-      // and neither depends on the other — launch them as CONCURRENT
-      // Spark jobs (r13 stream-floor item: sequentially they cost
-      // ~scoring + metric + gradient per step; overlapped, the step's
-      // wall is ~max of the two consumers). Racing the persist is safe:
-      // the block manager keeps whichever copy of a partition lands
-      // first and the values are deterministic under any partitioning
-      // (decimal-exact sums), so duplicated first-touch work changes
-      // nothing but idle-core usage.
-      import scala.concurrent.{Await, Future, blocking}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val mF = Future(blocking { scored.agg(
-        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n_neg"),
-        sum(when(col("y") === 1.0, col("s").cast(dec))).cast("double").as("sp"),
-        sum(when(col("y") === 0.0, col("s").cast(dec))).cast("double").as("sn"),
-        sum(when((col("s") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
-          .as("hits"),
-        sum((col("s") - col("y")).cast(dec)).cast("double").as("gb"))
-        .collect()(0) })
-      // per-bucket sparse gradient; the dense correction −(μ_j/σ_j)·gb
-      // is model-sized driver arithmetic (identically spelled in SQL)
-      val gF = if (k < STEPS) Some(Future(blocking {
-        f.join(scored.select(col("doc_id"), col("s")), "doc_id")
-          .join(broadcast(statsDf), "bucket")
-          .groupBy(col("bucket"))
-          .agg(sum((((col("s") - col("y")) * col("x")) / col("sd")).cast(dec))
-            .cast("double").as("g"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      })) else None
-      val m = Await.result(mF, Duration.Inf)
-      val (nPos, nNeg) = (m.getLong(0), m.getLong(1))
-      val meanPos = m.getDouble(2) / nPos.toDouble
-      val meanNeg = m.getDouble(3) / nNeg.toDouble
-      val acc = m.getLong(4).toDouble / n
-      val gb = m.getDouble(5)
+      val bcW = s.sparkContext.broadcast(w.clone())
+      val bcSd = s.sparkContext.broadcast(sd.clone())
+      val (curBias, wantGrad) = (bias, k < STEPS)
+      val parts = docRdd.mapPartitions { it =>
+        val wv = bcW.value; val sdv = bcSd.value
+        val nB = wv.length
+        var nPos = 0L; var nNeg = 0L; var hits = 0L
+        var sp = 0L; var spAny = false
+        var sn = 0L; var snAny = false
+        var gb = 0L
+        val g = new Array[Long](nB)
+        val gAny = new Array[Boolean](nB)
+        it.foreach { case (y, bks, xs) =>
+          // per-doc score: sw = CAST(SUM(CAST((w_j·x)/σ_j AS DEC(30,6)))
+          // AS DOUBLE) over present pairs — exact scaled-integer sum
+          var swU = 0L
+          var i = 0
+          while (i < bks.length) {
+            swU = Math.addExact(swU,
+              q6u((wv(bks(i)) * xs(i)) / sdv(bks(i))))
+            i += 1
+          }
+          val sw = d6(java.math.BigInteger.valueOf(swU))
+          val sc = sw - c + curBias
+          if (y == 1.0) {
+            nPos += 1L; sp = Math.addExact(sp, q6u(sc)); spAny = true
+          } else {
+            nNeg += 1L; sn = Math.addExact(sn, q6u(sc)); snAny = true
+          }
+          if ((sc >= 0.5) == (y == 1.0)) hits += 1L
+          gb = Math.addExact(gb, q6u(sc - y))
+          if (wantGrad) {
+            i = 0
+            while (i < bks.length) {
+              val j = bks(i)
+              g(j) = Math.addExact(g(j), q6u(((sc - y) * xs(i)) / sdv(j)))
+              gAny(j) = true
+              i += 1
+            }
+          }
+        }
+        import java.math.BigInteger
+        Iterator.single(Cells(nPos, nNeg, hits,
+          BigInteger.valueOf(sp), spAny, BigInteger.valueOf(sn), snAny,
+          BigInteger.valueOf(gb),
+          g.map(BigInteger.valueOf), gAny))
+      }.collect()
+      bcW.destroy(); bcSd.destroy()
+      // exact, order-free combine (integer adds — the decimal-sum class)
+      val zero = java.math.BigInteger.ZERO
+      var (nPos, nNeg, hitsN) = (0L, 0L, 0L)
+      var (spU, snU, gbU) = (zero, zero, zero)
+      var (spAny, snAny) = (false, false)
+      val gU = Array.fill(B)(zero)
+      val gAny = Array.fill(B)(false)
+      parts.foreach { p =>
+        nPos += p.nPos; nNeg += p.nNeg; hitsN += p.hits
+        spU = spU.add(p.spU); spAny ||= p.spAny
+        snU = snU.add(p.snU); snAny ||= p.snAny
+        gbU = gbU.add(p.gbU)
+        var j = 0
+        while (j < B) {
+          gU(j) = gU(j).add(p.gU(j)); gAny(j) ||= p.gAny(j); j += 1
+        }
+      }
+      // empty-class sums are NULL in the frame form; the registered
+      // corpus always has both classes (spec-pinned) — surface NaN
+      // instead of the old collect-time NPE on degenerate inputs
+      val meanPos = if (spAny) d6(spU) / nPos.toDouble else Double.NaN
+      val meanNeg = if (snAny) d6(snU) / nNeg.toDouble else Double.NaN
+      val acc = hitsN.toDouble / n
+      val gb = d6(gbU)
       curve += ((k.toLong, nPos, nNeg, meanPos, meanNeg, meanPos - meanNeg,
         acc, bias))
-      gF.foreach { fut =>
-        val gsp = Await.result(fut, Duration.Inf)
+      if (k < STEPS) {
         for (j <- 0 until B) {
-          val gFull = gsp.getOrElse(j.toLong, 0.0) - mu(j) / sd(j) * gb
+          // absent gradient cells are 0.0 (the old left-join getOrElse);
+          // the dense correction −(μ_j/σ_j)·gb is model-sized driver
+          // arithmetic (identically spelled in SQL)
+          val gFull = (if (gAny(j)) d6(gU(j)) else 0.0) - mu(j) / sd(j) * gb
           w(j) = w(j) - LR * (gFull / n + LAMBDA * w(j))
         }
         bias = bias - LR * (gb / n)
       }
-      scored.unpersist()
     }
+    docRdd.unpersist(blocking = false)
     TrainResult(
       s.createDataFrame(curve.toSeq).toDF("step", "n_pos", "n_neg",
         "mean_pos", "mean_neg", "sep_gap", "acc", "bias")
