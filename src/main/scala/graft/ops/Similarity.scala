@@ -1472,26 +1472,200 @@ object Similarity {
     *
     * PUBLIC: returns upper-triangle cells (i, j, n, cov). */
   def covariance(d: DataFrame, vecCol: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(32, 12)
-    d.select(col(vecCol).as("v"))
-      .select(col("v"), posexplode(col("v")).as(Seq("i", "vi")))
-      // second explode over the SLICED tail [i, d): generates exactly the
-      // d(d+1)/2 upper-triangle cells instead of d² followed by a filter —
-      // half the explode volume and half the per-row decimal casts, the
-      // hot path of this operator (r14: the staged persist stopped the
-      // count() from pruning the cell columns, making the full cost
-      // visible; this halves it honestly). slice is 1-based: position
-      // i+1 IS 0-based index i, so the diagonal stays included.
-      .select(col("i"), col("vi"),
-        posexplode(slice(col("v"), col("i") + 1, size(col("v"))))
-          .as(Seq("jr", "vj")))
-      .withColumn("j", col("i") + col("jr"))
-      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+    val s = d.sparkSession
+    // r16 optimization round: the double-posexplode ladder generated
+    // d(d+1)/2 UnsafeRows PER VECTOR and pushed each through a
+    // 2080-key decimal hash aggregate — three double→DECIMAL(32,12)
+    // casts (a BigDecimal parse each) and three decimal-sum buffer
+    // updates per cell-row. The cells now accumulate in a mapPartitions
+    // kernel (the minhash / gear-CDC discipline): per row, each element
+    // quantizes ONCE (reused across its row and column sums) and only
+    // the product term quantizes per cell; sums accumulate the scaled
+    // unscaled-values as exact integers (longs with overflow spill to
+    // BigInteger — the same exactness class as the decimal sums they
+    // replace, order-free under any partitioning). Per-partition
+    // partials (≤ d(d+1)/2 rows each) then combine through ONE decimal
+    // hash aggregate, and the final cast/round ladder is unchanged —
+    // CAST(exact decimal sum AS DOUBLE) is the value the old plan
+    // produced, bit for bit.
+    val q12scale = java.math.BigInteger.TEN.pow(12)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("psp",
+        org.apache.spark.sql.types.DecimalType(38, 12), nullable = true),
+      org.apache.spark.sql.types.StructField("psi",
+        org.apache.spark.sql.types.DecimalType(38, 12), nullable = true),
+      org.apache.spark.sql.types.StructField("psj",
+        org.apache.spark.sql.types.DecimalType(38, 12), nullable = true),
+      org.apache.spark.sql.types.StructField("pn",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val partials = d.select(col(vecCol).cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("v")).rdd
+      .mapPartitions { it =>
+        // exact accumulator: long fast path, BigInteger spill; null cell
+        // terms (a null element, or a product past DECIMAL(32,12)'s 20
+        // integral digits — the old cast's overflow-to-NULL) skip the sum
+        // but still count the row, exactly like SUM over a NULL
+        final class Acc {
+          var l = 0L
+          var big: java.math.BigInteger = null
+          var any = false
+          def add(u: Long): Unit = {
+            any = true
+            l += u
+            if (l > (1L << 61) || l < -(1L << 61)) flush()
+          }
+          def addBig(u: java.math.BigInteger): Unit = {
+            any = true
+            big = if (big == null) u else big.add(u)
+          }
+          def flush(): Unit = {
+            val b = java.math.BigInteger.valueOf(l)
+            big = if (big == null) b else big.add(b)
+            l = 0L
+          }
+          def toDec: java.math.BigDecimal =
+            if (!any) null
+            else {
+              flush()
+              new java.math.BigDecimal(big, 12)
+            }
+        }
+        // q12: the engine's Cast(double → DECIMAL(32,12)) spelling —
+        // shortest-string BigDecimal, HALF_UP. Fast path: |t| < 9e5
+        // keeps the scaled unscaled-value in a long (≤ 9e17 — safely
+        // under the Acc spill threshold). Slow path (big magnitudes):
+        // BigInteger unscaled, with the cast's own overflow-to-NULL at
+        // precision > 32. NaN/Inf → NULL, like the cast.
+        val NULLQ = java.math.BigInteger.valueOf(Long.MinValue)
+        def q12big(t: Double): java.math.BigInteger =
+          if (java.lang.Double.isNaN(t) || java.lang.Double.isInfinite(t))
+            NULLQ
+          else {
+            val bd = new java.math.BigDecimal(java.lang.Double.toString(t))
+              .setScale(12, java.math.RoundingMode.HALF_UP)
+            if (bd.precision > 32) NULLQ else bd.unscaledValue()
+          }
+        def q12fastOk(t: Double): Boolean =
+          !java.lang.Double.isNaN(t) && !java.lang.Double.isInfinite(t) &&
+            math.abs(t) < 9.0e5
+        def q12(t: Double): Long =
+          new java.math.BigDecimal(java.lang.Double.toString(t))
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValue()
+        var maxD = 0
+        var spA: Array[Acc] = new Array[Acc](0)
+        var siA: Array[Acc] = new Array[Acc](0)
+        var sjA: Array[Acc] = new Array[Acc](0)
+        var nA: Array[Long] = new Array[Long](0)
+        var bigCells: scala.collection.mutable.HashMap[Int,
+          (java.math.BigInteger, java.math.BigInteger,
+            java.math.BigInteger)] = null
+        def cellOf(i: Int, j: Int): Int = i * maxD - i * (i - 1) / 2 + (j - i)
+        def grow(len: Int): Unit = if (len > maxD) {
+          val nCells = len * (len + 1) / 2
+          val (osp, osi, osj, on, om) = (spA, siA, sjA, nA, maxD)
+          spA = new Array[Acc](nCells); siA = new Array[Acc](nCells)
+          sjA = new Array[Acc](nCells); nA = new Array[Long](nCells)
+          var i = 0
+          while (i < om) {
+            var j = i
+            while (j < om) {
+              val oc = i * om - i * (i - 1) / 2 + (j - i)
+              val nc = i * len - i * (i - 1) / 2 + (j - i)
+              spA(nc) = osp(oc); siA(nc) = osi(oc); sjA(nc) = osj(oc)
+              nA(nc) = on(oc)
+              j += 1
+            }
+            i += 1
+          }
+          maxD = len
+        }
+        it.foreach { r =>
+          if (!r.isNullAt(0)) {
+            val v = r.getSeq[Any](0)
+            val len = v.length
+            grow(len)
+            // quantize each element once; null elements stay marked
+            val qv = new Array[Long](len)
+            val qbv = new Array[java.math.BigInteger](len)
+            val dv = new Array[Double](len)
+            val nul = new Array[Boolean](len)
+            var i = 0
+            while (i < len) {
+              v(i) match {
+                case x: java.lang.Double =>
+                  dv(i) = x.doubleValue
+                  if (q12fastOk(dv(i))) qv(i) = q12(dv(i))
+                  else {
+                    val b = q12big(dv(i))
+                    if (b eq NULLQ) nul(i) = true else qbv(i) = b
+                  }
+                case _ => nul(i) = true
+              }
+              i += 1
+            }
+            i = 0
+            while (i < len) {
+              var j = i
+              while (j < len) {
+                val c = cellOf(i, j)
+                if (spA(c) == null) {
+                  spA(c) = new Acc; siA(c) = new Acc; sjA(c) = new Acc
+                }
+                nA(c) += 1L
+                if (!nul(i) && !nul(j)) {
+                  val p = dv(i) * dv(j)
+                  if (q12fastOk(p)) spA(c).add(q12(p))
+                  else {
+                    val b = q12big(p)
+                    if (b ne NULLQ) spA(c).addBig(b)
+                  }
+                }
+                if (!nul(i)) {
+                  if (qbv(i) == null) siA(c).add(qv(i))
+                  else siA(c).addBig(qbv(i))
+                }
+                if (!nul(j)) {
+                  if (qbv(j) == null) sjA(c).add(qv(j))
+                  else sjA(c).addBig(qbv(j))
+                }
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        var i = 0
+        while (i < maxD) {
+          var j = i
+          while (j < maxD) {
+            val c = cellOf(i, j)
+            if (nA(c) > 0L) out += org.apache.spark.sql.Row(
+              i.toLong, j.toLong,
+              if (spA(c) == null) null else spA(c).toDec,
+              if (siA(c) == null) null else siA(c).toDec,
+              if (sjA(c) == null) null else sjA(c).toDec,
+              nA(c))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+    s.createDataFrame(partials, outSchema)
+      .groupBy(col("i"), col("j"))
       .agg(
-        sum((col("vi") * col("vj")).cast(dec)).cast("double").as("sp"),
-        sum(col("vi").cast(dec)).cast("double").as("si"),
-        sum(col("vj").cast(dec)).cast("double").as("sj"),
-        count(lit(1)).as("n"))
+        sum(col("psp")).cast("double").as("sp"),
+        sum(col("psi")).cast("double").as("si"),
+        sum(col("psj")).cast("double").as("sj"),
+        sum(col("pn")).as("n"))
       // final 9 dp round absorbs the one place the engines may disagree
       // by an ulp: DuckDB casts a wide decimal to double via int128 /
       // 10^scale (two roundings), Spark via correctly-rounded BigDecimal
