@@ -378,16 +378,105 @@ object Similarity {
     * shape is unchanged. Output: per trained cell, member count, inertia
     * (exact sum of rounded sqdists — THE k-means objective, monotone
     * over iterations), and centroid norm. */
-  /** Nearest-centroid assignment of every vector (BROADCAST centroid
-    * table — the corpus never shuffles for assignment). */
+  /** Spark's `round(x, 6)` spelling for doubles (shortest-string
+    * BigDecimal, HALF_UP); NaN/Inf pass through like the expression. */
+  private def rnd6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** The centroid table collected driver-side in ascending-cid order —
+    * K×d doubles, model-sized (the same class as the broadcast quantizer
+    * the k-means scale posture commits to). Boxed elements preserve the
+    * NULL propagation of the zip_with/aggregate fold. */
+  private def collectCents(cent: DataFrame)
+      : Array[(Any, Array[java.lang.Double])] =
+    cent.orderBy(col("cid")).select(col("cid"), col("cv")).collect().map { r =>
+      val cv = if (r.isNullAt(1)) null
+        else r.getSeq[Any](1).map {
+          case x: java.lang.Double => x
+          case _ => null: java.lang.Double
+        }.toArray
+      (r.get(0), cv)
+    }
+
+  /** sqdist against one collected centroid — bit-identical to the
+    * `round(aggregate(zip_with(v, cv, (x,y)=>(x−y)²), 0.0, _+_), 6)`
+    * column it replaces: dimension-order fold, NULL on a null array,
+    * unequal lengths (zip_with's null padding) or any null element. */
+  private def sqdistTo(v: Array[java.lang.Double],
+      cv: Array[java.lang.Double]): Option[Double] = {
+    if (v == null || cv == null || v.length != cv.length) return None
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) {
+      if (v(i) == null || cv(i) == null) return None
+      val t = v(i).doubleValue - cv(i).doubleValue
+      acc += t * t
+      i += 1
+    }
+    Some(rnd6(acc))
+  }
+
+  /** Spark's ascending double ordering over nullable d: NULLS FIRST,
+    * NaN greatest — the window's `d ASC` contract. */
+  private def dLt(a: Option[Double], b: Option[Double]): Boolean =
+    (a, b) match {
+      case (None, None) => false
+      case (None, _) => true
+      case (_, None) => false
+      case (Some(x), Some(y)) => java.lang.Double.compare(x, y) < 0
+    }
+
+  /** Nearest-centroid assignment of every vector. r16 optimization
+    * round: the join(broadcast(cent)) × window(row_number) shape pushed
+    * n×K rows — each carrying the 64-double vector — through a
+    * vec_id exchange and sort, with an INTERPRETED zip_with/aggregate
+    * fold per row (the HOF class the DotProduct codegen kernel exists
+    * to avoid). The argmin is now a per-row scalar loop over the
+    * driver-collected centroid table (iterated in ascending cid order
+    * with strict-less updates — exactly the window's (d ASC, cid ASC)
+    * tie-break, NULLS FIRST): no exchange, no sort, no row explosion;
+    * downstream consumers read the identical (vec_id, cid, v, d)
+    * frame. */
   private def kmAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d").asc, col("cid").asc)
-    e.join(broadcast(cent))
-      .withColumn("d", sqdist(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid"), col("v"), col("d"))
+    val s = e.sparkSession
+    val cents = collectCents(cent)
+    val bc = s.sparkContext.broadcast(cents)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        e.schema("vec_id").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("cid",
+        cent.schema("cid").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("v",
+        e.schema("v").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = e.select(col("vec_id"), col("v")).rdd.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { r =>
+        if (cs.isEmpty) Iterator.empty // inner join with no centroids
+        else {
+          val v: Array[java.lang.Double] =
+            if (r.isNullAt(1)) null
+            else r.getSeq[Any](1).map {
+              case x: java.lang.Double => x
+              case _ => null: java.lang.Double
+            }.toArray
+          var bestD: Option[Double] = sqdistTo(v, cs(0)._2)
+          var bestC = cs(0)._1
+          var i = 1
+          while (i < cs.length) {
+            val d = sqdistTo(v, cs(i)._2)
+            if (dLt(d, bestD)) { bestD = d; bestC = cs(i)._1 }
+            i += 1
+          }
+          Iterator.single(org.apache.spark.sql.Row(
+            r.get(0), bestC, r.get(1), bestD.map(Double.box).orNull))
+        }
+      }
+    }
+    s.createDataFrame(rows, schema)
   }
 
   /** Lloyd update: per-dim exact decimal means of the assigned members. */
@@ -445,21 +534,71 @@ object Similarity {
     * and the api package can expose it over arbitrary frames. */
   private[graft] def silhouetteFrom(e: DataFrame, cent: DataFrame)
       : DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d").asc, col("cid").asc)
-    val ranked = e.join(broadcast(cent))
-      .withColumn("d", sqdist(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-    val terms = ranked.filter(col("rk") <= 2)
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), col("rk")).as("cid"),
-        sqrt(min_by(col("d"), col("rk"))).as("a"),
-        sqrt(max_by(col("d"), col("rk"))).as("b"))
-      .select(col("vec_id"), col("cid"),
-        when(greatest(col("a"), col("b")) > lit(0.0d),
-          round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
-          .otherwise(lit(0.0d)).as("sil"))
-    terms.groupBy(col("cid"))
+    // r16 optimization round: same rework as kmAssign — the ranked
+    // join × window carried n×K vector-payload rows through an
+    // exchange to extract the top-2 centroids per vector; the per-row
+    // kernel tracks (best, second-best) in the window's exact order
+    // ((d ASC, cid ASC), NULLS FIRST) over the driver-collected
+    // centroid table, and only the per-vector (cid, sil) terms reach
+    // the final per-cluster aggregate.
+    val s = e.sparkSession
+    val cents = collectCents(cent)
+    val bc = s.sparkContext.broadcast(cents)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        cent.schema("cid").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("sil",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val terms = e.select(col("v")).rdd.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { r =>
+        if (cs.isEmpty) Iterator.empty
+        else {
+          val v: Array[java.lang.Double] =
+            if (r.isNullAt(0)) null
+            else r.getSeq[Any](0).map {
+              case x: java.lang.Double => x
+              case _ => null: java.lang.Double
+            }.toArray
+          // rk1/rk2 in (d ASC, cid ASC) order — strict-less updates over
+          // the cid-ascending table reproduce the row_number tie-break
+          var d1: Option[Double] = sqdistTo(v, cs(0)._2)
+          var c1 = cs(0)._1
+          var d2: Option[Double] = None
+          var has2 = false
+          var i = 1
+          while (i < cs.length) {
+            val d = sqdistTo(v, cs(i)._2)
+            if (dLt(d, d1)) { d2 = d1; has2 = true; d1 = d; c1 = cs(i)._1 }
+            else if (!has2 || dLt(d, d2)) { d2 = d; has2 = true }
+            i += 1
+          }
+          // a = sqrt(rk1.d), b = sqrt(rk2.d) (rk1's when K = 1 — the
+          // old max_by over the single surviving row)
+          val a = d1.map(math.sqrt)
+          val b = (if (has2) d2 else d1).map(math.sqrt)
+          // when(greatest(a,b) > 0, round((b−a)/greatest, 6)).otherwise(0):
+          // greatest skips NULLs (NULL only when both are)
+          val g: Option[Double] = (a, b) match {
+            case (Some(x), Some(y)) =>
+              Some(if (java.lang.Double.compare(x, y) >= 0) x else y)
+            case (Some(x), None) => Some(x)
+            case (None, y) => y
+          }
+          val sil: Any = g match {
+            case Some(gv) if gv > 0.0 => (a, b) match {
+              case (Some(av), Some(bv)) => Double.box(rnd6((bv - av) / gv))
+              case _ => null // NULL operand through the division
+            }
+            case Some(_) => Double.box(0.0)
+            case None => Double.box(0.0) // NULL condition → otherwise
+          }
+          Iterator.single(org.apache.spark.sql.Row(c1, sil))
+        }
+      }
+    }
+    s.createDataFrame(terms, schema)
+      .groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),
         round(Exact.avgD(col("sil")), 6).as("mean_silhouette"))
       .orderBy(col("cid"))
