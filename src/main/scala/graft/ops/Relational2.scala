@@ -1041,11 +1041,11 @@ object Relational2 {
     * instant (half-open intervals never overlap at the boundary). The
     * peak count is deterministic under tied timestamps: equal-delta peers
     * commute, so the running values form the same multiset regardless of
-    * peer order. One keyed window + one tiny broadcast-back of the
-    * per-key max — the classic capacity/concurrency question (sessions
-    * open, rooms booked, connections held) with no self-join, no
-    * interval×interval pairing; a 100 TB interval table shuffles once on
-    * the key. */
+    * peer order. One keyed running-sum window + the per-key max as a
+    * second window over the SAME partitioning (one exchange total) — the
+    * classic capacity/concurrency question (sessions open, rooms booked,
+    * connections held) with no self-join, no interval×interval pairing;
+    * a 100 TB interval table shuffles once on the key. */
   private def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
     val iv = t(s, dir, "orders").select(col("o_orderpriority").as("p"),
       col("o_orderdate").cast("timestamp").as("st"),
@@ -1055,8 +1055,14 @@ object Relational2 {
     val w = Window.partitionBy(col("p")).orderBy(col("t"), col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val running = deltas.withColumn("c", sum(col("d")).over(w))
-    val mc = running.groupBy(col("p")).agg(max(col("c")).as("max_concurrent"))
-    running.join(broadcast(mc), "p")
+    // r16 optimization round: `running` used to feed BOTH a per-key max
+    // aggregate and a broadcast join-back — Catalyst does not dedupe
+    // common subtrees, so the union + exchange + sort + window chain
+    // executed twice. The per-key max now rides a second window over the
+    // SAME partitioning (no new exchange, no new sort — guide §2.4), so
+    // the chain runs once and the join disappears. Values unchanged.
+    val wp = Window.partitionBy(col("p"))
+    running.withColumn("max_concurrent", max(col("c")).over(wp))
       .filter(col("c") === col("max_concurrent"))
       .groupBy(col("p"), col("max_concurrent"))
       .agg(min(col("t")).as("peak_ts"))

@@ -313,46 +313,112 @@ object TextOps {
   def rakeKeywords(d: DataFrame, id: Column, text: Column,
                    stops: Seq[String] = stopwords,
                    k: Int = RAKE_K): DataFrame = {
-    def r6d(c: Column): Column =
-      floor(c * lit(1e6) + lit(0.5d)).cast("double") / lit(1e6)
-    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    // r16 optimization round: RAKE is embarrassingly parallel over
+    // documents — every stat (phrase ids, phrase lengths, word
+    // freq/degree, phrase scores, top-K) is a function of ONE row's
+    // text. The dataflow form re-tokenized the corpus in three plan
+    // branches (materializing the exploded token frame was MEASURED
+    // SLOWER, 1.46 → 1.92 s — it is corpus-token-sized) and paid two
+    // doc-keyed joins, three doc-keyed aggregates and two windows. It
+    // is now ONE map pass — a per-document scalar kernel with no
+    // exchange at all (the minhash / gear-CDC discipline; the guide's
+    // §1.2 step-1 shape: zero shuffles is the theoretical floor here).
+    // Arithmetic is bit-identical to the dataflow spelling (RakeSpec +
+    // the oracle replay pin it): word scores quantize through the same
+    // floor(x·1e6 + 0.5) ladder, phrase sums accumulate the DECIMAL(18,6)
+    // scaled values exactly, the duplicate-phrase collapse keys on the
+    // same rebuilt text, and ties rank by UTF-8 binary order — Spark's
+    // string ordering (a Java String compare would disagree on
+    // supplementary characters).
+    val s = d.sparkSession
+    val stopSet = stops.toSet
     val base = d.select(id.as("doc_id"), text.as("__t"))
-      .select(col("doc_id"), posexplode(toks(col("__t"))).as(Seq("pos", "w")))
-      .withColumn("is_stop", col("w").isin(stops: _*))
-    val wPid = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // NOTE (r16 optimization round): the tokenize → explode → phrase-id
-    // subtree feeds three plan branches, but materializing it was
-    // MEASURED SLOWER (1.46 → 1.92 s at sf0.1) — the exploded token frame
-    // is corpus-token-sized, and storing + re-reading it 3× costs more
-    // than re-running the codegen'd tokenize. Left recomputed on purpose.
-    val ph = base
-      .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wPid))
-      .filter(!col("is_stop"))
-      .select(col("doc_id"), col("pid"), col("pos"), col("w"))
-    val plen = ph.groupBy(col("doc_id"), col("pid"))
-      .agg(count(lit(1)).as("plen"))
-    val phl = ph.join(plen, Seq("doc_id", "pid"))
-    val ws = phl.groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-      .select(col("doc_id"), col("w"),
-        r6d(col("deg").cast("double") / col("freq").cast("double"))
-          .as("wscore"))
-    val scored = phl.join(ws, Seq("doc_id", "w"))
-      .groupBy(col("doc_id"), col("pid"))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          s => s.getField("w")), " ").as("phrase"),
-        max(col("plen")).as("n_words"),
-        sum(col("wscore").cast(dec)).as("score"))
-    val uniq = scored.groupBy(col("doc_id"), col("phrase"))
-      .agg(max(col("n_words")).as("n_words"), max(col("score")).as("score"))
-    val wTop = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("phrase").asc)
-    uniq.withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= k)
-      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("phrase"),
-        col("n_words"), col("score").cast("double").as("score"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        base.schema("doc_id").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("rk",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("phrase",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    // DECIMAL(18,6) quantization of a double — the engine's cast
+    // spelling (shortest-string BigDecimal, HALF_UP)
+    def q6u(t: Double): Long =
+      new java.math.BigDecimal(java.lang.Double.toString(t))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    val rows = base.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(1)) Iterator.empty
+        else {
+          val toks = r.getString(1).split(" ", -1)
+          // phrase id = running stop count (split(text,' ') keeps
+          // empties, matching the Column tokenizer); collect non-stop
+          // occurrences per phrase in position order
+          val phrases = scala.collection.mutable.LinkedHashMap
+            .empty[Long, scala.collection.mutable.ArrayBuffer[String]]
+          var pid = 0L
+          toks.foreach { w =>
+            if (stopSet.contains(w)) pid += 1L
+            else phrases.getOrElseUpdate(pid,
+              scala.collection.mutable.ArrayBuffer.empty[String]) += w
+          }
+          if (phrases.isEmpty) Iterator.empty
+          else {
+            // word stats over all occurrences: freq, deg = Σ plen
+            val freq = scala.collection.mutable.HashMap.empty[String, Long]
+            val deg = scala.collection.mutable.HashMap.empty[String, Long]
+            phrases.valuesIterator.foreach { ws =>
+              val plen = ws.length.toLong
+              ws.foreach { w =>
+                freq.update(w, freq.getOrElse(w, 0L) + 1L)
+                deg.update(w, deg.getOrElse(w, 0L) + plen)
+              }
+            }
+            // wscore = floor((deg/freq)·1e6 + 0.5).toLong / 1e6 (double)
+            val wscore = freq.keysIterator.map { w =>
+              val v = math.floor(
+                deg(w).toDouble / freq(w).toDouble * 1e6 + 0.5d)
+                .toLong.toDouble / 1e6
+              w -> v
+            }.toMap
+            // per phrase: text, n_words, exact DECIMAL(18,6) score; then
+            // duplicate-phrase collapse via max (same words → same score)
+            val uniq = scala.collection.mutable.HashMap
+              .empty[String, (Long, Long)]
+            phrases.valuesIterator.foreach { ws =>
+              val phraseTxt = ws.mkString(" ")
+              var sc = 0L
+              ws.foreach(w => sc = Math.addExact(sc, q6u(wscore(w))))
+              val nw = ws.length.toLong
+              uniq.get(phraseTxt) match {
+                case Some((onw, osc)) =>
+                  uniq.update(phraseTxt, (math.max(onw, nw), math.max(osc, sc)))
+                case None => uniq.update(phraseTxt, (nw, sc))
+              }
+            }
+            // top-K by (score DESC, phrase ASC in UTF-8 binary order)
+            val ranked = uniq.toArray.sortWith { case ((p1, (_, s1)), (p2, (_, s2))) =>
+              if (s1 != s2) s1 > s2
+              else {
+                val b1 = p1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                val b2 = p2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                java.util.Arrays.compareUnsigned(b1, b2) < 0
+              }
+            }.take(k)
+            ranked.iterator.zipWithIndex.map { case ((p, (nw, sc)), i) =>
+              org.apache.spark.sql.Row(r.get(0), (i + 1).toLong, p, nw,
+                new java.math.BigDecimal(
+                  java.math.BigInteger.valueOf(sc), 6).doubleValue)
+            }
+          }
+        }
+      }
+    }
+    s.createDataFrame(rows, schema)
   }
 
   private def rakeQ(s: SparkSession, dir: String): DataFrame =

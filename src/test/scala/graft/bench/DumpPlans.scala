@@ -32,7 +32,7 @@ object DumpPlans {
       "rel_expectations" -> "N contract rules in ONE scan (conditional-count aggregates + unpivot); referential rule via broadcast LEFT ANTI join",
       "geo_join_rule" -> "optimizer-rule tier: the NAIVE graft_geo_within join auto-rewritten by plans/GeoJoinRewrite into Generate(3x3 cells) -> hash equi-join on the cell key (residual predicate kept); no CartesianProduct/BroadcastNestedLoopJoin survives",
       "sim_pq_adc" -> "product quantization: per-subspace codebook broadcast joins (train + encode), then the ADC scan — codes join the broadcast (subspace, code) lookup table and sum; the original vectors never reach the scoring join",
-      "rel_interval_overlap" -> "sweep line: unpivoted +/-1 deltas, ONE keyed running-sum window, tiny broadcast-back of the per-key max — no interval x interval self-join",
+      "rel_interval_overlap" -> "sweep line: unpivoted +/-1 deltas, ONE keyed running-sum window, per-key max as a second window over the same exchange — no interval x interval self-join, chain runs once",
       "rel_fuzzy_match_ed1" -> "PassJoin segment pigeonhole: balanced probe scan (single-split corpus would serialize the per-row probe work), catalog segments broadcast, first-agreeing-segment dedup — no distinct shuffle, no all-pairs",
       "sim_knn_graph" -> "salted per-cell self-join: b-side bucketed hash(vec_id)%8, a-side exploded over buckets — every cell-pair met once at 8x the task width of the plain cell join",
       "rel_rank_quantiles" -> "exact global quantiles via globalRank: ONE range exchange (inside the Scan ExistingRDD — counts job + rank job share the pinned InternalRow lineage, so the shuffle runs once), then narrow per-partition rank arithmetic; no single-partition global window anywhere",
