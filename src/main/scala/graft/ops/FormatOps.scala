@@ -743,24 +743,43 @@ object FormatOps {
     * stats sidecar that dropped or double-counted a row breaks the
     * hash; `StatsQuerySpec` proves the zero-scan claim by answering
     * AFTER the data dirs are renamed away. */
+  /** Write a batch and compute its stats sidecar values IN the write job
+    * (r16 optimization round, the stream_outer_join Observation
+    * precedent: the separate `df.agg` was a second full scan of the
+    * batch). min/max are EPOCH MICROS, not Timestamp.toString — the
+    * latter renders in the JVM default timezone (only the Spark session
+    * TZ is pinned to UTC), so the folded strings would shift by the host
+    * offset and lexicographic max would be wrong on non-UTC hosts. */
+  private[graft] def writeStatsData(dataDir: String, df: DataFrame)
+      : (Long, Any, Any, java.math.BigDecimal) = {
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"),
+        min(unix_micros(col("o_orderdate"))).as("mn"),
+        max(unix_micros(col("o_orderdate"))).as("mx"),
+        sum(col("o_totalprice").cast(Exact.dec)).as("sm"))
+      .write.mode("overwrite").parquet(dataDir)
+    val m = obs.get
+    (m("n").asInstanceOf[Long], m("mn"), m("mx"),
+      m("sm").asInstanceOf[java.math.BigDecimal])
+  }
+
   private[graft] def writeStatsCommit(s: SparkSession, path: String,
       expected: Long, dataDir: String, df: DataFrame): Unit = {
-    df.write.mode("overwrite").parquet(dataDir)
-    // min/max are stored as EPOCH MICROS, not Timestamp.toString — the
-    // latter renders in the JVM default timezone (only the Spark session
-    // TZ is pinned to UTC), so the folded strings would shift by the host
-    // offset and lexicographic max would be wrong on non-UTC hosts. An
-    // empty batch has no min/max and would have serialized "null"; reject
-    // it — a commit must describe at least one row for the fold to hold.
-    val st = df.agg(count(lit(1)),
-      min(unix_micros(col("o_orderdate"))), max(unix_micros(col("o_orderdate"))),
-      sum(col("o_totalprice").cast(Exact.dec))).head()
-    require(st.getLong(0) > 0, s"empty batch: refusing stats commit to $dataDir")
+    val st = writeStatsData(dataDir, df)
+    commitStats(path, expected, dataDir, st)
+  }
+
+  /** Commit a written batch with its stats sidecar. An empty batch has
+    * no min/max and would have serialized "null"; reject it — a commit
+    * must describe at least one row for the fold to hold. */
+  private def commitStats(path: String, expected: Long, dataDir: String,
+      st: (Long, Any, Any, java.math.BigDecimal)): Unit = {
+    require(st._1 > 0, s"empty batch: refusing stats commit to $dataDir")
     val c = CommitLog.commit(path, expected, dataDir)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, f"_stats_v${c.version}%020d.json"),
-      s"""{"rows":${st.getLong(0)},"min_us":${st.getLong(1)},""" +
-        s""""max_us":${st.getLong(2)},"sum":"${st.getDecimal(3).toPlainString}"}""")
+      s"""{"rows":${st._1},"min_us":${st._2},""" +
+        s""""max_us":${st._3},"sum":"${st._4.toPlainString}"}""")
     ()
   }
 
@@ -788,9 +807,21 @@ object FormatOps {
     new java.io.File(path).mkdirs()
     val orders = graft.Tables(s, dir, "orders")
       .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
-    for (i <- 0 until 3)
-      writeStatsCommit(s, path, i.toLong, s"$path/data_v${i + 1}",
-        orders.filter(pmod(col("o_orderkey"), lit(3)) === i))
+    // The three batch writes target disjoint directories and only the
+    // COMMITS are ordered — run the write+stats jobs concurrently (guide
+    // §2.6: later jobs back-fill the earlier ones' write tails) and
+    // commit sequentially from the completed results.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 3).map { i =>
+      val dataDir = s"$path/data_v${i + 1}"
+      dataDir -> Future(blocking { writeStatsData(dataDir,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === i)) })
+    }
+    writes.zipWithIndex.foreach { case ((dataDir, f), i) =>
+      commitStats(path, i.toLong, dataDir, Await.result(f, Duration.Inf))
+    }
     statsAnswer(s, path)
   }
 

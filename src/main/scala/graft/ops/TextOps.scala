@@ -595,15 +595,27 @@ object TextOps {
   private def bm25Scored(s: SparkSession, dir: String): DataFrame =
     Staging.staged(s, dir, "bm25_scored")(bm25ScoredBuild(s, dir))
 
-  private def bm25ScoredBuild(s: SparkSession, dir: String): DataFrame = {
-    val tok = Staging.staged(s, dir, "bm25_tok") {
+  /** The (doc, term, tf) aggregate shared by both BM25 scorers (r16
+    * optimization round): dl (Σ tf per doc), df (row count per term) and
+    * the query-term postings all derive from it, so the corpus tokenizes
+    * and exchanges ONCE per pass instead of three corpus-token-wide
+    * shuffles per scorer build (guide §2.3: aggregate before you
+    * shuffle). Values are identical by construction: count(*) per doc
+    * over tokens ≡ Σ tf, countDistinct(doc) per term ≡ the (doc, term)
+    * key count. */
+  private def bm25G(s: SparkSession, dir: String): DataFrame =
+    Staging.staged(s, dir, "bm25_g") {
       graft.Tables.balanced(s, dir, "documents", "doc_id")
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     }
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+
+  private def bm25ScoredBuild(s: SparkSession, dir: String): DataFrame = {
+    val g = bm25G(s, dir)
+    val dl = g.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val df = g.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // rank the 30 candidate terms via one sorted array + posexplode (same
     // values as a row_number window, minus the unpartitioned WindowExec)
     val qterms = df.orderBy(col("df").desc, col("w").asc).limit(30)
@@ -613,8 +625,7 @@ object TextOps {
       .select(posexplode(col("xs")))
       .filter((col("pos") + 1).isin(10, 20, 30))
       .select(col("col.w").as("w"), col("col.df").as("df"))
-    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .join(broadcast(qterms), Seq("w"))
+    val tf = g.join(broadcast(qterms), Seq("w"))
     val contrib =
       log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)) *
@@ -701,21 +712,18 @@ object TextOps {
 
   private def bm25MltScored(s: SparkSession, dir: String): DataFrame =
     Staging.staged(s, dir, "bm25_mlt_scored") {
-      val tok = Staging.staged(s, dir, "bm25_tok") {
-        graft.Tables.balanced(s, dir, "documents", "doc_id")
-          .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      }
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val g = bm25G(s, dir)
+      val dl = g.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val dfr = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-      // query terms: the batch docs' distinct tokens, idf attached —
-      // (Q x per-doc vocab) rows, broadcast under the corpus-side join
-      val qterms = tok.filter(col("doc_id") < HYBRID_Q)
-        .select(col("doc_id").as("q_id"), col("w")).distinct()
+      val dfr = g.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // query terms: the batch docs' distinct tokens (g's keys are
+      // already distinct), idf attached — (Q x per-doc vocab) rows,
+      // broadcast under the corpus-side join
+      val qterms = g.filter(col("doc_id") < HYBRID_Q)
+        .select(col("doc_id").as("q_id"), col("w"))
         .join(dfr, Seq("w"))
-      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .join(broadcast(qterms), Seq("w"))
+      val tf = g.join(broadcast(qterms), Seq("w"))
         .filter(col("doc_id") =!= col("q_id"))
       val contrib =
         log((col("n_docs").cast("double") - col("df") + lit(0.5)) /

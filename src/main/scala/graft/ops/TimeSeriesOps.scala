@@ -62,24 +62,104 @@ object TimeSeriesOps {
         struct(col("ts"), col("event_id"), col("value")))),
         x => x.getField("value")), 1, M).as("pv"))
       .select(znorm(col("pv")).as("pz"))
-    // candidate subsequences: trailing M-row window per user series
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-(M - 1), Window.currentRow)
-    val subs = ev
-      .withColumn("win", collect_list(col("value")).over(w))
-      .filter(size(col("win")) === M)
-      // constant windows have no z-form; drop them (both engines)
-      .withColumn("std2",
-        fold(transform(col("win"), x => x * x)) / M -
-          (fold(col("win")) / M) * (fold(col("win")) / M))
-      .filter(col("std2") > 1e-12)
-      .select(col("user_id"), col("event_id").as("end_event_id"),
-        znorm(col("win")).as("wz"))
-    val dist = subs.crossJoin(broadcast(pattern))
-      .select(col("user_id"), col("end_event_id"),
-        round(fold(zip_with(col("wz"), col("pz"),
-          (a, b) => (a - b) * (a - b))), 6).as("dist"))
-    dist.orderBy(col("dist").asc, col("user_id").asc, col("end_event_id").asc)
+    // r16 optimization round: the trailing-M collect_list window built an
+    // M-double array PER ROW and scored it through INTERPRETED
+    // zip_with/aggregate lambdas (~6 HOF folds per row). The candidate
+    // scan now runs as a sorted-partition kernel (the theilSen
+    // discipline): shuffle the pruned columns by user, sort within
+    // partitions by (user, ts, event_id) — the window's exact order —
+    // and slide a ring buffer of the last M values, computing the SAME
+    // fold expressions (left-fold in window order, identical IEEE op
+    // order: Σx²/M − (Σx/M)², z = (x−mean)/√(sq−mean²), Σ(wz−pz)²,
+    // floor-free round via the engine's 6-dp HALF_UP spelling) in a
+    // scalar loop. The z-normed pattern is collected driver-side
+    // (M doubles — metadata, the broadcast-pattern class); collect_list's
+    // null-skip becomes the ring's null marker (any null in the last M
+    // rows shrinks the array below M → filtered, both forms).
+    val pzRow = pattern.collect()(0)
+    val pz: Array[Double] =
+      if (pzRow.isNullAt(0)) null
+      else pzRow.getSeq[Any](0).map {
+        case x: java.lang.Double => x.doubleValue
+        case _ => Double.NaN // null element inside pz: dist is NULL below
+      }.toArray
+    val pzHasNull = !pzRow.isNullAt(0) &&
+      pzRow.getSeq[Any](0).exists(_ == null)
+    val evP = ev.select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast("double").as("v"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        ev.schema("user_id").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("end_event_id",
+        ev.schema("event_id").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    def rnd6(x: Double): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val mLit = M
+    val candidates = evP.rdd.mapPartitions { it =>
+      val ring = new Array[Double](mLit)
+      val ringNull = new Array[Boolean](mLit)
+      var cnt = 0
+      var curKey: Any = null
+      var started = false
+      it.flatMap { r =>
+        val k = r.get(0)
+        if (!started || !java.util.Objects.equals(k, curKey)) {
+          curKey = k; cnt = 0; started = true
+        }
+        ringNull(cnt % mLit) = r.isNullAt(3)
+        if (!r.isNullAt(3)) ring(cnt % mLit) = r.getDouble(3)
+        cnt += 1
+        var anyNull = false
+        if (cnt >= mLit) {
+          var i = 0
+          while (i < mLit) { if (ringNull(i)) anyNull = true; i += 1 }
+        }
+        if (cnt < mLit || anyNull) Iterator.empty
+        else {
+          // window order: oldest → newest (the collect_list frame order)
+          val win = new Array[Double](mLit)
+          var i = 0
+          while (i < mLit) {
+            win(i) = ring((cnt - mLit + i) % mLit)
+            i += 1
+          }
+          // the dataflow's exact fold spellings, left-to-right
+          var sx = 0.0; var sxx = 0.0
+          i = 0
+          while (i < mLit) { sx += win(i); i += 1 }
+          i = 0
+          while (i < mLit) { sxx += win(i) * win(i); i += 1 }
+          val mean = sx / mLit.toDouble
+          val sq = sxx / mLit.toDouble
+          val std2 = sq - (sx / mLit.toDouble) * (sx / mLit.toDouble)
+          if (!(std2 > 1e-12)) Iterator.empty
+          else {
+            val dist: Any =
+              if (pz == null || pz.length != mLit || pzHasNull) null
+              else {
+                val std = math.sqrt(sq - mean * mean)
+                var acc = 0.0
+                var j = 0
+                while (j < mLit) {
+                  val t = (win(j) - mean) / std - pz(j)
+                  acc += t * t
+                  j += 1
+                }
+                Double.box(rnd6(acc))
+              }
+            Iterator.single(org.apache.spark.sql.Row(k, r.get(1), dist))
+          }
+        }
+      }
+    }
+    s.createDataFrame(candidates, outSchema)
+      .orderBy(col("dist").asc, col("user_id").asc, col("end_event_id").asc)
       .limit(TOPK)
   }
 
