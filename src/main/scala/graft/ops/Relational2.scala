@@ -776,12 +776,20 @@ object Relational2 {
     * rank error <= 1e-4, far inside 1% in value on this distribution) and
     * the oracle expects TRUE — a drifting sketch fails the hash check. */
   private def approxPercentileQ(s: SparkSession, dir: String): DataFrame = {
+    // ONE sketch queried at both ranks (r16 optimization round): two
+    // scalar approx_percentile aggregates each built their own
+    // QuantileSummaries, inserting every row twice — the array form
+    // builds one sketch per group and reads both percentiles from it.
+    // Published values are the within-1% booleans, which only tighten:
+    // the sketch is the same structure either way.
     val sketch = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
-        approx_percentile(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
+        approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.99)), lit(10000)).as("ap"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("ap").getItem(0).as("ap50"),
+        col("ap").getItem(1).as("ap99"), col("n"))
     // the exact twins ride groupedQuantiles (range exchange, no
     // whole-group buffer — rel_percentile documents the substrate); the
     // 3-row sketch aggregate broadcast-joins onto them

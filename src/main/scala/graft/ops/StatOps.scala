@@ -734,19 +734,35 @@ object StatOps {
     val base = d.select(group.as("grp"), value.as("v"))
     val ranked = Relational2.groupedRank(base, "grp", col("v"))
       .withColumnRenamed("__grank", "rn").withColumnRenamed("__gn", "n")
-    val bounds = ranked.groupBy(col("grp")).agg(
-      max(col("n")).as("n"),
-      max(when(col("rn") === expr(s"($pLow * n + 99) div 100"), col("v")))
-        .as("p_lo"),
-      max(when(col("rn") === expr(s"($pHigh * n + 99) div 100"), col("v")))
-        .as("p_hi"))
-    base.join(broadcast(bounds), "grp")
+    // ONE pass over the ranked frame (r16 optimization round): the former
+    // shape re-scanned the SOURCE to clip every row against the broadcast
+    // bounds (scan + join + second aggregate), but the winsorized sum
+    // decomposes exactly by rank segment — ranks below the low bound all
+    // contribute p_lo, above the high bound p_hi, the middle its own
+    // value — so the bounds, the segment counts and the middle sum come
+    // out of the SAME aggregate. Decimal arithmetic is exact and
+    // associative, so count·CAST(bound AS DECIMAL) equals the former
+    // per-row clipped decimal sum bit-for-bit. NULL values rank first and
+    // clipped to p_lo under the old least/greatest NULL handling at ANY
+    // rank — the v-IS-NULL disjunct reproduces that, keeping the public
+    // API engine-consistent on nullable inputs.
+    val loR = expr(s"($pLow * n + 99) div 100")
+    val hiR = expr(s"($pHigh * n + 99) div 100")
+    val dc = "decimal(15,2)"
+    ranked.groupBy(col("grp")).agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === loR, col("v"))).as("p_lo"),
+        max(when(col("rn") === hiR, col("v"))).as("p_hi"),
+        sum(when(col("v").isNull || col("rn") < loR, 1L).otherwise(0L))
+          .as("n_lo"),
+        sum(when(col("v").isNotNull && col("rn") > hiR, 1L).otherwise(0L))
+          .as("n_hi"),
+        sum(when(col("v").isNotNull && col("rn") >= loR && col("rn") <= hiR,
+          col("v").cast(dc))).as("mid_sum"))
       .select(col("grp"), col("n"), col("p_lo"), col("p_hi"),
-        least(greatest(col("v"), col("p_lo")), col("p_hi"))
-          .cast("decimal(15,2)").as("cv"))
-      .groupBy(col("grp"), col("n"), col("p_lo"), col("p_hi"))
-      .agg(r6(sum(col("cv")).cast("double") / col("n").cast("double"))
-        .as("wins_mean"))
+        r6((col("mid_sum") + col("n_lo") * col("p_lo").cast(dc)
+            + col("n_hi") * col("p_hi").cast(dc)).cast("double")
+          / col("n").cast("double")).as("wins_mean"))
   }
 
   private def winsorizeQ(s: SparkSession, dir: String): DataFrame =

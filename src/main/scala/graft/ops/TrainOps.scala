@@ -94,7 +94,10 @@ object TrainOps {
     * mean_neg, sep_gap, acc, bias). Deterministic under any partitioning
     * (decimal-exact sums, broadcast model per step) — the training run
     * itself is reproducible, not just its final weights. `stage` hooks
-    * the feature-frame materialization (every step re-reads it). */
+    * the feature-frame materialization (every step re-reads it); it must
+    * PRESERVE rows, partitioning and per-partition order — persist /
+    * localCheckpoint do — because the training pivot rides the frame's
+    * own doc-clustered, doc-sorted layout (see trainCurveBody). */
   def ridgeTrain(d: DataFrame, idCol: String, textCol: String,
       label: Column, steps: Int = STEPS, lr: Double = LR,
       lambda: Double = LAMBDA, nBuckets: Int = B,
@@ -308,18 +311,75 @@ object TrainOps {
         .unscaledValue().longValueExact()
     def d6(u: java.math.BigInteger): Double =
       new java.math.BigDecimal(u, 6).doubleValue
-    val bytesEst = f.queryExecution.optimizedPlan.stats.sizeInBytes
-    val pivotParts = math.max(1L, math.min(
-      f.rdd.getNumPartitions.toLong, (bytesEst / (16L << 20)).toLong + 1L)).toInt
-    val docRdd = f.select(col("doc_id"), col("y"), col("bucket"), col("x"))
-      .rdd.map(r => (r.get(0), (r.getDouble(1), r.getLong(2).toInt,
-        r.getDouble(3))))
-      .groupByKey(pivotParts)
-      .map { case (_, ps) =>
-        val a = ps.toArray
-        (a(0)._1, a.map(_._2), a.map(_._3))
+    // Pivot into per-doc records WITHOUT a shuffle (r16 optimization
+    // round): the frame's own x window (sum(cnt) OVER (PARTITION BY
+    // doc_id)) already forced a doc-keyed exchange + sort, so every doc's
+    // rows sit CONTIGUOUS within one cached partition — layout the
+    // persisted InMemoryRelation preserves. A sorted-run fold over
+    // `toRdd` therefore replaces the former `rdd.groupByKey` — which was
+    // a SECOND doc-keyed shuffle of the whole cell frame, plus an
+    // InternalRow→Row deserialization per row and an Iterable buffer per
+    // doc. Same rows, same grouping → bit-identical state. (`stage`
+    // hooks must preserve rows, partitioning and per-partition order —
+    // persist/localCheckpoint do; see ridgeTrain's doc.)
+    val docRdd = {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      val docType = f.schema("doc_id").dataType
+      val (iDoc, iY, iB, iX) = (f.schema.fieldIndex("doc_id"),
+        f.schema.fieldIndex("y"), f.schema.fieldIndex("bucket"),
+        f.schema.fieldIndex("x"))
+      val pivoted = f.queryExecution.toRdd.mapPartitions { it =>
+        new Iterator[(Double, Array[Int], Array[Double])] {
+          private val bks = new scala.collection.mutable.ArrayBuffer[Int](64)
+          private val xs = new scala.collection.mutable.ArrayBuffer[Double](64)
+          // lookahead: first row of the NEXT run (key copied — unsafe rows
+          // reuse their buffers across it.next() calls)
+          private var pendKey: Any = null
+          private var pendY = 0.0; private var pendB = 0; private var pendX = 0.0
+          private var hasPend = false
+          private def copied(v: Any): Any = v match {
+            case u: UTF8String => u.copy(); case x => x
+          }
+          def hasNext: Boolean = hasPend || it.hasNext
+          def next(): (Double, Array[Int], Array[Double]) = {
+            if (!hasPend) {
+              val r = it.next()
+              pendKey = copied(r.get(iDoc, docType)); pendY = r.getDouble(iY)
+              pendB = r.getLong(iB).toInt; pendX = r.getDouble(iX)
+            }
+            val k = pendKey; val y = pendY
+            bks.clear(); xs.clear()
+            bks += pendB; xs += pendX
+            hasPend = false
+            var done = false
+            while (!done && it.hasNext) {
+              val r = it.next()
+              val raw = r.get(iDoc, docType) // compare first, copy on boundary
+              if (raw == k) { bks += r.getLong(iB).toInt; xs += r.getDouble(iX) }
+              else {
+                pendKey = copied(raw); pendY = r.getDouble(iY)
+                pendB = r.getLong(iB).toInt; pendX = r.getDouble(iX)
+                hasPend = true; done = true
+              }
+            }
+            (y, bks.toArray, xs.toArray)
+          }
+        }
       }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Step-job width: the per-doc state is MB-scale, and each of the
+      // 6 step jobs schedules one task per partition — running them at
+      // the cached frame's session width is pure per-task overhead (the
+      // graph_hits finding). coalesce is NARROW (concatenates whole
+      // partitions, so run contiguity survives) and targets the same
+      // ~16 MB/partition the old groupByKey width did; a corpus big
+      // enough to exceed the session width keeps it.
+      val bytesEst = f.queryExecution.optimizedPlan.stats.sizeInBytes
+      val pivotParts = math.max(1L, math.min(
+        pivoted.getNumPartitions.toLong, (bytesEst / (16L << 20)).toLong + 1L)).toInt
+      pivoted.coalesce(pivotParts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     docRdd.count() // materialize once, before the step loop
 
     // per-step combinable cells: counts, decimal-exact metric sums
