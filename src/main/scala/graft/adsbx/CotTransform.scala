@@ -97,15 +97,29 @@ object CotTransform {
     * Scale: pure narrow projection + filter — no shuffle; filters are
     * pushed to the scan by Catalyst when reading from files.
     */
-  def flat(df: DataFrame, emergencyHostile: Boolean): DataFrame = {
+  def flat(df: DataFrame, emergencyHostile: Boolean): DataFrame =
+    derived(keyed(df), emergencyHostile)
+
+  /** P1-P3 + the P2/P6 drop-filters — `flat`'s dedup-key half, split out
+    * (r16 optimization round) so Pipeline.run can place D1's last-wins
+    * BEFORE the heavy P4-P17 derivation: exactly the oracle's CTE order
+    * (ident → filt → dedup → the flat projection). */
+  def keyed(df: DataFrame): DataFrame =
+    df.withColumn("id", aircraftId(col("r"), col("flight")))
+      // P2: drop when both r and flight are JS-falsy; P6: drop when the
+      // normalized id trims to empty (whitespace-only flight, task.ts:140,148)
+      .filter(col("id").isNotNull && length(col("id")) > 0)
+
+  /** P4-P17 over rows that already carry `id` — `flat`'s derivation half.
+    * Every column is a row-wise function of the raw record, so it commutes
+    * with D1's last-wins (the winner's derivations equal deriving first
+    * and deduplicating after); D1 carries the raw fields untouched, so the
+    * P15 metadata embed still captures the pristine input record. */
+  def derived(df: DataFrame, emergencyHostile: Boolean): DataFrame = {
     val metaCols = Schemas.adsbResponse.fieldNames.filter(df.columns.contains)
     df
       // P15: capture the pristine input record before any derivation
       .withColumn("metadata", struct(metaCols.map(col): _*))
-      .withColumn("id", aircraftId(col("r"), col("flight")))
-      // P2: drop when both r and flight are JS-falsy; P6: drop when the
-      // normalized id trims to empty (whitespace-only flight, task.ts:140,148)
-      .filter(col("id").isNotNull && length(col("id")) > 0)
       .withColumn("airframe", airframeCode(col("category")))
       .withColumn("civmil", civMilFlag(col("dbFlags")))
       .withColumn("emerg", emergencyFlag(col("emergency"), emergencyHostile))

@@ -40,9 +40,17 @@ object Pipeline {
   /** Full pipeline over an aircraft DataFrame that already has
     * `Schemas.adsbResponse` columns + a `seq` ordering column. */
   def run(aircraft: DataFrame, includes: DataFrame, cfg: AdsbxConfig): DataFrame = {
-    val transformed = CotTransform.flat(aircraft, cfg.emergencyHostile)
-    val deduped = Dedup.lastWins(transformed, "id", "seq")
-    val joined = IncludesJoin(deduped, includes, cfg.includesFiltering)
+    // D1 runs on the KEYED raw rows and the P4-P17 derivation on its
+    // WINNERS (r16 optimization round — the oracle's own CTE order:
+    // ident → filt → dedup → projection). The derivation is row-wise, so
+    // it commutes with last-wins: values are identical, but the remarks
+    // block / unit conversions / metadata embed run over |distinct ids|
+    // rows instead of every raw record, and D1's max_by struct carries
+    // the raw fields instead of the wider derived row.
+    val keyed = CotTransform.keyed(aircraft)
+    val deduped = Dedup.lastWins(keyed, "id", "seq")
+    val transformed = CotTransform.derived(deduped, cfg.emergencyHostile)
+    val joined = IncludesJoin(transformed, includes, cfg.includesFiltering)
     // D2: no-op safety net after D1/J2 (task.ts:215,235-238,244-247)
     Dedup.distinctByKey(joined, "id")
   }

@@ -556,24 +556,85 @@ object GraphOps {
     * Pregel shape. Every und-node has degree >= 1, so the new label
     * table covers all nodes. */
   def labelPropagate(e: DataFrame, rounds: Int): DataFrame = {
-    val und = e.select(col("src").as("u"), col("dst").as("v"))
+    // RDD superstep kernel (r16 optimization round — the hits discipline
+    // directly above): the DataFrame round loop planned three fresh
+    // Catalyst plans and eagerly localCheckpointed the label table EVERY
+    // round — fixed per-round cost that dwarfed the KB-scale data work at
+    // bench size. The kernel plans once; each round is one narrow
+    // co-partitioned join plus two keyed exact reductions ((u,lbl) count,
+    // then per-u argmax), and the whole ladder executes as ONE job when
+    // the result materializes. Width follows the edge table's size, not
+    // the session (16 MB/partition target — a 28k-edge bench graph runs
+    // one task per stage, a 100 TB edge list keeps its width). Semantics
+    // and values unchanged: argmax is (count desc, label asc) under
+    // Catalyst's own interpreted ordering (binary UTF8String order — the
+    // window's lbl.asc, and DuckDB's), counts are exact longs, and SQL
+    // join-on-v null semantics are reproduced (null-v pairs deliver no
+    // label; null nodes still receive labels from their neighbors).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = e.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = und.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to rounds) {
-      val nb = und.join(labels, und("v") === labels("node"))
-        .select(col("u"), col("lbl"))
-      val cnt = nb.groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("u"))
-        .orderBy(col("c").desc, col("lbl").asc)
-      labels = cnt.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("u").as("node"), col("lbl"))
-        .localCheckpoint(true)
+    val dt = pairs.schema("u").dataType
+    val bytesEst = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1L, math.min(
+        s.sessionState.conf.numShufflePartitions.toLong,
+        (bytesEst * 2 / (16L << 20)).toLong + 1L)).toInt)
+    def copyOf(v: Any): Any = v match {
+      case u: UTF8String => u.copy()
+      case r: InternalRow => r.copy()
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+      case x => x
     }
-    labels
+    // (v → u) pairs, deduped per v-partition (all (v,*) co-locate, so a
+    // local set completes the old DataFrame distinct in the same shuffle
+    // that keys the join side)
+    val undByV = pairs.queryExecution.toRdd
+      .mapPartitions(_.map(r =>
+        (copyOf(r.get(1, dt)), copyOf(r.get(0, dt)))))
+      .partitionBy(part)
+      .mapPartitions({ it =>
+        val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
+        it.filter(p => seen.add(p))
+      }, preservesPartitioning = true)
+      .persist(lvl)
+    // initial labels: every distinct node (the u slot covers all of them,
+    // the graph being symmetric here), label = own id
+    var labels = undByV.map { case (_, u) => (u, ()) }
+      .reduceByKey(part, (a, _) => a)
+      .mapPartitions(_.map { case (n, _) => (n, n) },
+        preservesPartitioning = true)
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(dt)
+    for (_ <- 1 to rounds) {
+      labels = undByV
+        // SQL join semantics: a null v matches no label row
+        .filter(_._1 != null)
+        .join(labels, part) // narrow: both sides hash-partitioned by part
+        .map { case (_, (u, lbl)) => ((u, lbl), 1L) }
+        .reduceByKey(new org.apache.spark.HashPartitioner(part.numPartitions),
+          _ + _)
+        .map { case ((u, lbl), c) => (u, (lbl, c)) }
+        .reduceByKey(part, (a, b) =>
+          if (a._2 > b._2) a
+          else if (a._2 < b._2) b
+          else if (ord.compare(a._1, b._1) <= 0) a else b)
+        .mapValues(_._1)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt, nullable = true),
+      org.apache.spark.sql.types.StructField("lbl", dt, nullable = true)))
+    val rows = labels.map { case (n, l) =>
+      val g = new GenericInternalRow(2)
+      g.update(0, n); g.update(1, l)
+      g: InternalRow
+    }
+    org.apache.spark.sql.classic.GraftSqlInternals.internalCreateDataFrame(
+      s, rows, schema)
   }
 
   /** The LPA partition over the corpus graph, ONE run per (session,
