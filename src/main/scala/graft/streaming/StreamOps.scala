@@ -1268,10 +1268,17 @@ object StreamOps {
     // replay detection, MV delta merge across batches); r12 staged four
     // and paid two more write+merge+commit rounds for no extra semantics
     // (the r13 stream-floor item)
+    // hash split, not keyless repartition(2): round-robin pays a
+    // single-threaded whole-table sort on this single-split input
+    // (sortBeforeRepartition, guide §2.5) purely for retry determinism —
+    // a deterministic hash key needs no sort; 64 distinct key values
+    // spread two partitions safely. Batch CONTENTS change, the published
+    // totals and the txn contract are batch-split-invariant.
     graft.Tables(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
-      .repartition(2).write.mode("overwrite").parquet(stage)
+      .repartition(2, pmod(col("event_id"), lit(64L)))
+      .write.mode("overwrite").parquet(stage)
     val schema = s.read.parquet(stage).schema
     val emptyMv = s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -1452,11 +1459,13 @@ object StreamOps {
     // value (violates value >= 0)
     // two staged files → two micro-batches (see txnSinkQ: the minimum
     // that still exercises the per-batch publish/quarantine contract)
+    // hash split (see txnSinkQ): no single-threaded sort-before-repartition
     graft.Tables(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         when(col("event_id") % 13 === 0, -col("value"))
           .otherwise(col("value")).as("value"))
-      .repartition(2).write.mode("overwrite").parquet(stage)
+      .repartition(2, pmod(col("event_id"), lit(64L)))
+      .write.mode("overwrite").parquet(stage)
     val schema = s.read.parquet(stage).schema
     val rule = col("value") >= 0
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
