@@ -184,7 +184,11 @@ def main():
             for k in sorted(set(os_) & set(ns_))
             if os_[k] >= 0.2 and ns_[k] / os_[k] >= thr
         }
-    print(json.dumps(out, indent=1) + note + era_note)
+    # notes live INSIDE the dict so the emitted artifact stays valid JSON
+    # (a trailing free-text note broke json.load on the committed file)
+    if note or era_note:
+        out["note"] = (note + era_note).strip()
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
