@@ -22,6 +22,21 @@ object FormatOps {
     s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_fmt_${tag}_" +
       s.sparkContext.applicationId
 
+  /** Run independent Spark jobs concurrently and wait for all (guide
+    * §2.6 — overlap independent jobs so each back-fills the others' write
+    * tails; the partitionEvolution / statsQuery discipline, generalized
+    * in the r17 optimization round). ONLY for jobs with no ordering
+    * dependency: version WRITES land in disjoint directories and only the
+    * commit-log pointer advances are ordered, so the writes overlap and
+    * the commits stay sequential at the call site. Failures rethrow. */
+  private def concurrently[A](jobs: (() => A)*): Seq[A] = {
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = jobs.map(j => Future(blocking(j())))
+    fs.map(Await.result(_, Duration.Inf))
+  }
+
   /** CSV sink + source: orders → CSV (header, explicit timestamp format) →
     * read back with an explicit schema → priority rollup. */
   private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -173,13 +188,15 @@ object FormatOps {
   private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val path = tmpDir(s, "evolve")
     val o = graft.Tables(s, dir, "orders")
-    o.filter(col("o_orderkey") % 2 === 0)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .write.mode("overwrite").parquet(s"$path/v1")
-    o.filter(col("o_orderkey") % 2 =!= 0)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        col("o_orderpriority")) // the column added in v2
-      .write.mode("overwrite").parquet(s"$path/v2")
+    // the two schema generations are independent writes — overlap (§2.6)
+    concurrently(
+      () => o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/v1"),
+      () => o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority")) // the column added in v2
+        .write.mode("overwrite").parquet(s"$path/v2"))
     s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sumD(col("o_totalprice")).as("sum_price"))
@@ -317,18 +334,21 @@ object FormatOps {
     }
     val nameLo = "Customer#000000030"
     val nameHi = "Customer#000000120"
-    val byName = prunedAgg("string", col("c_name"),
-      fs => graft.sources.FooterStats.binaryMinMax(s, fs, Seq("c_name")),
-      m => m.filter(col("c_name_lo").isNull ||
-        (col("c_name_lo") < lit(nameHi) && col("c_name_hi") >= lit(nameLo))),
-      col("c_name") >= lit(nameLo) && col("c_name") < lit(nameHi))
     val balLo = 2500.0
-    val byBal = prunedAgg("double", col("c_acctbal"),
-      fs => graft.sources.FooterStats.doubleMinMax(s, fs, Seq("c_acctbal")),
-      m => m.filter(col("c_acctbal_lo").isNull ||
-        col("c_acctbal_hi") >= lit(balLo)),
-      col("c_acctbal") >= lit(balLo))
-    byName.unionByName(byBal).orderBy(col("stat_type"))
+    // the two clustered fixtures (write + footer manifest + pruned read)
+    // are independent — their jobs overlap (guide §2.6)
+    val both = concurrently(
+      () => prunedAgg("string", col("c_name"),
+        fs => graft.sources.FooterStats.binaryMinMax(s, fs, Seq("c_name")),
+        m => m.filter(col("c_name_lo").isNull ||
+          (col("c_name_lo") < lit(nameHi) && col("c_name_hi") >= lit(nameLo))),
+        col("c_name") >= lit(nameLo) && col("c_name") < lit(nameHi)),
+      () => prunedAgg("double", col("c_acctbal"),
+        fs => graft.sources.FooterStats.doubleMinMax(s, fs, Seq("c_acctbal")),
+        m => m.filter(col("c_acctbal_lo").isNull ||
+          col("c_acctbal_hi") >= lit(balLo)),
+        col("c_acctbal") >= lit(balLo)))
+    both(0).unionByName(both(1)).orderBy(col("stat_type"))
   }
 
   /** The composed read path of the mini table format — commit log →
@@ -350,12 +370,15 @@ object FormatOps {
     // reader that leaked v2's appended rows would change the hash
     val cut = lit("1997-07-01").cast("timestamp")
     withMicrosTimestamps(s) {
-      orders.filter(col("o_orderdate") < cut)
-        .repartitionByRange(16, col("o_orderdate"))
-        .write.mode("overwrite").parquet(s"$path/data_v1")
+      // both version writes derive from the source — overlap (§2.6),
+      // commits ordered after both
+      concurrently(
+        () => orders.filter(col("o_orderdate") < cut)
+          .repartitionByRange(16, col("o_orderdate"))
+          .write.mode("overwrite").parquet(s"$path/data_v1"),
+        () => orders.repartitionByRange(16, col("o_orderdate"))
+          .write.mode("overwrite").parquet(s"$path/data_v2"))
       CommitLog.commit(path, 0, s"$path/data_v1")
-      orders.repartitionByRange(16, col("o_orderdate"))
-        .write.mode("overwrite").parquet(s"$path/data_v2")
       CommitLog.commit(path, 1, s"$path/data_v2")
     }
     // reader: pin v1 while latest is v2, then manifest-prune v1's files
@@ -384,16 +407,19 @@ object FormatOps {
     CommitLog.reset(path)
     val orders = graft.Tables(s, dir, "orders")
     def cut(d: String) = lit(d).cast("timestamp")
-    orders.filter(col("o_orderdate") < cut("1997-01-01"))
-      .write.mode("overwrite").parquet(s"$path/data_v1")
+    // all four writes derive from the source table; only the pointer
+    // advances are ordered (guide §2.6 — the timeTravel discipline)
+    concurrently(
+      () => orders.filter(col("o_orderdate") < cut("1997-01-01"))
+        .write.mode("overwrite").parquet(s"$path/data_v1"),
+      () => orders.filter(col("o_orderdate") < cut("1997-07-01"))
+        .write.mode("overwrite").parquet(s"$path/data_v2"),
+      () => orders.write.mode("overwrite").parquet(s"$path/data_v3"),
+      // a conflict loser's never-committed debris
+      () => orders.limit(10).write.mode("overwrite").parquet(s"$path/data_loser"))
     CommitLog.commit(path, 0, s"$path/data_v1")
-    orders.filter(col("o_orderdate") < cut("1997-07-01"))
-      .write.mode("overwrite").parquet(s"$path/data_v2")
     CommitLog.commit(path, 1, s"$path/data_v2")
-    orders.write.mode("overwrite").parquet(s"$path/data_v3")
     CommitLog.commit(path, 2, s"$path/data_v3")
-    // a conflict loser's never-committed debris
-    orders.limit(10).write.mode("overwrite").parquet(s"$path/data_loser")
     val dropped = CommitLog.vacuum(path, keep = 2)
     val orphans = CommitLog.sweepOrphans(path)
     require(dropped.map(_.version) == Seq(1L), s"expected v1 dropped: $dropped")
@@ -429,14 +455,17 @@ object FormatOps {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"))
     val cut = lit("1997-07-01").cast("timestamp")
-    orders.filter(col("o_orderdate") < cut).drop("o_orderdate")
-      .write.mode("overwrite").parquet(s"$path/data_v1")
+    // both snapshots derive from the source by predicate — writes overlap
+    // (guide §2.6), commits stay ordered
+    concurrently(
+      () => orders.filter(col("o_orderdate") < cut).drop("o_orderdate")
+        .write.mode("overwrite").parquet(s"$path/data_v1"),
+      () => orders.filter(col("o_orderkey") % 13 =!= 0).drop("o_orderdate")
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+        .write.mode("overwrite").parquet(s"$path/data_v2"))
     CommitLog.commit(path, 0, s"$path/data_v1")
-    orders.filter(col("o_orderkey") % 13 =!= 0).drop("o_orderdate")
-      .withColumn("o_totalprice",
-        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
-          .otherwise(col("o_totalprice")))
-      .write.mode("overwrite").parquet(s"$path/data_v2")
     CommitLog.commit(path, 1, s"$path/data_v2")
     val v1 = CommitLog.read(s, path, 1).select(col("o_orderkey").as("k1"),
       col("o_orderstatus").as("st1"), col("o_totalprice").as("p1"))
@@ -609,17 +638,24 @@ object FormatOps {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"))
     val cut = lit("1997-07-01").cast("timestamp")
-    def publish(version: Long, facts: DataFrame): Unit = {
+    // both transactions' fact+summary WRITES derive from the source table
+    // and land in disjoint dirs — they overlap (guide §2.6); only the
+    // manifest commits are ordered, applied sequentially below
+    def writePair(version: Long, facts: DataFrame): Unit = {
       val f = s"$path/facts_v${version + 1}"
       val m = s"$path/summary_v${version + 1}"
       facts.drop("o_orderdate").write.mode("overwrite").parquet(f)
       s.read.parquet(f).groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("mv_n"), sum(col("o_totalprice").cast(dec)).as("mv_sp"))
         .write.mode("overwrite").parquet(m)
-      CommitLog.commitTables(path, version, Seq("facts" -> f, "summary" -> m))
     }
-    publish(0, orders.filter(col("o_orderdate") < cut))
-    publish(1, orders)
+    concurrently(
+      () => writePair(0, orders.filter(col("o_orderdate") < cut)),
+      () => writePair(1, orders))
+    Seq(0L, 1L).foreach { v =>
+      CommitLog.commitTables(path, v,
+        Seq("facts" -> s"$path/facts_v${v + 1}", "summary" -> s"$path/summary_v${v + 1}"))
+    }
     val perVersion = Seq(1L, 2L).map { v =>
       val facts = CommitLog.readTable(s, path, v, "facts")
         .groupBy(col("o_orderstatus"))
@@ -658,17 +694,6 @@ object FormatOps {
         col("o_totalprice").as("p"), col("o_orderdate").as("d"))
     val cut = lit("1997-07-01").cast("timestamp")
     val bumped = when(col("k") % 7 === 0, col("p") * 1.1).otherwise(col("p"))
-    // v1 snapshot + its materialized view (sum kept DECIMAL in the MV)
-    o.filter(col("d") < cut).drop("d")
-      .write.mode("overwrite").parquet(s"$path/data_v1")
-    CommitLog.commit(path, 0, s"$path/data_v1")
-    s.read.parquet(s"$path/data_v1")
-      .groupBy(col("st"))
-      .agg(count(lit(1)).as("n"), sum(col("p").cast(dec)).as("sp"))
-      .write.mode("overwrite").parquet(s"$path/mv_v1")
-    // v2 snapshot, with the writer RECORDING its delta as it commits
-    o.filter(col("k") % 13 =!= 0).drop("d").withColumn("p", bumped)
-      .write.mode("overwrite").parquet(s"$path/data_v2")
     val deletes = o.filter(col("d") < cut && col("k") % 13 === 0)
       .select(col("st"), lit(-1L).as("dn"), (-col("p").cast(dec)).as("dp"))
     val updates = o.filter(col("d") < cut && col("k") % 13 =!= 0 && col("k") % 7 === 0)
@@ -676,8 +701,25 @@ object FormatOps {
         (bumped.cast(dec) - col("p").cast(dec)).as("dp"))
     val inserts = o.filter(col("d") >= cut && col("k") % 13 =!= 0)
       .select(col("st"), lit(1L).as("dn"), bumped.cast(dec).as("dp"))
-    deletes.union(updates).union(inserts)
-      .write.mode("overwrite").parquet(s"$path/delta_v2")
+    // three independent write chains (guide §2.6): v1 snapshot → its MV
+    // (sequential within the chain — the MV reads v1's files), the v2
+    // snapshot, and the writer-recorded delta; only the commits are ordered
+    concurrently(
+      () => {
+        // v1 snapshot + its materialized view (sum kept DECIMAL in the MV)
+        o.filter(col("d") < cut).drop("d")
+          .write.mode("overwrite").parquet(s"$path/data_v1")
+        s.read.parquet(s"$path/data_v1")
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"), sum(col("p").cast(dec)).as("sp"))
+          .write.mode("overwrite").parquet(s"$path/mv_v1")
+      },
+      // v2 snapshot, with the writer RECORDING its delta as it commits
+      () => o.filter(col("k") % 13 =!= 0).drop("d").withColumn("p", bumped)
+        .write.mode("overwrite").parquet(s"$path/data_v2"),
+      () => deletes.union(updates).union(inserts)
+        .write.mode("overwrite").parquet(s"$path/delta_v2"))
+    CommitLog.commit(path, 0, s"$path/data_v1")
     CommitLog.commit(path, 1, s"$path/data_v2")
     // refresh: MV + delta roll-up only — the v2 data files stay closed
     val deltaAgg = s.read.parquet(s"$path/delta_v2")
@@ -1001,7 +1043,9 @@ object FormatOps {
         (r.getLong(3) >= 100 && r.getLong(2) < 200 &&
           r.getLong(5) >= usLo && r.getLong(4) < usHi)
     }
-    val (st1, st2) = (stats(1L), stats(2L))
+    // the two manifest builds are independent footer jobs — overlap (§2.6)
+    val sts = concurrently(() => stats(1L), () => stats(2L))
+    val (st1, st2) = (sts(0), sts(1))
     require(st2.length < st1.length,
       s"OPTIMIZE must compact: ${st1.length} files -> ${st2.length}")
     val (sel1, sel2) = (selected(st1), selected(st2))
@@ -1035,11 +1079,15 @@ object FormatOps {
     CommitLog.reset(path) // fixture table: rebuilt from scratch each run
     val orders = graft.Tables(s, dir, "orders")
     // each version's data lands in its own dir, then a CAS pointer advance
-    // publishes it (CommitLog: two racing writers -> exactly one wins)
-    orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .write.mode("overwrite").parquet(s"$path/data_v1")
+    // publishes it (CommitLog: two racing writers -> exactly one wins).
+    // The two version WRITES derive from the source table, not from each
+    // other — only the pointer advances are ordered, so the writes overlap
+    // (guide §2.6) and the commits stay sequential.
+    concurrently(
+      () => orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .write.mode("overwrite").parquet(s"$path/data_v1"),
+      () => orders.write.mode("overwrite").parquet(s"$path/data_v2"))
     CommitLog.commit(path, 0, s"$path/data_v1")
-    orders.write.mode("overwrite").parquet(s"$path/data_v2")
     CommitLog.commit(path, 1, s"$path/data_v2")
     def readVersion(v: Int): DataFrame = CommitLog.read(s, path, v)
     val latest = CommitLog.latest(path).get.version.toInt
@@ -1151,21 +1199,23 @@ object FormatOps {
   private def dppJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = tmpDir(s, "dppfact")
-    // repartition by the partition column first (one writer per month
-    // directory — the partitionEvolution discipline)
-    graft.Tables(s, dir, "orders")
-      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-      .repartition(col("o_month"))
-      .write.mode("overwrite").partitionBy("o_month").parquet(path)
-    val fact = s.read.parquet(path)
-    // the calendar dim must be a real (file-backed) table: an in-memory
-    // dim constant-folds to a bare LocalRelation, leaving no selective
-    // Filter for the PartitionPruning rule to derive benefit from
     val dimPath = tmpDir(s, "dppdim")
-    (1992 to 1998).flatMap(y => (1 to 12).map(m =>
-        (f"$y-$m%02d", s"$y-Q${(m - 1) / 3 + 1}")))
-      .toDF("month", "quarter")
-      .write.mode("overwrite").parquet(dimPath)
+    // fact and dim writes are independent — overlap them (guide §2.6)
+    concurrently(
+      // repartition by the partition column first (one writer per month
+      // directory — the partitionEvolution discipline)
+      () => graft.Tables(s, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("o_month"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(path),
+      // the calendar dim must be a real (file-backed) table: an in-memory
+      // dim constant-folds to a bare LocalRelation, leaving no selective
+      // Filter for the PartitionPruning rule to derive benefit from
+      () => (1992 to 1998).flatMap(y => (1 to 12).map(m =>
+          (f"$y-$m%02d", s"$y-Q${(m - 1) / 3 + 1}")))
+        .toDF("month", "quarter")
+        .write.mode("overwrite").parquet(dimPath))
+    val fact = s.read.parquet(path)
     val dim = s.read.parquet(dimPath)
     val joined = fact
       .join(broadcast(dim.filter(col("quarter") === "1995-Q2")),
@@ -1209,11 +1259,19 @@ object FormatOps {
         lit(null).cast("double").as("new_price"))
     // merger B snapshots v1 BEFORE A publishes — a genuinely stale base
     val staleBase = CommitLog.latest(path).get
-    val vA = MergeOps.mergeInto(s, path, upserts, "A") // lands v2
-    // B's first attempt applies against stale v1 and must LOSE its CAS
+    // A's merge and B's stale-base apply both read committed v1 and write
+    // disjoint dirs — genuinely concurrent mergers (that is the scenario
+    // under test); overlap their jobs (guide §2.6). B's CAS attempt runs
+    // only after A's commit has landed, so the conflict stays guaranteed.
     val bStale = s"$path/merge_B_stale"
-    MergeOps.applyMerge(s.read.parquet(staleBase.dataDir), deletes)
-      .write.mode("overwrite").parquet(bStale)
+    val vA = concurrently(
+      () => MergeOps.mergeInto(s, path, upserts, "A"), // lands v2
+      () => {
+        // B's first attempt applies against stale v1 and must LOSE its CAS
+        MergeOps.applyMerge(s.read.parquet(staleBase.dataDir), deletes)
+          .write.mode("overwrite").parquet(bStale)
+        null
+      }).head.asInstanceOf[CommitLog.Commit]
     val conflicted =
       try { CommitLog.commit(path, staleBase.version, bStale); false }
       catch { case _: CommitLog.CommitConflictException => true }
@@ -1322,9 +1380,16 @@ object FormatOps {
     val o = graft.Tables(s, dir, "orders")
     val d1 = s"$path/data_00001"
     val d2 = s"$path/data_00002"
-    o.filter(col("o_orderkey") % 2 === 0)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .write.mode("overwrite").parquet(d1)
+    // the two file groups are independent writes (d2 is only REFERENCED
+    // from commit v3) — overlap them (§2.6); commits stay ordered below
+    concurrently(
+      () => o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(d1),
+      () => o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(d2))
     val schemaV1 = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
       StructField("o_totalprice", DoubleType)))
@@ -1340,10 +1405,6 @@ object FormatOps {
     CommitLog.commitTables(path, 0, Seq("data_00001" -> d1, "schema" -> s1))
     // v2: the schema change is METADATA-ONLY — no data touched
     CommitLog.commitTables(path, 1, Seq("data_00001" -> d1, "schema" -> s2))
-    o.filter(col("o_orderkey") % 2 =!= 0)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        col("o_orderpriority"))
-      .write.mode("overwrite").parquet(d2)
     CommitLog.commitTables(path, 2,
       Seq("data_00001" -> d1, "data_00002" -> d2, "schema" -> s2))
     // time travel returns each version's OWN schema
