@@ -145,7 +145,15 @@ object GraphOps {
     * past ~9.2M edges; DuckDB's HUGEINT and BigInteger both keep going) —
     * and the normalization is the same truncating integral divide by
     * max(total div HSCALE, 1) on non-negative values. */
-  def hits(e0: DataFrame, iters: Int = HITS_ITERS): DataFrame = {
+  def hits(e0: DataFrame, iters: Int = HITS_ITERS): DataFrame =
+    hitsKernel(e0, iters, forcedParts = None)
+
+  /** `hits` with an explicit kernel width — test hook so the distributed
+    * superstep path stays covered (and provably equal to the
+    * single-partition fast path) on inputs whose size rule would pick
+    * one partition. */
+  private[graft] def hitsKernel(e0: DataFrame, iters: Int,
+      forcedParts: Option[Int]): DataFrame = {
     // iters = 0 would return the un-normalized initial hub vector and a
     // null authority frame — reject loudly instead of NPEing
     require(iters >= 1, s"hits needs at least 1 iteration (got $iters)")
@@ -162,15 +170,88 @@ object GraphOps {
     // of magnitude for a 16 MB/partition target.
     val bytesEst = e0.queryExecution.optimizedPlan.stats.sizeInBytes
     val sizeParts = (bytesEst / (16L << 20)).toLong + 1L
-    val part = new org.apache.spark.HashPartitioner(
-      math.max(1L, math.min(eRdd.getNumPartitions.toLong, sizeParts)).toInt)
+    val part = new org.apache.spark.HashPartitioner(forcedParts.getOrElse(
+      math.max(1L, math.min(eRdd.getNumPartitions.toLong, sizeParts)).toInt))
+    val nodeType = e0.schema("src").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType, true),
+      org.apache.spark.sql.types.StructField("hub_fp",
+        org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("auth_fp",
+        org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.DoubleType, true),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.DoubleType, true)))
+    val one = java.math.BigInteger.ONE
+    val hscaleBi = java.math.BigInteger.valueOf(HSCALE)
+    // SINGLE-PARTITION FAST PATH (r17 optimization round — the
+    // clusterPairs union-find discipline, gated on the SAME size rule as
+    // the kernel width): at p == 1 the distributed ladder is ~9 sequential
+    // one-task jobs per run whose cost is pure scheduling (measured
+    // ~1.8 s for a 28k-edge graph); the whole iteration runs inside ONE
+    // task instead. Arithmetic is bit-identical by construction: the same
+    // BigInteger half-step sums (integer adds are order-free) and the
+    // same truncating normalize divide, with java HashMap key semantics
+    // equal to the shuffled path's boxed-key equality. A graph whose
+    // size estimate exceeds one 16 MB partition keeps the distributed
+    // superstep kernel below.
+    if (part.numPartitions == 1) {
+      val nIters = iters
+      val rows = eRdd.coalesce(1).mapPartitions { it =>
+        import java.math.BigInteger
+        val edges = it.toArray
+        val nodes = new java.util.LinkedHashSet[Any]()
+        edges.foreach { case (sv, dv) => nodes.add(sv); nodes.add(dv) }
+        def normalize(raw: java.util.HashMap[Any, BigInteger])
+            : java.util.HashMap[Any, java.lang.Long] = {
+          var t = BigInteger.ZERO
+          val vi = raw.values.iterator()
+          while (vi.hasNext) t = t.add(vi.next())
+          val tdiv = t.divide(hscaleBi).max(one)
+          val out = new java.util.HashMap[Any, java.lang.Long]()
+          val ni = nodes.iterator()
+          while (ni.hasNext) {
+            val n = ni.next()
+            out.put(n, raw.getOrDefault(n, BigInteger.ZERO)
+              .divide(tdiv).longValueExact())
+          }
+          out
+        }
+        var h = new java.util.HashMap[Any, java.lang.Long]()
+        val n0 = nodes.iterator()
+        while (n0.hasNext) h.put(n0.next(), HSCALE)
+        var a: java.util.HashMap[Any, java.lang.Long] = null
+        for (_ <- 1 to nIters) {
+          val araw = new java.util.HashMap[Any, BigInteger]()
+          edges.foreach { case (sv, dv) =>
+            araw.merge(dv, BigInteger.valueOf(h.get(sv)), _.add(_))
+          }
+          a = normalize(araw)
+          val hraw = new java.util.HashMap[Any, BigInteger]()
+          edges.foreach { case (sv, dv) =>
+            hraw.merge(sv, BigInteger.valueOf(a.get(dv)), _.add(_))
+          }
+          h = normalize(hraw)
+        }
+        val out = Seq.newBuilder[org.apache.spark.sql.Row]
+        val ni = nodes.iterator()
+        while (ni.hasNext) {
+          val n = ni.next()
+          val hs = h.get(n).longValue
+          val as_ = a.get(n).longValue
+          out += org.apache.spark.sql.Row(n, hs, as_,
+            hs.toDouble / HSCALE.toDouble, as_.toDouble / HSCALE.toDouble)
+        }
+        out.result().iterator
+      }
+      return s.createDataFrame(rows, schema)
+    }
     val bySrc = eRdd.partitionBy(part).persist(lvl)          // (src, dst)
     val byDst = eRdd.map(_.swap).partitionBy(part).persist(lvl) // (dst, src)
     // node set with the SAME partitioner (one shuffle, kept co-located)
     val nodes = eRdd.flatMap(t => Iterator(t._1, t._2))
       .map((_, ())).reduceByKey(part, (a, _) => a).persist(lvl)
-    val one = java.math.BigInteger.ONE
-    val hscaleBi = java.math.BigInteger.valueOf(HSCALE)
     def normalize(raw: org.apache.spark.rdd.RDD[(Any, java.math.BigInteger)])
         : org.apache.spark.rdd.RDD[(Any, Long)] = {
       // total: one job (also materializes raw's cache); fold — not
@@ -208,17 +289,6 @@ object GraphOps {
       h = hNew
       a = aNew
     }
-    val nodeType = e0.schema("src").dataType
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("node", nodeType, true),
-      org.apache.spark.sql.types.StructField("hub_fp",
-        org.apache.spark.sql.types.LongType, true),
-      org.apache.spark.sql.types.StructField("auth_fp",
-        org.apache.spark.sql.types.LongType, true),
-      org.apache.spark.sql.types.StructField("hub",
-        org.apache.spark.sql.types.DoubleType, true),
-      org.apache.spark.sql.types.StructField("auth",
-        org.apache.spark.sql.types.DoubleType, true)))
     val rows = h.join(a, part).map { case (node, (hs, as_)) =>
       org.apache.spark.sql.Row(node, hs, as_,
         hs.toDouble / HSCALE.toDouble, as_.toDouble / HSCALE.toDouble)
@@ -555,7 +625,14 @@ object GraphOps {
     * argmax window over that aggregate — two key-space shuffles, the
     * Pregel shape. Every und-node has degree >= 1, so the new label
     * table covers all nodes. */
-  def labelPropagate(e: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagate(e: DataFrame, rounds: Int): DataFrame =
+    lpaKernel(e, rounds, forcedParts = None)
+
+  /** `labelPropagate` with an explicit kernel width — test hook keeping
+    * the distributed superstep path covered (and equal to the
+    * single-partition fast path) on small inputs. */
+  private[graft] def lpaKernel(e: DataFrame, rounds: Int,
+      forcedParts: Option[Int]): DataFrame = {
     // RDD superstep kernel (r16 optimization round — the hits discipline
     // directly above): the DataFrame round loop planned three fresh
     // Catalyst plans and eagerly localCheckpointed the label table EVERY
@@ -580,15 +657,108 @@ object GraphOps {
       .union(e.select(col("dst").as("u"), col("src").as("v")))
     val dt = pairs.schema("u").dataType
     val bytesEst = e.queryExecution.optimizedPlan.stats.sizeInBytes
-    val part = new org.apache.spark.HashPartitioner(
-      math.max(1L, math.min(
-        s.sessionState.conf.numShufflePartitions.toLong,
-        (bytesEst * 2 / (16L << 20)).toLong + 1L)).toInt)
+    // Width follows the edge bytes (16 MB/partition). r17 (advisor item):
+    // the session shuffle width used to be a hard CAP, which bounded the
+    // per-partition dedup set's heap footprint by |edges|/sessionWidth —
+    // an OOM risk on a very large or v-skewed edge list (the in-heap
+    // HashSet below holds a partition's distinct pairs and does not
+    // spill). The bytes estimate now rules; the cap only guards against a
+    // garbage stats estimate (max(session, 2^14) tasks per round is the
+    // sanity ceiling, far above any sane 16 MB-sizing outcome).
+    val widthCap = math.max(
+      s.sessionState.conf.numShufflePartitions.toLong, 1L << 14)
+    val part = new org.apache.spark.HashPartitioner(forcedParts.getOrElse(
+      math.max(1L, math.min(widthCap,
+        (bytesEst * 2 / (16L << 20)).toLong + 1L)).toInt))
+    // r17 (advisor item): normalize -0.0 to 0.0 for float/double node ids
+    // — boxed java equality/hashing splits the two where the old
+    // DataFrame join/groupBy unified them (Spark normalizes -0.0 in
+    // comparisons and hash keys). All NaN bit patterns already unify:
+    // java.lang.Double.equals/hashCode go through doubleToLongBits, which
+    // canonicalizes NaNs.
     def copyOf(v: Any): Any = v match {
       case u: UTF8String => u.copy()
       case r: InternalRow => r.copy()
       case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+      case d: java.lang.Double if d.doubleValue == 0.0d =>
+        java.lang.Double.valueOf(0.0d)
+      case f: java.lang.Float if f.floatValue == 0.0f =>
+        java.lang.Float.valueOf(0.0f)
       case x => x
+    }
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(dt)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt, nullable = true),
+      org.apache.spark.sql.types.StructField("lbl", dt, nullable = true)))
+    // SINGLE-PARTITION FAST PATH (r17 optimization round — the
+    // clusterPairs / hits discipline, gated on the same size rule as the
+    // kernel width): at p == 1 every round's three shuffle stages are
+    // sequential one-task jobs of pure scheduling; the whole 4-round
+    // ladder runs inside ONE task. Semantics identical: same boxed-key
+    // equality (java HashMap), same null rules (null v delivers no label,
+    // null u still receives), same (count desc, label asc) argmax under
+    // the same interpreted ordering, and replacement semantics (a node
+    // whose every neighbor is null-v drops from the label table, exactly
+    // like the join+reduce path). A graph past one 16 MB partition keeps
+    // the distributed superstep kernel below.
+    if (part.numPartitions == 1) {
+      val nRounds = rounds
+      val rows = pairs.queryExecution.toRdd
+        .mapPartitions(_.map(r =>
+          (copyOf(r.get(1, dt)), copyOf(r.get(0, dt)))))
+        .coalesce(1)
+        .mapPartitions { it =>
+          val seen = new java.util.HashSet[(Any, Any)]()
+          val vu = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+          it.foreach(p => if (seen.add(p)) vu += p)
+          var labels = new java.util.HashMap[Any, Any]()
+          vu.foreach { case (_, u) =>
+            if (!labels.containsKey(u)) labels.put(u, u)
+          }
+          for (_ <- 1 to nRounds) {
+            // (u, lbl(v)) counts over non-null-v pairs whose v has a label
+            val counts = new java.util.HashMap[(Any, Any), java.lang.Long]()
+            vu.foreach { case (v, u) =>
+              if (v != null && labels.containsKey(v)) {
+                counts.merge((u, labels.get(v)), 1L, (x, y) =>
+                  java.lang.Long.valueOf(x.longValue + y.longValue))
+              }
+            }
+            // per-u argmax (count desc, label asc) — comparison-total, so
+            // the fold order cannot matter
+            val best = new java.util.HashMap[Any, (Any, java.lang.Long)]()
+            val ci = counts.entrySet().iterator()
+            while (ci.hasNext) {
+              val en = ci.next()
+              val (u, lbl) = en.getKey
+              val c = en.getValue
+              val cur = best.get(u)
+              if (cur == null || c.longValue > cur._2.longValue ||
+                (c.longValue == cur._2.longValue &&
+                  ord.compare(lbl, cur._1) < 0))
+                best.put(u, (lbl, c))
+            }
+            val next = new java.util.HashMap[Any, Any]()
+            val bi = best.entrySet().iterator()
+            while (bi.hasNext) {
+              val en = bi.next()
+              next.put(en.getKey, en.getValue._1)
+            }
+            labels = next
+          }
+          val out = Seq.newBuilder[InternalRow]
+          val li = labels.entrySet().iterator()
+          while (li.hasNext) {
+            val en = li.next()
+            val g = new GenericInternalRow(2)
+            g.update(0, en.getKey); g.update(1, en.getValue)
+            out += (g: InternalRow)
+          }
+          out.result().iterator
+        }
+      return org.apache.spark.sql.classic.GraftSqlInternals
+        .internalCreateDataFrame(s, rows, outSchema)
     }
     // (v → u) pairs, deduped per v-partition (all (v,*) co-locate, so a
     // local set completes the old DataFrame distinct in the same shuffle
@@ -608,9 +778,7 @@ object GraphOps {
       .reduceByKey(part, (a, _) => a)
       .mapPartitions(_.map { case (n, _) => (n, n) },
         preservesPartitioning = true)
-    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(dt)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       labels = undByV
         // SQL join semantics: a null v matches no label row
         .filter(_._1 != null)
@@ -624,17 +792,31 @@ object GraphOps {
           else if (a._2 < b._2) b
           else if (ord.compare(a._1, b._1) <= 0) a else b)
         .mapValues(_._1)
+      // r17 (advisor item): a large user-supplied `rounds` builds 2
+      // shuffle stages per round with no lineage truncation — the DAG
+      // depth (and the scheduler walk per job) grows with rounds.
+      // Periodically localCheckpoint the label table; never fires at the
+      // library's own 4-round setting.
+      if (r % 32 == 0 && r < rounds) {
+        labels = labels.persist(lvl).localCheckpoint()
+        labels.count(): Unit
+      }
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("node", dt, nullable = true),
-      org.apache.spark.sql.types.StructField("lbl", dt, nullable = true)))
-    val rows = labels.map { case (n, l) =>
+    // materialize the final labels, then release the co-partitioned edge
+    // cache (r17, advisor item: undByV was persisted and never freed — a
+    // long session leaked one edge-sized cache per build). The persisted
+    // result is what every consumer reads; the extra count is one narrow
+    // job over node-sized data.
+    val finalLabels = labels.persist(lvl)
+    finalLabels.count()
+    undByV.unpersist(blocking = false)
+    val rows = finalLabels.map { case (n, l) =>
       val g = new GenericInternalRow(2)
       g.update(0, n); g.update(1, l)
       g: InternalRow
     }
     org.apache.spark.sql.classic.GraftSqlInternals.internalCreateDataFrame(
-      s, rows, schema)
+      s, rows, outSchema)
   }
 
   /** The LPA partition over the corpus graph, ONE run per (session,

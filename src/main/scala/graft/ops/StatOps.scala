@@ -749,20 +749,46 @@ object StatOps {
     val loR = expr(s"($pLow * n + 99) div 100")
     val hiR = expr(s"($pHigh * n + 99) div 100")
     val dc = "decimal(15,2)"
+    // Null-boundary semantics (r17, advisor item): when a group has
+    // >= pLow% NULLs the row at the p_lo boundary rank is NULL (nulls
+    // rank first), and the former `n_lo * p_lo` term nulled the whole
+    // wins_mean where the old per-row least/greatest form stayed numeric.
+    // The per-row form's null algebra, spelled per rank segment (Spark's
+    // least/greatest SKIP nulls):
+    //   v NULL             -> coalesce(p_lo, p_hi)   (null contribution
+    //                          is ignored by the sum, like any null row)
+    //   v != NULL, rn<loR  -> p_lo  (non-null below the boundary implies
+    //                          the boundary row is non-null)
+    //   v != NULL, mid     -> v
+    //   v != NULL, rn>hiR  -> p_hi when present, else v (p_hi NULL means
+    //                          every non-null row ranks above hiR: no clip)
+    // and the mean is NULL only for an all-NULL group — exactly the old
+    // sum-of-nulls. On null-free groups every extra term collapses to the
+    // former expression bit-for-bit.
+    val zero = lit(0).cast(dc)
     ranked.groupBy(col("grp")).agg(
         max(col("n")).as("n"),
         max(when(col("rn") === loR, col("v"))).as("p_lo"),
         max(when(col("rn") === hiR, col("v"))).as("p_hi"),
-        sum(when(col("v").isNull || col("rn") < loR, 1L).otherwise(0L))
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("v").isNotNull && col("rn") < loR, 1L).otherwise(0L))
           .as("n_lo"),
         sum(when(col("v").isNotNull && col("rn") > hiR, 1L).otherwise(0L))
           .as("n_hi"),
         sum(when(col("v").isNotNull && col("rn") >= loR && col("rn") <= hiR,
-          col("v").cast(dc))).as("mid_sum"))
+          col("v").cast(dc))).as("mid_sum"),
+        sum(when(col("v").isNotNull && col("rn") > hiR, col("v").cast(dc)))
+          .as("hi_sum"))
       .select(col("grp"), col("n"), col("p_lo"), col("p_hi"),
-        r6((col("mid_sum") + col("n_lo") * col("p_lo").cast(dc)
-            + col("n_hi") * col("p_hi").cast(dc)).cast("double")
-          / col("n").cast("double")).as("wins_mean"))
+        when(col("n_null") === col("n"), lit(null).cast("double"))
+          .otherwise(r6(
+            (coalesce(col("n_null") * coalesce(col("p_lo"), col("p_hi")).cast(dc), zero)
+              + coalesce(col("n_lo") * col("p_lo").cast(dc), zero)
+              + coalesce(col("mid_sum"), zero)
+              + coalesce(when(col("p_hi").isNotNull,
+                  col("n_hi") * col("p_hi").cast(dc))
+                .otherwise(col("hi_sum")), zero)).cast("double")
+            / col("n").cast("double"))).as("wins_mean"))
   }
 
   private def winsorizeQ(s: SparkSession, dir: String): DataFrame =

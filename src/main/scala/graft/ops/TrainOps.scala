@@ -329,7 +329,26 @@ object TrainOps {
       val (iDoc, iY, iB, iX) = (f.schema.fieldIndex("doc_id"),
         f.schema.fieldIndex("y"), f.schema.fieldIndex("bucket"),
         f.schema.fieldIndex("x"))
-      val pivoted = f.queryExecution.toRdd.mapPartitions { it =>
+      // r17 (advisor item): the sorted-run fold ASSUMES the frame is
+      // doc-clustered and doc-sorted (the x-window's exchange + sort).
+      // That invariant was only documented; now it is CHECKED against the
+      // executed plan — a future featsOf edit (or a Catalyst change that
+      // satisfies the window's distribution from a different exchange)
+      // falls back to an explicit doc-keyed repartition + sort instead of
+      // silently splitting a doc across runs and corrupting the gradient.
+      val plan = f.queryExecution.executedPlan
+      val clusteredByDoc = plan.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.nonEmpty &&
+            h.expressions.forall(_.references.map(_.name).toSet == Set("doc_id"))
+        case _ => false
+      }
+      val sortedByDoc = plan.outputOrdering.headOption
+        .exists(_.references.map(_.name).toSet == Set("doc_id"))
+      val src =
+        if (clusteredByDoc && sortedByDoc) f
+        else f.repartition(col("doc_id")).sortWithinPartitions(col("doc_id"))
+      val pivoted = src.queryExecution.toRdd.mapPartitions { it =>
         new Iterator[(Double, Array[Int], Array[Double])] {
           private val bks = new scala.collection.mutable.ArrayBuffer[Int](64)
           private val xs = new scala.collection.mutable.ArrayBuffer[Double](64)

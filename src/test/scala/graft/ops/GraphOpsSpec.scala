@@ -158,4 +158,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_edges") == 4L)
     assert(row.getAs[Double]("assortativity") == 1.0)
   }
+
+  test("hits: single-partition fast path equals the distributed kernel") {
+    // r17: the size rule runs tiny graphs in ONE task; force the
+    // distributed superstep kernel via the test hook and pin equality
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 11L), (10L, 3L), (11L, 1L),
+      (2L, 11L), (3L, 10L), (4L, 10L), (4L, 11L)).toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val fast = asMap(GraphOps.hits(e))         // size rule -> 1 partition
+    val dist = asMap(GraphOps.hitsKernel(e, 4, Some(3)))
+    assert(fast == dist, s"fast=$fast dist=$dist")
+  }
+
+  test("labelPropagate: fast path equals the distributed kernel") {
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (2L, 10L), (5L, 0L), (6L, 12L)).toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = asMap(GraphOps.labelPropagate(e, 4))
+    val dist = asMap(GraphOps.lpaKernel(e, 4, Some(3)))
+    assert(fast == dist, s"fast=$fast dist=$dist")
+  }
+
+  test("labelPropagate: -0.0 and 0.0 double node ids are one node " +
+      "(advisor item: boxed-key hashing must match SQL normalization)") {
+    val e = Seq((-0.0d, 1.0d), (0.0d, 2.0d), (1.0d, 2.0d)).toDF("src", "dst")
+    val got = GraphOps.labelPropagate(e, 2).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(0.0d, 1.0d, 2.0d),
+      s"-0.0 must normalize to 0.0, got nodes ${got.keySet}")
+    assert(got.values.toSet.size == 1, s"triangle must cohere: $got")
+  }
 }

@@ -32,4 +32,22 @@ class QualityTrainSpec extends SparkSpec {
       s"final model (gap=$gapN, acc=$accN) should beat the zero model " +
         s"(gap=$gap0, acc=$acc0)")
   }
+
+  test("ridgeTrain: a stage hook that breaks doc clustering falls back " +
+      "to the safe pivot and trains identically (advisor item)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val label = col("doc_id") % 2 === 0
+    def run(stage: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      TrainOps.ridgeTrain(docs, "doc_id", "text", label, steps = 2, stage = stage)
+        .orderBy("step").collect().toSeq
+    val base = run(_.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // repartition(7) preserves rows but destroys the doc-clustered,
+    // doc-sorted layout the sorted-run pivot rides — the runtime check
+    // must detect it and fall back, yielding a bit-identical curve
+    val broken = run(df => df.repartition(7).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    assert(base == broken)
+  }
 }

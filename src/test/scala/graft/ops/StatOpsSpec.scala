@@ -735,4 +735,27 @@ class StatOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("winsorize: null-boundary groups keep the old per-row " +
+      "least/greatest semantics (advisor item)") {
+    // group a: 2 nulls out of 20 put the p5 boundary rank on a NULL
+    // (p_lo NULL). Old per-row algebra: null rows clip to p_hi
+    // (greatest skips the null bound, least applies the high one),
+    // non-null rows clip high only. p_hi = value at rank 19 = 17.0;
+    // mean = (2*17 + (1+..+17) + 17)/20 = 204/20 = 10.2.
+    // group b: all NULL -> mean NULL (sum of nulls).
+    // group c: 19 nulls + one value -> both bounds NULL, the value keeps
+    // itself unclipped -> 5.0/20.
+    val a = (Seq[Option[Double]](None, None) ++
+      (1 to 18).map(i => Some(i.toDouble))).map(v => ("a", v))
+    val b = Seq.fill(3)(("b", Option.empty[Double]))
+    val c = (Seq.fill(19)(Option.empty[Double]) :+ Some(5.0d)).map(v => ("c", v))
+    val d = (a ++ b ++ c).toDF("grp", "v")
+    val got = StatOps.winsorize(d, col("grp"), col("v")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got("a") == Some(10.2), s"got $got")
+    assert(got("b") == None, s"all-null group must stay NULL: $got")
+    assert(got("c") == Some(0.25), s"got $got")
+  }
 }
