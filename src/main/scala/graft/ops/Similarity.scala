@@ -1186,8 +1186,14 @@ object Similarity {
     * consume the edge set. */
   private def knnEdges(s: SparkSession, dir: String): DataFrame =
     Staging.staged(s, dir, "knn_edges") {
+      // Materialize the NARROW assignment slice once (r17, guide §2.3/§5):
+      // both join sides used to re-scan the full ivf_ranked cache — a wide
+      // relation (v, cv, csim, ...) whose array columns decompress per
+      // scan — to extract the same 4-column, corpus-sized slice. One
+      // eager localCheckpoint of the slice feeds both sides.
       val assigned = ivfRanked(s, dir).filter(col("crk") === 1)
         .select(col("vec_id"), col("cell_label").as("cell"), col("v"), col("nrm"))
+        .localCheckpoint(true)
       // SALTED per-cell self-join: cell cardinality bounds the plain join's
       // parallelism (10 cells = 10 tasks, whatever the cluster width), and
       // each task's work is quadratic in its cell. Bucketing the b-side by
@@ -1200,8 +1206,13 @@ object Similarity {
         explode(array((0 until S).map(lit): _*)))
       val bSide = assigned.withColumn("salt",
         pmod(xxhash64(col("vec_id")), lit(S.toLong)).cast("int"))
+      // SHUFFLE_HASH, not sort-merge (guide §3.1): the build side of each
+      // (cell, salt) partition is the salted cell slice — bounded by the
+      // per-cell cap / salt factor, never corpus-sized — so the hash build
+      // is safe at any scale and both sides skip the SMJ's full sort of
+      // the vector payloads.
       val scored = aSide.as("a")
-        .join(bSide.as("b"),
+        .join(bSide.hint("SHUFFLE_HASH").as("b"),
           col("a.cell") === col("b.cell") && col("a.salt") === col("b.salt") &&
             col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
