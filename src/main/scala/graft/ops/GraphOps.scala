@@ -289,7 +289,14 @@ object GraphOps {
       h = hNew
       a = aNew
     }
-    val rows = h.join(a, part).map { case (node, (hs, as_)) =>
+    // materialize the final score join, then release every kernel cache
+    // (r17 — the LPA discipline: the co-partitioned edge/node RDDs and
+    // the final vectors were persisted for the run and never freed; a
+    // long session leaked one graph-sized cache set per invocation)
+    val scored = h.join(a, part).persist(lvl)
+    scored.count()
+    Seq(bySrc, byDst, nodes, h, a).foreach(_.unpersist(blocking = false))
+    val rows = scored.map { case (node, (hs, as_)) =>
       org.apache.spark.sql.Row(node, hs, as_,
         hs.toDouble / HSCALE.toDouble, as_.toDouble / HSCALE.toDouble)
     }
